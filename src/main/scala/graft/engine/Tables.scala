@@ -1,0 +1,50 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed loaders for the driver's synthetic star schema (TESTDATA.md) and
+  * shared session defaults.
+  *
+  * Scale notes (100 TB design point):
+  *  - All reads are plain parquet scans: column pruning and predicate pushdown
+  *    happen in `FileSourceScanExec` for free as long as queries stay
+  *    declarative (SURVEY.md §4).
+  *  - At cluster scale the same loaders work over a partitioned lake layout
+  *    (`.../table/year=.../part-*.parquet`); `spark.read.parquet(dir)` picks up
+  *    partition columns and Catalyst prunes partitions from `WHERE` clauses.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
+    case "events" =>
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+      // rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as LongType and floor-div
+      // to micros (integer `div` — a double division would lose precision at
+      // 1.7e18 ns). DuckDB's own reader truncates ns→µs identically, so oracle
+      // comparisons stay exact.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    case _ =>
+      spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Session defaults used by local mains/tests. AQE stays on (runtime shuffle
+    * coalescing + skew-join splitting — the local stand-in for what we'd rely
+    * on at 1000-executor scale). */
+  def localSession(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+}

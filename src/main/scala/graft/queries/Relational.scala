@@ -1,0 +1,579 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+
+/** Core relational operator catalog — SURVEY.md §2.2 (projections/filters),
+  * §2.3 (joins), §2.4 (aggregations), §2.5 (windows), §2.6 (sorts/limits),
+  * §2.7 (set ops) — re-expressed over the synthetic star schema
+  * (FIXTURES.md §B operator→table assignment).
+  *
+  * Conventions shared with the DuckDB oracles:
+  *  - every query ends in an ORDER BY over a unique key (hash-stable output);
+  *  - every floating aggregate is `round(x, 4)` on both sides (sum order over
+  *    doubles is partition-order-dependent in any parallel engine);
+  *  - derived integer columns are cast to BIGINT on both sides (DuckDB widens
+  *    `year()`, `rank()`, `len()` to BIGINT; Spark defaults to INT).
+  *
+  * Scale notes are attached per query: what the plan must look like at 100 TB
+  * (broadcast vs sort-merge, where the shuffles are, what gets pushed down).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+  private def r4(c: Column) = round(c, 4)
+
+  val queries: Map[String, Q] = Map(
+    // ---- flagship: TPC-H-Q1-shaped scan→filter→agg→sort (SURVEY §7.3).
+    // One shuffle (partial→final hash agg); filter + 7-column projection reach
+    // the parquet scan. 6 groups at any SF → final agg is trivially small.
+    "q1_agg" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      l.filter(col("l_quantity") > 0)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r4(sum("l_quantity")).as("sum_qty"),
+          r4(sum("l_extendedprice")).as("sum_base_price"),
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          r4(avg("l_quantity")).as("avg_qty"),
+          r4(avg("l_extendedprice")).as("avg_price"),
+          r4(avg("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- P1 column-subset projection (streamlit_app.py:281). Pure scan:
+    // ReadSchema must list exactly these 4 columns; no shuffle (sort only).
+    "p1_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- P3 derived-column projection (streamlit_app.py:78,99-105).
+    "p3_derived" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("revenue", r4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .withColumn("ship_year", year(col("l_shipdate")).cast("bigint"))
+        .select("l_orderkey", "l_linenumber", "revenue", "ship_year")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- P4 unpivot / transpose (streamlit_app.py:180) via stack().
+    "p4_unpivot" -> ((s, d) =>
+      t(s, d, "part")
+        .selectExpr("p_partkey",
+          "stack(2, 'p_retailprice', p_retailprice, 'p_size', cast(p_size as double)) as (attr, val)")
+        .orderBy("p_partkey", "attr")),
+
+    // ---- P5 null-drop filter (streamlit_app.py:91).
+    "p5_nulldrop" -> ((s, d) =>
+      t(s, d, "events")
+        .na.drop(Seq("value", "props", "event_type"))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    // ---- P6 range predicate (streamlit_app.py:92). Pushed to parquet scan
+    // (row-group min/max skipping at scale).
+    "p6_range" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 25 && col("l_quantity") <= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- P7 boolean predicate (streamlit_app.py:227-229).
+    "p7_bool" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("is_discounted", col("l_discount") > 0.05)
+        .filter(col("is_discounted"))
+        .select("l_orderkey", "l_linenumber", "is_discounted")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- P8 equality predicate (streamlit_app.py:419-420).
+    "p8_equality" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // ---- P9 IN-list predicate (streamlit_app.py:246,442-444).
+    "p9_inlist" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    // ---- §2.3 joins. j1: fact⋈dim — dim side broadcast (no shuffle of the
+    // 100 TB fact side; only the 6-group agg shuffles).
+    "j1_join_broadcast" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val p = broadcast(t(s, d, "part"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(r4(sum("l_extendedprice")).as("brand_revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")
+    }),
+
+    // j2: left outer row-level join (null-extending side preserved).
+    // At scale: sort-merge on o_custkey=c_custkey; customer broadcast here.
+    "j2_join_left" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    }),
+
+    // j3: left-semi (the table-valued generalization of P9).
+    "j3_join_semi" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 100000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // j4: left-anti (customers with no urgent order).
+    "j4_join_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // j5: 5-way star join (region⋈nation⋈customer⋈orders⋈lineitem), TPC-H-Q5
+    // shape. Dims broadcast in a chain onto the fact scan → the only shuffle
+    // is the final 25-group agg.
+    "j5_join_multiway" -> ((s, d) => {
+      val r = broadcast(t(s, d, "region"))
+      val n = broadcast(t(s, d, "nation"))
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ---- A4 per-group boolean ANY (f1_dataExtractor.py:276 DRSActive).
+    "a4_bool_any" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(bool_or(col("value") > 200).as("any_big"),
+             bool_and(col("value") >= 0).as("all_nonneg"),
+             count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // ---- A5 order-sensitive per-group first (f1_dataExtractor.py:267,348).
+    // pandas iloc[0] → deterministic window-ordered first (SURVEY §7.4 hard
+    // part (b)): row_number over (user_id ORDER BY ts, event_id) = 1.
+    "a5_first_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("first_type"), col("value").as("first_value"))
+        .orderBy("user_id")
+    }),
+
+    // ---- A7 multi-agg group-by (stint summary, f1_dataExtractor.py:334-353):
+    // one hash aggregate replaces the reference's nested unique() loops.
+    "a7_multiagg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             r4(min("o_totalprice")).as("min_price"),
+             r4(max("o_totalprice")).as("max_price"),
+             r4(avg("o_totalprice")).as("avg_price"),
+             min("o_orderdate").as("first_date"),
+             max("o_orderdate").as("last_date"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // ---- A8 DISTINCT (f1_dataExtractor.py:336,341) + O3 sorted distinct.
+    "a8_distinct" -> ((s, d) =>
+      t(s, d, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")),
+
+    // ---- A9 whole-column null census + A10 row count.
+    "a9_null_census" -> ((s, d) =>
+      t(s, d, "events")
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("value")).as("n_value_nonnull"),
+             (count(lit(1)) - count(col("value"))).as("n_value_null"),
+             countDistinct(col("user_id")).as("n_users"))),
+
+    // ---- beyond-reference: ROLLUP multi-level aggregate (stock Catalyst
+    // Expand → single shuffle).
+    "agg_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "agg_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // ---- exact distinct aggregate (Catalyst rewrites to 2-phase agg).
+    "agg_count_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+             countDistinct("l_suppkey").as("n_supps"),
+             count(lit(1)).as("n_lines"))
+        .orderBy("l_returnflag")),
+
+    // ---- statistical aggregates (stddev/corr — Spark & DuckDB both use
+    // numerically-stable one-pass formulations; round(4) absorbs ulp drift).
+    "agg_stats" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(r4(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+             r4(var_samp(col("l_quantity"))).as("var_qty"),
+             r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+             r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"))
+        .orderBy("l_returnflag")),
+
+    // ---- W1 LAG / consecutive diff (f1_dataExtractor.py:283 Gear.diff()).
+    // One shuffle on user_id, sort within partitions — at 100 TB this is the
+    // canonical "repartition by entity, sort by time" sequence pattern.
+    "w1_lag_diff" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .withColumn("changed", coalesce(col("delta") =!= 0, lit(false)))
+        .select("event_id", "user_id", "value", "prev_value", "delta", "changed")
+        .orderBy("event_id")
+    }),
+
+    // ---- W1b gear-change count: lag → per-group conditional sum (A6).
+    "w1_change_count" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .groupBy("user_id")
+        .agg(sum(when(col("prev_type").isNotNull && col("event_type") =!= col("prev_type"), 1L)
+               .otherwise(0L)).as("n_type_changes"),
+             count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---- W2 timestamp shift by offset (f1_dataExtractor.py:212-243).
+    "w2_ts_shift" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("due_date", col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .withColumn("shifted_by_key", expr("timestampadd(HOUR, o_orderkey % 24, o_orderdate)"))
+        .select("o_orderkey", "o_orderdate", "due_date", "shifted_by_key")
+        .orderBy("o_orderkey")),
+
+    // ---- W3 even-index sampling (streamlit_app.py:300-302). NOTE: global
+    // Window.orderBy is single-partition — fine for axis-tick-sized output;
+    // the scale path for heavy sampling is df.sample / TABLESAMPLE.
+    "w3_every_kth" -> ((s, d) => {
+      val w = Window.orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") % 100 === 1)
+        .select("rn", "event_id", "ts")
+        .orderBy("rn")
+    }),
+
+    // ---- W4 ranking (SURVEY §2.5 "natural reconstruction" of Position).
+    "w4_rank_topn" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rnk", rank().over(w).cast("bigint"))
+        .withColumn("drnk", dense_rank().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select("o_orderstatus", "rnk", "drnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderstatus", "rnk", "o_orderkey")
+    }),
+
+    // ---- W5 rolling frame aggregate (rowsBetween).
+    "w5_rolling_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-2, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("roll_avg", r4(avg("value").over(w)))
+        .withColumn("roll_max", max("value").over(w))
+        .select("event_id", "user_id", "value", "roll_avg", "roll_max")
+        .orderBy("event_id")
+    }),
+
+    // ---- W5b running/cumulative sum (unbounded preceding frame).
+    "w5_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("running_value", r4(sum("value").over(w)))
+        .withColumn("n_so_far", count(lit(1)).over(w))
+        .select("event_id", "user_id", "running_value", "n_so_far")
+        .orderBy("event_id")
+    }),
+
+    // ---- O1/O2 sorts + O4 top-k. Top-k compiles to TakeOrderedAndProject:
+    // per-partition heap + driver merge — no global sort at scale.
+    "o1_sort_multikey" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 48)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .orderBy(col("l_returnflag").asc, col("l_quantity").desc, col("l_orderkey").asc, col("l_linenumber").asc)),
+
+    "o4_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice")
+        .limit(20)),
+
+    // ---- §2.7 set operations.
+    "set_union" -> ((s, d) => {
+      val hiBal = t(s, d, "customer").filter(col("c_acctbal") > 7000).select(col("c_custkey").as("k"))
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+      hiBal.union(urgent).distinct().orderBy("k")
+    }),
+
+    "set_intersect" -> ((s, d) => {
+      val hiBal = t(s, d, "customer").filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+      val buyers = t(s, d, "orders").select(col("o_custkey").as("k"))
+      hiBal.intersect(buyers).orderBy("k")
+    }),
+
+    "set_except" -> ((s, d) => {
+      val all = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k"))
+      all.except(urgent).orderBy("k")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_quantity > 0
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "p1_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p3_derived" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p4_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part)
+        |ORDER BY p_partkey, attr""".stripMargin,
+
+    "p5_nulldrop" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE value IS NOT NULL AND props IS NOT NULL AND event_type IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "p6_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 25 AND l_quantity <= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p7_bool" ->
+      """SELECT l_orderkey, l_linenumber, (l_discount > 0.05) AS is_discounted
+        |FROM lineitem WHERE l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p8_equality" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+
+    "p9_inlist" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') ORDER BY o_orderkey""".stripMargin,
+
+    "j1_join_broadcast" ->
+      """SELECT p_brand, round(sum(l_extendedprice), 4) AS brand_revenue, count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "j2_join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "j3_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j4_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j5_join_multiway" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "a4_bool_any" ->
+      """SELECT event_type, bool_or(value > 200) AS any_big,
+        |  bool_and(value >= 0) AS all_nonneg, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a5_first_per_group" ->
+      """SELECT user_id, event_type AS first_type, value AS first_value FROM (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "a7_multiagg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(min(o_totalprice), 4) AS min_price,
+        |  round(max(o_totalprice), 4) AS max_price,
+        |  round(avg(o_totalprice), 4) AS avg_price,
+        |  min(o_orderdate) AS first_date,
+        |  max(o_orderdate) AS last_date
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "a8_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+    "a9_null_census" ->
+      """SELECT count(*) AS n_rows, count(value) AS n_value_nonnull,
+        |  count(*) - count(value) AS n_value_null,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "w1_lag_diff" ->
+      """SELECT event_id, user_id, value, prev_value, value - prev_value AS delta,
+        |  coalesce(value - prev_value != 0, false) AS changed
+        |FROM (SELECT event_id, user_id, value,
+        |        lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "w1_change_count" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_type IS NOT NULL AND event_type != prev_type THEN 1 ELSE 0 END) AS BIGINT) AS n_type_changes,
+        |  count(*) AS n_events
+        |FROM (SELECT user_id, event_type,
+        |        lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+        |      FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "w2_ts_shift" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  o_orderdate + INTERVAL 30 DAY AS due_date,
+        |  o_orderdate + to_hours(o_orderkey % 24) AS shifted_by_key
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "w3_every_kth" ->
+      """SELECT rn, event_id, ts FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY ts ASC, event_id ASC) AS BIGINT) AS rn, event_id, ts
+        |  FROM events) WHERE rn % 100 = 1 ORDER BY rn""".stripMargin,
+
+    "w4_rank_topn" ->
+      """SELECT o_orderstatus, rnk, drnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS drnk
+        |  FROM orders) WHERE rnk <= 5
+        |ORDER BY o_orderstatus, rnk, o_orderkey""".stripMargin,
+
+    "w5_rolling_avg" ->
+      """SELECT event_id, user_id, value,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll_avg,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "w5_running_sum" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "o1_sort_multikey" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+        |WHERE l_quantity >= 48
+        |ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey ASC, l_linenumber ASC""".stripMargin,
+
+    "o4_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "set_union" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7000
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY k""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |ORDER BY k""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY k""".stripMargin
+  )
+}
