@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Durations => D, Tables}
+
+/** Scalar-function catalog — SURVEY.md §2.8 (the duration codec F2–F18, bool
+  * coercion, ISO parse, numeric coercion) plus the JSON scalar surface the
+  * synthetic `events.props` column motivates.
+  *
+  * Each query derives deterministic inputs from table columns (pure IEEE
+  * arithmetic — bit-identical in Spark and DuckDB), applies the engine
+  * function, and the oracle replicates the exact formula in SQL. This pins the
+  * codec semantics (sign handling F17, round-vs-truncate F18, totality §1.3)
+  * against an independent implementation.
+  */
+object Scalars {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // ---- SQL builders mirroring Durations.* (DuckDB dialect) ----------------
+  private def sqlSign(sec: String) = s"(CASE WHEN $sec < 0 THEN '-' ELSE '' END)"
+  private def sqlMsR(sec: String) = s"CAST(floor(abs($sec) * 1000 + 0.5) AS BIGINT)"
+  private def sqlMsT(sec: String) = s"CAST(floor(abs($sec) * 1000) AS BIGINT)"
+
+  private def sqlFmtMmSsMs(sec: String) =
+    s"(CASE WHEN $sec IS NULL THEN NULL ELSE ${sqlSign(sec)} || " +
+    s"printf('%02d:%02d:%03d', ${sqlMsR(sec)} // 60000, (${sqlMsR(sec)} // 1000) % 60, ${sqlMsR(sec)} % 1000) END)"
+
+  private def sqlFmtHhMmSs(sec: String) = {
+    val s = s"CAST(floor(abs($sec) + 0.5) AS BIGINT)"
+    s"(CASE WHEN $sec IS NULL THEN NULL ELSE ${sqlSign(sec)} || " +
+    s"printf('%02d:%02d:%02d', $s // 3600, ($s // 60) % 60, $s % 60) END)"
+  }
+
+  private def sqlFmtHhMmSsMs(sec: String) =
+    s"(CASE WHEN $sec IS NULL THEN NULL ELSE ${sqlSign(sec)} || " +
+    s"printf('%02d:%02d:%02d:%03d', ${sqlMsR(sec)} // 3600000, (${sqlMsR(sec)} // 60000) % 60, " +
+    s"(${sqlMsR(sec)} // 1000) % 60, ${sqlMsR(sec)} % 1000) END)"
+
+  private def sqlFmtMillis(ms: String) =
+    s"(CASE WHEN $ms IS NULL THEN NULL ELSE (CASE WHEN $ms < 0 THEN '-' ELSE '' END) || " +
+    s"printf('%02d:%02d:%02d:%03d', abs($ms) // 3600000, (abs($ms) // 60000) % 60, " +
+    s"(abs($ms) // 1000) % 60, abs($ms) % 1000) END)"
+
+  /** F6 parse in DuckDB SQL (regex-dispatch, same patterns as Durations). */
+  private def sqlParse(sv: String) = {
+    val s = s"trim($sv)"
+    val re4 = "'^(-?)(\\d+):(\\d{1,2}):(\\d{1,2}):(\\d{3})$'"
+    val re3m = "'^(-?)(\\d+):(\\d{1,2}):(\\d{3})$'"
+    val re3h = "'^(-?)(\\d+):(\\d{1,2}):(\\d{1,2})$'"
+    def g(re: String, i: Int) = s"CAST(regexp_extract($s, $re, $i) AS BIGINT)"
+    def sg(re: String) = s"(CASE WHEN regexp_extract($s, $re, 1) = '-' THEN -1 ELSE 1 END)"
+    s"""(CASE
+       | WHEN $sv IS NULL OR lower($s) IN ('nan','nat','none','') THEN NULL
+       | WHEN regexp_matches($s, $re4) THEN ${sg(re4)} * (${g(re4, 2)}*3600000 + ${g(re4, 3)}*60000 + ${g(re4, 4)}*1000 + ${g(re4, 5)})
+       | WHEN regexp_matches($s, $re3m) THEN ${sg(re3m)} * (${g(re3m, 2)}*60000 + ${g(re3m, 3)}*1000 + ${g(re3m, 4)})
+       | WHEN regexp_matches($s, $re3h) THEN ${sg(re3h)} * (${g(re3h, 2)}*3600000 + ${g(re3h, 3)}*60000 + ${g(re3h, 4)}*1000)
+       | ELSE NULL END)""".stripMargin.replaceAll("\n", " ")
+  }
+
+  // F6 golden edge strings (FIXTURES.md §A golden-test rows).
+  private val parseEdges = Seq(
+    "-00:01:02:345", "00:00:00:000", "61:09:999", "01:02:03:456",
+    "-01:02:03:456", "12:34:56", "nan", "NaT", "", "12:34", "00:00:3.5",
+    " 01:02:345 ", "1:2:345", "none", "99:59:59:999")
+
+  val queries: Map[String, Q] = Map(
+    // F2: seconds → MM:SS:mmm (round-half, sign-aware, minutes unbounded).
+    "f2_format_mmssms" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("sec", col("l_extendedprice") / 7.0 - 4000.0)
+        .withColumn("dur", D.formatSecondsToMmSsMs(col("sec")))
+        .select("l_orderkey", "l_linenumber", "sec", "dur")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // F3: seconds → HH:MM:SS (rounded to whole seconds).
+    "f3_format_hhmmss" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("sec", col("value") * 137.3 - 5000.0)
+        .withColumn("dur", D.formatSecondsToHhMmSs(col("sec")))
+        .select("event_id", "sec", "dur")
+        .orderBy("event_id")),
+
+    // F4 + F9: seconds → HH:MM:SS:mmm, rounding vs truncating (F18 asymmetry).
+    "f4_format_hhmmssms" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("sec", col("o_totalprice") / 3.0 - 30000.0)
+        .withColumn("dur_round", D.formatSecondsToHhMmSsMs(col("sec")))
+        .withColumn("dur_trunc", D.formatSecondsToHmsMsTrunc(abs(col("sec"))))
+        .select("o_orderkey", "sec", "dur_round", "dur_trunc")
+        .orderBy("o_orderkey")),
+
+    // F7: millis-long → HH:MM:SS:mmm and MM:SS:mmm (truncating, days folded).
+    "f7_format_millis" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("ms", (when(col("o_orderkey") % 2 === 0, 1).otherwise(-1) *
+          floor(col("o_totalprice") * 100)).cast("long"))
+        .withColumn("dur_hms", D.formatMillisToHhMmSsMs(col("ms")))
+        .withColumn("dur_ms", D.formatMillisToMmSsMs(col("ms")))
+        .select("o_orderkey", "ms", "dur_hms", "dur_ms")
+        .orderBy("o_orderkey")),
+
+    // F6: format → parse round-trip on table-derived durations.
+    "f6_parse_roundtrip" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("sec", col("o_totalprice") / 3.0 - 30000.0)
+        .withColumn("s_mmssms", D.formatSecondsToMmSsMs(col("sec")))
+        .withColumn("s_hhmmssms", D.formatSecondsToHhMmSsMs(col("sec")))
+        .withColumn("ms_from_mmssms", D.parseDurationToMillis(col("s_mmssms")))
+        .withColumn("ms_from_hhmmssms", D.parseDurationToMillis(col("s_hhmmssms")))
+        .select("o_orderkey", "s_mmssms", "s_hhmmssms", "ms_from_mmssms", "ms_from_hhmmssms")
+        .orderBy("o_orderkey")),
+
+    // F6 golden edges: the FIXTURES.md §A malformed/edge strings → millis/NULL.
+    "f6_parse_edges" -> ((s, d) => {
+      val _ = t(s, d, "region") // keep signature uniform; inputs are literals
+      val lits = parseEdges.map(lit)
+      s.range(1).select(posexplode(array(lits: _*)).as(Seq("idx", "s")))
+        .withColumn("idx", col("idx").cast("bigint"))
+        .withColumn("ms", D.parseDurationToMillis(col("s")))
+        .select("idx", "s", "ms")
+        .orderBy("idx")
+    }),
+
+    // F8: HH:MM:SS:mmm string → float seconds (coercing).
+    "f8_safe_seconds" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("sec_in", col("o_totalprice") / 3.0 - 30000.0)
+        .withColumn("dur", D.formatSecondsToHhMmSsMs(col("sec_in")))
+        .withColumn("sec_out", D.safeToSeconds(col("dur")))
+        .select("o_orderkey", "dur", "sec_out")
+        .orderBy("o_orderkey")),
+
+    // F10: ISO-8601 timestamp round-trip (format → coercing parse).
+    "f10_iso_roundtrip" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("iso", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("parsed", to_timestamp(col("iso")))
+        .select("o_orderkey", "iso", "parsed")
+        .orderBy("o_orderkey")),
+
+    // F11: forgiving numeric coercion (try_cast; garbage → NULL).
+    "f11_numeric_coerce" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("s", when(col("user_id") % 3 === 0, concat(lit("x"), col("user_id").cast("string")))
+          .otherwise(col("user_id").cast("string")))
+        .withColumn("n", expr("try_cast(s AS BIGINT)"))
+        .select("event_id", "s", "n")
+        .orderBy("event_id")),
+
+    // F12: float seconds → millis long (round-half, sign-preserving).
+    "f12_seconds_to_millis" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("sec", col("value") - 150.0)
+        .withColumn("ms", D.secondsToMillis(col("sec")))
+        .select("event_id", "sec", "ms")
+        .orderBy("event_id")),
+
+    // F13: tri-state string → bool, unknown → false (not null).
+    "f13_bool_coerce" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("s", element_at(
+          array(lit("true"), lit("1"), lit("1.0"), lit("False"), lit("0"), lit("0.0"), lit("junk")),
+          (col("event_id") % 7 + 1).cast("int")))
+        .withColumn("b", D.boolCoerce(col("s")))
+        .select("event_id", "s", "b")
+        .orderBy("event_id")),
+
+    // F15: filesystem-safe names.
+    "f15_fs_safe" -> ((s, d) =>
+      t(s, d, "part")
+        .withColumn("safe_type", D.fsSafeName(col("p_type")))
+        .withColumn("safe_name", D.fsSafeName(col("p_name")))
+        .select("p_partkey", "safe_type", "safe_name")
+        .orderBy("p_partkey")),
+
+    // F16: string concat projection.
+    "f16_concat" -> ((s, d) =>
+      t(s, d, "customer")
+        .withColumn("label", concat(col("c_name"), lit(" - "), col("c_mktsegment"),
+          lit(" #"), col("c_custkey").cast("string")))
+        .select("c_custkey", "label")
+        .orderBy("c_custkey")),
+
+    // JSON scalar path 1: get_json_object (string extraction).
+    "json_get" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .select("event_id", "k")
+        .orderBy("event_id")),
+
+    // JSON scalar path 2: from_json into a typed struct, then aggregate.
+    "json_struct_agg" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("j", from_json(col("props"), lit("k BIGINT")))
+        .groupBy("event_type")
+        .agg(sum(col("j.k")).as("sum_k"), avg(col("j.k")).as("avg_k"),
+             count(lit(1)).as("n"))
+        .withColumn("avg_k", round(col("avg_k"), 4))
+        .orderBy("event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f2_format_mmssms" ->
+      s"""SELECT l_orderkey, l_linenumber, l_extendedprice / 7.0 - 4000.0 AS sec,
+         |  ${sqlFmtMmSsMs("(l_extendedprice / 7.0 - 4000.0)")} AS dur
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f3_format_hhmmss" ->
+      s"""SELECT event_id, value * 137.3 - 5000.0 AS sec,
+         |  ${sqlFmtHhMmSs("(value * 137.3 - 5000.0)")} AS dur
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "f4_format_hhmmssms" ->
+      s"""SELECT o_orderkey, o_totalprice / 3.0 - 30000.0 AS sec,
+         |  ${sqlFmtHhMmSsMs("(o_totalprice / 3.0 - 30000.0)")} AS dur_round,
+         |  (CASE WHEN abs(o_totalprice / 3.0 - 30000.0) IS NULL THEN NULL ELSE
+         |    printf('%02d:%02d:%02d:%03d',
+         |      ${sqlMsT("(o_totalprice / 3.0 - 30000.0)")} // 3600000,
+         |      (${sqlMsT("(o_totalprice / 3.0 - 30000.0)")} // 60000) % 60,
+         |      (${sqlMsT("(o_totalprice / 3.0 - 30000.0)")} // 1000) % 60,
+         |      ${sqlMsT("(o_totalprice / 3.0 - 30000.0)")} % 1000) END) AS dur_trunc
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f7_format_millis" ->
+      s"""SELECT o_orderkey, ms, ${sqlFmtMillis("ms")} AS dur_hms,
+         |  (CASE WHEN ms IS NULL THEN NULL ELSE (CASE WHEN ms < 0 THEN '-' ELSE '' END) ||
+         |    printf('%02d:%02d:%03d', abs(ms) // 60000, (abs(ms) // 1000) % 60, abs(ms) % 1000) END) AS dur_ms
+         |FROM (SELECT o_orderkey,
+         |        CAST((CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END) * floor(o_totalprice * 100) AS BIGINT) AS ms
+         |      FROM orders)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "f6_parse_roundtrip" ->
+      s"""SELECT o_orderkey, s_mmssms, s_hhmmssms,
+         |  ${sqlParse("s_mmssms")} AS ms_from_mmssms,
+         |  ${sqlParse("s_hhmmssms")} AS ms_from_hhmmssms
+         |FROM (SELECT o_orderkey,
+         |        ${sqlFmtMmSsMs("(o_totalprice / 3.0 - 30000.0)")} AS s_mmssms,
+         |        ${sqlFmtHhMmSsMs("(o_totalprice / 3.0 - 30000.0)")} AS s_hhmmssms
+         |      FROM orders)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "f6_parse_edges" -> {
+      val values = parseEdges.zipWithIndex
+        .map { case (s, i) => s"($i, '${s.replace("'", "''")}')" }.mkString(", ")
+      s"""SELECT CAST(idx AS BIGINT) AS idx, s, ${sqlParse("s")} AS ms
+         |FROM (VALUES $values) AS t(idx, s)
+         |ORDER BY idx""".stripMargin
+    },
+
+    "f8_safe_seconds" ->
+      s"""SELECT o_orderkey, dur, CAST(${sqlParse("dur")} AS DOUBLE) / 1000.0 AS sec_out
+         |FROM (SELECT o_orderkey, ${sqlFmtHhMmSsMs("(o_totalprice / 3.0 - 30000.0)")} AS dur FROM orders)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "f10_iso_roundtrip" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso,
+        |  CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS parsed
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f11_numeric_coerce" ->
+      """SELECT event_id, s, TRY_CAST(s AS BIGINT) AS n
+        |FROM (SELECT event_id,
+        |        CASE WHEN user_id % 3 = 0 THEN 'x' || CAST(user_id AS VARCHAR)
+        |             ELSE CAST(user_id AS VARCHAR) END AS s
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "f12_seconds_to_millis" ->
+      """SELECT event_id, value - 150.0 AS sec,
+        |  CAST(sign(value - 150.0) * floor(abs(value - 150.0) * 1000 + 0.5) AS BIGINT) AS ms
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f13_bool_coerce" ->
+      """SELECT event_id, s,
+        |  (CASE WHEN lower(trim(s)) IN ('true','1','1.0') THEN true
+        |        WHEN lower(trim(s)) IN ('false','0','0.0') THEN false
+        |        ELSE false END) AS b
+        |FROM (SELECT event_id,
+        |        (['true','1','1.0','False','0','0.0','junk'])[CAST(event_id % 7 + 1 AS INTEGER)] AS s
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "f15_fs_safe" ->
+      """SELECT p_partkey, regexp_replace(p_type, '[ /]', '_', 'g') AS safe_type,
+        |  regexp_replace(p_name, '[ /]', '_', 'g') AS safe_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f16_concat" ->
+      """SELECT c_custkey, c_name || ' - ' || c_mktsegment || ' #' || CAST(c_custkey AS VARCHAR) AS label
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "json_get" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "json_struct_agg" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
