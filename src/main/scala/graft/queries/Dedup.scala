@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Tables, TextFunctions => T}
+
+/** Deduplication catalog over `documents` (builder-prompt first-class
+  * component): exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+  * bucket-join), SimHash (byte-band + Hamming), exact n-gram Jaccard verify.
+  *
+  * The raw corpus contains no duplicates (verified at sf0.01), so every query
+  * plants deterministic variants inline — an exact copy of every 40th doc and
+  * a near-copy (2 appended tokens) of every 25th — on BOTH the Spark and
+  * oracle side, making the pipelines' outputs non-trivial.
+  *
+  * Scale design: all candidate generation is band/bucket-equi-join — the
+  * shuffle key is (band, band-hash), never all-pairs. At 100 TB the LSH
+  * band join is the only O(N·sig) shuffle; the quadratic jaccard/cosine work
+  * happens only within candidate buckets. Exact dedup is a single
+  * hash-aggregate on md5(text) — Spark's partial→final agg handles skew;
+  * for pathological single-value skew, salt the key first.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** documents ∪ planted near-dups (+1M ids) ∪ planted exact dups (+2M ids). */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "text", "lang", "source")
+    docs
+      .union(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zz duplicate")).as("text"), col("lang"), col("source")))
+      .union(docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"), col("lang"), col("source")))
+  }
+
+  /** (doc_id, sig) — cached: the narrow signature table is reused by the band
+    * explode and both sides of the candidate join; caching keeps Catalyst from
+    * inlining the (large) hash expression tree into every consumer. At scale
+    * this is the "materialize the signature table" step every LSH pipeline
+    * has (persist or write intermediate). */
+  private def sigs(s: SparkSession, d: String): DataFrame =
+    stagedSigs(corpus(s, d)).cache()
+
+  /** text → tokens-hash stage → shingle stage → signature, each a real column
+    * (see TextFunctions performance contract). */
+  private def stagedSigs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__th", T.tokenHashes(col("text")))
+      .withColumn("__sh", T.shinglesFromHashes(col("__th")))
+      .select(col("doc_id"), T.minhashSigFromShingles(col("__sh")).as("sig"))
+
+  /** (doc_id, simhash) via staged token-hash and vote columns. */
+  private def stagedSimhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__th", T.tokenHashes(col("text")))
+      .withColumn("__votes", T.simhashVotes(col("__th")))
+      .select(col("doc_id"), T.simhashFromVotes(col("__votes")).as("sh"))
+
+  /** 4 bands × 4 rows: (doc_id, band, band-key string). */
+  private def bands(sigsDf: DataFrame): DataFrame =
+    sigsDf.select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), array_join(transform(slice(col("sig"), b * 4 + 1, 4),
+          x => x.cast("string")), ":").as("bkey"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+
+  /** distinct candidate pairs (a < b) sharing at least one LSH band. */
+  private def candidates(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val sg = sigs(s, d)
+    val bd = bands(sg)
+    val cand = bd.as("x").join(bd.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    (cand, sg)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: md5 of normalized text, keep min doc_id per group.
+    "dd_exact" -> ((s, d) =>
+      corpus(s, d)
+        .groupBy(md5(lower(trim(col("text")))).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select("h", "keep_id", "n_copies")
+        .orderBy("keep_id")),
+
+    // minhash signatures, exploded (doc_id, component j, value). The sig is
+    // materialized (cache barrier) before posexplode: Generate re-evaluates
+    // its child per OUTPUT row, which would run the whole hash pipeline 16×
+    // per document (measured: 75× slower).
+    "dd_minhash_sig" -> ((s, d) =>
+      stagedSigs(t(s, d, "documents")).cache()
+        .select(col("doc_id"), posexplode(col("sig")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("j"), col("col").as("mh"))
+        .orderBy("doc_id", "j")),
+
+    // LSH near-dup pairs: band bucket-join → signature-estimated Jaccard.
+    "dd_lsh_pairs" -> ((s, d) => {
+      val (cand, sg) = candidates(s, d)
+      cand
+        .join(sg.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+        .join(sg.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+        .withColumn("n_eq", aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("est_jaccard", round(col("n_eq") / 16.0, 4))
+        .filter(col("est_jaccard") >= 0.5)
+        .select("a", "b", "est_jaccard")
+        .orderBy("a", "b")
+    }),
+
+    // simhash fingerprints (24-bit).
+    "dd_simhash_sig" -> ((s, d) =>
+      stagedSimhash(t(s, d, "documents"))
+        .orderBy("doc_id")),
+
+    // simhash near-dups: byte-band candidates → Hamming distance ≤ 4.
+    "dd_simhash_near" -> ((s, d) => {
+      val sh = stagedSimhash(corpus(s, d)).cache()
+      val byteBands = sh.select(col("doc_id"), col("sh"), explode(array((0 until 3).map(k =>
+          struct(lit(k).as("band"), (floor(col("sh") / math.pow(2, 8 * k).toLong).cast("long") % 256).as("bkey"))): _*)).as("bd"))
+        .select(col("doc_id"), col("sh"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+      byteBands.as("x").join(byteBands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("bigint").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 4)
+        .orderBy("a", "b")
+    }),
+
+    // exact n-gram Jaccard on LSH candidates (the verify stage after LSH).
+    "dd_jaccard_verify" -> ((s, d) => {
+      val (cand, _) = candidates(s, d)
+      val grams = corpus(s, d)
+        .withColumn("__toks", T.tokens(col("text")))
+        .select(col("doc_id"), array_distinct(T.bigramsFromTokens(col("__toks"))).as("g"))
+        .cache()
+      cand
+        .join(grams.select(col("doc_id").as("a"), col("g").as("ga")), "a")
+        .join(grams.select(col("doc_id").as("b"), col("g").as("gb")), "b")
+        .withColumn("n_union", size(array_distinct(concat(col("ga"), col("gb")))).cast("bigint"))
+        .withColumn("n_inter", (size(col("ga")) + size(col("gb"))).cast("bigint") - col("n_union"))
+        .withColumn("jaccard", round(col("n_inter") / col("n_union"), 4))
+        .filter(col("jaccard") >= 0.6)
+        .select("a", "b", "n_inter", "n_union", "jaccard")
+        .orderBy("a", "b")
+    })
+  )
+
+  private val S = SqlText
+
+  private val corpusCte = s"WITH docs AS (\n${S.docsWithVariants})"
+  private val sigsCte =
+    s"""$corpusCte,
+       |th AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM docs),
+       |sh AS (SELECT doc_id, ${S.shingles("th")} AS sh FROM th),
+       |sigs AS (SELECT doc_id, ${S.minhashSig("sh")} AS sig FROM sh),
+       |bands AS (SELECT doc_id, b, array_to_string(list_slice(sig, b*4+1, b*4+4), ':') AS bkey
+       |          FROM sigs, range(0, 4) t(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+       |         JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      s"""$corpusCte
+         |SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+
+    "dd_minhash_sig" ->
+      s"""WITH th AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM documents),
+         |sh AS (SELECT doc_id, ${S.shingles("th")} AS sh FROM th),
+         |sigs AS (SELECT doc_id, ${S.minhashSig("sh")} AS sig FROM sh)
+         |SELECT doc_id, j, sig[CAST(j + 1 AS INTEGER)] AS mh
+         |FROM sigs, range(0, 16) t(j) ORDER BY doc_id, j""".stripMargin,
+
+    "dd_lsh_pairs" ->
+      s"""$sigsCte
+         |SELECT a, b, est_jaccard FROM (
+         |  SELECT a, b, round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(list_zip(sa.sig, sb.sig), p -> CASE WHEN p[1] = p[2] THEN CAST(1 AS BIGINT) ELSE 0 END)),
+         |    (x, y) -> x + y) / 16.0, 4) AS est_jaccard
+         |  FROM cand JOIN sigs sa ON cand.a = sa.doc_id JOIN sigs sb ON cand.b = sb.doc_id)
+         |WHERE est_jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    "dd_simhash_sig" ->
+      s"""WITH th AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM documents)
+         |SELECT doc_id, ${S.simhash("th")} AS sh FROM th ORDER BY doc_id""".stripMargin,
+
+    "dd_simhash_near" ->
+      s"""$corpusCte,
+         |th AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM docs),
+         |shs AS (SELECT doc_id, ${S.simhash("th")} AS sh FROM th),
+         |bb AS (SELECT doc_id, sh, k AS band, CAST(floor(sh / pow(2.0, 8*k)) AS BIGINT) % 256 AS bkey
+         |       FROM shs, range(0, 3) t(k))
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+         |FROM bb x JOIN bb y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sh, y.sh)) <= 4
+         |ORDER BY a, b""".stripMargin,
+
+    "dd_jaccard_verify" ->
+      s"""$sigsCte,
+         |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS g
+         |  FROM (SELECT doc_id, ${S.tokens("text")} AS toks FROM docs))
+         |SELECT a, b, n_inter, n_union, jaccard FROM (
+         |  SELECT a, b,
+         |    CAST(len(ga.g) + len(gb.g) AS BIGINT) - CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT) AS n_inter,
+         |    CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT) AS n_union,
+         |    round((CAST(len(ga.g) + len(gb.g) AS BIGINT) - CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT)) /
+         |          CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT), 4) AS jaccard
+         |  FROM cand JOIN grams ga ON cand.a = ga.doc_id JOIN grams gb ON cand.b = gb.doc_id)
+         |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin
+  )
+}

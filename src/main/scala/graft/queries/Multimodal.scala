@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Multimodal-column plumbing (builder-prompt first-class component): media
+  * payloads as opaque `binary` columns + typed metadata. The real image/audio
+  * decode is STUBBED (no media libs in this container) behind the
+  * deterministic fake in graft.engine.Multimodal — these queries verify the
+  * Spark-side plumbing that IS real: binary casting, byte-level metadata,
+  * deterministic feature derivation, partition-friendly batch shapes.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Map[String, Q] = Map(
+    // binary payload + metadata extraction: documents.text stands in for
+    // media bytes (UTF-8 encode on both engines).
+    "mm_binary_meta" -> ((s, d) => {
+      val chars = split(col("text"), "")
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("bigint"))
+        .withColumn("head_checksum", aggregate(sequence(lit(1), lit(8)),
+          lit(0L), (acc, i) => acc + coalesce(ascii(element_at(chars, i)).cast("long"), lit(0L))))
+        .select("doc_id", "n_bytes", "head_checksum")
+        .orderBy("doc_id")
+    }),
+
+    // decode-stub features: deterministic fake width/height/frames/mean-pixel
+    // derived from payload stats (real plumbing, fake decode — see
+    // graft.engine.Multimodal for the typed mapPartitions path).
+    "mm_decode_stub" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("n_bytes", octet_length(col("text").cast("binary")).cast("bigint"))
+        .withColumn("width", (col("n_bytes") % 64 + 1).cast("bigint"))
+        .withColumn("height", (col("n_bytes") * 7 % 64 + 1).cast("bigint"))
+        .withColumn("n_frames", (col("n_bytes") % 10 + 1).cast("bigint"))
+        .withColumn("fake_mean_pixel", round((col("n_bytes") % 256).cast("double") / 255.0, 4))
+        .select("doc_id", "n_bytes", "width", "height", "n_frames", "fake_mean_pixel")
+        .orderBy("doc_id")),
+
+    // per-source media-batch profile: the batch-shape check for feeding
+    // mapInPandas/mapPartitions decoders (bytes per batch, rows per batch).
+    "mm_batch_profile" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("n_bytes", octet_length(col("text").cast("binary")).cast("bigint"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_bytes").as("total_bytes"),
+             max("n_bytes").as("max_bytes"),
+             round(avg("n_bytes"), 4).as("avg_bytes"))
+        .orderBy("source"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9),
+        |    i -> CAST(coalesce(ascii(string_split(text, '')[CAST(i AS INTEGER)]), 0) AS BIGINT))),
+        |    (a, x) -> a + x) AS head_checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_stub" ->
+      """SELECT doc_id, n_bytes, n_bytes % 64 + 1 AS width, n_bytes * 7 % 64 + 1 AS height,
+        |  n_bytes % 10 + 1 AS n_frames,
+        |  round(CAST(n_bytes % 256 AS DOUBLE) / 255.0, 4) AS fake_mean_pixel
+        |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm_batch_profile" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  max(n_bytes) AS max_bytes, round(avg(n_bytes), 4) AS avg_bytes
+        |FROM (SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin
+  )
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Tables, Vectors => V}
+
+/** Similarity-search catalog over `embeddings` (builder-prompt first-class
+  * component): brute-force cosine top-k as the exact baseline, a
+  * random-hyperplane-LSH bucketed variant as the scale path, embedding
+  * near-dup pairs, and element-wise centroid aggregation.
+  *
+  * Scale design: top-k against one query vector is a scan + TakeOrdered (no
+  * shuffle of the vectors). All-pairs near-dup blocks on (label, lsh-bucket)
+  * so the join shuffle key is tiny and the quadratic cosine work is confined
+  * to buckets — the same plan shape IVF/ANN systems use. Centroids explode to
+  * (label, dim) — 64·|labels| groups — so partial aggregation collapses the
+  * shuffle to practically nothing.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** embeddings with double-cast vector column `v`. */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"), col("label"), V.vd(col("embedding")).as("v"))
+
+  /** embeddings ∪ planted near-dups: every 20th vector re-appears at +1M with
+    * its first component shifted +0.1 (cosine ≈ 0.99+, never exactly 1). */
+  private def embWithVariants(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    e.union(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+        concat(array(element_at(col("v"), 1) + 0.1), slice(col("v"), 2, 63)).as("v")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // exact brute-force cosine top-10 against the vec_id=0 query vector.
+    "sim_topk_exact" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.crossJoin(broadcast(q))
+        .withColumn("cos", round(V.cosine(col("v"), col("qv")), 6))
+        .select("vec_id", "cos")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // LSH bucket assignment (8 deterministic hyperplanes → 256 buckets).
+    "sim_lsh_buckets" -> ((s, d) =>
+      emb(s, d)
+        .withColumn("bucket", V.lshBucket(col("v")))
+        .select("vec_id", "label", "bucket")
+        .orderBy("vec_id")),
+
+    // ANN top-5: probe only the query vector's LSH bucket.
+    "sim_ann_topk" -> ((s, d) => {
+      val e = emb(s, d).withColumn("bucket", V.lshBucket(col("v")))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      e.join(broadcast(q), col("bucket") === col("qbucket"))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos", round(V.cosine(col("v"), col("qv")), 6))
+        .select("vec_id", "bucket", "cos")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
+    // embedding near-dup pairs: block on (label, bucket), cosine ≥ 0.9.
+    "sim_neardup_pairs" -> ((s, d) => {
+      val e = embWithVariants(s, d).withColumn("bucket", V.lshBucket(col("v"))).cache()
+      e.as("x").join(e.as("y"),
+          col("x.label") === col("y.label") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .withColumn("cos", round(V.cosine(col("x.v"), col("y.v")), 4))
+        .filter(col("cos") >= 0.9)
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("cos"))
+        .orderBy("a", "b")
+    }),
+
+    // element-wise label centroids via explode → (label, dim) aggregation.
+    "emb_centroids" -> ((s, d) =>
+      emb(s, d)
+        .select(col("label"), posexplode(col("v")))
+        .select(col("label"), (col("pos") + 1).cast("bigint").as("dim"), col("col").as("val"))
+        .groupBy("label", "dim")
+        .agg(round(avg("val"), 4).as("centroid_val"), count(lit(1)).as("n"))
+        .orderBy("label", "dim")),
+
+    // per-label norm statistics.
+    "emb_norm_stats" -> ((s, d) =>
+      emb(s, d)
+        .withColumn("nrm", V.norm(col("v")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+             round(avg("nrm"), 4).as("avg_norm"),
+             round(min("nrm"), 6).as("min_norm"),
+             round(max("nrm"), 6).as("max_norm"))
+        .orderBy("label"))
+  )
+
+  private val S = SqlText
+  private val embCte =
+    s"WITH e AS (SELECT vec_id, label, ${S.vd("embedding")} AS v FROM embeddings)"
+  private val variantsCte =
+    s"""$embCte,
+       |ev AS (SELECT vec_id, label, v FROM e
+       |       UNION ALL
+       |       SELECT vec_id + 1000000, label, list_concat([v[1] + 0.1], list_slice(v, 2, 64)) AS v
+       |       FROM e WHERE vec_id % 20 = 0)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_exact" ->
+      s"""$embCte, q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, round(${S.cosine("v", "qv")}, 6) AS cos
+         |FROM e, q ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "sim_lsh_buckets" ->
+      s"""$embCte
+         |SELECT vec_id, label, ${S.lshBucket("v")} AS bucket FROM e ORDER BY vec_id""".stripMargin,
+
+    "sim_ann_topk" ->
+      s"""$embCte,
+         |b AS (SELECT vec_id, v, ${S.lshBucket("v")} AS bucket FROM e),
+         |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+         |SELECT vec_id, bucket, round(${S.cosine("v", "qv")}, 6) AS cos
+         |FROM b, q WHERE bucket = qbucket AND vec_id != 0
+         |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "sim_neardup_pairs" ->
+      s"""$variantsCte,
+         |b AS (SELECT vec_id, label, v, ${S.lshBucket("v")} AS bucket FROM ev)
+         |SELECT a, b, cos FROM (
+         |  SELECT x.vec_id AS a, y.vec_id AS b, round(${S.cosine("x.v", "y.v")}, 4) AS cos
+         |  FROM b x JOIN b y ON x.label = y.label AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |WHERE cos >= 0.9 ORDER BY a, b""".stripMargin,
+
+    "emb_centroids" ->
+      s"""$embCte
+         |SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v[CAST(dim AS INTEGER)]), 4) AS centroid_val,
+         |  count(*) AS n
+         |FROM e, generate_series(1, 64) t(dim)
+         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "emb_norm_stats" ->
+      s"""$embCte
+         |SELECT label, count(*) AS n,
+         |  round(avg(${S.norm("v")}), 4) AS avg_norm,
+         |  round(min(${S.norm("v")}), 6) AS min_norm,
+         |  round(max(${S.norm("v")}), 6) AS max_norm
+         |FROM e GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+
+/** Event-time operators over `events` — the batch-semantics twins of the
+  * Structured Streaming pipelines in graft.streaming (SURVEY.md §2.9): tumbling
+  * windows, gap-based sessionization, keyed dedup-keep-first. Batch and stream
+  * share these semantics; the streaming module runs the same aggregations
+  * with watermarks and is covered by ScalaTest (streaming results can't be
+  * oracle-checked by DuckDB).
+  */
+object Temporal {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Map[String, Q] = Map(
+    // tumbling 1-hour event-time window × event_type (streaming: identical
+    // groupBy(window(...)) with withWatermark — see graft.streaming).
+    "st_hourly_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(col("w.start").as("ws"), col("w.end").as("we"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("ws", "event_type")),
+
+    // gap-based sessionization (30-min inactivity): lag → new-session flag →
+    // running sum = session index → per-session aggregate. One shuffle on
+    // user_id; the canonical scale pattern for clickstream sessionization.
+    "st_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("is_new",
+          coalesce(unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, lit(true)))
+        .withColumn("session_idx",
+          sum(when(col("is_new"), 1L).otherwise(0L))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+             min("ts").as("session_start"),
+             max("ts").as("session_end"),
+             round(sum("value"), 4).as("session_value"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // keyed dedup-keep-earliest (streaming twin: dropDuplicates within
+    // watermark). Key = (user_id, event_type); keep the first-by-event-time.
+    "st_dedup_first" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // event-time day profile: date_trunc + per-day stats.
+    "st_daily_profile" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("day", date_trunc("DAY", col("ts")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+             countDistinct("user_id").as("n_users"),
+             round(avg("value"), 4).as("avg_value"))
+        .orderBy("day"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st_hourly_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+        |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS we,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin,
+
+    "st_sessionize" ->
+      """SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  round(sum(value), 4) AS session_value
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM (
+        |    SELECT user_id, event_id, ts, value,
+        |      coalesce(epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |        PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 30*60*1000000, true) AS is_new
+        |    FROM events))
+        |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "st_dedup_first" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "st_daily_profile" ->
+      """SELECT date_trunc('day', ts) AS day, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  )
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Tables, TextFunctions => T}
+
+/** Text-analysis catalog over the `documents` table (builder-prompt
+  * first-class components): token counting, quality scoring, language ID,
+  * fingerprinting, n-gram stats. All single-pass projections — at 100 TB each
+  * is scan + codegen'd expressions, no shuffle at all (the only shuffled ones
+  * are the aggregates, which reduce to tiny outputs).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Map[String, Q] = Map(
+    // token counting: raw whitespace split vs non-empty tokens + char length.
+    "tx_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("n_raw_tokens", size(split(col("text"), " ")).cast("bigint"))
+        .withColumn("n_tokens", size(T.tokens(col("text"))).cast("bigint"))
+        .withColumn("len_chars", length(col("text")).cast("bigint"))
+        .select("doc_id", "n_raw_tokens", "n_tokens", "len_chars", "n_chars")
+        .orderBy("doc_id")),
+
+    // quality scoring: length/uniqueness/stopword-ratio heuristics.
+    "tx_quality" -> ((s, d) => {
+      val toks = col("__toks")
+      t(s, d, "documents")
+        .withColumn("__toks", T.tokens(col("text")))
+        .withColumn("n_tokens", size(toks).cast("bigint"))
+        .withColumn("n_uniq", size(array_distinct(toks)).cast("bigint"))
+        .withColumn("sum_len", aggregate(toks, lit(0L), (a, w) => a + length(w)))
+        .withColumn("avg_token_len", round(col("sum_len").cast("double") / col("n_tokens"), 4))
+        .withColumn("n_stop", T.stopwordHitsFromTokens(toks, T.langStopwords.head._2))
+        .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 4))
+        .withColumn("uniq_ratio", round(col("n_uniq").cast("double") / col("n_tokens"), 4))
+        .withColumn("is_quality",
+          col("n_tokens") >= 5 && col("n_tokens") <= 10000 && col("uniq_ratio") > 0.2)
+        .select("doc_id", "n_tokens", "n_uniq", "avg_token_len", "stop_ratio", "uniq_ratio", "is_quality")
+        .orderBy("doc_id")
+    }),
+
+    // language ID: per-language stopword hits, fixed-priority argmax.
+    "tx_lang_id" -> ((s, d) => {
+      var df = t(s, d, "documents").withColumn("__toks", T.tokens(col("text")))
+      for ((code, words) <- T.langStopwords)
+        df = df.withColumn(s"${code}_hits", T.stopwordHitsFromTokens(col("__toks"), words))
+      val best = greatest(T.langStopwords.map { case (c, _) => col(s"${c}_hits") }: _*)
+      val pred = T.langStopwords.foldRight(lit("und"): org.apache.spark.sql.Column) {
+        case ((c, _), els) => when(col(s"${c}_hits") === best && best > 0, lit(c)).otherwise(els)
+      }
+      df.withColumn("pred_lang", pred)
+        .select("doc_id", "lang", "en_hits", "fr_hits", "de_hits", "es_hits", "pred_lang")
+        .orderBy("doc_id")
+    }),
+
+    // order-sensitive rolling-hash fingerprint + duplicate-count join back.
+    "tx_fingerprint" -> ((s, d) => {
+      val fp = t(s, d, "documents")
+        .withColumn("fp", T.fingerprint(col("text")))
+      val counts = fp.groupBy("fp").agg(count(lit(1)).as("n_same_fp"))
+      fp.join(counts, "fp")
+        .select("doc_id", "fp", "n_same_fp")
+        .orderBy("doc_id")
+    }),
+
+    // n-gram statistics: bigram count / distinct bigrams / shingle count.
+    "tx_ngram_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("__toks", T.tokens(col("text")))
+        .withColumn("__th", T.tokenHashes(col("text")))
+        .withColumn("__bg", T.bigramsFromTokens(col("__toks")))
+        .withColumn("n_bigrams", size(col("__bg")).cast("bigint"))
+        .withColumn("n_uniq_bigrams", size(array_distinct(col("__bg"))).cast("bigint"))
+        .withColumn("n_shingles", size(T.shinglesFromHashes(col("__th"))).cast("bigint"))
+        .select("doc_id", "n_bigrams", "n_uniq_bigrams", "n_shingles")
+        .orderBy("doc_id")),
+
+    // corpus-level aggregate: per (lang, source) quality profile.
+    "tx_corpus_profile" -> ((s, d) => {
+      val toks = T.tokens(col("text"))
+      t(s, d, "documents")
+        .withColumn("n_tokens", size(toks).cast("bigint"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").as("total_tokens"),
+             round(avg("n_tokens"), 4).as("avg_tokens"),
+             max("n_chars").as("max_chars"))
+        .orderBy("lang", "source")
+    })
+  )
+
+  private val S = SqlText
+
+  val oracles: Map[String, String] = Map(
+    "tx_token_count" ->
+      s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_raw_tokens,
+         |  CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS len_chars, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_quality" ->
+      s"""SELECT doc_id, n_tokens, n_uniq,
+         |  round(CAST(sum_len AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+         |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+         |  round(CAST(n_uniq AS DOUBLE) / n_tokens, 4) AS uniq_ratio,
+         |  (n_tokens >= 5 AND n_tokens <= 10000 AND round(CAST(n_uniq AS DOUBLE) / n_tokens, 4) > 0.2) AS is_quality
+         |FROM (SELECT doc_id,
+         |        CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(${S.tokens("text")})) AS BIGINT) AS n_uniq,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(${S.tokens("text")}, w -> CAST(length(w) AS BIGINT))), (a, x) -> a + x) AS sum_len,
+         |        ${S.stopHits("text", graft.engine.TextFunctions.langStopwords.head._2)} AS n_stop
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "tx_lang_id" -> {
+      val hitCols = graft.engine.TextFunctions.langStopwords
+        .map { case (c, ws) => s"${S.stopHits("text", ws)} AS ${c}_hits" }.mkString(",\n  ")
+      val best = "greatest(en_hits, fr_hits, de_hits, es_hits)"
+      s"""SELECT doc_id, lang, en_hits, fr_hits, de_hits, es_hits,
+         |  (CASE WHEN en_hits = $best AND $best > 0 THEN 'en'
+         |        WHEN fr_hits = $best AND $best > 0 THEN 'fr'
+         |        WHEN de_hits = $best AND $best > 0 THEN 'de'
+         |        WHEN es_hits = $best AND $best > 0 THEN 'es'
+         |        ELSE 'und' END) AS pred_lang
+         |FROM (SELECT doc_id, lang,
+         |  $hitCols
+         |FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "tx_fingerprint" ->
+      s"""WITH fp AS (SELECT doc_id, ${S.fingerprint(S.tokenHashes("text"))} AS fp FROM documents)
+         |SELECT doc_id, fp, n_same_fp FROM fp
+         |JOIN (SELECT fp, count(*) AS n_same_fp FROM fp GROUP BY fp) USING (fp)
+         |ORDER BY doc_id""".stripMargin,
+
+    "tx_ngram_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN len(toks) < 2 THEN 0 ELSE len(toks) - 1 END AS BIGINT) AS n_bigrams,
+         |  CAST(len(list_distinct(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END)) AS BIGINT) AS n_uniq_bigrams,
+         |  CAST(len(${S.shingles("th")}) AS BIGINT) AS n_shingles
+         |FROM (SELECT doc_id, ${S.tokens("text")} AS toks, ${S.tokenHashes("text")} AS th FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "tx_corpus_profile" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  round(avg(n_tokens), 4) AS avg_tokens,
+         |  max(n_chars) AS max_chars
+         |FROM (SELECT lang, source, n_chars, CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tokens FROM documents)
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  )
+}
