@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import java.sql.Timestamp
+
+/** Drives the Structured Streaming pipelines with MemoryStream and checks
+  * agreement with their batch twins (SURVEY.md §2.9). */
+class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
+
+  private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000)
+
+  private val sample = Seq(
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(2, ts(5), 1, "click", 2.0),
+    Event(3, ts(70), 1, "view", 3.0),   // > 30 min gap → new session, next hour
+    Event(4, ts(2), 2, "click", 4.0),
+    Event(5, ts(100), 2, "view", 5.0))
+
+  test("hourlyCounts over MemoryStream matches batch groupBy(window)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = Streams.hourlyCounts(mem.toDF()).writeStream
+      .format("memory").queryName("hourly").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hourly")
+      .select("ws", "event_type", "n", "sum_value").orderBy("ws", "event_type").collect().toSeq
+    val batch = sample.toDF()
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sessionize emits closed sessions with keyed state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = Streams.sessionize(mem.toDS()).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sessions").as[Streams.SessionOut].collect()
+    // user 1: events at 0,5 then 70 → first session (0–5, n=2, value 3.0) closes
+    val u1 = out.filter(_.user_id == 1)
+    assert(u1.length == 1)
+    assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
+    // user 2: 2 then 100 → first session (n=1, value 4.0) closes
+    val u2 = out.filter(_.user_id == 2)
+    assert(u2.length == 1 && u2.head.n_events == 1 && u2.head.total_value == 4.0)
+  }
+
+  test("dedupFirst keeps one row per (user_id, event_type)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = Streams.dedupFirst(mem.toDF()).writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("deduped")
+    assert(out.count() == 4) // (1,click),(1,view),(2,click),(2,view)
+    assert(out.groupBy("user_id", "event_type").count().filter(col("count") > 1).count() == 0)
+  }
+}

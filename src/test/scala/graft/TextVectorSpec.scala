@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{TextFunctions => T, Vectors => V}
+
+/** Unit semantics for the text-hash and vector primitives. */
+class TextVectorSpec extends AnyFunSuite with SharedSparkSpec {
+
+  test("tokenizer drops empties; hashes are order-sensitive and deterministic") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "quick the brown fox", "the quick brown fox")
+      .toDF("text")
+      .withColumn("th", T.tokenHashes(col("text")))
+      .withColumn("fp", T.fingerprint(col("text")))
+    val rows = df.collect()
+    assert(rows(0).getSeq[Long](rows(0).fieldIndex("th")).length == 4)
+    assert(rows(0).getAs[Long]("fp") == rows(2).getAs[Long]("fp"))  // deterministic
+    assert(rows(0).getAs[Long]("fp") != rows(1).getAs[Long]("fp"))  // order-sensitive
+
+    val tok = Seq("a  b ").toDF("text").select(T.tokens(col("text"))).head.getSeq[String](0)
+    assert(tok == Seq("a", "b"))
+  }
+
+  test("shingles/minhash: identical docs share signatures; short docs → null components") {
+    import spark.implicits._
+    val df = Seq("w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5", "w9 w8 w7 w6 w5", "w1 w2")
+      .toDF("text")
+      .withColumn("__th", T.tokenHashes(col("text")))
+      .withColumn("__sh", T.shinglesFromHashes(col("__th")))
+      .select(T.minhashSigFromShingles(col("__sh")).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Any](0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+    assert(sigs(3).forall(_ == null))  // < 3 tokens → no shingles → null sig
+    assert(sigs(0).length == 16 && sigs(0).forall(_ != null))
+  }
+
+  test("simhash: near-identical docs are close in Hamming distance") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val near = base + " extra token"
+    val far = (1 to 60).map(i => s"other$i").mkString(" ")
+    val sh = Seq(base, near, far).toDF("text")
+      .withColumn("__th", T.tokenHashes(col("text")))
+      .withColumn("__votes", T.simhashVotes(col("__th")))
+      .select(T.simhashFromVotes(col("__votes")).as("sh"))
+      .collect().map(_.getLong(0))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0), sh(1)) <= 4, s"near doc hamming ${hamming(sh(0), sh(1))}")
+    assert(hamming(sh(0), sh(2)) > 4, s"far doc hamming ${hamming(sh(0), sh(2))}")
+    assert(sh.forall(v => v >= 0 && v < (1L << 24)))
+  }
+
+  test("vector ops: dot/norm/cosine against hand-computed values") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 1.0f, 2.0f))).toDF("a", "b")
+      .select(V.dot(V.vd(col("a")), V.vd(col("b"))).as("dot"),
+        V.norm(V.vd(col("a"))).as("na"),
+        V.cosine(V.vd(col("a")), V.vd(col("b"))).as("cos"))
+    val r = df.head
+    assert(r.getDouble(0) == 8.0)      // 2+2+4
+    assert(r.getDouble(1) == 3.0)      // sqrt(9)
+    assert(math.abs(r.getDouble(2) - 8.0 / 9.0) < 1e-12)
+  }
+
+  test("lsh bucket: deterministic, in range, similar vectors collide") {
+    import spark.implicits._
+    val v1 = (1 to 64).map(i => math.sin(i.toDouble).toFloat)
+    val v2 = v1.updated(0, v1(0) + 0.001f)  // tiny perturbation
+    val df = Seq(v1, v2, v1.map(x => -x)).toDF("e")
+      .select(V.lshBucket(V.vd(col("e"))).as("b")).collect().map(_.getLong(0))
+    assert(df(0) == df(1), "near-identical vectors share the bucket")
+    assert(df(0) >= 0 && df(0) < 256)
+    assert(df(2) == 255 - df(0), "negated vector flips every hyperplane sign")
+  }
+}
