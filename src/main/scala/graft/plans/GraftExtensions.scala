@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: eliminate duration-codec round-trips —
+  * parse(format(x)) → x and format(parse(x)) is left alone (format is not
+  * injective on its domain: '61:09:999' re-emits as '01:01:09:999').
+  *
+  * parse∘format == id holds for every millis value (PlansSpec property), so
+  * the rewrite is semantics-preserving; it turns the canonicalizer's
+  * validate-re-emit-re-validate chains into no-ops at the plan level.
+  */
+object EliminateDurationRoundTrip extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ParseF1Duration(FormatF1Duration(inner)) => inner
+    }
+}
+
+/** SparkSessionExtensions entry point — for cluster use:
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  * Injects the native codec functions and the round-trip eliminator. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.parseFn)
+    ext.injectFunction(GraftExtensions.formatFn)
+    ext.injectOptimizerRule(_ => EliminateDurationRoundTrip)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column-API entry points for the native codec expressions (Spark 4's
+    * Column no longer exposes .expr; the bridge converts). */
+  def parseF1Duration(c: Column): Column =
+    ColumnBridge.toColumn(ParseF1Duration(ColumnBridge.toExpression(c)))
+  def formatF1Duration(c: Column): Column =
+    ColumnBridge.toColumn(FormatF1Duration(ColumnBridge.toExpression(c)))
+
+  private type FnDef = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val parseFn: FnDef = (
+    FunctionIdentifier("parse_f1_duration"),
+    new ExpressionInfo(classOf[ParseF1Duration].getName, "parse_f1_duration"),
+    (args: Seq[Expression]) => ParseF1Duration(args.head))
+
+  val formatFn: FnDef = (
+    FunctionIdentifier("format_f1_duration"),
+    new ExpressionInfo(classOf[FormatF1Duration].getName, "format_f1_duration"),
+    (args: Seq[Expression]) => FormatF1Duration(args.head))
+
+  /** Install into an already-running session (tests / notebooks): registers
+    * the SQL functions and appends the optimizer rule. */
+  def install(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("parse_f1_duration", args => ParseF1Duration(args.head), "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("format_f1_duration", args => FormatF1Duration(args.head), "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(EliminateDurationRoundTrip))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ EliminateDurationRoundTrip
+  }
+}

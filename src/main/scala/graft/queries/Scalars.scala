@@ -101,14 +101,17 @@ object Scalars {
         .select("o_orderkey", "ms", "dur_hms", "dur_ms")
         .orderBy("o_orderkey")),
 
-    // F6: format → parse round-trip on table-derived durations.
+    // F6: format → parse round-trip on table-derived durations. Parsing uses
+    // the NATIVE codegen expression (graft.plans.ParseF1Duration) — same
+    // semantics as the composed regex version (PlansSpec agreement property),
+    // ~4× faster (hand-rolled char parser, no regex).
     "f6_parse_roundtrip" -> ((s, d) =>
       t(s, d, "orders")
         .withColumn("sec", col("o_totalprice") / 3.0 - 30000.0)
         .withColumn("s_mmssms", D.formatSecondsToMmSsMs(col("sec")))
         .withColumn("s_hhmmssms", D.formatSecondsToHhMmSsMs(col("sec")))
-        .withColumn("ms_from_mmssms", D.parseDurationToMillis(col("s_mmssms")))
-        .withColumn("ms_from_hhmmssms", D.parseDurationToMillis(col("s_hhmmssms")))
+        .withColumn("ms_from_mmssms", graft.plans.GraftExtensions.parseF1Duration(col("s_mmssms")))
+        .withColumn("ms_from_hhmmssms", graft.plans.GraftExtensions.parseF1Duration(col("s_hhmmssms")))
         .select("o_orderkey", "s_mmssms", "s_hhmmssms", "ms_from_mmssms", "ms_from_hhmmssms")
         .orderBy("o_orderkey")),
 
@@ -131,6 +134,46 @@ object Scalars {
         .withColumn("sec_out", D.safeToSeconds(col("dur")))
         .select("o_orderkey", "dur", "sec_out")
         .orderBy("o_orderkey")),
+
+    // P2: column-reorder projection (f1_dataExtractor.py:296-300 — named
+    // columns first, remaining columns in original order).
+    "p2_reorder" -> ((s, d) => {
+      val df = t(s, d, "part")
+      val firstCols = Seq("p_brand", "p_type")
+      val rest = df.columns.filterNot(firstCols.contains)
+      df.select((firstCols ++ rest).map(col): _*).orderBy("p_partkey")
+    }),
+
+    // F5: timestamp → wall-clock `HH:mm:ss:SSS` (Java patterns lack `:SSS`,
+    // so compose date_format + millis — f1_dataExtractor.py:103-118).
+    "f5_format_wallclock" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("wallclock", concat(date_format(col("ts"), "HH:mm:ss"), lit(":"),
+          format_string("%03d", (floor(unix_micros(col("ts")) / 1000) % 1000).cast("int"))))
+        .withColumn("wallclock_s", date_format(col("ts"), "HH:mm:ss"))
+        .select("event_id", "wallclock", "wallclock_s")
+        .orderBy("event_id")),
+
+    // F14: bool-else-numeric-else-false fallback (streamlit_app.py:127-139) —
+    // the two-pass Rainfall rule: per-partition-key column profile decides the
+    // coercion strategy; all-null → literal false.
+    "f14_bool_fallback" -> ((s, d) => {
+      val src = t(s, d, "events")
+        // three column shapes keyed by event_type: boolish / numeric / garbage
+        .withColumn("raw", when(col("event_type").isin("click", "view"),
+            when(col("value") > 150, "True").otherwise("False"))
+          .when(col("event_type") === "purchase", floor(col("value")).cast("long").cast("string"))
+          .otherwise(lit("n/a")))
+      val hasBool = max(when(lower(col("raw")).isin("true", "false", "1", "0", "1.0", "0.0"), 1)
+        .otherwise(0)).as("has_bool")
+      val profile = src.groupBy(col("event_type").as("et")).agg(hasBool)
+      src.join(broadcast(profile), src("event_type") === profile("et"))
+        .withColumn("b", when(col("has_bool") === 1,
+            lower(col("raw")).isin("true", "1", "1.0"))
+          .otherwise(coalesce(col("raw").try_cast("double") > 0, lit(false))))
+        .select("event_id", "raw", "b")
+        .orderBy("event_id")
+    }),
 
     // F10: ISO-8601 timestamp round-trip (format → coercing parse).
     "f10_iso_roundtrip" -> ((s, d) =>
@@ -254,6 +297,34 @@ object Scalars {
       s"""SELECT o_orderkey, dur, CAST(${sqlParse("dur")} AS DOUBLE) / 1000.0 AS sec_out
          |FROM (SELECT o_orderkey, ${sqlFmtHhMmSsMs("(o_totalprice / 3.0 - 30000.0)")} AS dur FROM orders)
          |ORDER BY o_orderkey""".stripMargin,
+
+    "p2_reorder" ->
+      """SELECT p_brand, p_type, p_partkey, p_name, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f5_format_wallclock" ->
+      """SELECT event_id,
+        |  strftime(ts, '%H:%M:%S') || ':' || printf('%03d', CAST(floor(epoch_us(ts) / 1000) % 1000 AS INTEGER)) AS wallclock,
+        |  strftime(ts, '%H:%M:%S') AS wallclock_s
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f14_bool_fallback" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_type IN ('click', 'view')
+        |           THEN CASE WHEN value > 150 THEN 'True' ELSE 'False' END
+        |         WHEN event_type = 'purchase' THEN CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+        |         ELSE 'n/a' END AS raw
+        |  FROM events),
+        |profile AS (
+        |  SELECT event_type AS et,
+        |    max(CASE WHEN lower(raw) IN ('true','false','1','0','1.0','0.0') THEN 1 ELSE 0 END) AS has_bool
+        |  FROM src GROUP BY 1)
+        |SELECT event_id, raw,
+        |  CASE WHEN has_bool = 1 THEN lower(raw) IN ('true','1','1.0')
+        |       ELSE coalesce(TRY_CAST(raw AS DOUBLE) > 0, false) END AS b
+        |FROM src JOIN profile ON src.event_type = profile.et
+        |ORDER BY event_id""".stripMargin,
 
     "f10_iso_roundtrip" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso,

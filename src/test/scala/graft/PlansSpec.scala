@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Durations => D}
+import graft.plans.{FormatF1Duration, GraftExtensions, ParseF1Duration}
+import graft.plans.GraftExtensions.{formatF1Duration, parseF1Duration}
+
+/** Native codec expressions: agreement with the composed Column versions,
+  * codegen participation, SQL registration, and the round-trip eliminator. */
+class PlansSpec extends AnyFunSuite with SharedSparkSpec {
+
+  test("native parse agrees with the composed parser on edges + random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq("-00:01:02:345", "00:00:00:000", "61:09:999", "01:02:03:456",
+      "12:34:56", "nan", "NaT", "", "12:34", "00:00:3.5", " 01:02:345 ",
+      "1:2:345", "none", "99:59:59:999", "123:45", ":::", "1::2", "-1:2:3")
+    val randoms = Seq.fill(300) {
+      val ms = rnd.nextLong(86400000L * 2) - 86400000L
+      FormatF1Duration.format(ms)
+    }
+    val df = (edges ++ randoms).toDF("s")
+      .select(col("s"),
+        D.parseDurationToMillis(col("s")).as("composed"),
+        parseF1Duration(col("s")).as("native"))
+    df.collect().foreach { r =>
+      val c = if (r.isNullAt(1)) null else r.getLong(1)
+      val n = if (r.isNullAt(2)) null else r.getLong(2)
+      assert(c == n, s"mismatch for '${r.getString(0)}': composed=$c native=$n")
+    }
+  }
+
+  test("native format agrees with composed formatter; parse∘format == id") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val ms = Seq(0L, 1L, -1L, 999L, 86400000L, -86400000L) ++ Seq.fill(300)(rnd.nextLong())
+      .map(_ % (86400000L * 30))
+    val df = ms.toDF("ms").select(col("ms"),
+      D.formatMillisToHhMmSsMs(col("ms")).as("composed"),
+      formatF1Duration(col("ms")).as("native"),
+      parseF1Duration(formatF1Duration(col("ms"))).as("roundtrip"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"format mismatch for ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(0), s"roundtrip mismatch for ${r.getLong(0)}")
+    }
+  }
+
+  test("expressions run inside WholeStageCodegen") {
+    // non-foldable source (range), so the expression survives into the
+    // physical plan instead of being constant-folded away
+    val df = spark.range(100)
+      .select(format_string("%02d:%02d:%03d", col("id"), col("id") % 60, col("id") % 1000).as("s"))
+      .select(parseF1Duration(col("s")).as("ms"))
+      .filter(col("ms") >= 0)
+    // "*(n)" marks a WholeStageCodegen stage in the simpleString plan form
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected whole-stage codegen marker in:\n$plan")
+    assert(plan.contains("parse_f1_duration"), s"expected native expr in:\n$plan")
+    assert(df.count() == 100)
+  }
+
+  test("install registers SQL functions and the optimizer eliminates round-trips") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT parse_f1_duration('01:02:345') AS a, format_f1_duration(-62345) AS b").head
+    assert(r.getLong(0) == 62345L)
+    assert(r.getString(1) == "-00:01:02:345")
+
+    import spark.implicits._
+    val df = Seq(1234L).toDF("ms")
+      .select(parseF1Duration(formatF1Duration(col("ms"))).as("rt"))
+    val optimized = df.queryExecution.optimizedPlan
+    val stillThere = optimized.expressions.exists(_.exists(_.isInstanceOf[ParseF1Duration]))
+    assert(!stillThere, s"round-trip not eliminated:\n$optimized")
+    assert(df.head.getLong(0) == 1234L)
+  }
+}
