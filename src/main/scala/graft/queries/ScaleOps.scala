@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+
+/** Scale-path operators beyond the reference's surface: skew-salted joins,
+  * as-of joins, and sketch aggregates — the moves a 100 TB pipeline actually
+  * needs when the stock plan degrades.
+  */
+object ScaleOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Map[String, Q] = Map(
+    // ---- skew-salted aggregation+join. Scenario: one hot key dominates
+    // (here: synthetic hot_key = user_id % 3 == 0 collapsed to key 0 — at
+    // 100 TB think "null user" or "bot account"). The salted plan:
+    // (1) spread the hot key across SALT sub-keys for the heavy aggregation,
+    // (2) re-aggregate the partials. Result is identical to the naive
+    // groupBy (the oracle computes the naive form); only the shuffle layout
+    // differs. AQE's skewedJoin handles the JOIN case at runtime; explicit
+    // salting is the portable fix for aggregations.
+    "skew_salted_agg" -> ((s, d) => {
+      val salt = 8
+      val ev = t(s, d, "events")
+        .withColumn("skey", when(col("user_id") % 3 === 0, 0L).otherwise(col("user_id")))
+      ev
+        .withColumn("salt", (col("event_id") % salt).cast("int"))
+        .groupBy("skey", "salt")                       // stage 1: salted partials
+        .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+        .groupBy("skey")                               // stage 2: merge partials
+        .agg(sum("pn").as("n"), round(sum("pv"), 4).as("sum_value"))
+        .orderBy("skey")
+    }),
+
+    // ---- as-of join (the canonical telemetry⋈weather alignment): for every
+    // 'purchase' event, the most recent prior 'signup' event of the same
+    // user. Spark-first shape: union the two streams with a tag, one window
+    // pass with last(..., ignoreNulls) over (user, time) — ONE shuffle on
+    // user_id, no range-join explosion, linear in input. DuckDB oracle uses
+    // its native ASOF JOIN semantics via the same window formulation.
+    "asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val tagged = ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"),
+        when(col("event_type") === "signup", col("ts")).as("signup_ts_raw"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_signup_ts", last("signup_ts_raw", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "last_signup_ts")
+        .orderBy("event_id")
+    }),
+
+    // ---- sketch aggregates (no DuckDB oracle — HLL/KLL internals differ
+    // across engines, so the driver records a rows-only check). At 100 TB
+    // these replace exact distinct/quantiles wherever 2% error is acceptable:
+    // mergeable state, no giant shuffle.
+    "sketch_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    "sketch_quantiles" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.95), lit(0.99)),
+               lit(10000)).as("price_quantiles"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the salted plan must produce exactly the naive aggregation's result
+    "skew_salted_agg" ->
+      """SELECT skey, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM (SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS skey, value
+        |      FROM events)
+        |GROUP BY skey ORDER BY skey""".stripMargin,
+
+    "asof_join" ->
+      """SELECT event_id, user_id, ts, last_signup_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+    // sketch_* intentionally omitted: engine-specific sketch internals
+  )
+}
