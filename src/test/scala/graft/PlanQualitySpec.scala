@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the physical plans must be the ones we'd accept at
+  * 100 TB — filters at the scan, pruned read schemas, broadcast dims, partial
+  * aggregation, single shuffles. A correctness-green query with a wrong plan
+  * fails HERE. */
+class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
+  private val d = "/root/testdata/sf0.001"
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("p6_range: predicate reaches the parquet scan (PushedFilters)") {
+    val p = planOf("p6_range")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("p1_project: scan reads exactly the projected columns") {
+    val p = planOf("p1_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("j1/j5: dimension joins broadcast (no fact-side shuffle for the join)") {
+    val p1 = planOf("j1_join_broadcast")
+    assert(p1.contains("BroadcastHashJoin"), s"part-dim join must broadcast:\n$p1")
+    val p5 = planOf("j5_join_multiway")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p5).length
+    assert(broadcasts == 4, s"expected 4 broadcast joins in the star chain, got $broadcasts:\n$p5")
+  }
+
+  test("q1_agg: two-phase hash aggregation (map-side partial)") {
+    val p = planOf("q1_agg")
+    assert(p.contains("HashAggregate"), s"expected hash agg:\n$p")
+    assert("partial_sum".r.findAllIn(p).nonEmpty, s"expected partial aggregation:\n$p")
+  }
+
+  test("w1_lag_diff: exactly one exchange (hash on user_id), sort within partitions") {
+    val p = planOf("w1_lag_diff")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), s"window must shuffle on user_id:\n$p")
+  }
+
+  test("o4_topk: compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planOf("o4_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must avoid a full sort:\n$p")
+  }
+
+  test("j3_join_semi: plans as a semi join, not inner+distinct") {
+    val p = planOf("j3_join_semi")
+    assert(p.contains("LeftSemi"), s"expected LeftSemi:\n$p")
+  }
+
+  test("tx_token_count: text ops stay in one stage over the scan (no shuffle before sort)") {
+    val p = planOf("tx_token_count")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 0, s"row-wise text ops must not shuffle:\n$p")
+  }
+}
