@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.parseFn)
     ext.injectFunction(GraftExtensions.formatFn)
     ext.injectOptimizerRule(_ => EliminateDurationRoundTrip)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -56,7 +57,7 @@ object GraftExtensions {
     (args: Seq[Expression]) => FormatF1Duration(args.head))
 
   /** Install into an already-running session (tests / notebooks): registers
-    * the SQL functions and appends the optimizer rule. */
+    * the SQL functions, the optimizer rule, and the as-of join strategy. */
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("parse_f1_duration", args => ParseF1Duration(args.head), "scala_udf")
@@ -65,5 +66,27 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(EliminateDurationRoundTrip))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EliminateDurationRoundTrip
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  /** Custom-operator as-of join (graft.plans.AsOfJoinPlan): for each left
+    * row, the latest right row with rightTime ≤ leftTime in the same key
+    * group; right columns null when none. Key and time columns (by name)
+    * must be LONG. The expressions are resolved here against the analyzed
+    * child plans — a Column would carry a lazy ColumnNodeExpression the
+    * analyzer only resolves for built-in operators.
+    * Requires install(spark) / the extensions conf. */
+  def asofJoin(left: org.apache.spark.sql.DataFrame, leftKey: String, leftTime: String,
+               right: org.apache.spark.sql.DataFrame, rightKey: String, rightTime: String): org.apache.spark.sql.DataFrame = {
+    val lp = ColumnBridge.logicalPlan(left)
+    val rp = ColumnBridge.logicalPlan(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+    val plan = AsOfJoinPlan(lp, rp,
+      attr(lp, leftKey), attr(lp, leftTime), attr(rp, rightKey), attr(rp, rightTime))
+    ColumnBridge.ofRows(left.sparkSession, plan)
   }
 }

@@ -55,6 +55,26 @@ object ScaleOps {
         .orderBy("event_id")
     }),
 
+    // ---- as-of join via the CUSTOM OPERATOR (graft.plans.AsOfJoinPlan →
+    // AsOfJoinStrategy → AsOfJoinExec): same semantics and same oracle as
+    // "asof_join" above, but executed by the sort-merge as-of SparkPlan —
+    // two key exchanges, per-partition O(n+m) merge walk, no unioned window
+    // pass. Proves the full custom LogicalPlan/Strategy/Exec path end-to-end
+    // against an independent engine.
+    "asof_join_custom" -> ((s, d) => {
+      graft.plans.GraftExtensions.install(s)
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), unix_micros(col("ts")).as("tl"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+          unix_micros(col("ts")).as("s_tl"), col("event_id").as("s_event_id"))
+      graft.plans.GraftExtensions
+        .asofJoin(purchases, "user_id", "tl", signups, "s_user", "s_tl")
+        .select(col("event_id"), col("user_id"), col("ts"), col("s_ts").as("last_signup_ts"))
+        .orderBy("event_id")
+    }),
+
     // ---- sketch aggregates (no DuckDB oracle — HLL/KLL internals differ
     // across engines, so the driver records a rows-only check). At 100 TB
     // these replace exact distinct/quantiles wherever 2% error is acceptable:
@@ -84,6 +104,15 @@ object ScaleOps {
         |GROUP BY skey ORDER BY skey""".stripMargin,
 
     "asof_join" ->
+      """SELECT event_id, user_id, ts, last_signup_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "asof_join_custom" ->
       """SELECT event_id, user_id, ts, last_signup_ts FROM (
         |  SELECT event_id, user_id, ts, event_type,
         |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
