@@ -1,0 +1,58 @@
+package graft.engine
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed custom aggregates (SURVEY.md §2.10: "custom aggregate →
+  * Aggregator[IN, BUF, OUT]"). The buffer is mergeable, so Spark runs these
+  * as partial→final aggregation like any built-in — the property that makes
+  * them usable at 100 TB.
+  */
+object Aggregators {
+
+  /** Welford/Chan numerically-stable mean+variance in one pass. Equivalent to
+    * (avg, var_samp) but with a single shared buffer — the template for any
+    * custom mergeable statistic (sketches, reservoirs, …). */
+  case class MomentsBuf(n: Long, mean: Double, m2: Double)
+  final class WelfordMoments extends Aggregator[Double, MomentsBuf, (Long, Double, Double)] {
+    override def zero: MomentsBuf = MomentsBuf(0L, 0.0, 0.0)
+    override def reduce(b: MomentsBuf, x: Double): MomentsBuf = {
+      val n = b.n + 1
+      val d = x - b.mean
+      val mean = b.mean + d / n
+      MomentsBuf(n, mean, b.m2 + d * (x - mean))
+    }
+    override def merge(a: MomentsBuf, b: MomentsBuf): MomentsBuf = {
+      if (a.n == 0) b
+      else if (b.n == 0) a
+      else {
+        val n = a.n + b.n
+        val d = b.mean - a.mean
+        MomentsBuf(n, a.mean + d * b.n / n,
+          a.m2 + b.m2 + d * d * a.n * b.n / n)
+      }
+    }
+    override def finish(b: MomentsBuf): (Long, Double, Double) =
+      (b.n, b.mean, if (b.n > 1) b.m2 / (b.n - 1) else Double.NaN)
+    override def bufferEncoder: Encoder[MomentsBuf] = Encoders.product[MomentsBuf]
+    override def outputEncoder: Encoder[(Long, Double, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
+  }
+
+  /** Bounded top-k by value without a sort — per-partition heap, mergeable.
+    * The typed analogue of TakeOrderedAndProject for use inside groupBy. */
+  final class TopK(k: Int) extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[Long]] {
+    override def zero: Seq[(Double, Long)] = Vector.empty
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (v, id) => (-v, id) }.take(k)
+    override def reduce(b: Seq[(Double, Long)], x: (Long, Double)): Seq[(Double, Long)] =
+      trim(b :+ ((x._2, x._1)))
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(a ++ b)
+    override def finish(b: Seq[(Double, Long)]): Seq[Long] = b.map(_._2)
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+}

@@ -77,6 +77,37 @@ object Similarity {
         .orderBy("a", "b")
     }),
 
+    // IVF-style ANN: coarse quantizer = per-label centroids (labels stand in
+    // for the k-means assignment), query probes the nprobe=2 nearest
+    // centroids, exact cosine only within probed partitions. At 100 TB this
+    // is the inverted-file layout: vectors partitioned by centroid id, a
+    // probe touches nprobe/k of the data. Centroid averages are rounded(6)
+    // on both sides (group-sum order sensitivity).
+    "sim_ivf_topk" -> ((s, d) => {
+      val e = emb(s, d).cache()
+      // centroids: explode → per-(label, dim) avg → re-assemble ordered array
+      val centroids = e.select(col("label"), posexplode(col("v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg("col"), 6).as("cval"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cval")))).as("pairs"))
+        .select(col("label").as("c_label"), expr("transform(pairs, p -> p.cval)").as("cvec"))
+        .cache()
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val probed = centroids.crossJoin(broadcast(q))
+        .withColumn("dist", V.dot(col("cvec"), col("cvec")) - lit(2.0) * V.dot(col("cvec"), col("qv")))
+        .orderBy(col("dist").asc, col("c_label").asc)
+        .limit(2)
+        .select("c_label")
+      e.join(broadcast(probed), e("label") === probed("c_label"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos", round(V.cosine(col("v"), col("qv")), 6))
+        .select("vec_id", "label", "cos")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     // element-wise label centroids via explode → (label, dim) aggregation.
     "emb_centroids" -> ((s, d) =>
       emb(s, d)
@@ -133,6 +164,20 @@ object Similarity {
          |  SELECT x.vec_id AS a, y.vec_id AS b, round(${S.cosine("x.v", "y.v")}, 4) AS cos
          |  FROM b x JOIN b y ON x.label = y.label AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |WHERE cos >= 0.9 ORDER BY a, b""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""$embCte,
+         |cd AS (SELECT label, dim, round(avg(v[CAST(dim AS INTEGER)]), 6) AS cval
+         |       FROM e, generate_series(1, 64) t(dim) GROUP BY label, dim),
+         |cent AS (SELECT label AS c_label, list(cval ORDER BY dim) AS cvec FROM cd GROUP BY label),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |probed AS (SELECT c_label FROM cent CROSS JOIN q
+         |           ORDER BY (${S.dot("cvec", "cvec")} - 2.0 * ${S.dot("cvec", "qv")}) ASC, c_label ASC
+         |           LIMIT 2)
+         |SELECT vec_id, label, round(${S.cosine("v", "qv")}, 6) AS cos
+         |FROM e JOIN probed ON e.label = probed.c_label CROSS JOIN q
+         |WHERE vec_id != 0
+         |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     "emb_centroids" ->
       s"""$embCte
