@@ -65,7 +65,10 @@ object Dedup {
     val sh = (0 until bits).map(j =>
       when(col(s"v$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
     docs
-      .withColumn("__th", T.tokenHashes(col("text")))
+      // cache barrier: Generate re-evaluates a non-attribute child per OUTPUT
+      // row, and the optimizer inlines a once-referenced alias into it — the
+      // token-hash pipeline would run once per token instead of once per doc.
+      .select(col("doc_id"), T.tokenHashes(col("text")).as("__th")).cache()
       .select(col("doc_id"), explode(col("__th")).as("h"))
       .groupBy("doc_id")
       .agg(voteCols.head, voteCols.tail: _*)
