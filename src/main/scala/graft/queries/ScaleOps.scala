@@ -75,6 +75,31 @@ object ScaleOps {
         .orderBy("event_id")
     }),
 
+    // ---- MERGE/upsert semantics over plain parquet (no Delta in this
+    // container): target ⟗ source with per-row action — matched rows update,
+    // unmatched source rows insert, unmatched target rows carry over. At
+    // scale this is the full-outer-join formulation every table-format MERGE
+    // lowers to; with a lakehouse format the same plan runs under the
+    // transaction log.
+    "etl_upsert" -> ((s, d) => {
+      val target = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      // source: balance deltas derived from urgent orders (+1% of totalprice)
+      val source = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("s_custkey"))
+        .agg(round(sum(col("o_totalprice")) * 0.01, 4).as("delta"))
+      target.join(source, col("c_custkey") === col("s_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("s_custkey")).as("custkey"),
+          coalesce(col("c_name"), lit("NEW CUSTOMER")).as("name"),
+          round(coalesce(col("c_acctbal"), lit(0.0)) + coalesce(col("delta"), lit(0.0)), 4).as("new_acctbal"),
+          when(col("s_custkey").isNull, "carried")
+            .when(col("c_custkey").isNull, "inserted")
+            .otherwise("updated").as("action"))
+        .orderBy("custkey")
+    }),
+
     // ---- sketch aggregates (no DuckDB oracle — HLL/KLL internals differ
     // across engines, so the driver records a rows-only check). At 100 TB
     // these replace exact distinct/quantiles wherever 2% error is acceptable:
@@ -119,7 +144,20 @@ object ScaleOps {
         |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
         |  FROM events)
-        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "etl_upsert" ->
+      """WITH source AS (
+        |  SELECT o_custkey AS s_custkey, round(sum(o_totalprice) * 0.01, 4) AS delta
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+        |SELECT coalesce(c_custkey, s_custkey) AS custkey,
+        |  coalesce(c_name, 'NEW CUSTOMER') AS name,
+        |  round(coalesce(c_acctbal, 0.0) + coalesce(delta, 0.0), 4) AS new_acctbal,
+        |  CASE WHEN s_custkey IS NULL THEN 'carried'
+        |       WHEN c_custkey IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS action
+        |FROM customer FULL OUTER JOIN source ON c_custkey = s_custkey
+        |ORDER BY custkey""".stripMargin
     // sketch_* intentionally omitted: engine-specific sketch internals
   )
 }
