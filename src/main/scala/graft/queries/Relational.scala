@@ -335,6 +335,44 @@ object Relational {
         .select("o_orderkey", "o_totalprice")
         .limit(20)),
 
+    // ---- beyond-reference: PIVOT (groupBy().pivot() with explicit values —
+    // at scale always pass the value list; value discovery is an extra scan).
+    "agg_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 4))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")),
+
+    // ---- range join, scale-safe: purchases ⋈ errors of the same user within
+    // ±10 minutes. A naive theta-join is a per-user cross product; the
+    // bucketized plan joins on (user, time-bucket) for bucket and bucket±1 —
+    // equi-join shuffle keys, candidates bounded by bucket width — then
+    // applies the exact range predicate. The oracle computes the naive
+    // inequality join; results must agree exactly.
+    "range_join_bucketized" -> ((s, d) => {
+      val width = 600L * 1000000 // 10-minute buckets in micros
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .withColumn("bucket", floor(col("p_us") / width).cast("long"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id").as("e_user"), unix_micros(col("ts")).as("e_us"))
+        .withColumn("e_bucket", floor(col("e_us") / width).cast("long"))
+      val shifted = purchases.select(col("p_id"), col("user_id"), col("p_us"),
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("probe"))
+      shifted.join(errors,
+          shifted("user_id") === errors("e_user") && shifted("probe") === errors("e_bucket"))
+        .filter(abs(col("p_us") - col("e_us")) <= width)
+        .select(col("p_id"), col("e_id"), col("user_id"),
+          // truncate-toward-zero on both sides (Spark double→long cast
+          // truncates; DuckDB CAST rounds, so its oracle wraps with trunc())
+          ((col("p_us") - col("e_us")) / 1000000.0).cast("long").as("delta_sec"))
+        .distinct()
+        .orderBy("p_id", "e_id")
+    }),
+
     // ---- §2.7 set operations.
     "set_union" -> ((s, d) => {
       val hiBal = t(s, d, "customer").filter(col("c_acctbal") > 7000).select(col("c_custkey").as("k"))
@@ -557,6 +595,21 @@ object Relational {
     "o4_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "range_join_bucketized" ->
+      """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id,
+        |  CAST(trunc((epoch_us(p.ts) - epoch_us(e.ts)) / 1000000.0) AS BIGINT) AS delta_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 600 * 1000000
+        |ORDER BY p_id, e_id""".stripMargin,
 
     "set_union" ->
       """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7000
