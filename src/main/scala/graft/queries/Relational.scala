@@ -321,6 +321,30 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // ---- W6: RANGE frame (value-based window — deterministic under ties,
+    // unlike ROWS frames).
+    "w6_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, 1000L)
+      t(s, d, "orders")
+        .withColumn("nearby_sum", round(sum("o_totalprice").over(w), 4))
+        .withColumn("nearby_n", count(lit(1)).over(w))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "nearby_sum", "nearby_n")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- W7: ntile + nth_value over an explicit full frame.
+    "w7_ntile_nth" -> ((s, d) => {
+      val order = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .withColumn("quartile", ntile(4).over(order).cast("bigint"))
+        .withColumn("second_best", nth_value(col("o_orderkey"), 2).over(full))
+        .select("o_orderkey", "o_orderstatus", "quartile", "second_best")
+        .orderBy("o_orderkey")
+    }),
+
     // ---- O1/O2 sorts + O4 top-k. Top-k compiles to TakeOrderedAndProject:
     // per-partition heap + driver merge — no global sort at scale.
     "o1_sort_multikey" -> ((s, d) =>
@@ -586,6 +610,21 @@ object Relational {
         |  count(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "w6_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING), 4) AS nearby_sum,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS nearby_n
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "w7_ntile_nth" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS quartile,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "o1_sort_multikey" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem

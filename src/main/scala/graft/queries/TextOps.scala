@@ -78,6 +78,29 @@ object TextOps {
         .select("doc_id", "n_bigrams", "n_uniq_bigrams", "n_shingles")
         .orderBy("doc_id")),
 
+    // edit distance between consecutive docs (bounded pair set — at scale
+    // levenshtein runs only on candidate pairs from LSH, never all-pairs).
+    "tx_edit_distance" -> ((s, d) => {
+      val a = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val b = t(s, d, "documents").select((col("doc_id") - 1).as("b_id"), col("text").as("b_text"))
+      a.join(b, col("doc_id") === col("b_id"))
+        .withColumn("dist", levenshtein(col("text"), col("b_text")).cast("bigint"))
+        .withColumn("self_dist", levenshtein(col("text"), col("text")).cast("bigint"))
+        .select("doc_id", "dist", "self_dist")
+        .orderBy("doc_id")
+    }),
+
+    // array-op coverage (reverse/slice/sort) with scalar output rows —
+    // array-valued result columns are avoided in oracle queries because list
+    // stringification differs across engines.
+    "arr_ops" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .withColumn("arr", array_sort(slice(reverse(
+          org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double"))), 1, 8)))
+        .select(col("vec_id"), posexplode(col("arr")))
+        .select(col("vec_id"), (col("pos") + 1).cast("bigint").as("idx"), col("col").as("val"))
+        .orderBy("vec_id", "idx")),
+
     // corpus-level aggregate: per (lang, source) quality profile.
     "tx_corpus_profile" -> ((s, d) => {
       val toks = T.tokens(col("text"))
@@ -145,6 +168,18 @@ object TextOps {
          |  CAST(len(${S.shingles("th")}) AS BIGINT) AS n_shingles
          |FROM (SELECT doc_id, ${S.tokens("text")} AS toks, ${S.tokenHashes("text")} AS th FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "tx_edit_distance" ->
+      """SELECT a.doc_id, CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+        |  CAST(levenshtein(a.text, a.text) AS BIGINT) AS self_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "arr_ops" ->
+      """SELECT vec_id, CAST(idx AS BIGINT) AS idx,
+        |  (list_sort(list_slice(list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE))), 1, 8)))[CAST(idx AS INTEGER)] AS val
+        |FROM embeddings, generate_series(1, 8) t(idx)
+        |ORDER BY vec_id, idx""".stripMargin,
 
     "tx_corpus_profile" ->
       s"""SELECT lang, source, count(*) AS n_docs,
