@@ -223,6 +223,18 @@ object Relational {
         .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("sum_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
+    // ---- GROUPING SETS through the spark.sql surface (the engine's SQL
+    // entry point; DataFrame API covers rollup/cube above).
+    "agg_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  round(sum(o_totalprice), 4) AS sum_price
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
     // ---- exact distinct aggregate (Catalyst rewrites to 2-phase agg).
     "agg_count_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -544,6 +556,13 @@ object Relational {
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "agg_count_distinct" ->

@@ -233,6 +233,14 @@ object Scalars {
         .select("event_id", "k")
         .orderBy("event_id")),
 
+    // JSON → MapType → explode (map_keys/map_values surface).
+    "json_map_explode" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("m", from_json(col("props"), lit("map<string,bigint>")))
+        .select(col("event_id"), explode(col("m")))
+        .select(col("event_id"), col("key"), col("value"))
+        .orderBy("event_id", "key")),
+
     // JSON scalar path 2: from_json into a typed struct, then aggregate.
     "json_struct_agg" -> ((s, d) =>
       t(s, d, "events")
@@ -366,6 +374,10 @@ object Scalars {
     "json_get" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "json_map_explode" ->
+      """SELECT event_id, 'k' AS key, CAST(json_extract_string(props, '$.k') AS BIGINT) AS value
+        |FROM events ORDER BY event_id, key""".stripMargin,
 
     "json_struct_agg" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
