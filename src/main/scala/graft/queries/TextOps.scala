@@ -102,6 +102,7 @@ object TextOps {
     // levenshtein runs only on candidate pairs from LSH, never all-pairs).
     "tx_edit_distance" -> ((s, d) => {
       val a = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0) // bounded pair set: O(n·len²) DP is candidate-only work
       val b = t(s, d, "documents").select((col("doc_id") - 1).as("b_id"), col("text").as("b_text"))
       a.join(b, col("doc_id") === col("b_id"))
         .withColumn("dist", levenshtein(col("text"), col("b_text")).cast("bigint"))
@@ -193,6 +194,7 @@ object TextOps {
       """SELECT a.doc_id, CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
         |  CAST(levenshtein(a.text, a.text) AS BIGINT) AS self_dist
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 5 = 0
         |ORDER BY a.doc_id""".stripMargin,
 
     "arr_ops" ->
