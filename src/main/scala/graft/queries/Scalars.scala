@@ -189,7 +189,8 @@ object Scalars {
         .withColumn("s", when(col("user_id") % 3 === 0, concat(lit("x"), col("user_id").cast("string")))
           .otherwise(col("user_id").cast("string")))
         .withColumn("n", expr("try_cast(s AS BIGINT)"))
-        .select("event_id", "s", "n")
+        .withColumn("sec", D.robustToSeconds(col("s")))
+        .select("event_id", "s", "n", "sec")
         .orderBy("event_id")),
 
     // F12: float seconds → millis long (round-half, sign-preserving).
@@ -340,7 +341,7 @@ object Scalars {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "f11_numeric_coerce" ->
-      """SELECT event_id, s, TRY_CAST(s AS BIGINT) AS n
+      """SELECT event_id, s, TRY_CAST(s AS BIGINT) AS n, TRY_CAST(s AS DOUBLE) AS sec
         |FROM (SELECT event_id,
         |        CASE WHEN user_id % 3 = 0 THEN 'x' || CAST(user_id AS VARCHAR)
         |             ELSE CAST(user_id AS VARCHAR) END AS s
