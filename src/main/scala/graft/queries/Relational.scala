@@ -183,6 +183,31 @@ object Relational {
         .orderBy("r_name", "n_name")
     }),
 
+    // ---- correlated scalar subquery (Catalyst decorrelates into an
+    // aggregate + join — exercised through the SQL surface): orders that are
+    // 1.5× above their own customer's average.
+    "sub_correlated" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v2")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
+          |FROM orders_v2 o
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5
+          |                      FROM orders_v2 o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // ---- IN / NOT EXISTS subqueries (RewritePredicateSubquery → semi/anti).
+    "sub_in_exists" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v2")
+      t(s, d, "orders").createOrReplaceTempView("orders_v3")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_v2
+          |WHERE c_custkey IN (SELECT o_custkey FROM orders_v3 WHERE o_totalprice > 150000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_v3
+          |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // ---- A4 per-group boolean ANY (f1_dataExtractor.py:276 DRSActive).
     "a4_bool_any" -> ((s, d) =>
       t(s, d, "events")
@@ -552,6 +577,20 @@ object Relational {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "sub_correlated" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5
+        |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sub_in_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
 
     "a4_bool_any" ->
       """SELECT event_type, bool_or(value > 200) AS any_big,
