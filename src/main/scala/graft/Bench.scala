@@ -34,23 +34,37 @@ object Bench {
     // run — at sf0.1 a cold run is dominated by one-time Janino/codegen
     // compilation (~1-3 s per distinct plan), which measures the JIT, not
     // the engine. The cold total is still reported alongside.
+    // Per-query GC-time and codegen-compile deltas go to STDERR (round-1
+    // showed bench-context inflation vs isolated runs; these localize it)
+    // so the stdout JSON line stays short and last — the driver's tail
+    // capture truncated round 1's line into unparseability.
+    import java.util.Locale
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       def timed(): Double = {
         val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => () }
+        try run(name) catch { case e: Throwable => System.err.println(s"BENCH FAIL $name: $e") }
         (System.nanoTime() - t0) / 1e9
       }
+      val gc0 = gcMillis()
       val cold = timed()
       spark.sharedState.cacheManager.clearCache() // warm run must not reuse the query's own caches
+      val gc1 = gcMillis()
       val warm = timed()
       spark.sharedState.cacheManager.clearCache()
+      val gc2 = gcMillis()
+      System.err.println(f"[bench] $name%-28s cold=$cold%8.3fs (gc=${gc1 - gc0}%5dms) warm=$warm%8.3fs (gc=${gc2 - gc1}%5dms)")
       (name, cold, warm)
     }
-    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + w }
+    def ms(x: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(x))
+    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + ms(w) }
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"timing":"steady-state (2nd run); cold_total includes per-plan codegen compilation","sf":"$sfDir"}""")
+    // ONE short JSON line, totals first, times rounded to ms.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","cold_total":${ms(coldTotal)},"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

@@ -44,23 +44,36 @@ object TextFunctions {
   // ATTRIBUTE column (a previous withColumn stage), never an expression.
   // Catalyst has no common-subexpression elimination inside lambda trees —
   // passing tokenHashes(text) directly here re-evaluates the whole hash
-  // pipeline at every element_at reference (measured: 340 ms/doc vs ~1 ms/doc
-  // staged). CollapseProject keeps multi-referenced non-cheap aliases staged,
-  // so a withColumn chain is sufficient; add .cache() only where a join or
+  // pipeline at every reference (measured: 340 ms/doc vs ~1 ms/doc staged).
+  // CollapseProject keeps multi-referenced non-cheap aliases staged, so a
+  // withColumn chain is sufficient; add .cache() only where a join or
   // generator consumes the stage multiple times.
+  //
+  // Defensive shape: shingles/bigrams are SINGLE zip_with passes over slice()d
+  // copies of the input — a constant number of references to the child, never
+  // a per-element element_at back into the child tree. Even if CollapseProject
+  // inlines an unstaged argument, the damage is bounded at ~5 re-evaluations
+  // per row (O(n)), not O(n) re-evaluations (O(n²)) — the round-1 tx_ngram
+  // pathology (116.8 s → ~1 s at sf0.1) cannot recur structurally.
   // =======================================================================
 
-  /** Word-k-gram shingle hashes (k=3) over a STAGED token-hash column. */
+  /** Word-k-gram shingle hashes (k=3): zip the hash array against its own
+    * 1- and 2-shifted slices, folding ((h₁·B+h₂)·B+h₃) mod P pairwise
+    * ((a·B+b) mod P then (ab·B+c) mod P — identical by mod distributivity). */
   def shinglesFromHashes(th: Column): Column =
     when(size(th) < 3, array().cast("array<bigint>")).otherwise(
-      transform(sequence(lit(0), size(th) - 3), i =>
-        ((element_at(th, i + 1) * B + element_at(th, i + 2)) * B + element_at(th, i + 3)) % P))
+      zip_with(
+        zip_with(slice(th, lit(1), size(th) - 2), slice(th, lit(2), size(th) - 2),
+          (a, b) => (a * B + b) % P),
+        slice(th, lit(3), size(th) - 2),
+        (ab, c) => (ab * B + c) % P))
 
-  /** Word-2-gram strings over a STAGED tokens column. */
+  /** Word-2-gram strings: one zip_with of the token array against its
+    * 1-shifted slice. */
   def bigramsFromTokens(t: Column): Column =
     when(size(t) < 2, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(t) - 2), i =>
-        concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))
 
   /** MinHash family: h_j(s) = (a_j*s + b_j) % P with deterministic a_j, b_j. */
   def minhashA(j: Int): Long = ((j + 1) * 2654435761L) % P

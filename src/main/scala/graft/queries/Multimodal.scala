@@ -19,12 +19,15 @@ object Multimodal {
     // binary payload + metadata extraction: documents.text stands in for
     // media bytes (UTF-8 encode on both engines).
     "mm_binary_meta" -> ((s, d) => {
-      val chars = split(col("text"), "")
+      // head checksum over the first 8 chars only: split the 8-char substring
+      // (O(8) per row), never index a full-text split from inside a lambda —
+      // an unstaged split re-evaluates O(len) work per lambda reference.
+      val head = split(substring(col("text"), 1, 8), "")
       t(s, d, "documents")
         .withColumn("payload", col("text").cast("binary"))
         .withColumn("n_bytes", octet_length(col("payload")).cast("bigint"))
-        .withColumn("head_checksum", aggregate(sequence(lit(1), lit(8)),
-          lit(0L), (acc, i) => acc + coalesce(ascii(element_at(chars, i)).cast("long"), lit(0L))))
+        .withColumn("head_checksum",
+          aggregate(head, lit(0L), (acc, c) => acc + coalesce(ascii(c).cast("long"), lit(0L))))
         .select("doc_id", "n_bytes", "head_checksum")
         .orderBy("doc_id")
     }),

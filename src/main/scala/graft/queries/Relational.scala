@@ -333,13 +333,31 @@ object Relational {
         .select("o_orderkey", "o_orderdate", "due_date", "shifted_by_key")
         .orderBy("o_orderkey")),
 
-    // ---- W3 even-index sampling (streamlit_app.py:300-302). NOTE: global
-    // Window.orderBy is single-partition — fine for axis-tick-sized output;
-    // the scale path for heavy sampling is df.sample / TABLESAMPLE.
+    // ---- W3 even-index sampling (streamlit_app.py:300-302). Global row
+    // numbers WITHOUT a single-partition window (the round-1 shape was a
+    // scale-killer): range-partition on the sort key, sort within partitions,
+    // take per-partition record numbers from monotonically_increasing_id
+    // (documented layout: partition id << 33 | record index), then add
+    // per-partition offsets. The offset prefix-sum is a join over ONE row per
+    // partition — O(#partitions) driver-free work; the data itself sees one
+    // 32-way range shuffle and no Window at all. (For heavy approximate
+    // sampling df.sample/TABLESAMPLE remains the cheaper path; this is the
+    // exact-stride variant.)
     "w3_every_kth" -> ((s, d) => {
-      val w = Window.orderBy(col("ts").asc, col("event_id").asc)
-      t(s, d, "events")
-        .withColumn("rn", row_number().over(w).cast("bigint"))
+      val local = t(s, d, "events")
+        .select("event_id", "ts")
+        .repartitionByRange(col("ts").asc, col("event_id").asc)
+        .sortWithinPartitions(col("ts").asc, col("event_id").asc)
+        .withColumn("__mid", monotonically_increasing_id())
+        .withColumn("pid", shiftright(col("__mid"), 33))
+        .withColumn("lrn", col("__mid") - shiftleft(col("pid"), 33) + 1)
+      val cnts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      val offsets = cnts
+        .join(cnts.select(col("pid").as("ppid"), col("cnt").as("pcnt")),
+          col("ppid") < col("pid"), "left")
+        .groupBy("pid").agg(coalesce(sum("pcnt"), lit(0L)).as("offset"))
+      local.join(broadcast(offsets), "pid")
+        .withColumn("rn", col("lrn") + col("offset"))
         .filter(col("rn") % 100 === 1)
         .select("rn", "event_id", "ts")
         .orderBy("rn")

@@ -111,13 +111,22 @@ object ScaleOps {
              count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
-    "sketch_quantiles" -> ((s, d) =>
+    // Output is SCALAR rows (one per (status, q)) — array-valued result
+    // columns crash rows-only harness checks and stringify differently
+    // across engines (same hygiene as arr_ops).
+    "sketch_quantiles" -> ((s, d) => {
+      val qs = Seq(0.5, 0.95, 0.99)
       t(s, d, "orders")
         .groupBy("o_orderstatus")
-        .agg(percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.95), lit(0.99)),
-               lit(10000)).as("price_quantiles"),
+        .agg(percentile_approx(col("o_totalprice"), array(qs.map(lit): _*),
+               lit(10000)).as("pq"),
              count(lit(1)).as("n"))
-        .orderBy("o_orderstatus"))
+        .select(col("o_orderstatus"), col("n"), posexplode(col("pq")))
+        .select(col("o_orderstatus"),
+          element_at(typedLit(qs), col("pos") + 1).as("q"),
+          col("col").as("quantile_value"), col("n"))
+        .orderBy("o_orderstatus", "q")
+    })
   )
 
   val oracles: Map[String, String] = Map(

@@ -54,6 +54,15 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     assert(p.contains("LeftSemi"), s"expected LeftSemi:\n$p")
   }
 
+  test("w3_every_kth: global row numbers without any Window operator") {
+    val p = planOf("w3_every_kth")
+    // round 1 shipped row_number() over a global Window.orderBy — a
+    // single-partition scale-killer. The two-level scheme must compile to a
+    // range exchange + per-partition sort, with NO Window node anywhere.
+    assert(!p.contains("Window"), s"w3 must not plan a Window operator:\n$p")
+    assert(p.contains("Exchange rangepartitioning"), s"expected a range exchange:\n$p")
+  }
+
   test("tx_token_count: text ops stay in one stage over the scan (no shuffle before sort)") {
     val p = planOf("tx_token_count")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
