@@ -82,7 +82,14 @@ object Canonicalize {
         if (spec.durationCols.contains(name)) D.parseDurationToMillis(c)
         else if (spec.secondsCols.contains(name)) D.secondsToMillis(c.try_cast("double"))
         else if (spec.isoCols.contains(name)) to_timestamp(c)
-        else if (spec.intCols.contains(name)) c.try_cast("double").cast("int")
+        else if (spec.intCols.contains(name)) {
+          // via double so "3.0" parses, but range-guarded: under ANSI mode a
+          // bare double→int cast THROWS on out-of-range (e.g. "3e9") or NaN,
+          // violating the every-failure→NULL contract. try_cast('int') alone
+          // would instead reject float-formatted integers.
+          val d = c.try_cast("double")
+          when(d.between(Int.MinValue.toDouble, Int.MaxValue.toDouble), d.cast("int"))
+        }
         else if (spec.doubleCols.contains(name)) c.try_cast("double")
         else if (spec.boolCols.contains(name)) D.boolCoerce(c)
         else c

@@ -93,9 +93,19 @@ object Durations {
 
   // F6 dispatch regexes (f1_dataTransformer.py:11-64): the three encodings are
   // distinguished by group count and last-group width.
-  private val ReMmSsMs = "^(-?)(\\d+):(\\d{1,2}):(\\d{3})$"
-  private val ReHhMmSsMs = "^(-?)(\\d+):(\\d{1,2}):(\\d{1,2}):(\\d{3})$"
-  private val ReHhMmSs = "^(-?)(\\d+):(\\d{1,2}):(\\d{1,2})$"
+  //
+  // DELIBERATE width leniency vs the reference: its regexes demand exactly
+  // 2-digit groups (f1_dataTransformer.py:27,40,53), yet its own formatters
+  // emit unbounded hours/minutes via %02d (f1_dataTransformer.py:79), so the
+  // reference rejects its own output beyond 99 h. Graft instead accepts an
+  // unbounded-width leading group and 1-2 digit mid groups, making
+  // parse∘format the identity on the formatters' full range. The leading
+  // group is capped at 7 digits (≈ 9.9 M hours; max ≈ 3.6e13 ms, far inside
+  // Long) so oversized digit runs coerce to NULL instead of overflowing —
+  // the same bound the native ParseF1Duration enforces.
+  private val ReMmSsMs = "^(-?)(\\d{1,7}):(\\d{1,2}):(\\d{3})$"
+  private val ReHhMmSsMs = "^(-?)(\\d{1,7}):(\\d{1,2}):(\\d{1,2}):(\\d{3})$"
+  private val ReHhMmSs = "^(-?)(\\d{1,7}):(\\d{1,2}):(\\d{1,2})$"
 
   private def grp(s: Column, re: String, i: Int): Column =
     regexp_extract(s, re, i).cast("long")

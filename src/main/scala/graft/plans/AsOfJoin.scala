@@ -66,26 +66,49 @@ case class AsOfJoinExec(
       val nullRight = InternalRow.fromSeq(Seq.fill(rightSchema.length)(null))
       // buffered walk over the sorted right side; remember the latest right
       // row ≤ current left (same key)
+      // Tie-break semantics: a right row with time EQUAL to the left row's
+      // time matches (backward-inclusive, `ht <= t`) regardless of any
+      // secondary ordering. The window-based formulation (ScaleOps
+      // "asof_join") additionally tie-breaks equal timestamps by event_id,
+      // so the two diverge only when a key has a left and right row at the
+      // SAME time instant with the right row's event_id larger — callers
+      // needing the window's exact tie-break should encode it into the time
+      // column (e.g. time*K + seq); callers needing strictly-before should
+      // pre-shift the right side's time by one tick.
+      // NULL handling: SQL-style. NULL-keyed/timed right rows match nothing
+      // and are skipped; NULL-keyed/timed left rows emit null-extended
+      // output (a null key equals nothing, it must NOT unbox to key 0).
       val rBuf = rIt.buffered
       var curKey: Long = Long.MinValue
       var lastRight: InternalRow = null
       lIt.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val t = lTime.eval(lRow).asInstanceOf[Long]
-        if (k != curKey) { curKey = k; lastRight = null }
-        // advance right cursor through all rows with (key < k) or
-        // (key == k && time <= t); retain the last matching row
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rKey.eval(head).asInstanceOf[Long]
-          val ht = rTime.eval(head).asInstanceOf[Long]
-          if (hk < k) { rBuf.next() } // other key's rows before ours: skip
-          else if (hk == k && ht <= t) { lastRight = rBuf.next().copy() }
-          else advancing = false
+        val kAny = lKey.eval(lRow)
+        val tAny = lTime.eval(lRow)
+        if (kAny == null || tAny == null) {
+          proj(joined(lRow, nullRight))
+        } else {
+          val k = kAny.asInstanceOf[Long]
+          val t = tAny.asInstanceOf[Long]
+          if (k != curKey) { curKey = k; lastRight = null }
+          // advance right cursor through all rows with (key < k) or
+          // (key == k && time <= t); retain the last matching row
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val hkAny = rKey.eval(head)
+            val htAny = rTime.eval(head)
+            if (hkAny == null || htAny == null) { rBuf.next() } // null never joins
+            else {
+              val hk = hkAny.asInstanceOf[Long]
+              val ht = htAny.asInstanceOf[Long]
+              if (hk < k) { rBuf.next() } // other key's rows before ours: skip
+              else if (hk == k && ht <= t) { lastRight = rBuf.next().copy() }
+              else advancing = false
+            }
+          }
+          val r = if (lastRight != null) lastRight else nullRight
+          proj(joined(lRow, r))
         }
-        val r = if (lastRight != null) lastRight else nullRight
-        proj(joined(lRow, r))
       }
     }
   }

@@ -40,7 +40,12 @@ case class ParseF1Duration(child: Expression) extends UnaryExpression
 
 object ParseF1Duration {
   /** Total parser: the three encodings, sign-aware; anything else → null.
-    * Exposed as a static for codegen. */
+    * Exposed as a static for codegen.
+    *
+    * Width dispatch matches graft.engine.Durations.parseDurationToMillis
+    * (leading group 1-7 digits — a longer digit run returns null rather than
+    * overflowing parseLong/Long; see the leniency note there for why widths
+    * are looser than the reference's exactly-2-digit regexes). */
   def parseBoxed(raw: String): java.lang.Long = {
     if (raw == null) return null
     val s = raw.trim
@@ -63,6 +68,9 @@ object ParseF1Duration {
       j += 1
     }
     if (!parts.forall(_.forall(c => c >= '0' && c <= '9'))) return null
+    // leading group is the only unbounded one; cap it so parseLong cannot
+    // throw NumberFormatException (>19 digits) or overflow the ms arithmetic
+    if (parts(0).length > 7) return null
     def L(p: String) = java.lang.Long.parseLong(p)
     parts.length match {
       case 3 =>

@@ -46,9 +46,9 @@ object Scalars {
   /** F6 parse in DuckDB SQL (regex-dispatch, same patterns as Durations). */
   private def sqlParse(sv: String) = {
     val s = s"trim($sv)"
-    val re4 = "'^(-?)(\\d+):(\\d{1,2}):(\\d{1,2}):(\\d{3})$'"
-    val re3m = "'^(-?)(\\d+):(\\d{1,2}):(\\d{3})$'"
-    val re3h = "'^(-?)(\\d+):(\\d{1,2}):(\\d{1,2})$'"
+    val re4 = "'^(-?)(\\d{1,7}):(\\d{1,2}):(\\d{1,2}):(\\d{3})$'"
+    val re3m = "'^(-?)(\\d{1,7}):(\\d{1,2}):(\\d{3})$'"
+    val re3h = "'^(-?)(\\d{1,7}):(\\d{1,2}):(\\d{1,2})$'"
     def g(re: String, i: Int) = s"CAST(regexp_extract($s, $re, $i) AS BIGINT)"
     def sg(re: String) = s"(CASE WHEN regexp_extract($s, $re, 1) = '-' THEN -1 ELSE 1 END)"
     s"""(CASE
@@ -63,7 +63,10 @@ object Scalars {
   private val parseEdges = Seq(
     "-00:01:02:345", "00:00:00:000", "61:09:999", "01:02:03:456",
     "-01:02:03:456", "12:34:56", "nan", "NaT", "", "12:34", "00:00:3.5",
-    " 01:02:345 ", "1:2:345", "none", "99:59:59:999")
+    " 01:02:345 ", "1:2:345", "none", "99:59:59:999",
+    // oversized leading groups: 7 digits parses, 8+ (and a >Long 20-digit
+    // run) coerce to NULL instead of throwing from parseLong/overflowing
+    "1234567:00:00", "12345678:00:00", "99999999999999999999:00:00")
 
   val queries: Map[String, Q] = Map(
     // F2: seconds → MM:SS:mmm (round-half, sign-aware, minutes unbounded).

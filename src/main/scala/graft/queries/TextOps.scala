@@ -64,22 +64,48 @@ object TextOps {
     // shuffle-parallel, partial-agg friendly, ~5× faster at sf0.1.
     "tx_fingerprint" -> ((s, d) => {
       val P = T.P
-      val powers: Seq[Long] = {
-        val buf = new Array[Long](4096)
+      // B^e mod P via two-level lookup: e = 2048·hi + lo, B^e = HI[hi]·LO[lo]
+      // (mod P). Covers e < 2048² = 4 194 304 tokens/doc from two fixed
+      // 2048-entry literals (the round-1 single 4096-entry table silently
+      // indexed out of bounds past 4096 tokens); a doc beyond the bound gets
+      // an explicit NULL fingerprint (mirrored in the oracle), never a wrong
+      // or partial one.
+      val tableBits = 2048
+      val maxTokens = tableBits.toLong * tableBits
+      val lo: Seq[Long] = {
+        val buf = new Array[Long](tableBits)
         buf(0) = 1L
-        for (i <- 1 until 4096) buf(i) = buf(i - 1) * T.B % P
+        for (i <- 1 until tableBits) buf(i) = buf(i - 1) * T.B % P
+        buf.toSeq
+      }
+      val hiStep = lo(tableBits - 1) * T.B % P // B^2048 mod P
+      val hi: Seq[Long] = {
+        val buf = new Array[Long](tableBits)
+        buf(0) = 1L
+        for (i <- 1 until tableBits) buf(i) = buf(i - 1) * hiStep % P
         buf.toSeq
       }
       val staged = t(s, d, "documents")
         .select(col("doc_id"), T.tokenHashes(col("text")).as("__th")).cache()
       val summed = staged
         .select(col("doc_id"), size(col("__th")).as("n"), posexplode(col("__th")))
-        .withColumn("term", col("col") * element_at(typedLit(powers), (col("n") - col("pos")).cast("int")) % P)
+        // clamp the exponent for LOOKUP safety only; a clamped (over-bound)
+        // doc's fp is nulled below via n, never emitted clamped-wrong
+        .withColumn("e", least((col("n") - col("pos") - 1).cast("int"), lit((maxTokens - 1).toInt)))
+        .withColumn("pw", element_at(typedLit(hi), (col("e") / tableBits).cast("int") + 1) *
+          element_at(typedLit(lo), pmod(col("e"), lit(tableBits)).cast("int") + 1) % P)
+        .withColumn("term", col("col") * col("pw") % P)
         .groupBy("doc_id")
-        .agg((sum("term") % P).as("fp"))
-      // token-less docs vanish in the explode; the fold defines their fp as 0
+        .agg((sum("term") % P).as("fp"), max("n").as("n"))
+      // token-less docs vanish in the explode (n null after the left join);
+      // the fold defines their fp as 0. Over-bound docs (n > maxTokens) get
+      // an explicit NULL fingerprint.
       val fp = staged.select(col("doc_id")).join(summed, Seq("doc_id"), "left")
-        .withColumn("fp", coalesce(col("fp"), lit(0L)))
+        .withColumn("fp",
+          when(col("n").isNull, lit(0L))
+            .when(col("n") > maxTokens, lit(null))
+            .otherwise(col("fp")))
+        .drop("n")
       val counts = fp.groupBy("fp").agg(count(lit(1)).as("n_same_fp"))
       fp.join(counts, "fp")
         .select("doc_id", "fp", "n_same_fp")
@@ -176,7 +202,9 @@ object TextOps {
     },
 
     "tx_fingerprint" ->
-      s"""WITH fp AS (SELECT doc_id, ${S.fingerprint(S.tokenHashes("text"))} AS fp FROM documents)
+      s"""WITH fp AS (SELECT doc_id,
+         |  (CASE WHEN len(th) > 4194304 THEN NULL ELSE ${S.fingerprint("th")} END) AS fp
+         |  FROM (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM documents))
          |SELECT doc_id, fp, n_same_fp FROM fp
          |JOIN (SELECT fp, count(*) AS n_same_fp FROM fp GROUP BY fp) USING (fp)
          |ORDER BY doc_id""".stripMargin,

@@ -33,6 +33,27 @@ class AsOfJoinSpec extends AnyFunSuite with SharedSparkSpec {
     assert(out("p4") == null)  // key 3 has no right rows at all
   }
 
+  test("null keys/times: left nulls emit null-extended rows, right nulls never join") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    // a NULL key must NOT unbox to 0L and join against key 0's rows
+    val left = Seq(
+      (Some(0L), Some(100L), "z1"), (None: Option[Long], Some(100L), "nk"),
+      (Some(1L), None: Option[Long], "nt"), (Some(1L), Some(100L), "p1"))
+      .toDF("k", "t", "name")
+    val right = Seq(
+      (Some(0L), Some(50L), "s0"), (None: Option[Long], Some(10L), "sn"),
+      (Some(1L), None: Option[Long], "st"), (Some(1L), Some(90L), "s1"))
+      .toDF("rk", "rt", "rname")
+    val out = GraftExtensions
+      .asofJoin(left.repartition(2, col("k")), "k", "t", right.repartition(2, col("rk")), "rk", "rt")
+      .select("name", "rname").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("nk") == null)  // null key joins nothing (not key 0)
+    assert(out("nt") == null)  // null time joins nothing
+    assert(out("z1") == "s0")  // key 0 unaffected by the null-key row
+    assert(out("p1") == "s1")  // null-keyed/timed right rows skipped, s1 found
+  }
+
   test("physical plan is the custom exec with two key exchanges") {
     GraftExtensions.install(spark)
     val (left, right) = frames

@@ -15,7 +15,12 @@ class PlansSpec extends AnyFunSuite with SharedSparkSpec {
     val rnd = new scala.util.Random(7)
     val edges = Seq("-00:01:02:345", "00:00:00:000", "61:09:999", "01:02:03:456",
       "12:34:56", "nan", "NaT", "", "12:34", "00:00:3.5", " 01:02:345 ",
-      "1:2:345", "none", "99:59:59:999", "123:45", ":::", "1::2", "-1:2:3")
+      "1:2:345", "none", "99:59:59:999", "123:45", ":::", "1::2", "-1:2:3",
+      // oversized leading digit groups: both parsers must return NULL (the
+      // 20-digit run would throw NumberFormatException from a naive
+      // parseLong; the 8-digit run exceeds the 7-digit width bound)
+      "1234567:00:00", "12345678:00:00", "99999999999999999999:00:00",
+      "-99999999999999999999:01:02:345")
     val randoms = Seq.fill(300) {
       val ms = rnd.nextLong(86400000L * 2) - 86400000L
       FormatF1Duration.format(ms)
