@@ -93,6 +93,55 @@ object Dedup {
     (cand, sg)
   }
 
+  /** Confirmed LSH near-dup pairs (shared by dd_lsh_pairs and dd_clusters):
+    * banded candidates → signature-estimated Jaccard ≥ 0.5. */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val (cand, sg) = candidates(s, d)
+    cand
+      .join(sg.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(sg.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .withColumn("n_eq", aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("est_jaccard", round(col("n_eq") / 16.0, 4))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("a", "b", "est_jaccard")
+  }
+
+  /** Connected components over the near-dup pair graph → a keep-list: every
+    * corpus doc labeled with the min doc_id of its component. This is what a
+    * real 100 TB dedup emits (pairs alone under-delete transitive chains
+    * A≈B≈C). Algorithm: iterative min-label propagation to a FIXPOINT — each
+    * round every node takes min(own label, neighbors' labels) via one
+    * edge join + hash-aggregate; converged when no label changes. Rounds =
+    * graph diameter (near-dup components are shallow in practice; the classic
+    * large-star/small-star contraction is the drop-in if diameter ever grows).
+    * The driver-side loop holds only a per-round change COUNT, never data. */
+  private def connectedComponents(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cid")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("b"), col("cid").as("bcid")), "b")
+        .groupBy(col("a").as("doc_id")).agg(min("bcid").as("nmin"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cid"), coalesce(col("nmin"), col("cid"))).as("cid"))
+        .cache()
+      changed = next.join(labels.select(col("doc_id"), col("cid").as("old")), "doc_id")
+        .filter(col("cid") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup: md5 of normalized text, keep min doc_id per group.
     "dd_exact" -> ((s, d) =>
@@ -114,19 +163,15 @@ object Dedup {
         .orderBy("doc_id", "j")),
 
     // LSH near-dup pairs: band bucket-join → signature-estimated Jaccard.
-    "dd_lsh_pairs" -> ((s, d) => {
-      val (cand, sg) = candidates(s, d)
-      cand
-        .join(sg.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
-        .join(sg.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
-        .withColumn("n_eq", aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x))
-        .withColumn("est_jaccard", round(col("n_eq") / 16.0, 4))
-        .filter(col("est_jaccard") >= 0.5)
-        .select("a", "b", "est_jaccard")
-        .orderBy("a", "b")
-    }),
+    "dd_lsh_pairs" -> ((s, d) => lshPairs(s, d).orderBy("a", "b")),
+
+    // dedup keep-list: connected components over the LSH pair graph.
+    // (doc_id, canonical_id = min id in component, is_kept).
+    "dd_clusters" -> ((s, d) =>
+      connectedComponents(corpus(s, d), lshPairs(s, d).cache())
+        .withColumn("is_kept", col("doc_id") === col("cid"))
+        .select(col("doc_id"), col("cid").as("canonical_id"), col("is_kept"))
+        .orderBy("doc_id")),
 
     // simhash fingerprints (24-bit).
     "dd_simhash_sig" -> ((s, d) =>
@@ -181,6 +226,16 @@ object Dedup {
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
        |         JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
 
+  /** confirmed-pairs CTE (needs sigsCte's `cand`+`sigs` in scope) — the SQL
+    * twin of lshPairs. */
+  private val pairsCte =
+    s"""pairs AS (SELECT a, b FROM (
+       |  SELECT a, b, round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(list_zip(sa.sig, sb.sig), p -> CASE WHEN p[1] = p[2] THEN CAST(1 AS BIGINT) ELSE 0 END)),
+       |    (x, y) -> x + y) / 16.0, 4) AS ej
+       |  FROM cand JOIN sigs sa ON cand.a = sa.doc_id JOIN sigs sb ON cand.b = sb.doc_id)
+       |  WHERE ej >= 0.5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
       s"""$corpusCte
@@ -202,6 +257,20 @@ object Dedup {
          |    (x, y) -> x + y) / 16.0, 4) AS est_jaccard
          |  FROM cand JOIN sigs sa ON cand.a = sa.doc_id JOIN sigs sb ON cand.b = sb.doc_id)
          |WHERE est_jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    // exact transitive closure via recursive CTE (small-scale oracle for the
+    // iterative min-propagation the Spark side runs)
+    "dd_clusters" ->
+      s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$pairsCte,
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |r(id, tgt) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN edges e ON e.a = r.tgt)
+         |SELECT id AS doc_id, CAST(min(tgt) AS BIGINT) AS canonical_id,
+         |  (id = min(tgt)) AS is_kept
+         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dd_simhash_sig" ->
       s"""WITH th AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM documents)

@@ -27,6 +27,27 @@ class RetrievalQualitySpec extends AnyFunSuite with SharedSparkSpec {
       s"LSH found only $foundNearCount of ${expectedNear.size} planted near-dups")
   }
 
+  test("dd_clusters keep-list: planted copies share their original's cluster") {
+    val labels = SparkEntry.queries("dd_clusters")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.engine.Tables.load(spark, d, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    // every planted exact copy (id+2M) must land in the same component as
+    // its original — transitivity through any shared near-dup is fine, so
+    // compare canonical labels, not raw ids
+    val exactMissed = docs.filter(_ % 40 == 0)
+      .filter(id => labels(id + 2000000L) != labels(id))
+    assert(exactMissed.isEmpty, s"exact copies not clustered with originals: $exactMissed")
+    // near-copies follow the LSH pair recall bar (≥80%)
+    val nearIds = docs.filter(_ % 25 == 0)
+    val nearHit = nearIds.count(id => labels(id + 1000000L) == labels(id))
+    assert(nearHit >= nearIds.length * 0.8,
+      s"only $nearHit of ${nearIds.length} near-copies clustered with originals")
+    // keep-list sanity: each cluster's canonical is its own canonical, and
+    // untouched docs are singletons kept as themselves
+    labels.values.foreach(c => assert(labels(c) == c, s"canonical $c not a fixpoint"))
+  }
+
   test("SimHash near-dup recall: planted exact copies at Hamming distance 0") {
     val near = SparkEntry.queries("dd_simhash_near")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
