@@ -100,6 +100,36 @@ object ScaleOps {
         .orderBy("custkey")
     }),
 
+    // ---- bucketed co-located join: both sides bucketBy(8) on the join key
+    // at WRITE time, so the join needs no exchange at READ time — the layout
+    // that amortizes a repeated 100 TB fact⋈fact shuffle once. The bucketed
+    // tables are created on first use per (table, sf) into /tmp (external
+    // path, in-memory catalog); the merge hint keeps the demonstration a
+    // sort-merge join instead of a broadcast. PlanQualitySpec asserts the
+    // bucketed scan and the absence of join-key exchanges; BucketingSpec
+    // covers the layout in depth.
+    "bj_colocated_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      def ensure(base: String, df: => DataFrame, key: String): String = {
+        val tbl = s"${base}_$tag"
+        if (!s.catalog.tableExists(tbl))
+          df.write.mode("overwrite")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", s"/tmp/graft_bucketed/$tbl")
+            .format("parquet").saveAsTable(tbl)
+        tbl
+      }
+      val bo = ensure("bj_orders",
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus")), "o_orderkey")
+      val bl = ensure("bj_lineitem",
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice")), "l_orderkey")
+      s.table(bl).hint("merge")
+        .join(s.table(bo), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 4).as("rev"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ---- sketch aggregates (no DuckDB oracle — HLL/KLL internals differ
     // across engines, so the driver records a rows-only check). At 100 TB
     // these replace exact distinct/quantiles wherever 2% error is acceptable:
@@ -154,6 +184,11 @@ object ScaleOps {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "bj_colocated_join" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(l_extendedprice), 4) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "etl_upsert" ->
       """WITH source AS (

@@ -63,6 +63,15 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     assert(p.contains("Exchange rangepartitioning"), s"expected a range exchange:\n$p")
   }
 
+  test("bj_colocated_join: bucketed scans join with no exchange on the join keys") {
+    val p = planOf("bj_colocated_join")
+    assert(p.contains("Bucketed: true"), s"expected bucketed scans:\n$p")
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+           !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not shuffle its inputs:\n$p")
+  }
+
   test("tx_token_count: text ops stay in one stage over the scan (no shuffle before sort)") {
     val p = planOf("tx_token_count")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
