@@ -23,11 +23,13 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
-  case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int,
-                           n_frames: Int, checksum: Long)
+  case class MediaFeatures(doc_id: Long, fmt: String, n_bytes: Int, width: Int,
+                           height: Int, n_frames: Int, checksum: Long)
 
-  /** STUB — stands in for an image/audio decoder (??? in a container with
-    * codecs; deterministic fake here so tests pin the plumbing). */
+  /** STUB — stands in for a full-frame media decoder for payloads that are
+    * not a recognized image container (no codec libs in this container;
+    * deterministic fake so tests pin the plumbing). Recognized PNG/BMP
+    * headers take the REAL byte-parsing path in [[ImageHeaders.decode]]. */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length
     (n % 64 + 1, n * 7 % 64 + 1, n % 10 + 1) // (width, height, frames)
@@ -49,10 +51,82 @@ object Multimodal {
     media.mapPartitions { it =>
       // decoder/codec init would happen HERE, once per partition
       it.map { r =>
-        val (w, h, fr) = decodeStub(r.payload)
+        val (fmt, w, h, fr) = ImageHeaders.decode(r.payload) match {
+          case Some((f, dw, dh)) => (f, dw, dh, 1) // real byte-level parse
+          case None =>
+            val (sw, sh, sfr) = decodeStub(r.payload) // unrecognized container
+            ("raw", sw, sh, sfr)
+        }
         val checksum = r.payload.take(8).foldLeft(0L)((a, b) => a + (b & 0xff))
-        MediaFeatures(r.doc_id, r.payload.length, w, h, fr, checksum)
+        MediaFeatures(r.doc_id, fmt, r.payload.length, w, h, fr, checksum)
       }
     }
+  }
+}
+
+/** REAL byte-level image-header codec — no native libs needed: PNG stores
+  * width/height big-endian in the IHDR chunk (bytes 16-23 after the 8-byte
+  * signature); BMP (BITMAPINFOHEADER) stores them little-endian at offsets
+  * 18/22. The synthesizers emit spec-layout headers; `decode` genuinely
+  * reads the byte offsets (it shares no arithmetic with the synthesizers),
+  * so the oracle check of synth→decode round-trips is real byte math. */
+object ImageHeaders {
+  private def u(b: Byte): Int = b & 0xff
+
+  val PngHeaderLen = 33 // 8 signature + 25 IHDR chunk (len+type+13 data+crc)
+  val BmpHeaderLen = 54 // 14 file header + 40 BITMAPINFOHEADER
+
+  /** PNG signature + IHDR (bit depth 8, truecolor, zero CRC) + `filler`
+    * trailing bytes. */
+  def pngBytes(width: Int, height: Int, filler: Int): Array[Byte] = {
+    val b = new Array[Byte](PngHeaderLen + filler)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    for (i <- sig.indices) b(i) = sig(i).toByte
+    b(11) = 13 // IHDR data length (big-endian, low byte)
+    b(12) = 'I'; b(13) = 'H'; b(14) = 'D'; b(15) = 'R'
+    for (i <- 0 until 4) {
+      b(16 + i) = (width >>> (24 - 8 * i)).toByte  // big-endian
+      b(20 + i) = (height >>> (24 - 8 * i)).toByte
+    }
+    b(24) = 8; b(25) = 2 // bit depth, color type (truecolor)
+    b
+  }
+
+  /** 'BM' file header (size field = total length) + BITMAPINFOHEADER +
+    * `filler` trailing bytes. */
+  def bmpBytes(width: Int, height: Int, filler: Int): Array[Byte] = {
+    val n = BmpHeaderLen + filler
+    val b = new Array[Byte](n)
+    b(0) = 'B'; b(1) = 'M'
+    for (i <- 0 until 4) {
+      b(2 + i) = (n >>> (8 * i)).toByte       // file size, little-endian
+      b(18 + i) = (width >>> (8 * i)).toByte  // little-endian
+      b(22 + i) = (height >>> (8 * i)).toByte
+    }
+    b(10) = BmpHeaderLen.toByte // pixel data offset
+    b(14) = 40                  // DIB header size
+    b(26) = 1                   // planes
+    b(28) = 24                  // bpp
+    b
+  }
+
+  /** Parse a recognized image container's (format, width, height) from raw
+    * bytes; None for anything else. BMP requires the DIB-size field to read
+    * exactly 40 so ASCII text starting with "BM" can never false-positive
+    * (ASCII has no NUL bytes). */
+  def decode(p: Array[Byte]): Option[(String, Int, Int)] = {
+    if (p.length >= 24 &&
+        u(p(0)) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+        u(p(4)) == 0x0d && u(p(5)) == 0x0a && u(p(6)) == 0x1a && u(p(7)) == 0x0a &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R') {
+      val w = (u(p(16)) << 24) | (u(p(17)) << 16) | (u(p(18)) << 8) | u(p(19))
+      val h = (u(p(20)) << 24) | (u(p(21)) << 16) | (u(p(22)) << 8) | u(p(23))
+      Some(("png", w, h))
+    } else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M' &&
+               u(p(14)) == 40 && p(15) == 0 && p(16) == 0 && p(17) == 0) {
+      val w = u(p(18)) | (u(p(19)) << 8) | (u(p(20)) << 16) | (u(p(21)) << 24)
+      val h = u(p(22)) | (u(p(23)) << 8) | (u(p(24)) << 16) | (u(p(25)) << 24)
+      Some(("bmp", w, h))
+    } else None
   }
 }

@@ -45,6 +45,30 @@ object Multimodal {
         .select("doc_id", "n_bytes", "width", "height", "n_frames", "fake_mean_pixel")
         .orderBy("doc_id")),
 
+    // REAL byte-level decode: synthesize spec-layout PNG/BMP headers (dims
+    // and byte budget derived from doc_id), run the genuine byte-offset
+    // parser through the typed mapPartitions path, and oracle-check that the
+    // parsed dimensions/checksums match the synthesis formulas — any byte
+    // slip in either direction (endianness, offset, magic) breaks the match.
+    "mm_decode_real" -> ((s, d) => {
+      import s.implicits._
+      import graft.engine.{ImageHeaders => IH, Multimodal => M}
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = (id % 1017 + 8).toInt
+        val h = (id * 7 % 1017 + 8).toInt
+        val filler = (id % 32).toInt
+        if (id % 2 == 0) M.MediaRecord(id, IH.pngBytes(w, h, filler), "image/png")
+        else M.MediaRecord(id, IH.bmpBytes(w, h, filler), "image/bmp")
+      }
+      M.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("fmt"),
+          col("n_bytes").cast("bigint").as("n_bytes"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // per-source media-batch profile: the batch-shape check for feeding
     // mapInPandas/mapPartitions decoders (bytes per batch, rows per batch).
     "mm_batch_profile" -> ((s, d) =>
@@ -72,6 +96,19 @@ object Multimodal {
         |  round(CAST(n_bytes % 256 AS DOUBLE) / 255.0, 4) AS fake_mean_pixel
         |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // synthesis formulas, independently re-derived: PNG header is 33 bytes,
+    // BMP 54; the first-8-byte checksum is the PNG signature sum (425) or
+    // 'B'+'M'+size-LE-low-byte (143 + 54 + filler); dims are the synth
+    // formulas the byte parser must recover exactly
+    "mm_decode_real" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 54 END + doc_id % 32 AS BIGINT) AS n_bytes,
+        |  CAST(doc_id % 1017 + 8 AS BIGINT) AS width,
+        |  CAST((doc_id * 7) % 1017 + 8 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 425 ELSE 197 + doc_id % 32 END AS BIGINT) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_batch_profile" ->
       """SELECT source, count(*) AS n_docs,
