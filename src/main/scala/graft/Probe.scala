@@ -14,8 +14,11 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     for (name <- args.drop(1)) {
-      val fn = SparkEntry.queries(name)
-      time(name) { fn(spark, d).write.format("noop").mode("overwrite").save() }
+      if (name == "CLEAR") spark.sharedState.cacheManager.clearCache()
+      else {
+        val fn = SparkEntry.queries(name)
+        time(name) { fn(spark, d).write.format("noop").mode("overwrite").save() }
+      }
     }
     spark.stop()
   }

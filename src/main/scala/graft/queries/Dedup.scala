@@ -111,30 +111,44 @@ object Dedup {
   /** Connected components over the near-dup pair graph → a keep-list: every
     * corpus doc labeled with the min doc_id of its component. This is what a
     * real 100 TB dedup emits (pairs alone under-delete transitive chains
-    * A≈B≈C). Algorithm: iterative min-label propagation to a FIXPOINT — each
-    * round every node takes min(own label, neighbors' labels) via one
-    * edge join + hash-aggregate; converged when no label changes. Rounds =
-    * graph diameter (near-dup components are shallow in practice; the classic
-    * large-star/small-star contraction is the drop-in if diameter ever grows).
-    * The driver-side loop holds only a per-round change COUNT, never data. */
+    * A≈B≈C). Algorithm per round: (1) neighbor-min propagation — every node
+    * takes min(own label, neighbors' labels) via one edge join +
+    * hash-aggregate — then (2) POINTER JUMPING (path halving): label :=
+    * label(label), one self-join, which collapses label chains geometrically
+    * so convergence is O(log diameter) rounds, not O(diameter) — a 1000-doc
+    * similarity chain converges in ~10 rounds instead of hitting a round
+    * cap unconverged. Converged when no label changes; the driver-side loop
+    * holds only a per-round change COUNT, never data. */
   private def connectedComponents(docs: DataFrame, edges: DataFrame): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cid")).cache()
+    // Iteration state is localCheckpoint()ed each round, not cache()d: an
+    // eager checkpoint physically truncates the plan to the materialized
+    // blocks, so round r's plan is always two joins deep. Chained cache()
+    // keeps the full nested lineage in the plan — one cache-lookup miss
+    // (e.g. an unpersisted ancestor) re-executes a lineage the halving
+    // self-join doubles per round (measured: 2.3 s round 1 → 120 s round 3
+    // at sf0.1). On a cluster, a reliable checkpoint() adds fault tolerance
+    // at the same spot.
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cid")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
       val nbrMin = sym
         .join(labels.select(col("doc_id").as("b"), col("cid").as("bcid")), "b")
         .groupBy(col("a").as("doc_id")).agg(min("bcid").as("nmin"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cid"), coalesce(col("nmin"), col("cid"))).as("cid"))
-        .cache()
+      // path halving: cid := cid's cid (labels form a total map, so inner);
+      // collapses label chains geometrically → O(log diameter) rounds
+      val next = propagated
+        .join(propagated.select(col("doc_id").as("cid"), col("cid").as("pcid")), "cid")
+        .select(col("doc_id"), col("pcid").as("cid"))
+        .localCheckpoint()
       changed = next.join(labels.select(col("doc_id"), col("cid").as("old")), "doc_id")
         .filter(col("cid") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       rounds += 1
     }
