@@ -35,6 +35,47 @@ object ScaleOps {
         .orderBy("skey")
     }),
 
+    // ---- skew-salted JOIN (the join twin of skew_salted_agg): the hot key
+    // would land every matching row on one reducer in a plain shuffle join.
+    // Salt the big side with event_id % SALT and REPLICATE each small-side
+    // row SALT times (explode), then join on (key, salt) — the hot key's
+    // rows spread across SALT reducers, result identical to the plain join
+    // (the oracle computes the plain form). The shuffle_hash hint keeps the
+    // demonstration a shuffle join (broadcast would hide the layout; at
+    // 100 TB the dim that needs this is too big to broadcast).
+    "skew_salted_join" -> ((s, d) => {
+      val salt = 8
+      val ev = t(s, d, "events")
+        .withColumn("skey", when(col("user_id") % 3 === 0, 0L).otherwise(col("user_id")))
+        .withColumn("salt", (col("event_id") % salt).cast("int"))
+      val dim = t(s, d, "customer").filter(col("c_custkey") <= 150)
+        .select((col("c_custkey") - 1).as("skey"), col("c_name"))
+        .withColumn("salt", explode(array((0 until salt).map(lit): _*)))
+      ev.hint("shuffle_hash").join(dim, Seq("skey", "salt"))
+        .groupBy("skey", "c_name")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("skey")
+    }),
+
+    // ---- Z-order layout key: interleave the low 16 bits of two columns so
+    // a range cluster/sort on `zval` co-locates rows close in BOTH
+    // dimensions — the lakehouse data-layout move that lets min/max row-group
+    // stats prune two-column predicates. Pure integer arithmetic (floor-div
+    // and power-of-two lookup), identical in any engine; the demo projects a
+    // bounded slice ordered by the key.
+    "layout_zorder" -> ((s, d) => {
+      val p2: Seq[Long] = (0 until 63).map(1L << _)
+      def bit(c: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+        pmod(floor(c / element_at(typedLit(p2), i + 1)).cast("long"), lit(2L))
+      val z = aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, i) =>
+        acc + bit(col("l_orderkey"), i) * element_at(typedLit(p2), i * 2 + 1)
+            + bit(col("l_partkey"), i) * element_at(typedLit(p2), i * 2 + 2))
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 64)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), z.as("zval"))
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+    }),
+
     // ---- as-of join (the canonical telemetry⋈weather alignment): for every
     // 'purchase' event, the most recent prior 'signup' event of the same
     // user. Spark-first shape: union the two streams with a tag, one window
@@ -166,6 +207,24 @@ object ScaleOps {
         |FROM (SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS skey, value
         |      FROM events)
         |GROUP BY skey ORDER BY skey""".stripMargin,
+
+    // the salted join must produce exactly the plain join's result
+    "skew_salted_join" ->
+      """SELECT skey, c_name, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM (SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS skey, value
+        |      FROM events) e
+        |JOIN (SELECT c_custkey - 1 AS skey, c_name FROM customer WHERE c_custkey <= 150) c
+        |USING (skey)
+        |GROUP BY skey, c_name ORDER BY skey""".stripMargin,
+
+    "layout_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    (CAST(floor(l_orderkey / pow(2.0, i)) AS BIGINT) % 2) * CAST(pow(2.0, 2*i) AS BIGINT) +
+        |    (CAST(floor(l_partkey / pow(2.0, i)) AS BIGINT) % 2) * CAST(pow(2.0, 2*i + 1) AS BIGINT)))
+        |    AS BIGINT) AS zval
+        |FROM lineitem WHERE l_orderkey <= 64
+        |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin,
 
     "asof_join" ->
       """SELECT event_id, user_id, ts, last_signup_ts FROM (

@@ -148,6 +148,23 @@ object TextOps {
         .select(col("vec_id"), (col("pos") + 1).cast("bigint").as("idx"), col("col").as("val"))
         .orderBy("vec_id", "idx")),
 
+    // regex pre-tokenizer (the BPE-style pre-split): letter runs, digit
+    // runs, and punctuation runs counted separately — the token estimate a
+    // data pipeline uses before a real BPE merge pass. Three codegen'd
+    // regexp_extract_all calls over the scan, no shuffle.
+    "tx_regex_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("n_word_runs",
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).cast("bigint"))
+        .withColumn("n_digit_runs",
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("bigint"))
+        .withColumn("n_other_runs",
+          size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]+"), lit(0))).cast("bigint"))
+        .withColumn("est_tokens",
+          col("n_word_runs") + col("n_digit_runs") + col("n_other_runs"))
+        .select("doc_id", "n_word_runs", "n_digit_runs", "n_other_runs", "est_tokens")
+        .orderBy("doc_id")),
+
     // corpus-level aggregate: per (lang, source) quality profile.
     "tx_corpus_profile" -> ((s, d) => {
       val toks = T.tokens(col("text"))
@@ -230,6 +247,15 @@ object TextOps {
         |  (list_sort(list_slice(list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE))), 1, 8)))[CAST(idx AS INTEGER)] AS val
         |FROM embeddings, generate_series(1, 8) t(idx)
         |ORDER BY vec_id, idx""".stripMargin,
+
+    "tx_regex_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_runs,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS BIGINT) AS n_other_runs,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+'))
+        |    + len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS BIGINT) AS est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "tx_corpus_profile" ->
       s"""SELECT lang, source, count(*) AS n_docs,

@@ -72,6 +72,13 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
       s"bucketed join must not shuffle its inputs:\n$p")
   }
 
+  test("skew_salted_join: join shuffles on (key, salt), spreading the hot key") {
+    val p = planOf("skew_salted_join")
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffle-hash join:\n$p")
+    assert(p.contains("hashpartitioning(skey") && p.contains("salt"),
+      s"join must partition on (skey, salt):\n$p")
+  }
+
   test("tx_token_count: text ops stay in one stage over the scan (no shuffle before sort)") {
     val p = planOf("tx_token_count")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
