@@ -165,6 +165,19 @@ object TextOps {
         .select("doc_id", "n_word_runs", "n_digit_runs", "n_other_runs", "est_tokens")
         .orderBy("doc_id")),
 
+    // deterministic train/val/test split: assignment is a pure hash of the
+    // doc id (NOT rand(seed) — reproducible across engines, stable under
+    // repartitioning, and any doc's split can be recomputed from its id
+    // alone), stratification verified by the per-(lang, split) census.
+    "tx_split_assign" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("bucket", col("doc_id") * 2654435761L % 1000000007L % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang", "split")),
+
     // corpus-level aggregate: per (lang, source) quality profile.
     "tx_corpus_profile" -> ((s, d) => {
       val toks = T.tokens(col("text"))
@@ -256,6 +269,14 @@ object TextOps {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+'))
         |    + len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS BIGINT) AS est_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_split_assign" ->
+      """SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (SELECT lang, n_chars,
+        |        (CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END) AS split
+        |      FROM (SELECT lang, n_chars, doc_id * 2654435761 % 1000000007 % 100 AS b
+        |            FROM documents))
+        |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     "tx_corpus_profile" ->
       s"""SELECT lang, source, count(*) AS n_docs,
