@@ -300,6 +300,36 @@ object Relational {
              r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"))
         .orderBy("l_returnflag")),
 
+    // ---- typed custom aggregates (engine.Aggregators) given a catalog
+    // face: the Welford one-pass moments and the heap-based per-group top-k
+    // run as partial→final aggregation exactly like built-ins (mergeable
+    // buffers), oracle-checked against DuckDB's avg/stddev and window-rank
+    // formulations. Variance-scale outputs compare as stddev rounded to 2
+    // decimals — the two engines' one-pass algorithms agree to far finer.
+    "agg_typed_moments" -> ((s, d) => {
+      val mom = udaf(new graft.engine.Aggregators.WelfordMoments(),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(mom(col("o_totalprice")).as("m"))
+        .select(col("o_orderstatus"), col("m._1").as("n"),
+          r4(col("m._2")).as("mean"), round(sqrt(col("m._3")), 2).as("sd"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "agg_typed_topk" -> ((s, d) => {
+      val topk = udaf(new graft.engine.Aggregators.TopK(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(topk(col("o_orderkey"), col("o_totalprice")).as("ids"))
+        .select(col("o_orderstatus"), posexplode(col("ids")))
+        .select(col("o_orderstatus"), (col("pos") + 1).cast("bigint").as("rnk"),
+          col("col").as("o_orderkey"))
+        .orderBy("o_orderstatus", "rnk")
+    }),
+
     // ---- W1 LAG / consecutive diff (f1_dataExtractor.py:283 Gear.diff()).
     // One shuffle on user_id, sort within partitions — at 100 TB this is the
     // canonical "repartition by entity, sort by time" sequence pattern.
@@ -661,6 +691,19 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_lines
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_typed_moments" ->
+      """SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 4) AS mean,
+        |  round(stddev_samp(o_totalprice), 2) AS sd
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_typed_topk" ->
+      """SELECT o_orderstatus, rnk, o_orderkey FROM (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+        |  FROM orders) WHERE rnk <= 3
+        |ORDER BY o_orderstatus, rnk""".stripMargin,
 
     "agg_stats" ->
       """SELECT l_returnflag,
