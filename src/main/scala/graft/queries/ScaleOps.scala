@@ -171,31 +171,75 @@ object ScaleOps {
         .orderBy("o_orderstatus")
     }),
 
-    // ---- sketch aggregates (no DuckDB oracle — HLL/KLL internals differ
-    // across engines, so the driver records a rows-only check). At 100 TB
-    // these replace exact distinct/quantiles wherever 2% error is acceptable:
-    // mergeable state, no giant shuffle.
+    // ---- partition-pruned scan (SURVEY S8's catalog face): orders written
+    // once per sf as year-partitioned parquet (hive-style o_year=YYYY dirs
+    // under /tmp/graft_partitioned, first-use, like the bucketed tables); the
+    // query's o_year predicate is resolved against the directory listing at
+    // PLANNING time — PartitionFilters in the scan node, one directory read,
+    // zero data-file IO outside 1995 (plan-asserted in PlanQualitySpec). At
+    // 100 TB this is THE first-line scan reducer: date-partitioned layout
+    // turns a full-corpus scan into a per-partition read.
+    "pp_partition_pruned" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_partitioned/orders_$tag"
+      if (!new java.io.File(path + "/_SUCCESS").exists())
+        t(s, d, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_year") === 1995)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("rev"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- sketch aggregates. HLL/KLL internals differ across engines, so the
+    // query emits the BOUND CHECK, not the raw sketch: both the approximate
+    // and the exact aggregate are computed in-query and the output is the
+    // deterministic boolean "approx within its published error bound of
+    // exact" — which DuckDB can oracle as a literal TRUE next to the exact
+    // side. At 100 TB the sketch replaces the exact form wherever 2% error
+    // is acceptable: mergeable state, no giant distinct shuffle. (The exact
+    // twin here exists only to *verify* the bound; SketchSpec additionally
+    // pins observed error at test scale.)
     "sketch_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"),
              count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            greatest(lit(1.0), col("exact_parts") * 0.02)).as("within_2pct"))
         .orderBy("l_returnflag")),
 
-    // Output is SCALAR rows (one per (status, q)) — array-valued result
-    // columns crash rows-only harness checks and stringify differently
-    // across engines (same hygiene as arr_ops).
+    // Quantile sketch bound check: percentile_approx(accuracy=10000) promises
+    // the returned value's RANK is within eps*n (eps = 1/accuracy) of the
+    // target rank q*n. We join the (tiny, broadcast) per-group quantile rows
+    // back to orders, count rows <= the approximate value, and emit the rank
+    // bound check per (status, q) — scalar rows, deterministic booleans, and
+    // the DuckDB oracle computes the exact group sizes + literal TRUE.
+    // (+1 slack each side: the discrete rank of an exact quantile element
+    // itself straddles q*n by up to one row.)
     "sketch_quantiles" -> ((s, d) => {
       val qs = Seq(0.5, 0.95, 0.99)
-      t(s, d, "orders")
+      val orders = t(s, d, "orders")
+      val qrows = orders
         .groupBy("o_orderstatus")
         .agg(percentile_approx(col("o_totalprice"), array(qs.map(lit): _*),
                lit(10000)).as("pq"),
              count(lit(1)).as("n"))
         .select(col("o_orderstatus"), col("n"), posexplode(col("pq")))
-        .select(col("o_orderstatus"),
+        .select(col("o_orderstatus"), col("n"),
           element_at(typedLit(qs), col("pos") + 1).as("q"),
-          col("col").as("quantile_value"), col("n"))
+          col("col").as("qv"))
+      orders.select("o_orderstatus", "o_totalprice")
+        .join(broadcast(qrows), Seq("o_orderstatus"))
+        .groupBy("o_orderstatus", "q", "n")
+        .agg(sum(when(col("o_totalprice") <= col("qv"), 1L).otherwise(0L)).as("rank_le"))
+        .select(col("o_orderstatus"), col("q"), col("n"),
+          (col("rank_le") >= col("q") * col("n") - col("n") / 10000.0 - 1.0 &&
+           col("rank_le") <= col("q") * col("n") + col("n") / 10000.0 + 1.0).as("rank_ok"))
         .orderBy("o_orderstatus", "q")
     })
   )
@@ -260,7 +304,28 @@ object ScaleOps {
         |       WHEN c_custkey IS NULL THEN 'inserted'
         |       ELSE 'updated' END AS action
         |FROM customer FULL OUTER JOIN source ON c_custkey = s_custkey
-        |ORDER BY custkey""".stripMargin
-    // sketch_* intentionally omitted: engine-specific sketch internals
+        |ORDER BY custkey""".stripMargin,
+
+    // the pruned partitioned read must equal the predicate on the flat table
+    "pp_partition_pruned" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS rev
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Sketch oracles verify the BOUND, not the sketch: the oracle computes
+    // the exact side and asserts the bound literally TRUE — the Spark query
+    // computes the same boolean from its own approximate + exact aggregates,
+    // so a sketch drifting outside its published error bound hash-mismatches.
+    "sketch_approx_distinct" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_2pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sketch_quantiles" ->
+      """SELECT o_orderstatus, q, n, TRUE AS rank_ok
+        |FROM (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1)
+        |CROSS JOIN (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q)
+        |ORDER BY o_orderstatus, q""".stripMargin
   )
 }

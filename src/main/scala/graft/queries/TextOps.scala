@@ -169,9 +169,13 @@ object TextOps {
     // doc id (NOT rand(seed) — reproducible across engines, stable under
     // repartitioning, and any doc's split can be recomputed from its id
     // alone), stratification verified by the per-(lang, split) census.
+    // doc_id is pre-reduced mod P BEFORE the multiply: (P-1)·2654435761 ≈
+    // 2.65e18 < Long.MaxValue, so the product can never wrap in Spark nor
+    // overflow-throw in DuckDB — the hash stays engine-identical for ANY
+    // 64-bit doc_id (the unreduced form silently wrapped past doc_id≈3.5e9).
     "tx_split_assign" -> ((s, d) =>
       t(s, d, "documents")
-        .withColumn("bucket", col("doc_id") * 2654435761L % 1000000007L % 100)
+        .withColumn("bucket", pmod(col("doc_id"), lit(1000000007L)) * 2654435761L % 1000000007L % 100)
         .withColumn("split",
           when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
         .groupBy("lang", "split")
@@ -274,7 +278,7 @@ object TextOps {
       """SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM (SELECT lang, n_chars,
         |        (CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END) AS split
-        |      FROM (SELECT lang, n_chars, doc_id * 2654435761 % 1000000007 % 100 AS b
+        |      FROM (SELECT lang, n_chars, (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 AS b
         |            FROM documents))
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
