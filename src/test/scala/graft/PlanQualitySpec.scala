@@ -84,4 +84,29 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 0, s"row-wise text ops must not shuffle:\n$p")
   }
+
+  test("nested_dotpath_agg: nested schema pruning — scan reads ONLY the meta leaves") {
+    val p = planOf("nested_dotpath_agg")
+    // Dremel payoff: the repeated attrs column and the fat payload string
+    // must be absent from the parquet ReadSchema, not just dropped later.
+    assert(p.contains("ReadSchema: struct<meta:struct<etype:string,uid:bigint>>"),
+      s"nested pruning failed (attrs/payload still read):\n$p")
+  }
+
+  test("nested_inline_agg: scan reads only the attrs leaves (no meta/payload)") {
+    val p = planOf("nested_inline_agg")
+    assert(p.contains("ReadSchema: struct<attrs:array<struct<k:string,v:bigint>>>"),
+      s"inline agg must read only attrs:\n$p")
+    assert("partial_sum".r.findAllIn(p).nonEmpty, s"expected partial aggregation:\n$p")
+  }
+
+  test("pp_partition_pruned: o_year predicate becomes a PartitionFilter, not a data filter") {
+    val p = planOf("pp_partition_pruned")
+    assert(p.contains("PartitionFilters:") && p.contains("o_year") && p.contains("= 1995"),
+      s"expected partition pruning on o_year:\n$p")
+    // the predicate must NOT appear as a pushed data filter — it is resolved
+    // against directory names at planning time, reading one partition
+    assert(!p.contains("PushedFilters: [IsNotNull(o_year"),
+      s"o_year must prune partitions, not filter rows:\n$p")
+  }
 }

@@ -74,4 +74,22 @@ class TextVectorSpec extends AnyFunSuite with SharedSparkSpec {
     assert(df(0) >= 0 && df(0) < 256)
     assert(df(2) == 255 - df(0), "negated vector flips every hyperplane sign")
   }
+
+  test("tx_split_assign bucket hash never wraps for any 64-bit doc_id") {
+    import spark.implicits._
+    // the pre-reduced form: (id mod P) * KNUTH fits in a Long for every id,
+    // so Spark's wrap-around Long multiply and DuckDB's overflow-checked
+    // BIGINT multiply agree — verified against BigInt arithmetic at the
+    // extremes the catalog data never reaches (ADVICE r2 nit: the unreduced
+    // form silently wrapped past doc_id ≈ 3.5e9)
+    val P = 1000000007L
+    val ids = Seq(0L, 1L, 3499999999L, 3500000001L, (1L << 62) - 1L, (1L << 62),
+      Long.MaxValue)
+    val got = ids.toDF("doc_id")
+      .select((pmod(col("doc_id"), lit(P)) * 2654435761L % P % 100).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val exp = ids.map(id => ((BigInt(id) mod P) * 2654435761L mod P mod 100).toLong)
+    assert(got == exp, s"bucket hash diverged from BigInt reference: $got vs $exp")
+    assert(got.forall(b => b >= 0 && b < 100))
+  }
 }
