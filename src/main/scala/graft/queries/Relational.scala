@@ -300,6 +300,31 @@ object Relational {
              r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"))
         .orderBy("l_returnflag")),
 
+    // exact per-group percentiles (the non-sketch twin of sketch_quantiles):
+    // Spark's `percentile` and DuckDB's quantile_cont both interpolate
+    // linearly, so the values hash-match after round(,4). Exact percentile
+    // needs the full sorted group — at 100 TB reach for sketch_quantiles
+    // unless the group count is small (here: 3 statuses), which is exactly
+    // when exact is affordable.
+    "agg_percentile_exact" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(r4(expr("percentile(o_totalprice, 0.5)")).as("median"),
+             r4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // equi-width histogram with fixed literal bounds: bucket assignment is a
+    // pure scan-side projection (no global min/max pass), partial-agg
+    // friendly, and the capped top bucket keeps the domain total. The
+    // streaming-safe histogram shape.
+    "agg_hist_equiwidth" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("bucket", least(floor(col("o_totalprice") / 60000.0), lit(9.0)).cast("bigint"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
+        .orderBy("bucket")),
+
     // ---- typed custom aggregates (engine.Aggregators) given a catalog
     // face: the Welford one-pass moments and the heap-based per-group top-k
     // run as partial→final aggregation exactly like built-ins (mergeable
@@ -712,6 +737,16 @@ object Relational {
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
         |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_percentile_exact" ->
+      """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS median,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_hist_equiwidth" ->
+      """SELECT CAST(least(floor(o_totalprice / 60000.0), 9.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "w1_lag_diff" ->
       """SELECT event_id, user_id, value, prev_value, value - prev_value AS delta,

@@ -57,6 +57,24 @@ object Temporal {
         .orderBy("user_id", "event_type")
     }),
 
+    // cohort retention: users grouped by first-activity week (cohort),
+    // counted per weeks-elapsed offset — the product-analytics staple. The
+    // cohort week comes from a partition-window min (ONE shuffle on
+    // user_id, no self-join); the (cohort, offset) rollup with a distinct
+    // count is the second, much smaller shuffle. Week granularity because
+    // the test corpus spans one month; at production scale swap the
+    // date_trunc unit.
+    "cohort_retention" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      t(s, d, "events")
+        .select(col("user_id"), date_trunc("WEEK", col("ts")).as("aw"))
+        .withColumn("cohort", min("aw").over(w))
+        .withColumn("offset_w", floor(datediff(col("aw"), col("cohort")) / 7).cast("bigint"))
+        .groupBy("cohort", "offset_w")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "offset_w")
+    }),
+
     // event-time day profile: date_trunc + per-day stats.
     "st_daily_profile" -> ((s, d) =>
       t(s, d, "events")
@@ -100,6 +118,14 @@ object Temporal {
     "st_daily_profile" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users, round(avg(value), 4) AS avg_value
-        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "cohort_retention" ->
+      """SELECT cohort, CAST(floor(date_diff('day', cohort, aw) / 7.0) AS BIGINT) AS offset_w,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM (SELECT user_id, date_trunc('week', ts) AS aw,
+        |        min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort
+        |      FROM events)
+        |GROUP BY cohort, offset_w ORDER BY cohort, offset_w""".stripMargin
   )
 }

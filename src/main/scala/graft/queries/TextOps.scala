@@ -182,6 +182,63 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
         .orderBy("lang", "split")),
 
+    // TF-IDF term weighting — the canonical corpus-statistics join: term
+    // frequency per (doc, term), document frequency per term, idf = ln(N/df).
+    // The token-array stage is cache-barriered before the explode (the
+    // documented Generate-re-evaluation trap — at 100 TB this stage is a
+    // materialized columnar intermediate); tf⋈df shuffles once on term with
+    // map-side partials, and the corpus size N rides in as a broadcast
+    // 1-row aggregate, never a driver-side collect. Output bounded to
+    // doc_id <= 100 for the catalog face; the plan is corpus-size-agnostic.
+    "tx_tfidf" -> ((s, d) => {
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("__toks")).cache()
+      val tf = staged
+        .select(col("doc_id"), explode(col("__toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val total = staged.select(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(total))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+        .filter(col("doc_id") <= 100)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "term")
+    }),
+
+    // deterministic stratified sampling: per-language keep rates driven by
+    // the same wrap-proof id-hash family as tx_split_assign (different
+    // constant = independent hash) — reproducible, repartition-stable, and
+    // any doc's membership is recomputable from its id alone. The census
+    // output verifies the sample; at 100 TB the filter runs scan-side.
+    "tx_sample_stratified" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(1000000007L)) * 2654435769L % 1000000007L % 100)
+        .filter(col("bucket") < when(col("lang") === "en", 20).otherwise(10))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("chars_sampled"))
+        .orderBy("lang")),
+
+    // PII-style redaction: mask a term denylist (word-boundary regex — the
+    // entity-masking shape; swap the alternation for digit/email patterns on
+    // real corpora), emit the redaction census plus a content hash of the
+    // redacted text (the hash makes the oracle verify the REDACTED BYTES,
+    // not just the counts). Pure scan-side codegen'd regex, no shuffle
+    // before the sort.
+    "tx_redact" -> ((s, d) => {
+      val pat = "\\b(customer|spark|vector)\\b"
+      t(s, d, "documents")
+        .withColumn("n_masked",
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("bigint"))
+        .withColumn("redacted", regexp_replace(col("text"), pat, "<ENT>"))
+        .filter(col("n_masked") > 0)
+        .select(col("doc_id"), col("n_masked"),
+          length(col("redacted")).cast("bigint").as("redacted_len"),
+          md5(col("redacted").cast("binary")).as("redacted_hash"))
+        .orderBy("doc_id")
+    }),
+
     // corpus-level aggregate: per (lang, source) quality profile.
     "tx_corpus_profile" -> ((s, d) => {
       val toks = T.tokens(col("text"))
@@ -281,6 +338,33 @@ object TextOps {
         |      FROM (SELECT lang, n_chars, (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 AS b
         |            FROM documents))
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "tx_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${S.tokens("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |tot AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, df, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+         |FROM tf JOIN dfx USING (term) CROSS JOIN tot
+         |WHERE doc_id <= 100
+         |ORDER BY doc_id, term""".stripMargin,
+
+    "tx_sample_stratified" ->
+      """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+        |FROM (SELECT lang, n_chars,
+        |        (doc_id % 1000000007) * 2654435769 % 1000000007 % 100 AS b
+        |      FROM documents)
+        |WHERE b < (CASE WHEN lang = 'en' THEN 20 ELSE 10 END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "tx_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|spark|vector)\b')) AS BIGINT) AS n_masked,
+        |  CAST(length(regexp_replace(text, '\b(customer|spark|vector)\b', '<ENT>', 'g')) AS BIGINT) AS redacted_len,
+        |  md5(regexp_replace(text, '\b(customer|spark|vector)\b', '<ENT>', 'g')) AS redacted_hash
+        |FROM documents
+        |WHERE len(regexp_extract_all(text, '\b(customer|spark|vector)\b')) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "tx_corpus_profile" ->
       s"""SELECT lang, source, count(*) AS n_docs,
