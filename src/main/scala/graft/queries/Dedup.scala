@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.engine.{Tables, TextFunctions => T}
 
 /** Deduplication catalog over `documents` (builder-prompt first-class
@@ -224,6 +225,58 @@ object Dedup {
         .filter(col("jaccard") >= 0.6)
         .select("a", "b", "n_inter", "n_union", "jaccard")
         .orderBy("a", "b")
+    }),
+
+    // canonical-doc selection: dedup pipelines don't keep the MIN id, they
+    // keep the BEST doc per duplicate cluster (here: longest text, id as
+    // tie-break). Clusters come from the same connected-components keep-list
+    // as dd_clusters; the per-cluster argmax is a partition-window
+    // row_number — one shuffle on the (small) cluster label.
+    "dd_keep_best" -> ((s, d) => {
+      val labels = connectedComponents(corpus(s, d), lshPairs(s, d).cache())
+      val quality = corpus(s, d)
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("len"))
+      val w = Window.partitionBy("cid").orderBy(col("len").desc, col("doc_id").asc)
+      labels.join(quality, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+             max(when(col("rk") === 1, col("doc_id"))).as("best_id"),
+             max(when(col("rk") === 1, col("len"))).as("best_len"))
+        .filter(col("n_docs") > 1)
+        .orderBy("cluster_id")
+    }),
+
+    // train/test contamination check (decontamination's detection half):
+    // test-split docs sharing ≥3 rare shingles with any train-split doc.
+    // Splits come from the same wrap-proof id-hash as tx_split_assign; the
+    // shingle df-cap (≤50) is the real-world move that BOTH drops
+    // stopword-like shingles (meaningless matches) AND kills the hot-key
+    // blowup a raw shingle self-join would have at 100 TB. One shuffle to
+    // count df, one equi-join on the surviving shingles.
+    "dd_contamination" -> ((s, d) => {
+      val P = 1000000007L
+      val staged = t(s, d, "documents")
+        .withColumn("bucket", pmod(col("doc_id"), lit(P)) * 2654435761L % P % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+        .withColumn("__th", T.tokenHashes(col("text")))
+        .select(col("doc_id"), col("split"),
+          array_distinct(T.shinglesFromHashes(col("__th"))).as("__sh"))
+        .cache()
+      val inst = staged.select(col("doc_id"), col("split"), explode(col("__sh")).as("g"))
+      val gdf = inst.groupBy("g").agg(count(lit(1)).as("gdf"))
+      val keep = inst.join(gdf.filter(col("gdf") <= 50), "g")
+      val testS = keep.filter(col("split") === "test")
+        .select(col("g"), col("doc_id").as("test_id"))
+      val trainS = keep.filter(col("split") === "train")
+        .select(col("g"), col("doc_id").as("train_id"))
+      testS.join(trainS, "g")
+        .groupBy("test_id")
+        .agg(countDistinct("g").as("n_shared_shingles"),
+             countDistinct("train_id").as("n_train_docs"))
+        .filter(col("n_shared_shingles") >= 3)
+        .orderBy("test_id")
     })
   )
 
@@ -314,6 +367,43 @@ object Dedup {
          |    round((CAST(len(ga.g) + len(gb.g) AS BIGINT) - CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT)) /
          |          CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT), 4) AS jaccard
          |  FROM cand JOIN grams ga ON cand.a = ga.doc_id JOIN grams gb ON cand.b = gb.doc_id)
-         |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin
+         |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+
+    "dd_keep_best" ->
+      s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$pairsCte,
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |r(id, tgt) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN edges e ON e.a = r.tgt),
+         |labels AS (SELECT id AS doc_id, CAST(min(tgt) AS BIGINT) AS cid FROM r GROUP BY id),
+         |ranked AS (SELECT l.doc_id, l.cid, length(d.text) AS len,
+         |    row_number() OVER (PARTITION BY l.cid ORDER BY length(d.text) DESC, l.doc_id ASC) AS rk
+         |  FROM labels l JOIN docs d ON l.doc_id = d.doc_id)
+         |SELECT cid AS cluster_id, count(*) AS n_docs,
+         |  max(CASE WHEN rk = 1 THEN doc_id END) AS best_id,
+         |  max(CASE WHEN rk = 1 THEN len END) AS best_len
+         |FROM ranked GROUP BY cid HAVING count(*) > 1 ORDER BY cluster_id""".stripMargin,
+
+    "dd_contamination" ->
+      s"""WITH spl AS (SELECT doc_id, text,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text,
+         |          (doc_id % ${S.P}) * 2654435761 % ${S.P} % 100 AS b FROM documents)),
+         |th AS (SELECT doc_id, split, ${S.tokenHashes("text")} AS th FROM spl),
+         |shl AS (SELECT doc_id, split, list_distinct(${S.shingles("th")}) AS sh FROM th),
+         |inst AS (SELECT doc_id, split, unnest(sh) AS g FROM shl),
+         |gdf AS (SELECT g, count(*) AS gdf FROM inst GROUP BY g),
+         |keep AS (SELECT inst.doc_id, inst.split, inst.g
+         |         FROM inst JOIN gdf USING (g) WHERE gdf <= 50)
+         |SELECT t.doc_id AS test_id,
+         |  count(DISTINCT t.g) AS n_shared_shingles,
+         |  count(DISTINCT tr.doc_id) AS n_train_docs
+         |FROM keep t JOIN keep tr ON t.g = tr.g
+         |WHERE t.split = 'test' AND tr.split = 'train'
+         |GROUP BY t.doc_id
+         |HAVING count(DISTINCT t.g) >= 3
+         |ORDER BY test_id""".stripMargin
   )
 }

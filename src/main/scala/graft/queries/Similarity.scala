@@ -126,6 +126,30 @@ object Similarity {
              round(avg("nrm"), 4).as("avg_norm"),
              round(min("nrm"), 6).as("min_norm"),
              round(max("nrm"), 6).as("max_norm"))
+        .orderBy("label")),
+
+    // int8 scalar quantization error profile: per-vector symmetric scale
+    // (maxabs/127), quantize each dim with the explicit floor(x/s + 0.5)
+    // round-half-up (identical tie semantics in any engine), and report the
+    // relative L2 reconstruction error per label. This is the
+    // 4×-compression check an embedding store runs before switching its ANN
+    // index to int8: all higher-order array functions over the scan, one
+    // tiny shuffle on label. Left-fold accumulation keeps the per-vector
+    // arithmetic bit-identical to the oracle; the avg is order-sensitive so
+    // it rounds to 4 (catalog convention).
+    "emb_quantize_error" -> ((s, d) =>
+      emb(s, d)
+        .withColumn("maxabs",
+          aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+        .withColumn("scale", col("maxabs") / 127.0)
+        .withColumn("num", aggregate(col("v"), lit(0.0),
+          (acc, x) => acc + pow(x - floor(x / col("scale") + 0.5) * col("scale"), 2)))
+        .withColumn("den", aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+        .withColumn("err", sqrt(col("num")) / sqrt(col("den")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+             round(avg("err"), 4).as("avg_err"),
+             round(max("err"), 6).as("max_err"))
         .orderBy("label"))
   )
 
@@ -192,6 +216,22 @@ object Similarity {
          |  round(avg(${S.norm("v")}), 4) AS avg_norm,
          |  round(min(${S.norm("v")}), 6) AS min_norm,
          |  round(max(${S.norm("v")}), 6) AS max_norm
-         |FROM e GROUP BY label ORDER BY label""".stripMargin
+         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    "emb_quantize_error" ->
+      s"""$embCte,
+         |sc AS (SELECT label, v,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> abs(x))),
+         |      (a, x) -> greatest(a, x)) / 127.0 AS scale
+         |  FROM e),
+         |errs AS (SELECT label,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(v, x -> pow(x - floor(x / scale + 0.5) * scale, 2))), (a, x) -> a + x)) /
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS err
+         |  FROM sc)
+         |SELECT label, count(*) AS n_vecs,
+         |  round(avg(err), 4) AS avg_err, round(max(err), 6) AS max_err
+         |FROM errs GROUP BY label ORDER BY label""".stripMargin
   )
 }
