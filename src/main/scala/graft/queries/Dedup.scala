@@ -277,6 +277,52 @@ object Dedup {
              countDistinct("train_id").as("n_train_docs"))
         .filter(col("n_shared_shingles") >= 3)
         .orderBy("test_id")
+    }),
+
+    // incremental dedup: classify an INCOMING batch against the existing
+    // corpus — the shape every continuously-ingesting pipeline runs per
+    // batch instead of re-deduping 100 TB from scratch. Stage 1: exact
+    // content-hash semi-check against the base hash set (at scale: a
+    // bucketed/Bloom-backed lookup table). Stage 2: survivors go through
+    // the SAME banded MinHash-LSH candidate join as the full pipeline, but
+    // incoming×base only — never incoming×incoming or base×base. Statuses:
+    // dup_exact | dup_near | new. The incoming batch here is deterministic
+    // (exact copies, appended-token near-copies, reversed-text novels) so
+    // the oracle rebuilds it.
+    "etl_incremental_dedup" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val inc =
+        base.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+        .union(base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" zz duplicate")).as("text")))
+        .union(base.filter(col("doc_id") % 33 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"), reverse(col("text")).as("text")))
+      val baseHashes = base.select(md5(lower(trim(col("text")))).as("h")).distinct()
+      val exactDup = inc.withColumn("h", md5(lower(trim(col("text")))))
+        .join(baseHashes, Seq("h"), "left_semi").select("doc_id")
+      val incSigs = stagedSigs(inc).cache()
+      val baseSigs = stagedSigs(base).cache()
+      val cand = bands(incSigs).as("x").join(bands(baseSigs).as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("bid")).distinct()
+      val nearDup = cand
+        .join(incSigs.select(col("doc_id"), col("sig").as("sig_i")), "doc_id")
+        .join(baseSigs.select(col("doc_id").as("bid"), col("sig").as("sig_b")), "bid")
+        .withColumn("n_eq", aggregate(
+          zip_with(col("sig_i"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
+        .filter(col("n_eq") / 16.0 >= 0.5)
+        .select("doc_id").distinct()
+      inc.select("doc_id")
+        .join(exactDup.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+        .join(nearDup.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact"), "dup_exact")
+            .when(col("is_near"), "dup_near")
+            .otherwise("new").as("status"))
+        .orderBy("doc_id")
     })
   )
 
@@ -404,6 +450,41 @@ object Dedup {
          |WHERE t.split = 'test' AND tr.split = 'train'
          |GROUP BY t.doc_id
          |HAVING count(DISTINCT t.g) >= 3
-         |ORDER BY test_id""".stripMargin
+         |ORDER BY test_id""".stripMargin,
+
+    "etl_incremental_dedup" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |inc AS (
+         |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 40 = 0
+         |  UNION ALL SELECT doc_id + 1000000, text || ' zz duplicate' FROM documents WHERE doc_id % 25 = 0
+         |  UNION ALL SELECT doc_id + 3000000, reverse(text) FROM documents WHERE doc_id % 33 = 0),
+         |bh AS (SELECT DISTINCT md5(lower(trim(text))) AS h FROM base),
+         |exact_dup AS (SELECT doc_id FROM inc WHERE md5(lower(trim(text))) IN (SELECT h FROM bh)),
+         |ith AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM inc),
+         |ish AS (SELECT doc_id, ${S.shingles("th")} AS sh FROM ith),
+         |isigs AS (SELECT doc_id, ${S.minhashSig("sh")} AS sig FROM ish),
+         |bth AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM base),
+         |bsh AS (SELECT doc_id, ${S.shingles("th")} AS sh FROM bth),
+         |bsigs AS (SELECT doc_id, ${S.minhashSig("sh")} AS sig FROM bsh),
+         |iband AS (SELECT doc_id, b, array_to_string(list_slice(sig, b*4+1, b*4+4), ':') AS bkey
+         |          FROM isigs, range(0, 4) t(b)),
+         |bband AS (SELECT doc_id, b, array_to_string(list_slice(sig, b*4+1, b*4+4), ':') AS bkey
+         |          FROM bsigs, range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS bid
+         |         FROM iband x JOIN bband y ON x.b = y.b AND x.bkey = y.bkey),
+         |near_dup AS (SELECT DISTINCT cand.doc_id FROM cand
+         |  JOIN isigs si ON cand.doc_id = si.doc_id
+         |  JOIN bsigs sb ON cand.bid = sb.doc_id
+         |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(list_zip(si.sig, sb.sig), p -> CASE WHEN p[1] = p[2] THEN CAST(1 AS BIGINT) ELSE 0 END)),
+         |    (x, y) -> x + y) / 16.0 >= 0.5)
+         |SELECT i.doc_id,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN 'dup_exact'
+         |       WHEN n.doc_id IS NOT NULL THEN 'dup_near'
+         |       ELSE 'new' END AS status
+         |FROM inc i
+         |LEFT JOIN exact_dup e ON i.doc_id = e.doc_id
+         |LEFT JOIN near_dup n ON i.doc_id = n.doc_id
+         |ORDER BY i.doc_id""".stripMargin
   )
 }

@@ -75,6 +75,23 @@ object Temporal {
         .orderBy("cohort", "offset_w")
     }),
 
+    // gap-based sessionization via the BUILT-IN session_window operator
+    // (Spark's native dynamic-gap session windows — the same aggregation
+    // runs under Structured Streaming with a watermark). Semantics: an
+    // event extends the session if it lands strictly before last_ts + gap,
+    // so a gap of exactly 30:00 starts a new session; the oracle mirrors
+    // that with `diff >= INTERVAL 30 MINUTE`. Complements st_sessionize
+    // (the manual lag/cumsum formulation) by exercising the engine's
+    // whole-operator path: one shuffle on user_id, sessions merged in the
+    // agg, session_end = last event + gap.
+    "st_session_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("session_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start")),
+
     // event-time day profile: date_trunc + per-day stats.
     "st_daily_profile" -> ((s, d) =>
       t(s, d, "events")
@@ -119,6 +136,20 @@ object Temporal {
       """SELECT date_trunc('day', ts) AS day, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "st_session_window" ->
+      """WITH x AS (SELECT user_id, ts, value, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |y AS (SELECT user_id, ts, value,
+        |    sum(CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS session_value
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "cohort_retention" ->
       """SELECT cohort, CAST(floor(date_diff('day', cohort, aw) / 7.0) AS BIGINT) AS offset_w,
