@@ -15,6 +15,24 @@ object Probe {
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     for (name <- args.drop(1)) {
       if (name == "CLEAR") spark.sharedState.cacheManager.clearCache()
+      else if (name == "HASHBENCH") {
+        // microbench: native vs composed token hashing over an inflated
+        // corpus (documents × 40 replicas), isolating the expression cost
+        // from scan/JVM overhead. sum(size) forces full evaluation.
+        import graft.engine.{Tables, TextFunctions => T}
+        val docs = Tables.load(spark, d, "documents")
+          .crossJoin(spark.range(40)).select(col("text")).cache()
+        docs.count() // materialize
+        for (round <- 1 to 2) {
+          time(s"hashbench composed r$round") {
+            docs.select(sum(size(T.tokenHashesComposed(col("text"))))).head
+          }
+          time(s"hashbench native   r$round") {
+            docs.select(sum(size(T.tokenHashes(col("text"))))).head
+          }
+        }
+        docs.unpersist()
+      }
       else {
         val fn = SparkEntry.queries(name)
         time(name) { fn(spark, d).write.format("noop").mode("overwrite").save() }

@@ -29,7 +29,20 @@ object TextFunctions {
     aggregate(transform(split(w, ""), c => ascii(c).cast("long")),
       lit(0L), (acc, x) => (acc * B + x) % P)
 
-  def tokenHashes(text: Column): Column = transform(tokens(text), w => wordHash(w))
+  /** Token hashes of a document — the hot path of every dedup/fingerprint
+    * pipeline (runs once per token of every document). Dispatches to the
+    * native codegen'd Catalyst expression (graft.plans.TokenHashes): one
+    * pass over the string, no per-character string allocation, no
+    * interpreted lambda evaluators. Identical semantics to
+    * [[tokenHashesComposed]] for BMP text (property-checked in PlansSpec);
+    * same DuckDB twin either way. */
+  def tokenHashes(text: Column): Column = graft.plans.GraftExtensions.tokenHashes(text)
+
+  /** The pure-Column composed form (split → filter → per-word fold) — kept
+    * as the executable specification the native expression is checked
+    * against, and as the fallback if an engine build can't load the
+    * extension. */
+  def tokenHashesComposed(text: Column): Column = transform(tokens(text), w => wordHash(w))
 
   /** Document fingerprint: rolling hash over the token-hash sequence
     * (order-sensitive — reordered words change the fingerprint). */

@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.parseFn)
     ext.injectFunction(GraftExtensions.formatFn)
+    ext.injectFunction(GraftExtensions.tokenHashesFn)
     ext.injectOptimizerRule(_ => EliminateDurationRoundTrip)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -43,6 +44,8 @@ object GraftExtensions {
     ColumnBridge.toColumn(ParseF1Duration(ColumnBridge.toExpression(c)))
   def formatF1Duration(c: Column): Column =
     ColumnBridge.toColumn(FormatF1Duration(ColumnBridge.toExpression(c)))
+  def tokenHashes(c: Column): Column =
+    ColumnBridge.toColumn(TokenHashes(ColumnBridge.toExpression(c)))
 
   private type FnDef = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
@@ -56,6 +59,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[FormatF1Duration].getName, "format_f1_duration"),
     (args: Seq[Expression]) => FormatF1Duration(args.head))
 
+  val tokenHashesFn: FnDef = (
+    FunctionIdentifier("token_hashes"),
+    new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),
+    (args: Seq[Expression]) => TokenHashes(args.head))
+
   /** Install into an already-running session (tests / notebooks): registers
     * the SQL functions, the optimizer rule, and the as-of join strategy. */
   def install(spark: SparkSession): Unit = {
@@ -63,6 +71,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("parse_f1_duration", args => ParseF1Duration(args.head), "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("format_f1_duration", args => FormatF1Duration(args.head), "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("token_hashes", args => TokenHashes(args.head), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(EliminateDurationRoundTrip))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EliminateDurationRoundTrip

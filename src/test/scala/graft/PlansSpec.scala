@@ -80,4 +80,37 @@ class PlansSpec extends AnyFunSuite with SharedSparkSpec {
     assert(!stillThere, s"round-trip not eliminated:\n$optimized")
     assert(df.head.getLong(0) == 1234L)
   }
+
+  test("native token_hashes ≡ composed tokenHashes on edges + random BMP corpus") {
+    import spark.implicits._
+    import graft.engine.{TextFunctions => T}
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789.,!?-_ éüßñ中文    " // spaces weighted
+    val edges = Seq("", " ", "   ", "a", " a", "a ", "a b", "  a   b  ",
+      "hello world", "tab\tinside token", "newline\nstays", "café résumé",
+      "x" * 500, ("word " * 200).trim)
+    val randoms = Seq.fill(300)(
+      (0 until rnd.nextInt(120)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (edges ++ randoms).toDF("text")
+      .select(col("text"),
+        T.tokenHashesComposed(col("text")).as("composed"),
+        GraftExtensions.tokenHashes(col("text")).as("native"))
+    df.collect().foreach { r =>
+      val c = r.getSeq[Long](1)
+      val n = r.getSeq[Long](2)
+      assert(c == n, s"mismatch for '${r.getString(0).take(60)}': composed=$c native=$n")
+    }
+    // codegen participation (a parquet-backed frame — the literal one above
+    // constant-folds to a LocalTableScan) + SQL registration
+    val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(GraftExtensions.tokenHashes(col("text")).as("th"))
+    val plan = docs.queryExecution.executedPlan.toString
+    assert(plan.contains("token_hashes"), s"expected native expr in:\n$plan")
+    // the `*(n)` prefix marks WholeStageCodegen participation in toString
+    assert(plan.contains("*(1) Project [token_hashes"),
+      s"native expr must stay in codegen:\n$plan")
+    GraftExtensions.install(spark)
+    val viaSql = spark.sql("SELECT token_hashes('hello world') AS h").head.getSeq[Long](0)
+    assert(viaSql.length == 2)
+  }
 }
