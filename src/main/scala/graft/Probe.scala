@@ -33,6 +33,25 @@ object Probe {
         }
         docs.unpersist()
       }
+      else if (name == "SIGBENCH") {
+        // microbench: shingle + 16-component minhash over a STAGED token-hash
+        // array (native hashing either way) — isolates the signature lambdas.
+        import graft.engine.{Tables, TextFunctions => T}
+        val th = Tables.load(spark, d, "documents")
+          .crossJoin(spark.range(40))
+          .select(T.tokenHashes(col("text")).as("th")).cache()
+        th.count()
+        for (round <- 1 to 2) {
+          time(s"sigbench composed r$round") {
+            th.select(col("th")).withColumn("sh", T.shinglesFromHashes(col("th")))
+              .select(sum(size(T.minhashSigFromShingles(col("sh"))))).head
+          }
+          time(s"sigbench native   r$round") {
+            th.select(sum(size(graft.plans.GraftExtensions.minhashSig(col("th"))))).head
+          }
+        }
+        th.unpersist()
+      }
       else {
         val fn = SparkEntry.queries(name)
         time(name) { fn(spark, d).write.format("noop").mode("overwrite").save() }

@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.parseFn)
     ext.injectFunction(GraftExtensions.formatFn)
     ext.injectFunction(GraftExtensions.tokenHashesFn)
+    ext.injectFunction(GraftExtensions.minhashSigFn)
     ext.injectOptimizerRule(_ => EliminateDurationRoundTrip)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -46,6 +47,8 @@ object GraftExtensions {
     ColumnBridge.toColumn(FormatF1Duration(ColumnBridge.toExpression(c)))
   def tokenHashes(c: Column): Column =
     ColumnBridge.toColumn(TokenHashes(ColumnBridge.toExpression(c)))
+  def minhashSig(c: Column): Column =
+    ColumnBridge.toColumn(MinHashSig(ColumnBridge.toExpression(c)))
 
   private type FnDef = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
@@ -64,6 +67,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),
     (args: Seq[Expression]) => TokenHashes(args.head))
 
+  val minhashSigFn: FnDef = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (args: Seq[Expression]) => MinHashSig(args.head))
+
   /** Install into an already-running session (tests / notebooks): registers
     * the SQL functions, the optimizer rule, and the as-of join strategy. */
   def install(spark: SparkSession): Unit = {
@@ -73,6 +81,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("format_f1_duration", args => FormatF1Duration(args.head), "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("token_hashes", args => TokenHashes(args.head), "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("minhash_sig", args => MinHashSig(args.head), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(EliminateDurationRoundTrip))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EliminateDurationRoundTrip

@@ -44,13 +44,16 @@ object Dedup {
   private def sigs(s: SparkSession, d: String): DataFrame =
     stagedSigs(corpus(s, d)).cache()
 
-  /** text → tokens-hash stage → shingle stage → signature, each a real column
-    * (see TextFunctions performance contract). */
+  /** text → signature via the native fused expressions (TokenHashes ∘
+    * MinHashSig): one codegen'd pass per document, no intermediate
+    * token/shingle columns or lambda trees. Semantics identical to the
+    * composed `minhashSigFromShingles(shinglesFromHashes(tokenHashes))`
+    * (property-checked in PlansSpec); measured 56× on the signature stage
+    * (`Probe SIGBENCH`). The staging-contract concern (TextFunctions) is
+    * moot here — a native expression evaluates once wherever it sits. */
   private def stagedSigs(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("__th", T.tokenHashes(col("text")))
-      .withColumn("__sh", T.shinglesFromHashes(col("__th")))
-      .select(col("doc_id"), T.minhashSigFromShingles(col("__sh")).as("sig"))
+    docs.select(col("doc_id"),
+      graft.plans.GraftExtensions.minhashSig(T.tokenHashes(col("text"))).as("sig"))
 
   /** (doc_id, simhash). Shape: explode token hashes → ONE hash-aggregate with
     * 24 codegen'd conditional sums (one per bit) → fold bits. This replaces 24

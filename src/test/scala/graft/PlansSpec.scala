@@ -113,4 +113,30 @@ class PlansSpec extends AnyFunSuite with SharedSparkSpec {
     val viaSql = spark.sql("SELECT token_hashes('hello world') AS h").head.getSeq[Long](0)
     assert(viaSql.length == 2)
   }
+
+  test("native minhash_sig ≡ composed shingles→minhash on edges + random arrays") {
+    import spark.implicits._
+    import graft.engine.{TextFunctions => T}
+    val rnd = new scala.util.Random(13)
+    val edges: Seq[Seq[Long]] = Seq(Seq(), Seq(1L), Seq(1L, 2L), Seq(1L, 2L, 3L),
+      Seq(0L, 0L, 0L, 0L), Seq(999999999L, 1000000006L, 5L, 7L))
+    val randoms = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(60))(rnd.nextLong(1000000007L)))
+    val df = (edges ++ randoms).toDF("th")
+      .withColumn("sh", T.shinglesFromHashes(col("th")))
+      .select(col("th"),
+        T.minhashSigFromShingles(col("sh")).as("composed"),
+        GraftExtensions.minhashSig(col("th")).as("native"))
+    df.collect().foreach { r =>
+      val c = r.getSeq[Any](1)
+      val n = r.getSeq[Any](2)
+      assert(c == n, s"mismatch for th=${r.getSeq[Long](0).take(8)}: composed=$c native=$n")
+    }
+    // SQL registration (install already ran in the previous test, but keep
+    // this self-contained)
+    GraftExtensions.install(spark)
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(token_hashes('a b c d e')) AS s").head.getSeq[Long](0)
+    assert(viaSql.length == 16 && viaSql.forall(_ >= 0L))
+  }
 }
