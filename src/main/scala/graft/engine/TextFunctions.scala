@@ -70,10 +70,18 @@ object TextFunctions {
   // pathology (116.8 s → ~1 s at sf0.1) cannot recur structurally.
   // =======================================================================
 
-  /** Word-k-gram shingle hashes (k=3): zip the hash array against its own
-    * 1- and 2-shifted slices, folding ((h₁·B+h₂)·B+h₃) mod P pairwise
-    * ((a·B+b) mod P then (ab·B+c) mod P — identical by mod distributivity). */
+  /** Word-k-gram shingle hashes (k=3). Dispatches to the native codegen'd
+    * expression (graft.plans.ShingleHashes) — one pass, no sliced-array
+    * allocations; identical semantics to [[shinglesFromHashesComposed]]
+    * (property-checked in PlansSpec). */
   def shinglesFromHashes(th: Column): Column =
+    graft.plans.GraftExtensions.shingleHashes(th)
+
+  /** Composed form (executable specification): zip the hash array against
+    * its own 1- and 2-shifted slices, folding ((h₁·B+h₂)·B+h₃) mod P
+    * pairwise ((a·B+b) mod P then (ab·B+c) mod P — identical by mod
+    * distributivity). */
+  def shinglesFromHashesComposed(th: Column): Column =
     when(size(th) < 3, array().cast("array<bigint>")).otherwise(
       zip_with(
         zip_with(slice(th, lit(1), size(th) - 2), slice(th, lit(2), size(th) - 2),

@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.formatFn)
     ext.injectFunction(GraftExtensions.tokenHashesFn)
     ext.injectFunction(GraftExtensions.minhashSigFn)
+    ext.injectFunction(GraftExtensions.shingleHashesFn)
     ext.injectOptimizerRule(_ => EliminateDurationRoundTrip)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -49,6 +50,8 @@ object GraftExtensions {
     ColumnBridge.toColumn(TokenHashes(ColumnBridge.toExpression(c)))
   def minhashSig(c: Column): Column =
     ColumnBridge.toColumn(MinHashSig(ColumnBridge.toExpression(c)))
+  def shingleHashes(c: Column): Column =
+    ColumnBridge.toColumn(ShingleHashes(ColumnBridge.toExpression(c)))
 
   private type FnDef = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
@@ -72,6 +75,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
     (args: Seq[Expression]) => MinHashSig(args.head))
 
+  val shingleHashesFn: FnDef = (
+    FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+    (args: Seq[Expression]) => ShingleHashes(args.head))
+
   /** Install into an already-running session (tests / notebooks): registers
     * the SQL functions, the optimizer rule, and the as-of join strategy. */
   def install(spark: SparkSession): Unit = {
@@ -83,6 +91,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("token_hashes", args => TokenHashes(args.head), "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("minhash_sig", args => MinHashSig(args.head), "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("shingle_hashes", args => ShingleHashes(args.head), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(EliminateDurationRoundTrip))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EliminateDurationRoundTrip

@@ -112,6 +112,55 @@ object MinHashSig {
   }
 }
 
+/** Native 3-gram shingle hashes: one pass over the token-hash array.
+  * Semantics identical to `TextFunctions.shinglesFromHashes` (zip_with over
+  * two shifted slices; property-checked in PlansSpec): shingle_i =
+  * ((th_i·131 + th_{i+1})·131 + th_{i+2}) mod P, empty for <3 tokens. Used
+  * where the pipeline needs the raw shingles (contamination overlap,
+  * Jaccard verify) rather than the fused signature. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes needs array<bigint> input, got $other")
+    }
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.shingles(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHashes.shingles($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val P = 1000000007L
+  private val B = 131L
+
+  /** Exposed as a static for codegen. */
+  def shingles(th: ArrayData): ArrayData = {
+    val m = th.numElements()
+    if (m < 3) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m - 2)
+    var i = 0
+    while (i + 2 < m) {
+      val ab = (th.getLong(i) * B + th.getLong(i + 1)) % P
+      out(i) = (ab * B + th.getLong(i + 2)) % P
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TokenHashes {
   private val P = 1000000007L
   private val B = 131L

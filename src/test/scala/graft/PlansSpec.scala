@@ -123,14 +123,18 @@ class PlansSpec extends AnyFunSuite with SharedSparkSpec {
     val randoms = Seq.fill(200)(
       Seq.fill(rnd.nextInt(60))(rnd.nextLong(1000000007L)))
     val df = (edges ++ randoms).toDF("th")
-      .withColumn("sh", T.shinglesFromHashes(col("th")))
+      .withColumn("sh", T.shinglesFromHashesComposed(col("th")))
       .select(col("th"),
         T.minhashSigFromShingles(col("sh")).as("composed"),
-        GraftExtensions.minhashSig(col("th")).as("native"))
+        GraftExtensions.minhashSig(col("th")).as("native"),
+        T.shinglesFromHashesComposed(col("th")).as("sh_composed"),
+        GraftExtensions.shingleHashes(col("th")).as("sh_native"))
     df.collect().foreach { r =>
       val c = r.getSeq[Any](1)
       val n = r.getSeq[Any](2)
       assert(c == n, s"mismatch for th=${r.getSeq[Long](0).take(8)}: composed=$c native=$n")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4),
+        s"shingle mismatch for th=${r.getSeq[Long](0).take(8)}")
     }
     // SQL registration (install already ran in the previous test, but keep
     // this self-contained)
