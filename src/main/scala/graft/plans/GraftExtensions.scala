@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tokenHashesFn)
     ext.injectFunction(GraftExtensions.minhashSigFn)
     ext.injectFunction(GraftExtensions.shingleHashesFn)
+    ext.injectFunction(GraftExtensions.simhash24Fn)
     ext.injectOptimizerRule(_ => EliminateDurationRoundTrip)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -52,6 +53,8 @@ object GraftExtensions {
     ColumnBridge.toColumn(MinHashSig(ColumnBridge.toExpression(c)))
   def shingleHashes(c: Column): Column =
     ColumnBridge.toColumn(ShingleHashes(ColumnBridge.toExpression(c)))
+  def simhash24(c: Column): Column =
+    ColumnBridge.toColumn(SimHash24(ColumnBridge.toExpression(c)))
 
   private type FnDef = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
@@ -80,6 +83,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
     (args: Seq[Expression]) => ShingleHashes(args.head))
 
+  val simhash24Fn: FnDef = (
+    FunctionIdentifier("simhash24"),
+    new ExpressionInfo(classOf[SimHash24].getName, "simhash24"),
+    (args: Seq[Expression]) => SimHash24(args.head))
+
   /** Install into an already-running session (tests / notebooks): registers
     * the SQL functions, the optimizer rule, and the as-of join strategy. */
   def install(spark: SparkSession): Unit = {
@@ -93,6 +101,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("minhash_sig", args => MinHashSig(args.head), "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("shingle_hashes", args => ShingleHashes(args.head), "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("simhash24", args => SimHash24(args.head), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(EliminateDurationRoundTrip))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EliminateDurationRoundTrip

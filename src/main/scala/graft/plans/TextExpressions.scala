@@ -161,6 +161,65 @@ object ShingleHashes {
   }
 }
 
+/** Native 24-bit SimHash over a token-hash array: per-bit ±1 votes and the
+  * bit fold in one pass. Semantics identical to
+  * `simhashFromVotes(simhashVotes(th))` (property-checked in PlansSpec):
+  * bit j of the result is set iff Σ_tokens (bit j of hash ? +1 : −1) > 0;
+  * an empty array votes 0 everywhere → simhash 0. The explode → hash-agg
+  * formulation in Dedup.stagedSimhash remains the right shape when the
+  * per-doc work must shuffle anyway; this expression is the scan-side path
+  * (one doc in, one long out, inside whole-stage codegen). */
+case class SimHash24(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash24 needs array<bigint> input, got $other")
+    }
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash24"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash24.simhash(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SimHash24.simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash24 =
+    copy(child = newChild)
+}
+
+object SimHash24 {
+  private val BITS = 24
+
+  /** Exposed as a static for codegen. */
+  def simhash(th: ArrayData): Long = {
+    val m = th.numElements()
+    val votes = new Array[Int](BITS)
+    var i = 0
+    while (i < m) {
+      val h = th.getLong(i)
+      var j = 0
+      while (j < BITS) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < BITS) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
 object TokenHashes {
   private val P = 1000000007L
   private val B = 131L

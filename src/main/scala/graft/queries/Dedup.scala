@@ -55,29 +55,15 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.plans.GraftExtensions.minhashSig(T.tokenHashes(col("text"))).as("sig"))
 
-  /** (doc_id, simhash). Shape: explode token hashes → ONE hash-aggregate with
-    * 24 codegen'd conditional sums (one per bit) → fold bits. This replaces 24
-    * interpreted nested lambda folds per doc (~10× faster at sf0.1) and is the
-    * right 100 TB shape too: partial aggregation absorbs the explode blowup
-    * map-side, the shuffle carries one 24-column row per doc. Semantics are
-    * identical to TextFunctions.simhashVotes/FromVotes (TextVectorSpec). */
-  private def stagedSimhash(docs: DataFrame): DataFrame = {
-    val bits = 24
-    val voteCols = (0 until bits).map { j =>
-      sum(when(floor(col("h") / (1L << j)).cast("long") % 2 === 1, 1L).otherwise(-1L)).as(s"v$j")
-    }
-    val sh = (0 until bits).map(j =>
-      when(col(s"v$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
-    docs
-      // cache barrier: Generate re-evaluates a non-attribute child per OUTPUT
-      // row, and the optimizer inlines a once-referenced alias into it — the
-      // token-hash pipeline would run once per token instead of once per doc.
-      .select(col("doc_id"), T.tokenHashes(col("text")).as("__th")).cache()
-      .select(col("doc_id"), explode(col("__th")).as("h"))
-      .groupBy("doc_id")
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), sh.as("sh"))
-  }
+  /** (doc_id, simhash) via the native fused expression (TokenHashes ∘
+    * SimHash24): a pure scan-side projection — NO explode, NO shuffle, one
+    * codegen'd pass per document. (Round 2 used explode → 24-column
+    * hash-aggregate, the right shape when per-doc work must shuffle anyway;
+    * the native expression removes that whole exchange.) Semantics identical
+    * to TextFunctions.simhashVotes/FromVotes (TextVectorSpec, PlansSpec). */
+  private def stagedSimhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.plans.GraftExtensions.simhash24(T.tokenHashes(col("text"))).as("sh"))
 
   /** 4 bands × 4 rows: (doc_id, band, band-key string). */
   private def bands(sigsDf: DataFrame): DataFrame =

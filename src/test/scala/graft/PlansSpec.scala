@@ -143,4 +143,26 @@ class PlansSpec extends AnyFunSuite with SharedSparkSpec {
       "SELECT minhash_sig(token_hashes('a b c d e')) AS s").head.getSeq[Long](0)
     assert(viaSql.length == 16 && viaSql.forall(_ >= 0L))
   }
+
+  test("native simhash24 ≡ composed votes→fold on edges + random hash arrays") {
+    import spark.implicits._
+    import graft.engine.{TextFunctions => T}
+    val rnd = new scala.util.Random(17)
+    val edges: Seq[Seq[Long]] = Seq(Seq(), Seq(0L), Seq((1L << 24) - 1),
+      Seq(1L, 2L, 4L, 8L), Seq.fill(10)(16777215L))
+    val randoms = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(80))(rnd.nextLong(1000000007L)))
+    val df = (edges ++ randoms).toDF("th")
+      .withColumn("votes", T.simhashVotes(col("th")))
+      .select(col("th"),
+        T.simhashFromVotes(col("votes")).as("composed"),
+        GraftExtensions.simhash24(col("th")).as("native"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"mismatch for th=${r.getSeq[Long](0).take(8)}: composed=${r.getLong(1)} native=${r.getLong(2)}")
+    }
+    GraftExtensions.install(spark)
+    val viaSql = spark.sql("SELECT simhash24(token_hashes('a b c')) AS s").head.getLong(0)
+    assert(viaSql >= 0L && viaSql < (1L << 24))
+  }
 }
