@@ -128,18 +128,19 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("doc_id").as("b"), col("cid").as("bcid")), "b")
         .groupBy(col("a").as("doc_id")).agg(min("bcid").as("nmin"))
+      // carry the round-start label as `old` so convergence detection below
+      // is a filter over the checkpointed blocks, not another join job
       val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cid").as("old"),
           least(col("cid"), coalesce(col("nmin"), col("cid"))).as("cid"))
       // path halving: cid := cid's cid (labels form a total map, so inner);
       // collapses label chains geometrically → O(log diameter) rounds
       val next = propagated
         .join(propagated.select(col("doc_id").as("cid"), col("cid").as("pcid")), "cid")
-        .select(col("doc_id"), col("pcid").as("cid"))
+        .select(col("doc_id"), col("old"), col("pcid").as("cid"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("doc_id"), col("cid").as("old")), "doc_id")
-        .filter(col("cid") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("cid") =!= col("old")).count()
+      labels = next.select("doc_id", "cid")
       rounds += 1
     }
     sym.unpersist()

@@ -92,6 +92,31 @@ object Temporal {
           col("sw.end").as("session_end"), col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start")),
 
+    // session → ordered event-type transcript: the "turn user activity into
+    // a training sequence" step. Session assignment is identical to
+    // st_sessionize (lag → new-session flag → running sum); the transcript
+    // is collect_list of (ts, event_id, event_type) structs sorted in-array
+    // — array_sort on the struct gives a deterministic (ts, event_id)
+    // order WITHOUT a sortWithinPartitions pass, so the whole query is one
+    // shuffle on user_id and the per-session array stays bounded by
+    // session length, never by partition size.
+    "st_session_transcript" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("is_new",
+          coalesce(unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, lit(true)))
+        .withColumn("session_idx",
+          sum(when(col("is_new"), 1L).otherwise(0L))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("transcript"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     // event-time day profile: date_trunc + per-day stats.
     "st_daily_profile" -> ((s, d) =>
       t(s, d, "events")
@@ -131,6 +156,21 @@ object Temporal {
         |  SELECT user_id, event_type, event_id, ts, value,
         |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "st_session_transcript" ->
+      """SELECT user_id, session_idx, count(*) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS transcript
+        |FROM (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM (
+        |    SELECT user_id, event_id, event_type, ts,
+        |      coalesce(epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |        PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 30*60*1000000, true) AS is_new
+        |    FROM events))
+        |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
 
     "st_daily_profile" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n,

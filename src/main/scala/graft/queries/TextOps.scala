@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.engine.{Tables, TextFunctions => T}
 
 /** Text-analysis catalog over the `documents` table (builder-prompt
@@ -250,6 +251,33 @@ object TextOps {
              round(avg("n_tokens"), 4).as("avg_tokens"),
              max("n_chars").as("max_chars"))
         .orderBy("lang", "source")
+    }),
+
+    // sequence packing: assign docs to contiguous ≤256-token training
+    // chunks by cumulative token offset — the "pack documents into
+    // fixed-budget training examples" step. Packing is per SHARD
+    // (doc_id % 32), not global: each shard's window sort is independent,
+    // so at 100 TB this is 32→N-way parallel with bounded partitions
+    // instead of the single-reducer global cumsum a naive formulation
+    // would shuffle into (the same scale trap w3_every_kth's global
+    // window had). chunk_id = floor(tokens-before-me / budget): a doc
+    // may straddle its chunk boundary (offset packing, as in GPT-style
+    // pretraining), so chunks can slightly exceed the budget but every
+    // doc lands in exactly one chunk, deterministically.
+    "tx_pack_greedy" -> ((s, d) => {
+      val before = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("shard"),
+          size(T.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum("n_tokens").over(before), lit(0L)))
+        .withColumn("chunk_id", floor(col("cum_before") / 256.0).cast("bigint"))
+        .groupBy("shard", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").as("chunk_tokens"),
+             min("doc_id").as("first_doc"),
+             max("doc_id").as("last_doc"))
+        .orderBy("shard", "chunk_id")
     })
   )
 
@@ -372,6 +400,18 @@ object TextOps {
          |  round(avg(n_tokens), 4) AS avg_tokens,
          |  max(n_chars) AS max_chars
          |FROM (SELECT lang, source, n_chars, CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tokens FROM documents)
-         |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "tx_pack_greedy" ->
+      s"""WITH tc AS (SELECT doc_id, doc_id % 32 AS shard,
+         |    CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM tc)
+         |SELECT shard, CAST(floor(cum_before / 256.0) AS BIGINT) AS chunk_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin
   )
 }
