@@ -43,6 +43,53 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  case class VideoRecord(doc_id: Long, payload: Array[Byte])
+  case class FrameSample(doc_id: Long, n_frames: Int, frame_idx: Int,
+                         frame_checksum: Long)
+
+  /** Synthesize a spec-layout "video" container: 4-byte GVID magic, 4-byte
+    * little-endian frame count, then fixed 16-byte frames whose byte j of
+    * frame f is (doc_id·31 + f·17 + j) mod 256. The sampler below genuinely
+    * re-reads the count and frame bytes from their offsets (shares no
+    * arithmetic with this synthesizer), so an oracle check of the sampled
+    * checksums is real byte math, like ImageHeaders. */
+  val FrameLen = 16
+  def videoBytes(docId: Long, nFrames: Int): Array[Byte] = {
+    val b = new Array[Byte](8 + nFrames * FrameLen)
+    b(0) = 'G'; b(1) = 'V'; b(2) = 'I'; b(3) = 'D'
+    for (i <- 0 until 4) b(4 + i) = (nFrames >>> (8 * i)).toByte // LE count
+    for (f <- 0 until nFrames; j <- 0 until FrameLen)
+      b(8 + f * FrameLen + j) = ((docId * 31 + f * 17 + j) % 256).toByte
+    b
+  }
+
+  /** Frame sampling: keep every `every`-th frame, one checksum row per kept
+    * frame — the "sample k frames per clip for the vision encoder" step.
+    * Per-partition iteration (decoder init would sit at the top), emitting
+    * a flat (doc, frame) row stream: the explode happens INSIDE the typed
+    * path, so partitions stay byte-budgeted by input clip size and the
+    * output is a plain columnar table ready for groupBy/join. Payloads that
+    * fail the magic/length check yield no rows (corrupt-clip drop). */
+  def sampleFrames(vids: Dataset[VideoRecord], every: Int): Dataset[FrameSample] = {
+    import vids.sparkSession.implicits._
+    vids.mapPartitions { it =>
+      it.flatMap { r =>
+        val p = r.payload
+        if (p.length < 8 || p(0) != 'G' || p(1) != 'V' || p(2) != 'I' || p(3) != 'D') Iterator.empty
+        else {
+          val n = (p(4) & 0xff) | ((p(5) & 0xff) << 8) | ((p(6) & 0xff) << 16) | ((p(7) & 0xff) << 24)
+          if (p.length < 8 + n * FrameLen) Iterator.empty
+          else (0 until n by every).iterator.map { f =>
+            var sum = 0L
+            var j = 0
+            while (j < FrameLen) { sum += (p(8 + f * FrameLen + j) & 0xff); j += 1 }
+            FrameSample(r.doc_id, n, f, sum)
+          }
+        }
+      }
+    }
+  }
+
   /** Per-partition feature extraction: decoder state is initialized once per
     * partition, then rows stream through — the real batch shape for any
     * native decoder. */

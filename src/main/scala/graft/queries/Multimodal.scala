@@ -69,6 +69,58 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // frame sampling: synthesize spec-layout GVID clips (count + 16-byte
+    // frames derived from doc_id), keep every 3rd frame via the REAL
+    // byte-parsing sampler in the typed mapPartitions path, oracle-check
+    // each kept frame's checksum against the synthesis formula — any slip
+    // in the count endianness, frame offset, or stride breaks the match.
+    "mm_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      import graft.engine.{Multimodal => M}
+      val vids = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        M.VideoRecord(id, M.videoBytes(id, (id % 10 + 1).toInt))
+      }
+      M.sampleFrames(vids, 3).toDF()
+        .select(col("doc_id"),
+          col("n_frames").cast("bigint").as("n_frames"),
+          col("frame_idx").cast("bigint").as("frame_idx"),
+          col("frame_checksum"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // resize planning: decode real PNG/BMP dims (same synth + byte parser
+    // as mm_decode_real), then compute aspect-preserving ≤256-max-side
+    // target dims declaratively — the decode sits in the typed path, the
+    // planning math stays in Catalyst (codegen'd, no shuffle). The pixel
+    // resample itself is the stubbed decoder step; the dimension plan and
+    // byte budget are what the pipeline schedules by.
+    "mm_resize_plan" -> ((s, d) => {
+      import s.implicits._
+      import graft.engine.{ImageHeaders => IH, Multimodal => M}
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = (id % 1017 + 8).toInt
+        val h = (id * 7 % 1017 + 8).toInt
+        val filler = (id % 32).toInt
+        if (id % 2 == 0) M.MediaRecord(id, IH.pngBytes(w, h, filler), "image/png")
+        else M.MediaRecord(id, IH.bmpBytes(w, h, filler), "image/bmp")
+      }
+      val dims = M.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("fmt"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"))
+      dims
+        .withColumn("needs_resize", greatest(col("width"), col("height")) > 256)
+        .withColumn("target_w", when(!col("needs_resize"), col("width"))
+          .when(col("width") >= col("height"), lit(256L))
+          .otherwise(greatest(lit(1L), floor(col("width") * 256.0 / col("height")))))
+        .withColumn("target_h", when(!col("needs_resize"), col("height"))
+          .when(col("width") >= col("height"),
+            greatest(lit(1L), floor(col("height") * 256.0 / col("width"))))
+          .otherwise(lit(256L)))
+        .select("doc_id", "fmt", "width", "height", "needs_resize", "target_w", "target_h")
+        .orderBy("doc_id")
+    }),
+
     // per-source media-batch profile: the batch-shape check for feeding
     // mapInPandas/mapPartitions decoders (bytes per batch, rows per batch).
     "mm_batch_profile" -> ((s, d) =>
@@ -109,6 +161,33 @@ object Multimodal {
         |  CAST((doc_id * 7) % 1017 + 8 AS BIGINT) AS height,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 425 ELSE 197 + doc_id % 32 END AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // sampled indices and checksums independently re-derived from the
+    // synthesis formulas (the Spark side must recover them by parsing bytes)
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(doc_id % 10 + 1 AS BIGINT) AS n_frames,
+        |    unnest(range(0, doc_id % 10 + 1, 3)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(list_reduce(list_transform(range(0, 16),
+        |    j -> (doc_id * 31 + frame_idx * 17 + j) % 256), (a, x) -> a + x) AS BIGINT) AS frame_checksum
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_resize_plan" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        |  width, height, greatest(width, height) > 256 AS needs_resize,
+        |  CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+        |       WHEN width >= height THEN 256
+        |       ELSE greatest(1, floor(width * 256.0 / height)) END AS BIGINT) AS target_w,
+        |  CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+        |       WHEN width >= height THEN greatest(1, floor(height * 256.0 / width))
+        |       ELSE 256 END AS BIGINT) AS target_h
+        |FROM (SELECT doc_id, CAST(doc_id % 1017 + 8 AS BIGINT) AS width,
+        |        CAST((doc_id * 7) % 1017 + 8 AS BIGINT) AS height
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "mm_batch_profile" ->
       """SELECT source, count(*) AS n_docs,

@@ -22,6 +22,26 @@ class MultimodalSpec extends AnyFunSuite with SharedSparkSpec {
     assert(f.width >= 1 && f.width <= 64 && f.n_frames >= 1 && f.n_frames <= 10)
   }
 
+  test("frame sampler: stride, byte round-trip, corrupt-clip drop") {
+    import spark.implicits._
+    val good = Multimodal.VideoRecord(7L, Multimodal.videoBytes(7L, 8))
+    val badMagic = Multimodal.VideoRecord(8L,
+      Multimodal.videoBytes(8L, 3).updated(0, 'X'.toByte))
+    val truncated = Multimodal.VideoRecord(9L,
+      Multimodal.videoBytes(9L, 5).take(8 + 2 * Multimodal.FrameLen))
+    val out = Multimodal
+      .sampleFrames(Seq(good, badMagic, truncated).toDS(), 3)
+      .collect().sortBy(_.frame_idx)
+    // 8 frames, stride 3 → indices 0,3,6; corrupt/truncated clips drop
+    assert(out.map(_.doc_id).distinct.toSeq == Seq(7L))
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 3, 6))
+    assert(out.forall(_.n_frames == 8))
+    // checksum must equal the synthesis formula, recovered via byte parse
+    for (s <- out)
+      assert(s.frame_checksum ==
+        (0 until Multimodal.FrameLen).map(j => (7L * 31 + s.frame_idx * 17 + j) % 256).sum)
+  }
+
   test("repartition by byte budget keeps batches balanced") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.asMedia(spark, docs).repartition(8)
