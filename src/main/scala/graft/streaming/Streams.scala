@@ -40,6 +40,35 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
 
+  /** Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    * evicts per-key state once it ages past the watermark, so state size
+    * tracks the delay window, not the full key cardinality — the shape an
+    * unbounded 100 TB stream needs (plain dropDuplicates above keeps every
+    * key forever and is only safe when key cardinality is bounded). Within
+    * the window the semantics match "st_dedup_first". */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Stream-static enrichment: join the event stream against a slow-changing
+    * dimension. The static side broadcasts under every micro-batch — no
+    * stream-side shuffle, no state store; the dim is re-read per batch so
+    * dimension updates flow in without restarts. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** Native session_window aggregation on the stream — twin of the batch
+    * "st_session_window" (same gap semantics: an event at exactly
+    * last_ts + gap starts a new session). State is (user, open session),
+    * merged by the operator; the watermark closes and evicts sessions. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("session_value"))
+
   /** Gap-based sessionization with explicit keyed state
     * (flatMapGroupsWithState, event-time timeout) — twin of "st_sessionize".
     * Emits a session when a gap > gapMinutes closes it. */

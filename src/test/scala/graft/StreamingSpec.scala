@@ -57,6 +57,59 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
     assert(u2.length == 1 && u2.head.n_events == 1 && u2.head.total_value == 4.0)
   }
 
+  test("dedupWithinWatermark drops in-window duplicates with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // two exact-key duplicates inside the watermark window
+    mem.addData(sample :+ Event(6, ts(1), 1, "click", 9.0) :+ Event(7, ts(3), 2, "click", 9.0): _*)
+    val q = Streams.dedupWithinWatermark(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_wm").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedup_wm")
+    assert(out.count() == 4) // (1,click),(1,view),(2,click),(2,view)
+    assert(out.groupBy("user_id", "event_type").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("stream-static enrich matches the batch broadcast join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = Streams.enrich(mem.toDF(), dim).writeStream
+      .format("memory").queryName("enriched").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enriched")
+      .select("event_id", "user_id", "tier").orderBy("event_id").collect().toSeq
+    val batch = Streams.enrich(sample.toDF(), dim)
+      .select("event_id", "user_id", "tier").orderBy("event_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size == sample.size && streamed.forall(_.getString(2) != null))
+  }
+
+  test("sessionWindowAgg agrees with batch session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    // complete mode keeps open sessions queryable without watermark flushes
+    val q = Streams.sessionWindowAgg(mem.toDF()).writeStream
+      .format("memory").queryName("swagg").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("swagg")
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+      .orderBy("user_id", "session_start").collect().toSeq
+    val batch = sample.toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size >= 3) // user 1 has two sessions, user 2 has two
+  }
+
   test("dedupFirst keeps one row per (user_id, event_type)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
