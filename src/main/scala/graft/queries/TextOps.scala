@@ -253,6 +253,35 @@ object TextOps {
         .orderBy("lang", "source")
     }),
 
+    // repetition quality filter (Gopher-style): fraction of the doc taken
+    // by its most frequent token and bigram; docs dominated by one n-gram
+    // are boilerplate/spam. Shape: explode → (doc, gram) hash-agg →
+    // per-doc max/sum — partial aggregation absorbs the explode map-side,
+    // the shuffle key is (doc_id, gram) so no single doc can hot-spot a
+    // reducer beyond its own gram cardinality. Arrays are cache-staged
+    // before each explode (Generate re-evaluates non-attribute children
+    // per OUTPUT row — the TextFunctions staging contract).
+    "tx_repetition" -> ((s, d) => {
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("__toks")).cache()
+      val tokTop = staged.select(col("doc_id"), explode(col("__toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_tok"), sum("c").as("n_tokens"))
+      val bgStaged = staged
+        .select(col("doc_id"), T.bigramsFromTokens(col("__toks")).as("__bg")).cache()
+      val bgTop = bgStaged.select(col("doc_id"), explode(col("__bg")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_bg"), sum("c").as("n_bigrams"))
+      tokTop.join(bgTop, Seq("doc_id"), "left")
+        .withColumn("top_token_ratio", round(col("top_tok").cast("double") / col("n_tokens"), 4))
+        .withColumn("top_bigram_ratio", round(col("top_bg").cast("double") / col("n_bigrams"), 4))
+        .withColumn("is_repetitive",
+          coalesce(col("top_bigram_ratio") > 0.18, col("top_token_ratio") > 0.3))
+        .select("doc_id", "n_tokens", "top_token_ratio", "n_bigrams",
+          "top_bigram_ratio", "is_repetitive")
+        .orderBy("doc_id")
+    }),
+
     // sequence packing: assign docs to contiguous ≤256-token training
     // chunks by cumulative token offset — the "pack documents into
     // fixed-budget training examples" step. Packing is per SHARD
@@ -401,6 +430,24 @@ object TextOps {
          |  max(n_chars) AS max_chars
          |FROM (SELECT lang, source, n_chars, CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tokens FROM documents)
          |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "tx_repetition" ->
+      s"""WITH tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |toks AS (SELECT doc_id, unnest(toks) AS tok FROM tl),
+         |tc AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tok, CAST(sum(c) AS BIGINT) AS n_tokens
+         |  FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok) GROUP BY doc_id),
+         |bgs AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS bg FROM tl),
+         |bc AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg, CAST(sum(c) AS BIGINT) AS n_bigrams
+         |  FROM (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY doc_id, bg) GROUP BY doc_id)
+         |SELECT tc.doc_id, n_tokens,
+         |  round(CAST(top_tok AS DOUBLE) / n_tokens, 4) AS top_token_ratio,
+         |  n_bigrams,
+         |  round(CAST(top_bg AS DOUBLE) / n_bigrams, 4) AS top_bigram_ratio,
+         |  coalesce(round(CAST(top_bg AS DOUBLE) / n_bigrams, 4) > 0.18,
+         |           round(CAST(top_tok AS DOUBLE) / n_tokens, 4) > 0.3) AS is_repetitive
+         |FROM tc LEFT JOIN bc ON tc.doc_id = bc.doc_id
+         |ORDER BY tc.doc_id""".stripMargin,
 
     "tx_pack_greedy" ->
       s"""WITH tc AS (SELECT doc_id, doc_id % 32 AS shard,

@@ -109,4 +109,30 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     assert(!p.contains("PushedFilters: [IsNotNull(o_year"),
       s"o_year must prune partitions, not filter rows:\n$p")
   }
+
+  test("tx_pack_greedy: packing windows per shard, never a global single-partition sort") {
+    val p = planOf("tx_pack_greedy")
+    assert(p.contains("hashpartitioning(shard"),
+      s"cumulative offsets must shuffle on shard:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"packing must not collapse to one partition:\n$p")
+  }
+
+  test("dd_simhash_sig: native fused expression keeps simhash scan-side (one exchange total)") {
+    val p = planOf("dd_simhash_sig")
+    assert(p.contains("simhash24(token_hashes("),
+      s"expected the fused native expression in the projection:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, // only the output sort's range exchange
+      s"simhash must not shuffle before the output sort, got $exchanges exchanges:\n$p")
+    assert(!p.contains("Generate "), s"no explode in the native path:\n$p")
+  }
+
+  test("st_session_transcript: one hash exchange on user_id feeds window + aggregate") {
+    val p = planOf("st_session_transcript")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"session assignment must shuffle on user_id:\n$p")
+  }
 }
