@@ -117,6 +117,28 @@ object Temporal {
         .orderBy("user_id", "session_idx")
     }),
 
+    // strictly-ordered conversion funnel: view → click-after-view →
+    // purchase-after-click, counted per stage. Each step is a per-user min
+    // over the events that happen AFTER the previous step's time — three
+    // shrinking user_id equi-joins (AQE broadcasts them as the funnel
+    // narrows), never a per-user sequence scan on the driver.
+    "funnel_conversion" -> ((s, d) => {
+      val ev = t(s, d, "events").select("user_id", "event_type", "ts")
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val t2 = ev.filter(col("event_type") === "click").as("e")
+        .join(t1.as("p"), col("e.user_id") === col("p.user_id") && col("e.ts") > col("p.t_view"))
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t_click"))
+      val t3 = ev.filter(col("event_type") === "purchase").as("e")
+        .join(t2.as("p"), col("e.user_id") === col("p.user_id") && col("e.ts") > col("p.t_click"))
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t_purchase"))
+      t1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+        .unionByName(t2.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+        .unionByName(t3.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+        .select("stage", "n_users")
+        .orderBy("stage")
+    }),
+
     // event-time day profile: date_trunc + per-day stats.
     "st_daily_profile" -> ((s, d) =>
       t(s, d, "events")
@@ -171,6 +193,20 @@ object Temporal {
         |        PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 30*60*1000000, true) AS is_new
         |    FROM events))
         |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t_view
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t_click
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+        |UNION ALL SELECT '2_click', count(*) FROM t2
+        |UNION ALL SELECT '3_purchase', count(*) FROM t3
+        |ORDER BY stage""".stripMargin,
 
     "st_daily_profile" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS n,
