@@ -134,7 +134,11 @@ object TextOps {
       a.join(b, col("doc_id") === col("b_id"))
         .withColumn("dist", levenshtein(col("text"), col("b_text")).cast("bigint"))
         .withColumn("self_dist", levenshtein(col("text"), col("text")).cast("bigint"))
-        .select("doc_id", "dist", "self_dist")
+        // thresholded form: banded DP, O(len·k) not O(len²) — at scale the
+        // verify stage only cares "is it within k", so this is the column
+        // a 100 TB pipeline would actually compute (-1 = beyond the band)
+        .withColumn("dist_within8", levenshtein(col("text"), col("b_text"), 8).cast("bigint"))
+        .select("doc_id", "dist", "self_dist", "dist_within8")
         .orderBy("doc_id")
     }),
 
@@ -253,6 +257,21 @@ object TextOps {
         .orderBy("lang", "source")
     }),
 
+    // vocabulary induction: corpus-level top-k tokens by total frequency
+    // (ties broken lexically) with document frequency alongside — the seed
+    // step for tokenizer/vocab building. explode → ONE hash-agg keyed on
+    // token (partial aggregation absorbs the explode), then a top-k that
+    // compiles to TakeOrderedAndProject — per-partition heaps, no global
+    // sort of the vocabulary.
+    "tx_vocab_topk" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("__toks")).cache()
+        .select(col("doc_id"), explode(col("__toks")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+        .orderBy(col("tf").desc, col("tok").asc)
+        .limit(25)),
+
     // repetition quality filter (Gopher-style): fraction of the doc taken
     // by its most frequent token and bigram; docs dominated by one n-gram
     // are boilerplate/spam. Shape: explode → (doc, gram) hash-agg →
@@ -368,7 +387,9 @@ object TextOps {
 
     "tx_edit_distance" ->
       """SELECT a.doc_id, CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
-        |  CAST(levenshtein(a.text, a.text) AS BIGINT) AS self_dist
+        |  CAST(levenshtein(a.text, a.text) AS BIGINT) AS self_dist,
+        |  CAST(CASE WHEN levenshtein(a.text, b.text) > 8 THEN -1
+        |       ELSE levenshtein(a.text, b.text) END AS BIGINT) AS dist_within8
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 5 = 0
         |ORDER BY a.doc_id""".stripMargin,
@@ -430,6 +451,11 @@ object TextOps {
          |  max(n_chars) AS max_chars
          |FROM (SELECT lang, source, n_chars, CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tokens FROM documents)
          |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "tx_vocab_topk" ->
+      s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM (SELECT doc_id, unnest(${S.tokens("text")}) AS tok FROM documents)
+         |GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT 25""".stripMargin,
 
     "tx_repetition" ->
       s"""WITH tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),

@@ -57,6 +57,29 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
     assert(u2.length == 1 && u2.head.n_events == 1 && u2.head.total_value == 4.0)
   }
 
+  test("watermark drops late events and finalizes windows (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.hourlyCounts(mem.toDF(), "30 minutes").writeStream
+      .format("memory").queryName("late_wm").outputMode("append").start()
+    // batch 1: event in hour 0, plus one at minute 200 advancing the
+    // watermark to 170 — hour-0's window (ends at 60) finalizes and emits
+    mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(200), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: a late hour-0 event behind the watermark — must be DROPPED,
+    // not merged into the already-emitted window (exactly-once finalization)
+    mem.addData(Event(3, ts(10), 1, "click", 99.0))
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    q.stop()
+    assert(dropped >= 1, s"late row should be dropped by the watermark (got $dropped)")
+    val out = spark.table("late_wm").select("ws", "n", "sum_value").collect()
+    // only hour 0 finalized; its count excludes the late row's value
+    assert(out.length == 1 && out.head.getLong(1) == 1L && out.head.getDouble(2) == 1.0)
+  }
+
   test("dedupWithinWatermark drops in-window duplicates with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
