@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver captures the TAIL of stdout and json-parses the last
+// line. sbt's default logger (a) prefixes forked-process stdout with
+// "[info] " and (b) appends a "[success] Total time: ..." line — both broke
+// the parse in rounds 1-3. StdoutOutput passes the forked JVM's stdout
+// through raw; showSuccess kills the trailing line, so the bench's final
+// short totals JSON really is the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
