@@ -69,8 +69,13 @@ object Multimodal {
     * a flat (doc, frame) row stream: the explode happens INSIDE the typed
     * path, so partitions stay byte-budgeted by input clip size and the
     * output is a plain columnar table ready for groupBy/join. Payloads that
-    * fail the magic/length check yield no rows (corrupt-clip drop). */
+    * fail the magic/length check yield no rows (corrupt-clip drop). The
+    * count field is UNTRUSTED bytes: validated in Long arithmetic so a
+    * corrupt count near Int.MaxValue can't overflow `8 + n*FrameLen` into a
+    * passing bound (negative counts likewise read as corrupt → drop, not a
+    * task-killing ArrayIndexOutOfBounds). */
   def sampleFrames(vids: Dataset[VideoRecord], every: Int): Dataset[FrameSample] = {
+    require(every >= 1, s"frame-sample stride must be >= 1, got $every")
     import vids.sparkSession.implicits._
     vids.mapPartitions { it =>
       it.flatMap { r =>
@@ -78,7 +83,7 @@ object Multimodal {
         if (p.length < 8 || p(0) != 'G' || p(1) != 'V' || p(2) != 'I' || p(3) != 'D') Iterator.empty
         else {
           val n = (p(4) & 0xff) | ((p(5) & 0xff) << 8) | ((p(6) & 0xff) << 16) | ((p(7) & 0xff) << 24)
-          if (p.length < 8 + n * FrameLen) Iterator.empty
+          if (n < 0 || 8L + n.toLong * FrameLen > p.length) Iterator.empty
           else (0 until n by every).iterator.map { f =>
             var sum = 0L
             var j = 0

@@ -61,14 +61,8 @@ case class TokenHashes(child: Expression) extends UnaryExpression
   * the dominant cost of the LSH dedup pipeline at corpus scale.
   */
 case class MinHashSig(child: Expression) extends UnaryExpression {
-  override def checkInputDataTypes() = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"minhash_sig needs array<bigint> input, got $other")
-    }
-  }
+  override def checkInputDataTypes() =
+    TextExpressions.requireLongArrayNoNulls("minhash_sig", child)
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "minhash_sig"
@@ -119,14 +113,8 @@ object MinHashSig {
   * where the pipeline needs the raw shingles (contamination overlap,
   * Jaccard verify) rather than the fused signature. */
 case class ShingleHashes(child: Expression) extends UnaryExpression {
-  override def checkInputDataTypes() = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"shingle_hashes needs array<bigint> input, got $other")
-    }
-  }
+  override def checkInputDataTypes() =
+    TextExpressions.requireLongArrayNoNulls("shingle_hashes", child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "shingle_hashes"
@@ -170,14 +158,8 @@ object ShingleHashes {
   * per-doc work must shuffle anyway; this expression is the scan-side path
   * (one doc in, one long out, inside whole-stage codegen). */
 case class SimHash24(child: Expression) extends UnaryExpression {
-  override def checkInputDataTypes() = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"simhash24 needs array<bigint> input, got $other")
-    }
-  }
+  override def checkInputDataTypes() =
+    TextExpressions.requireLongArrayNoNulls("simhash24", child)
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "simhash24"
@@ -218,6 +200,26 @@ object SimHash24 {
     }
     out
   }
+}
+
+/** Shared input-type contract for the array-consuming native expressions:
+  * these are registered session-wide (GraftExtensions), so arbitrary SQL can
+  * reach them with e.g. `array(1, CAST(NULL AS BIGINT))`. The kernels read
+  * elements with `ArrayData.getLong`, which would silently yield 0 for a
+  * null slot — so arrays that may CONTAIN nulls are rejected at analysis
+  * time (clean AnalysisException, not garbage). A null ARRAY is still fine:
+  * all three are null-intolerant UnaryExpressions and propagate it. */
+private[plans] object TextExpressions {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def requireLongArrayNoNulls(fn: String, child: Expression): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+        s"$fn needs array<bigint> with non-nullable elements; this array may " +
+          "contain nulls — filter(arr, x -> x IS NOT NULL) first")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn needs array<bigint> input, got $other")
+    }
 }
 
 object TokenHashes {

@@ -196,12 +196,15 @@ object ScaleOps {
     // ---- sketch aggregates. HLL/KLL internals differ across engines, so the
     // query emits the BOUND CHECK, not the raw sketch: both the approximate
     // and the exact aggregate are computed in-query and the output is the
-    // deterministic boolean "approx within its published error bound of
-    // exact" — which DuckDB can oracle as a literal TRUE next to the exact
-    // side. At 100 TB the sketch replaces the exact form wherever 2% error
-    // is acceptable: mergeable state, no giant distinct shuffle. (The exact
-    // twin here exists only to *verify* the bound; SketchSpec additionally
-    // pins observed error at test scale.)
+    // deterministic boolean "approx within error bound of exact" — which
+    // DuckDB can oracle as a literal TRUE next to the exact side. At 100 TB
+    // the sketch replaces the exact form wherever ~2% error is acceptable:
+    // mergeable state, no giant distinct shuffle. rsd=0.02 is a standard
+    // DEVIATION, not a guarantee, so the oracle-checked bound is 5 sigma
+    // (10%) — an unlucky-but-healthy HLL stays green at any sf; a broken one
+    // (off by orders of magnitude) still trips it. SketchSpec pins the
+    // observed error independently at test scale. (The exact twin here
+    // exists only to *verify* the bound.)
     "sketch_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -210,7 +213,7 @@ object ScaleOps {
              count(lit(1)).as("n"))
         .select(col("l_returnflag"), col("n"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")) <=
-            greatest(lit(1.0), col("exact_parts") * 0.02)).as("within_2pct"))
+            greatest(lit(2.0), col("exact_parts") * 0.10)).as("within_bound"))
         .orderBy("l_returnflag")),
 
     // Quantile sketch bound check: percentile_approx(accuracy=10000) promises
@@ -319,7 +322,7 @@ object ScaleOps {
     "sketch_approx_distinct" ->
       """SELECT l_returnflag, count(*) AS n,
         |  count(DISTINCT l_partkey) AS exact_parts,
-        |  TRUE AS within_2pct
+        |  TRUE AS within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "sketch_quantiles" ->

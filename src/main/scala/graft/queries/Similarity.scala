@@ -136,7 +136,10 @@ object Similarity {
     // index to int8: all higher-order array functions over the scan, one
     // tiny shuffle on label. Left-fold accumulation keeps the per-vector
     // arithmetic bit-identical to the oracle; the avg is order-sensitive so
-    // it rounds to 4 (catalog convention).
+    // it rounds to 4 (catalog convention). An all-zero vector makes
+    // scale = 0, where Spark's 0/0 (ANSI off) is NULL but DuckDB's IEEE
+    // division is NaN — so the degenerate case is defined EXPLICITLY on both
+    // sides: zero vector quantizes losslessly, err = 0.
     "emb_quantize_error" -> ((s, d) =>
       emb(s, d)
         .withColumn("maxabs",
@@ -145,7 +148,9 @@ object Similarity {
         .withColumn("num", aggregate(col("v"), lit(0.0),
           (acc, x) => acc + pow(x - floor(x / col("scale") + 0.5) * col("scale"), 2)))
         .withColumn("den", aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
-        .withColumn("err", sqrt(col("num")) / sqrt(col("den")))
+        .withColumn("err",
+          when(col("maxabs") === 0.0, lit(0.0))
+            .otherwise(sqrt(col("num")) / sqrt(col("den"))))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
              round(avg("err"), 4).as("avg_err"),
@@ -225,10 +230,11 @@ object Similarity {
          |      (a, x) -> greatest(a, x)) / 127.0 AS scale
          |  FROM e),
          |errs AS (SELECT label,
+         |    CASE WHEN scale = 0 THEN 0.0 ELSE
          |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(v, x -> pow(x - floor(x / scale + 0.5) * scale, 2))), (a, x) -> a + x)) /
          |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(v, x -> x * x)), (a, x) -> a + x)) AS err
+         |      list_transform(v, x -> x * x)), (a, x) -> a + x)) END AS err
          |  FROM sc)
          |SELECT label, count(*) AS n_vecs,
          |  round(avg(err), 4) AS avg_err, round(max(err), 6) AS max_err

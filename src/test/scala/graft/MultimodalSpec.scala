@@ -42,6 +42,28 @@ class MultimodalSpec extends AnyFunSuite with SharedSparkSpec {
         (0 until Multimodal.FrameLen).map(j => (7L * 31 + s.frame_idx * 17 + j) % 256).sum)
   }
 
+  test("frame sampler: hostile frame counts drop cleanly; stride validated") {
+    import spark.implicits._
+    // count field claims 0x7FFFFFFF frames: 8 + n*16 overflows Int to a
+    // negative number — the Long-arithmetic bound must still reject it
+    val hugeCount = Multimodal.VideoRecord(10L,
+      Multimodal.videoBytes(10L, 2)
+        .updated(4, 0xff.toByte).updated(5, 0xff.toByte)
+        .updated(6, 0xff.toByte).updated(7, 0x7f.toByte))
+    // negative count (sign bit set)
+    val negCount = Multimodal.VideoRecord(11L,
+      Multimodal.videoBytes(11L, 2).updated(7, 0x80.toByte))
+    val good = Multimodal.VideoRecord(12L, Multimodal.videoBytes(12L, 4))
+    val out = Multimodal
+      .sampleFrames(Seq(hugeCount, negCount, good).toDS(), 2)
+      .collect()
+    assert(out.map(_.doc_id).distinct.toSeq == Seq(12L))
+    assert(out.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(Seq(good).toDS(), 0)
+    }
+  }
+
   test("repartition by byte budget keeps batches balanced") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.asMedia(spark, docs).repartition(8)

@@ -165,4 +165,28 @@ class PlansSpec extends AnyFunSuite with SharedSparkSpec {
     val viaSql = spark.sql("SELECT simhash24(token_hashes('a b c')) AS s").head.getLong(0)
     assert(viaSql >= 0L && viaSql < (1L << 24))
   }
+
+  test("array-consuming native exprs reject nullable-element arrays at analysis") {
+    // session-wide SQL registration means hostile inputs like
+    // array(1, CAST(NULL AS BIGINT)) can reach the kernels, whose getLong
+    // would silently read a null slot as 0 — must be an analysis-time error
+    GraftExtensions.install(spark)
+    for (fn <- Seq("minhash_sig", "shingle_hashes", "simhash24")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $fn(array(1L, CAST(NULL AS BIGINT), 3L))").collect()
+      }
+      assert(e.getMessage.contains("non-nullable"), s"$fn: ${e.getMessage.take(200)}")
+    }
+    // a null ARRAY itself (in a containsNull=false column — the DDL type
+    // ARRAY<BIGINT> is containsNull=true and rightly rejected above)
+    // propagates as a null result: null-intolerant unary semantics
+    import spark.implicits._
+    val rows = Seq(Option(Seq(1L, 2L, 3L)), None).toDF("th")
+      .select(GraftExtensions.minhashSig(col("th")).as("sig"),
+              GraftExtensions.shingleHashes(col("th")).as("sh"),
+              GraftExtensions.simhash24(col("th")).as("sim"))
+      .collect()
+    assert(!rows(0).isNullAt(0) && !rows(0).isNullAt(1) && !rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
 }
