@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalars.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Temporal.queries ++
-      Multimodal.queries ++ ScaleOps.queries ++ Nested.queries
+      Multimodal.queries ++ ScaleOps.queries ++ Nested.queries ++
+      Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Scalars.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Temporal.oracles ++
-      Multimodal.oracles ++ ScaleOps.oracles ++ Nested.oracles
+      Multimodal.oracles ++ ScaleOps.oracles ++ Nested.oracles ++
+      Graph.oracles
 }

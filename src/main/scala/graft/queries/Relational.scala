@@ -65,6 +65,50 @@ object Relational {
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
              count(lit(1)).as("n"))),
 
+    // ---- TPC-H-Q5 shape: 6-way star join, revenue per nation inside one
+    // region + date range. Scale shape: the two FACTS (lineitem⋈orders,
+    // then ⋈customer) shuffle on their join keys — customer is NOT
+    // broadcast, at 100 TB it's a fact-sized table; supplier/nation/region
+    // broadcast, and the region filter prunes nation rows BEFORE the
+    // broadcast so the build side carries only the surviving region's
+    // nations. The date range reaches the orders scan (PushedFilters).
+    "q5_region_volume" -> ((s, d) => {
+      val region = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, d, "nation")
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      val sup = t(s, d, "supplier")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1999-01-01")
+      val li = t(s, d, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- deterministic MODE per group: most frequent o_orderpriority per
+    // order status, ties broken to the smallest value — built-in mode()
+    // functions leave tie order engine-defined, so the catalog form is the
+    // explicit two-phase shape: count per (status, priority) collapses in
+    // partial aggregation (25 groups survive the shuffle at ANY scale),
+    // then a row_number over the tiny grouped frame picks the argmax.
+    "agg_mode" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderstatus")
+            .orderBy(col("cnt").desc, col("o_orderpriority").asc)))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+                col("cnt"))
+        .orderBy("o_orderstatus")),
+
     // ---- P1 column-subset projection (streamlit_app.py:281). Pure scan:
     // ReadSchema must list exactly these 4 columns; no shuffle (sort only).
     "p1_project" -> ((s, d) =>
@@ -577,6 +621,29 @@ object Relational {
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q5_region_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= '1995-01-01' AND o_orderdate < '1999-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "agg_mode" ->
+      """SELECT o_orderstatus, mode_priority, cnt FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |    count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
 
     "p1_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -141,6 +141,26 @@ object ScaleOps {
         .orderBy("custkey")
     }),
 
+    // ---- SCD type-2 build: turn a change log (one row per observed state)
+    // into versioned dimension rows with [eff_from, eff_to) validity windows
+    // and an is_current flag — the warehouse-standard history table a
+    // training pipeline joins facts against as-of a date. One shuffle on the
+    // dimension key; the window is PARTITIONED (per custkey), never global,
+    // so the plan is a single sort within each hash partition at any scale.
+    // States are the per-(customer, day) order revenue snapshots.
+    "etl_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("custkey").orderBy("eff_from")
+      t(s, d, "orders")
+        .groupBy(col("o_custkey").as("custkey"),
+                 to_date(col("o_orderdate")).as("eff_from"))
+        .agg(round(sum("o_totalprice"), 4).as("day_rev"))
+        .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+        .withColumn("version", row_number().over(w).cast("bigint"))
+        .withColumn("is_current", col("eff_to").isNull)
+        .select("custkey", "version", "eff_from", "eff_to", "is_current", "day_rev")
+        .orderBy("custkey", "version")
+    }),
+
     // ---- bucketed co-located join: both sides bucketBy(8) on the join key
     // at WRITE time, so the join needs no exchange at READ time — the layout
     // that amortizes a repeated 100 TB fact⋈fact shuffle once. The bucketed
@@ -308,6 +328,17 @@ object ScaleOps {
         |       ELSE 'updated' END AS action
         |FROM customer FULL OUTER JOIN source ON c_custkey = s_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "etl_scd2" ->
+      """WITH statez AS (
+        |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS eff_from,
+        |    round(sum(o_totalprice), 4) AS day_rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT custkey, CAST(row_number() OVER w AS BIGINT) AS version,
+        |  eff_from, lead(eff_from, 1) OVER w AS eff_to,
+        |  (lead(eff_from, 1) OVER w IS NULL) AS is_current, day_rev
+        |FROM statez WINDOW w AS (PARTITION BY custkey ORDER BY eff_from)
+        |ORDER BY custkey, version""".stripMargin,
 
     // the pruned partitioned read must equal the predicate on the flat table
     "pp_partition_pruned" ->

@@ -155,7 +155,33 @@ object Similarity {
         .agg(count(lit(1)).as("n_vecs"),
              round(avg("err"), 4).as("avg_err"),
              round(max("err"), 6).as("max_err"))
-        .orderBy("label"))
+        .orderBy("label")),
+
+    // ---- one Lloyd (k-means) iteration with deterministic seeds: the k=8
+    // vectors vec_id 0..7 are the current centroids; every vector is
+    // assigned to its nearest (squared-L2, ties to the lowest seed), and the
+    // update step emits the new centroid value per (cluster, dim). The
+    // argmin is a struct-min aggregate — no window, no re-join: the k×n
+    // candidate frame collapses to one row per vector in PARTIAL aggregation
+    // (candidates for a vector are co-partitioned by construction), so the
+    // only wide exchange carries n rows, then ≤ k·64 groups. Iterating this
+    // query IS distributed k-means at 100 TB: seeds stay broadcast-sized,
+    // nothing quadratic ever shuffles.
+    "emb_kmeans_step" -> ((s, d) => {
+      val e = emb(s, d)
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("v").as("c"))
+      e.crossJoin(broadcast(seeds))
+        .withColumn("dist2",
+          aggregate(zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("seed_id"), col("v"))).as("m"))
+        .select(col("m.seed_id").as("cluster"), posexplode(col("m.v")))
+        .groupBy(col("cluster"), (col("pos") + 1).cast("bigint").as("dim"))
+        .agg(count(lit(1)).as("n"), round(avg("col"), 4).as("centroid_val"))
+        .orderBy("cluster", "dim")
+    })
   )
 
   private val S = SqlText
@@ -238,6 +264,25 @@ object Similarity {
          |  FROM sc)
          |SELECT label, count(*) AS n_vecs,
          |  round(avg(err), 4) AS avg_err, round(max(err), 6) AS max_err
-         |FROM errs GROUP BY label ORDER BY label""".stripMargin
+         |FROM errs GROUP BY label ORDER BY label""".stripMargin,
+
+    // same fold order as the Spark zip_with→aggregate chain so dist2 is
+    // bit-identical; the argmin tie-break (dist2, seed_id) matches struct-min
+    "emb_kmeans_step" ->
+      s"""$embCte,
+         |seeds AS (SELECT vec_id AS seed_id, v AS c FROM e WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.v, s.seed_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(e.v, s.c), p -> (p[1]-p[2])*(p[1]-p[2]))),
+         |      (acc, x) -> acc + x) AS dist2
+         |  FROM e CROSS JOIN seeds s),
+         |best AS (SELECT vec_id, v, seed_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist2, seed_id) AS rn FROM a)
+         |  WHERE rn = 1)
+         |SELECT seed_id AS cluster, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+         |  round(avg(v[CAST(dim AS INTEGER)]), 4) AS centroid_val
+         |FROM best, generate_series(1, 64) t(dim)
+         |GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin
   )
 }

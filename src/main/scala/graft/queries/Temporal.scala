@@ -122,6 +122,32 @@ object Temporal {
     // over the events that happen AFTER the previous step's time — three
     // shrinking user_id equi-joins (AQE broadcasts them as the funnel
     // narrows), never a per-user sequence scan on the driver.
+    // view→purchase attribution join: every (view, purchase) pair for the
+    // same user with the purchase inside [view_ts, view_ts + 1h), rolled up
+    // per user. Streaming twin: Streams.viewToPurchase runs the SAME join
+    // condition as a watermarked stream-stream join (StreamingSpec pins
+    // agreement); this batch face is the oracle-checkable form. Scale: both
+    // sides shuffle once on user_id; the time predicate bounds the per-user
+    // pair blowup to the attribution window, exactly like the join state
+    // bound on the streaming side.
+    "st_view_purchase" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+                col("value").as("purchase_value"))
+      v.join(p, col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          unix_micros(col("purchase_ts")) < unix_micros(col("view_ts")) + 3600L * 1000000)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct(col("view_id")).as("n_views_converted"),
+             round(sum("purchase_value"), 4).as("attributed_value"),
+             min(unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("min_lag_us"))
+        .orderBy("user_id")
+    }),
+
     "funnel_conversion" -> ((s, d) => {
       val ev = t(s, d, "events").select("user_id", "event_type", "ts")
       val t1 = ev.filter(col("event_type") === "view")
@@ -193,6 +219,20 @@ object Temporal {
         |        PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 30*60*1000000, true) AS is_new
         |    FROM events))
         |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "st_view_purchase" ->
+      """WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts AS purchase_ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, count(*) AS n_pairs,
+        |  count(DISTINCT view_id) AS n_views_converted,
+        |  round(sum(purchase_value), 4) AS attributed_value,
+        |  min(epoch_us(purchase_ts) - epoch_us(view_ts)) AS min_lag_us
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND purchase_ts >= view_ts
+        |  AND epoch_us(purchase_ts) < epoch_us(view_ts) + 3600000000
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
 
     "funnel_conversion" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t_view FROM events

@@ -272,6 +272,42 @@ object TextOps {
         .orderBy(col("tf").desc, col("tok").asc)
         .limit(25)),
 
+    // PMI collocations: bigrams that co-occur far more than their parts
+    // predict — the phrase-mining step a tokenizer-training or
+    // stop-phrase-list pipeline runs over a corpus. PMI is computed from
+    // EXACT integer counts via identical double arithmetic on both engines
+    // (no float-sum order sensitivity), support-filtered at count >= 5 so
+    // the report is stable. Shape: two explode→hash-agg passes (unigrams,
+    // bigrams; arrays cache-staged per the TextFunctions contract), the
+    // bigram table joins the unigram counts on each endpoint (shuffle joins
+    // on the word key — vocabulary-sized, NOT corpus-sized), and the two
+    // corpus totals ride in as a broadcast 1-row frame (tx_tfidf pattern).
+    // Top-25 by support with a total-order tie-break, not by PMI, so the
+    // cut line is integer-deterministic.
+    "tx_collocations" -> ((s, d) => {
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("__toks")).cache()
+      val uni = staged.select(explode(col("__toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("uc"))
+      val bgStaged = staged
+        .select(T.bigramsFromTokens(col("__toks")).as("__bg")).cache()
+      val bgAll = bgStaged.select(explode(col("__bg")).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("bc"))
+      val tots = uni.agg(sum("uc").cast("double").as("t_uni"))
+        .crossJoin(bgAll.agg(sum("bc").cast("double").as("t_bg")))
+      bgAll.filter(col("bc") >= 5)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+        .join(uni.select(col("tok").as("w1"), col("uc").as("c1")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("uc").as("c2")), "w2")
+        .crossJoin(broadcast(tots))
+        .select(col("w1"), col("w2"), col("bc").as("pair_count"),
+          round(log((col("bc") / col("t_bg")) /
+            ((col("c1") / col("t_uni")) * (col("c2") / col("t_uni")))), 4).as("pmi"))
+        .orderBy(col("pair_count").desc, col("w1"), col("w2"))
+        .limit(25)
+    }),
+
     // repetition quality filter (Gopher-style): fraction of the doc taken
     // by its most frequent token and bigram; docs dominated by one n-gram
     // are boilerplate/spam. Shape: explode → (doc, gram) hash-agg →
@@ -456,6 +492,25 @@ object TextOps {
       s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM (SELECT doc_id, unnest(${S.tokens("text")}) AS tok FROM documents)
          |GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT 25""".stripMargin,
+
+    "tx_collocations" ->
+      s"""WITH tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |uni AS (SELECT tok, count(*) AS uc
+         |  FROM (SELECT unnest(toks) AS tok FROM tl) GROUP BY tok),
+         |bga AS (SELECT bg, count(*) AS bc
+         |  FROM (SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS bg
+         |  FROM tl) GROUP BY bg),
+         |tots AS (SELECT (SELECT CAST(sum(uc) AS DOUBLE) FROM uni) AS t_uni,
+         |                (SELECT CAST(sum(bc) AS DOUBLE) FROM bga) AS t_bg)
+         |SELECT w1, w2, bc AS pair_count,
+         |  round(ln((bc / t_bg) / ((c1.uc / t_uni) * (c2.uc / t_uni))), 4) AS pmi
+         |FROM (SELECT bg, bc, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+         |      FROM bga WHERE bc >= 5) b
+         |JOIN uni c1 ON b.w1 = c1.tok
+         |JOIN uni c2 ON b.w2 = c2.tok
+         |CROSS JOIN tots
+         |ORDER BY pair_count DESC, w1, w2 LIMIT 25""".stripMargin,
 
     "tx_repetition" ->
       s"""WITH tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),

@@ -69,6 +69,30 @@ object Streams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Stream-stream inner join: each purchase attributes back to views by the
+    * same user within the preceding hour. BOTH sides carry watermarks and
+    * the join condition bounds purchase_ts relative to view_ts, so Spark
+    * derives state-eviction watermarks for the join state store — bounded
+    * state on an unbounded stream (without the time bound, stream-stream
+    * join state grows forever). Batch twin: Temporal."st_view_purchase"
+    * runs the same join condition then aggregates per user. */
+  def viewToPurchase(views: DataFrame, purchases: DataFrame,
+                     watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") < col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Gap-based sessionization with explicit keyed state
     * (flatMapGroupsWithState, event-time timeout) — twin of "st_sessionize".
     * Emits a session when a gap > gapMinutes closes it. */

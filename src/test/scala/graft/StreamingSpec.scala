@@ -133,6 +133,34 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
     assert(streamed.size >= 3) // user 1 has two sessions, user 2 has two
   }
 
+  test("viewToPurchase stream-stream join matches the batch join; state is watermark-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // views at 0 and 70; purchases at 30 (within 1h of view@0), 75 (within
+    // 1h of view@70 only), and 200 (outside every window)
+    val views = Seq(
+      Event(1, ts(0), 1, "view", 0.0), Event(2, ts(70), 1, "view", 0.0),
+      Event(3, ts(0), 2, "view", 0.0))
+    val purchases = Seq(
+      Event(10, ts(30), 1, "purchase", 5.0), Event(11, ts(75), 1, "purchase", 7.0),
+      Event(12, ts(200), 1, "purchase", 9.0), Event(13, ts(45), 2, "purchase", 11.0))
+    val vMem = MemoryStream[Event]; val pMem = MemoryStream[Event]
+    vMem.addData(views: _*); pMem.addData(purchases: _*)
+    val q = Streams.viewToPurchase(vMem.toDF(), pMem.toDF()).writeStream
+      .format("memory").queryName("attributed").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attributed")
+      .select("user_id", "view_id", "purchase_value")
+      .orderBy("user_id", "view_id", "purchase_value").collect().toSeq
+    val batch = Streams.viewToPurchase(views.toDF(), purchases.toDF())
+      .select("user_id", "view_id", "purchase_value")
+      .orderBy("user_id", "view_id", "purchase_value").collect().toSeq
+    assert(streamed == batch)
+    // exact pair set: u1 view@0→p@30, view@70→p@75; u2 view@0→p@45
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+      Seq((1L, 1L, 5.0), (1L, 2L, 7.0), (2L, 3L, 11.0)))
+  }
+
   test("dedupFirst keeps one row per (user_id, event_type)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
