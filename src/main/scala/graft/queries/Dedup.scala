@@ -217,6 +217,31 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
+    // asymmetric shingle CONTAINMENT |A∩B|/|A| (and /|B|): catches
+    // doc-inside-doc duplication that symmetric Jaccard misses — a short
+    // doc fully embedded in a long one scores low Jaccard but containment
+    // ≈ 1. Same LSH-candidate confinement as dd_jaccard_verify: the
+    // quadratic gram intersection only ever runs on banded candidates.
+    // Denominators are never zero: candidates require ≥3 tokens (signature
+    // precondition), so both gram sets are non-empty.
+    "dd_containment" -> ((s, d) => {
+      val (cand, _) = candidates(s, d)
+      val grams = corpus(s, d)
+        .withColumn("__toks", T.tokens(col("text")))
+        .select(col("doc_id"), array_distinct(T.bigramsFromTokens(col("__toks"))).as("g"))
+        .cache()
+      cand
+        .join(grams.select(col("doc_id").as("a"), col("g").as("ga")), "a")
+        .join(grams.select(col("doc_id").as("b"), col("g").as("gb")), "b")
+        .withColumn("n_union", size(array_distinct(concat(col("ga"), col("gb")))).cast("bigint"))
+        .withColumn("n_inter", (size(col("ga")) + size(col("gb"))).cast("bigint") - col("n_union"))
+        .withColumn("containment_a", round(col("n_inter") / size(col("ga")).cast("bigint"), 4))
+        .withColumn("containment_b", round(col("n_inter") / size(col("gb")).cast("bigint"), 4))
+        .filter(col("containment_a") >= 0.8 || col("containment_b") >= 0.8)
+        .select("a", "b", "n_inter", "containment_a", "containment_b")
+        .orderBy("a", "b")
+    }),
+
     // canonical-doc selection: dedup pipelines don't keep the MIN id, they
     // keep the BEST doc per duplicate cluster (here: longest text, id as
     // tie-break). Clusters come from the same connected-components keep-list
@@ -404,6 +429,21 @@ object Dedup {
          |          CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT), 4) AS jaccard
          |  FROM cand JOIN grams ga ON cand.a = ga.doc_id JOIN grams gb ON cand.b = gb.doc_id)
          |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+
+    "dd_containment" ->
+      s"""$sigsCte,
+         |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS g
+         |  FROM (SELECT doc_id, ${S.tokens("text")} AS toks FROM docs))
+         |SELECT a, b, n_inter, containment_a, containment_b FROM (
+         |  SELECT a, b,
+         |    CAST(len(ga.g) + len(gb.g) AS BIGINT) - CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT) AS n_inter,
+         |    round((CAST(len(ga.g) + len(gb.g) AS BIGINT) - CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT)) /
+         |          CAST(len(ga.g) AS BIGINT), 4) AS containment_a,
+         |    round((CAST(len(ga.g) + len(gb.g) AS BIGINT) - CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT)) /
+         |          CAST(len(gb.g) AS BIGINT), 4) AS containment_b
+         |  FROM cand JOIN grams ga ON cand.a = ga.doc_id JOIN grams gb ON cand.b = gb.doc_id)
+         |WHERE containment_a >= 0.8 OR containment_b >= 0.8 ORDER BY a, b""".stripMargin,
 
     "dd_keep_best" ->
       s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -181,6 +181,48 @@ object Similarity {
         .groupBy(col("cluster"), (col("pos") + 1).cast("bigint").as("dim"))
         .agg(count(lit(1)).as("n"), round(avg("col"), 4).as("centroid_val"))
         .orderBy("cluster", "dim")
+    }),
+
+    // ---- product-quantization (PQ) reconstruction error: the 64-dim vector
+    // splits into 8 subvectors of 8 dims; each subvector snaps to its
+    // nearest of 4 per-subspace codewords (deterministic codebook: the
+    // subvectors of vec_id 0..3), and the per-label relative L2 error of the
+    // reconstruction is reported — the check an embedding store runs before
+    // switching its ANN index to PQ codes (64 dims → 8 bytes). Shape: the
+    // subvector frame is cache-staged before posexplode (Generate
+    // re-evaluates non-attribute children per output row — TextFunctions
+    // staging contract); the 32-row codebook broadcasts; the argmin is the
+    // same struct-min partial-agg pattern as emb_kmeans_step, so nothing
+    // wider than the n·8-row subvector frame ever shuffles.
+    "emb_pq_error" -> ((s, d) => {
+      val e = emb(s, d)
+      def subSplit(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id"), col("label"),
+          array((0 until 8).map(j => slice(col("v"), j * 8 + 1, 8)): _*).as("__subs"))
+        .cache()
+        .select(col("vec_id"), col("label"), posexplode(col("__subs")))
+        .select(col("vec_id"), col("label"), col("pos").as("sub"), col("col").as("sv"))
+      val subs = subSplit(e)
+      val cb = subSplit(e.filter(col("vec_id") < 4))
+        .select(col("vec_id").as("cent_id"), col("sub").as("cb_sub"), col("sv").as("cvec"))
+      subs
+        .join(broadcast(cb), col("sub") === col("cb_sub"))
+        .withColumn("dist2",
+          aggregate(zip_with(col("sv"), col("cvec"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x))
+        .withColumn("svn2",
+          aggregate(col("sv"), lit(0.0), (a, x) => a + x * x))
+        .groupBy("vec_id", "label", "sub")
+        .agg(min(struct(col("dist2"), col("cent_id"))).as("m"),
+             first(col("svn2")).as("svn2"))
+        .groupBy("vec_id", "label")
+        .agg(sqrt(sum(col("m.dist2"))).as("num"), sqrt(sum(col("svn2"))).as("den"))
+        .withColumn("err", when(col("den") === 0.0, lit(0.0)).otherwise(col("num") / col("den")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+             round(avg("err"), 4).as("avg_err"),
+             round(max("err"), 6).as("max_err"))
+        .orderBy("label")
     })
   )
 
@@ -283,6 +325,33 @@ object Similarity {
          |SELECT seed_id AS cluster, CAST(dim AS BIGINT) AS dim, count(*) AS n,
          |  round(avg(v[CAST(dim AS INTEGER)]), 4) AS centroid_val
          |FROM best, generate_series(1, 64) t(dim)
-         |GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin
+         |GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
+
+    // subvector split / codebook / argmin / error chain mirrors the Spark
+    // fold order exactly; row_number tie-break matches struct-min
+    "emb_pq_error" ->
+      s"""$embCte,
+         |subs AS (SELECT vec_id, label, j AS sub,
+         |    list_slice(v, CAST(j*8+1 AS INTEGER), CAST(j*8+8 AS INTEGER)) AS sv
+         |  FROM e, range(0, 8) t(j)),
+         |cb AS (SELECT vec_id AS cent_id, sub AS cb_sub, sv AS cvec
+         |  FROM subs WHERE vec_id < 4),
+         |dists AS (SELECT s.vec_id, s.label, s.sub, c.cent_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(s.sv, c.cvec), p -> (p[1]-p[2])*(p[1]-p[2]))),
+         |      (a, x) -> a + x) AS dist2,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(s.sv, x -> x*x)), (a, x) -> a + x) AS svn2
+         |  FROM subs s JOIN cb c ON s.sub = c.cb_sub),
+         |best AS (SELECT vec_id, label, sub, dist2, svn2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY dist2, cent_id) AS rn FROM dists) WHERE rn = 1),
+         |perv AS (SELECT vec_id, label,
+         |    CASE WHEN sqrt(sum(svn2)) = 0 THEN 0.0
+         |         ELSE sqrt(sum(dist2)) / sqrt(sum(svn2)) END AS err
+         |  FROM best GROUP BY vec_id, label)
+         |SELECT label, count(*) AS n_vecs,
+         |  round(avg(err), 4) AS avg_err, round(max(err), 6) AS max_err
+         |FROM perv GROUP BY label ORDER BY label""".stripMargin
   )
 }

@@ -272,6 +272,29 @@ object TextOps {
         .orderBy(col("tf").desc, col("tok").asc)
         .limit(25)),
 
+    // unigram negative-log-likelihood per doc — the cheap stand-in for the
+    // LM-perplexity quality filter every corpus pipeline runs (docs whose
+    // tokens are corpus-typical score low; gibberish and boilerplate-with-
+    // rare-junk score high). p(tok) is the corpus unigram MLE, so the score
+    // is exp-free arithmetic over exact counts: avg(-ln(uc / T)) per doc.
+    // Shape: one explode→hash-agg for the vocabulary, token⋈vocab shuffle
+    // join on the word key, per-doc re-aggregate; corpus total broadcasts
+    // as a 1-row frame. At 100 TB the vocab side is the small one — this is
+    // the classic fact⋈dimension layout, never doc×doc.
+    "tx_unigram_logprob" -> ((s, d) => {
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("__toks")).cache()
+      val toks = staged.select(col("doc_id"), explode(col("__toks")).as("tok"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("uc"))
+      val tot = uni.agg(sum("uc").cast("double").as("t_uni"))
+      toks.join(uni, "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             round(avg(-log(col("uc") / col("t_uni"))), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // PMI collocations: bigrams that co-occur far more than their parts
     // predict — the phrase-mining step a tokenizer-training or
     // stop-phrase-list pipeline runs over a corpus. PMI is computed from
@@ -492,6 +515,16 @@ object TextOps {
       s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM (SELECT doc_id, unnest(${S.tokens("text")}) AS tok FROM documents)
          |GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT 25""".stripMargin,
+
+    "tx_unigram_logprob" ->
+      s"""WITH tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |toks AS (SELECT doc_id, unnest(toks) AS tok FROM tl),
+         |uni AS (SELECT tok, count(*) AS uc FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS t_uni FROM uni)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(-ln(uc / t_uni)), 4) AS avg_nll
+         |FROM toks JOIN uni USING (tok) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "tx_collocations" ->
       s"""WITH tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
