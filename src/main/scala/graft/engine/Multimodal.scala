@@ -116,6 +116,59 @@ object Multimodal {
   }
 }
 
+/** REAL byte-level WAV (RIFF/PCM) header codec — the audio face of the
+  * multimodal family, same contract as [[ImageHeaders]]: the synthesizer
+  * emits a spec-layout canonical 44-byte PCM header ("RIFF" + chunk size,
+  * "WAVE", "fmt " chunk with channels LE@22 / sample rate LE@24 / bits
+  * LE@34, "data" chunk with payload length LE@40), and `decode` genuinely
+  * re-reads the byte offsets — no shared arithmetic, so an oracle check of
+  * synth→decode round-trips is real byte math. Untrusted length fields are
+  * validated in Long arithmetic (same hostile-count rule as the video
+  * sampler). */
+object AudioHeaders {
+  val WavHeaderLen = 44
+
+  def wavBytes(channels: Int, sampleRate: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * channels * (bits / 8)
+    val b = new Array[Byte](WavHeaderLen + dataLen)
+    def le(off: Int, v: Int, n: Int): Unit =
+      for (i <- 0 until n) b(off + i) = (v >>> (8 * i)).toByte
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'; le(4, 36 + dataLen, 4)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    le(16, 16, 4) // fmt chunk length (PCM)
+    le(20, 1, 2)  // audio format 1 = PCM
+    le(22, channels, 2); le(24, sampleRate, 4)
+    le(28, sampleRate * channels * (bits / 8), 4) // byte rate
+    le(32, channels * (bits / 8), 2)              // block align
+    le(34, bits, 2)
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'; le(40, dataLen, 4)
+    b
+  }
+
+  /** (channels, sample_rate, bits, n_samples), or None for anything that is
+    * not a well-formed PCM WAV — corrupt clips drop, they don't throw. */
+  def decode(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) | ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    if (p.length < WavHeaderLen ||
+        p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+        p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E' ||
+        p(12) != 'f' || p(13) != 'm' || p(14) != 't' || u16(20) != 1) None
+    else {
+      val channels = u16(22)
+      val rate = u32(24)
+      val bits = u16(34)
+      val dataLen = u32(40) // untrusted: u32 can claim up to 4 GiB
+      val frameBytes = channels.toLong * (bits / 8)
+      if (channels <= 0 || bits < 8 || rate <= 0 || frameBytes == 0 ||
+          WavHeaderLen.toLong + dataLen > p.length) None
+      else Some((channels, rate.toInt, bits, dataLen / frameBytes))
+    }
+  }
+}
+
 /** REAL byte-level image-header codec — no native libs needed: PNG stores
   * width/height big-endian in the IHDR chunk (bytes 16-23 after the 8-byte
   * signature); BMP (BITMAPINFOHEADER) stores them little-endian at offsets

@@ -121,6 +121,34 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // REAL byte-level WAV decode — the audio modality, same synth→parse
+    // round-trip contract as mm_decode_real: per-doc PCM parameters derive
+    // from doc_id, the canonical 44-byte RIFF header is synthesized, and
+    // engine.AudioHeaders.decode re-reads channels/rate/bits/sample-count
+    // from their byte offsets (validating the untrusted data-chunk length
+    // in Long arithmetic). duration_ms is integer floor division on both
+    // engines.
+    "mm_wav_meta" -> ((s, d) => {
+      import s.implicits._
+      import graft.engine.{AudioHeaders => AH, Multimodal => M}
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val ch = (id % 2 + 1).toInt
+        val rate = 8000 + (id % 3).toInt * 4000
+        val bits = if (id % 3 == 0) 8 else 16
+        val n = ((id % 50 + 1) * 10).toInt
+        M.MediaRecord(id, AH.wavBytes(ch, rate, bits, n), "audio/wav")
+      }
+      media.mapPartitions { it =>
+        // codec init would sit here, once per partition
+        it.flatMap { r =>
+          AH.decode(r.payload).map { case (ch, rate, bits, ns) =>
+            (r.doc_id, ch.toLong, rate.toLong, bits.toLong, ns, ns * 1000L / rate)
+          }
+        }
+      }.toDF("doc_id", "channels", "sample_rate", "bits", "n_samples", "duration_ms")
+        .orderBy("doc_id")
+    }),
+
     // per-source media-batch profile: the batch-shape check for feeding
     // mapInPandas/mapPartitions decoders (bytes per batch, rows per batch).
     "mm_batch_profile" -> ((s, d) =>
@@ -148,6 +176,17 @@ object Multimodal {
         |  round(CAST(n_bytes % 256 AS DOUBLE) / 255.0, 4) AS fake_mean_pixel
         |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // synthesis formulas, independently re-derived — the byte parser must
+    // recover every PCM parameter exactly
+    "mm_wav_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS BIGINT) AS bits,
+        |  CAST((doc_id % 50 + 1) * 10 AS BIGINT) AS n_samples,
+        |  CAST(((doc_id % 50 + 1) * 10 * 1000) // (8000 + (doc_id % 3) * 4000) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // synthesis formulas, independently re-derived: PNG header is 33 bytes,
     // BMP 54; the first-8-byte checksum is the PNG signature sum (425) or

@@ -109,6 +109,22 @@ object Relational {
                 col("cnt"))
         .orderBy("o_orderstatus")),
 
+    // ---- regression/correlation aggregates: the relationship-profiling
+    // pass (does price scale with quantity per return class?). All four
+    // statistics are single-pass mergeable moment aggregates — partial
+    // state is (n, Σx, Σy, Σxy, Σx², Σy²), so the shuffle carries 6 doubles
+    // per group at any scale. Deterministic to 4 decimals across engines
+    // (moment sums are order-sensitive in the last ulps).
+    "agg_corr_regr" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+             round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+             round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+             round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"))
+        .orderBy("l_returnflag")),
+
     // ---- P1 column-subset projection (streamlit_app.py:281). Pure scan:
     // ReadSchema must list exactly these 4 columns; no shuffle (sort only).
     "p1_project" -> ((s, d) =>
@@ -644,6 +660,14 @@ object Relational {
         |      ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_corr_regr" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "p1_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -93,6 +93,30 @@ object Streams {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** LEFT-OUTER stream-stream join: like [[viewToPurchase]], but views with
+    * no purchase in their hour emit once with null purchase columns — AFTER
+    * the watermark passes the end of their window, because only then can the
+    * engine prove no match is still coming. This is the "unconverted
+    * impressions" feed a training pipeline needs alongside the conversions;
+    * the null rows arrive with watermark latency by construction. */
+  def viewToPurchaseOuter(views: DataFrame, purchases: DataFrame,
+                          watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") < col("view_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Gap-based sessionization with explicit keyed state
     * (flatMapGroupsWithState, event-time timeout) — twin of "st_sessionize".
     * Emits a session when a gap > gapMinutes closes it. */

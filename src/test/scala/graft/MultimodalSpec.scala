@@ -64,6 +64,23 @@ class MultimodalSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("wav header codec: synth→decode round-trip; hostile lengths drop") {
+    import graft.engine.AudioHeaders
+    val good = AudioHeaders.wavBytes(2, 16000, 16, 100)
+    assert(good.length == 44 + 100 * 2 * 2)
+    assert(AudioHeaders.decode(good) == Some((2, 16000, 16, 100L)))
+    // mono 8-bit at 8kHz
+    assert(AudioHeaders.decode(AudioHeaders.wavBytes(1, 8000, 8, 30)) ==
+      Some((1, 8000, 8, 30L)))
+    // data-chunk length claiming ~2 GiB past the buffer: drop, don't throw
+    val lied = good.clone()
+    lied(40) = 0xff.toByte; lied(41) = 0xff.toByte
+    lied(42) = 0xff.toByte; lied(43) = 0x7f.toByte
+    assert(AudioHeaders.decode(lied).isEmpty)
+    assert(AudioHeaders.decode(good.take(20)).isEmpty)
+    assert(AudioHeaders.decode("definitely not RIFF audio bytes!".getBytes("UTF-8")).isEmpty)
+  }
+
   test("repartition by byte budget keeps batches balanced") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.asMedia(spark, docs).repartition(8)

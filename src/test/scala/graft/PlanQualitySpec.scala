@@ -135,4 +135,38 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     assert(p.contains("hashpartitioning(user_id"),
       s"session assignment must shuffle on user_id:\n$p")
   }
+
+  test("emb_kmeans_step: seeds broadcast; struct-min argmin collapses in partial aggregation") {
+    val p = planOf("emb_kmeans_step")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"seed frame must broadcast (k rows):\n$p")
+    assert(p.contains("partial_min(struct(dist2"),
+      s"argmin must run as a PARTIAL struct-min before the vec_id exchange:\n$p")
+    assert(!p.contains("Window"), s"no window operator in the argmin path:\n$p")
+  }
+
+  test("q5_region_volume: date range pushed to the orders scan; dims broadcast") {
+    val p = planOf("q5_region_volume")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"date range must reach the orders scan:\n$p")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"supplier/nation star dims must broadcast:\n$p")
+  }
+
+  test("st_view_purchase: the time-range predicate rides the user equi-join, no cartesian") {
+    val p = planOf("st_view_purchase")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"attribution must stay an equi-join on user_id:\n$p")
+    assert(p.contains("unix_micros") || p.contains("purchase_ts"),
+      s"time bound must appear as a join post-condition:\n$p")
+  }
+
+  test("emb_pq_error: codebook broadcasts; subvector argmin is windowless") {
+    val p = planOf("emb_pq_error")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the 32-row codebook must broadcast:\n$p")
+    assert(p.contains("partial_min(struct(dist2"),
+      s"per-subvector argmin must collapse in partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"no window operator in the PQ assignment path:\n$p")
+  }
 }

@@ -161,6 +161,34 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
       Seq((1L, 1L, 5.0), (1L, 2L, 7.0), (2L, 3L, 11.0)))
   }
 
+  test("viewToPurchaseOuter emits unmatched views with nulls after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[Event]; val pMem = MemoryStream[Event]
+    val q = Streams.viewToPurchaseOuter(vMem.toDF(), pMem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("outer_attr").outputMode("append").start()
+    // batch 1: one converting view, one that never converts
+    vMem.addData(Event(1, ts(0), 1, "view", 0.0), Event(2, ts(5), 2, "view", 0.0))
+    pMem.addData(Event(10, ts(30), 1, "purchase", 5.0))
+    q.processAllAvailable()
+    // batch 2: advance BOTH watermarks far past view@5's join window
+    // (5 + 60 min) + the 10-min delay, so the engine can prove no match
+    vMem.addData(Event(3, ts(600), 3, "view", 0.0))
+    pMem.addData(Event(11, ts(600), 9, "purchase", 1.0))
+    q.processAllAvailable()
+    // one more cycle lets the finalized null row flush
+    vMem.addData(Event(4, ts(610), 3, "view", 0.0))
+    pMem.addData(Event(12, ts(610), 9, "purchase", 1.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("outer_attr")
+      .select("user_id", "view_id", "purchase_value").collect()
+    val matched = out.filter(!_.isNullAt(2)).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(matched.contains((1L, 1L, 5.0)), s"converted view must match: ${out.mkString(",")}")
+    val unmatched = out.filter(_.isNullAt(2)).map(r => (r.getLong(0), r.getLong(1)))
+    assert(unmatched.contains((2L, 2L)),
+      s"view@5 for user 2 must emit with null purchase after watermark: ${out.mkString(",")}")
+  }
+
   test("dedupFirst keeps one row per (user_id, event_type)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
