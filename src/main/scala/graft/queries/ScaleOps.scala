@@ -141,6 +141,30 @@ object ScaleOps {
         .orderBy("custkey")
     }),
 
+    // ---- CDC log compaction: a change log (key, seq, op, payload) applies
+    // to final state — keep the LATEST op per key, and if that op is a
+    // delete, the key vanishes. This is the merge a streaming upsert sink
+    // (or compacted topic) runs continuously. Log synthesized from
+    // lineitem: key = (orderkey, partkey), seq = linenumber, deletes where
+    // quantity < 2. The argmax is a struct-max AGGREGATE (partial→final,
+    // shuffle carries one row per key), not a window sort — the shape that
+    // survives a 100 TB log. The synthetic log DOES contain seq ties
+    // (duplicate line numbers per key), so the struct-max's lexicographic
+    // tie-break (seq, then op, then payload) is mirrored verbatim in the
+    // oracle's ORDER BY — a real CDC log would make seq unique upstream.
+    "etl_cdc_compact" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey").as("k1"), col("l_partkey").as("k2"),
+          col("l_linenumber").cast("bigint").as("seq"),
+          when(col("l_quantity") < 2, "D").otherwise("U").as("op"),
+          round(col("l_extendedprice"), 4).as("payload"))
+        .groupBy("k1", "k2")
+        .agg(max(struct(col("seq"), col("op"), col("payload"))).as("m"))
+        .filter(col("m.op") =!= "D")
+        .select(col("k1"), col("k2"), col("m.seq").as("seq"),
+                col("m.op").as("op"), col("m.payload").as("payload"))
+        .orderBy("k1", "k2")),
+
     // ---- SCD type-2 build: turn a change log (one row per observed state)
     // into versioned dimension rows with [eff_from, eff_to) validity windows
     // and an is_current flag — the warehouse-standard history table a
@@ -328,6 +352,18 @@ object ScaleOps {
         |       ELSE 'updated' END AS action
         |FROM customer FULL OUTER JOIN source ON c_custkey = s_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "etl_cdc_compact" ->
+      """WITH log AS (SELECT l_orderkey AS k1, l_partkey AS k2,
+        |    CAST(l_linenumber AS BIGINT) AS seq,
+        |    CASE WHEN l_quantity < 2 THEN 'D' ELSE 'U' END AS op,
+        |    round(l_extendedprice, 4) AS payload
+        |  FROM lineitem),
+        |last AS (SELECT k1, k2, seq, op, payload FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k1, k2
+        |      ORDER BY seq DESC, op DESC, payload DESC) AS rn FROM log) WHERE rn = 1)
+        |SELECT k1, k2, seq, op, payload FROM last
+        |WHERE op != 'D' ORDER BY k1, k2""".stripMargin,
 
     "etl_scd2" ->
       """WITH statez AS (
