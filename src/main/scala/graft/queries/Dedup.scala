@@ -157,6 +157,22 @@ object Dedup {
         .select("h", "keep_id", "n_copies")
         .orderBy("keep_id")),
 
+    // exact dedup AFTER canonicalization (lowercase, strip non-alnum,
+    // collapse whitespace): the standard normalize-then-hash pass that
+    // catches "same text, different punctuation/spacing" dups which raw
+    // byte-hashing misses. Same partial→final hash-agg shape as dd_exact —
+    // normalization is scan-side codegen'd string work, the shuffle still
+    // carries only (hash, id) pairs.
+    "dd_exact_normalized" -> ((s, d) =>
+      corpus(s, d)
+        .withColumn("norm",
+          trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+        .groupBy(md5(col("norm")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select("h", "keep_id", "n_copies")
+        .orderBy("keep_id")),
+
     // minhash signatures, exploded (doc_id, component j, value). The sig is
     // materialized (cache barrier) before posexplode: Generate re-evaluates
     // its child per OUTPUT row, which would run the whole hash pipeline 16×
@@ -368,6 +384,13 @@ object Dedup {
     "dd_exact" ->
       s"""$corpusCte
          |SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+
+    "dd_exact_normalized" ->
+      s"""$corpusCte
+         |SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h,
+         |  min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM docs GROUP BY 1 HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
 
     "dd_minhash_sig" ->

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.engine.{Tables, Vectors => V}
 
 /** Similarity-search catalog over `embeddings` (builder-prompt first-class
@@ -183,6 +184,29 @@ object Similarity {
         .orderBy("cluster", "dim")
     }),
 
+    // ---- batch k-NN join: top-3 cosine neighbors for a deterministic
+    // SAMPLE of query vectors (vec_id % 100 == 0) against the full corpus —
+    // the retrieval-evaluation join an embedding pipeline runs after each
+    // re-index. The query sample broadcasts (it is the small side by
+    // construction); candidates shuffle ONCE keyed on qid, so each window
+    // partition is exactly one query's candidate list — per-query top-k,
+    // never a global sort. Ranking uses the RAW cosine (bit-identical
+    // left-fold both engines); the rounded value is display-only.
+    "sim_knn_join" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos_raw", V.cosine(col("v"), col("qv")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vec_id").asc)).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id").as("neighbor"), col("rank"),
+          round(col("cos_raw"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- product-quantization (PQ) reconstruction error: the 64-dim vector
     // splits into 8 subvectors of 8 dims; each subvector snaps to its
     // nearest of 4 per-subspace codewords (deterministic codebook: the
@@ -326,6 +350,17 @@ object Similarity {
          |  round(avg(v[CAST(dim AS INTEGER)]), 4) AS centroid_val
          |FROM best, generate_series(1, 64) t(dim)
          |GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
+
+    "sim_knn_join" ->
+      s"""$embCte,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0)
+         |SELECT qid, neighbor, rank, cos FROM (
+         |  SELECT qid, e.vec_id AS neighbor,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${S.cosine("e.v", "qv")} DESC, e.vec_id ASC) AS BIGINT) AS rank,
+         |    round(${S.cosine("e.v", "qv")}, 6) AS cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id != qid)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // subvector split / codebook / argmin / error chain mirrors the Spark
     // fold order exactly; row_number tie-break matches struct-min
