@@ -185,6 +185,26 @@ object ScaleOps {
         .orderBy("custkey", "version")
     }),
 
+    // ---- SCD2 as-of snapshot: the consumption side of etl_scd2 — "what
+    // was every customer's state on date D" is a validity-window filter
+    // (eff_from <= D < eff_to, open-ended current rows pass), NOT a join:
+    // one scan of the dimension history, one predicate, at most one row per
+    // key by construction. This is how a training job pins features to a
+    // label date without leakage.
+    "etl_scd2_asof" -> ((s, d) => {
+      val w = Window.partitionBy("custkey").orderBy("eff_from")
+      val asof = lit("1998-01-01").cast("date")
+      t(s, d, "orders")
+        .groupBy(col("o_custkey").as("custkey"),
+                 to_date(col("o_orderdate")).as("eff_from"))
+        .agg(round(sum("o_totalprice"), 4).as("day_rev"))
+        .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+        .filter(col("eff_from") <= asof &&
+          (col("eff_to").isNull || col("eff_to") > asof))
+        .select("custkey", "eff_from", "eff_to", "day_rev")
+        .orderBy("custkey")
+    }),
+
     // ---- bucketed co-located join: both sides bucketBy(8) on the join key
     // at WRITE time, so the join needs no exchange at READ time — the layout
     // that amortizes a repeated 100 TB fact⋈fact shuffle once. The bucketed
@@ -364,6 +384,19 @@ object ScaleOps {
         |      ORDER BY seq DESC, op DESC, payload DESC) AS rn FROM log) WHERE rn = 1)
         |SELECT k1, k2, seq, op, payload FROM last
         |WHERE op != 'D' ORDER BY k1, k2""".stripMargin,
+
+    "etl_scd2_asof" ->
+      """WITH statez AS (
+        |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS eff_from,
+        |    round(sum(o_totalprice), 4) AS day_rev
+        |  FROM orders GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT custkey, eff_from, lead(eff_from, 1) OVER w AS eff_to, day_rev
+        |  FROM statez WINDOW w AS (PARTITION BY custkey ORDER BY eff_from))
+        |SELECT custkey, eff_from, eff_to, day_rev FROM hist
+        |WHERE eff_from <= DATE '1998-01-01'
+        |  AND (eff_to IS NULL OR eff_to > DATE '1998-01-01')
+        |ORDER BY custkey""".stripMargin,
 
     "etl_scd2" ->
       """WITH statez AS (

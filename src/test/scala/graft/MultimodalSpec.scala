@@ -81,6 +81,20 @@ class MultimodalSpec extends AnyFunSuite with SharedSparkSpec {
     assert(AudioHeaders.decode("definitely not RIFF audio bytes!".getBytes("UTF-8")).isEmpty)
   }
 
+  test("wav header codec: property round-trip across the PCM parameter space") {
+    import graft.engine.AudioHeaders
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val ch = rnd.nextInt(8) + 1
+      val rate = Seq(8000, 11025, 16000, 22050, 44100, 48000)(rnd.nextInt(6))
+      val bits = Seq(8, 16, 24, 32)(rnd.nextInt(4))
+      val n = rnd.nextInt(500)
+      assert(AudioHeaders.decode(AudioHeaders.wavBytes(ch, rate, bits, n)) ==
+        Some((ch, rate, bits, n.toLong)),
+        s"round-trip failed for ch=$ch rate=$rate bits=$bits n=$n")
+    }
+  }
+
   test("repartition by byte budget keeps batches balanced") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.asMedia(spark, docs).repartition(8)
