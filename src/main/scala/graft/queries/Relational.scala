@@ -109,6 +109,27 @@ object Relational {
                 col("cnt"))
         .orderBy("o_orderstatus")),
 
+    // ---- TPC-H-Q18 shape: large-volume orders via an AGGREGATED semi
+    // filter — the grouped lineitem qualifier joins back to orders, then
+    // customer. Scale shape: the qualifier is a partial→final hash agg on
+    // the fact (its output is orders-sized, already keyed on the join key —
+    // AQE reuses the partitioning for the join); customer attaches last so
+    // only the ~top fraction of orders reaches it; TakeOrdered caps the
+    // output without a global sort.
+    "q18_large_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 4).as("tot_qty"))
+        .filter(col("tot_qty") > 150)
+      t(s, d, "orders").join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"),
+          round(col("o_totalprice"), 4).as("o_totalprice"), col("tot_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
     // ---- regression/correlation aggregates: the relationship-profiling
     // pass (does price scale with quantity per return class?). All four
     // statistics are single-pass mergeable moment aggregates — partial
@@ -660,6 +681,16 @@ object Relational {
         |      ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 4) AS tot_qty
+        |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 4) > 150)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_date,
+        |  round(o_totalprice, 4) AS o_totalprice, tot_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
 
     "agg_corr_regr" ->
       """SELECT l_returnflag, count(*) AS n,

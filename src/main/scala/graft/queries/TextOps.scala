@@ -272,6 +272,26 @@ object TextOps {
         .orderBy(col("tf").desc, col("tok").asc)
         .limit(25)),
 
+    // first BPE merge selection: count adjacent CHARACTER pairs inside every
+    // word across the corpus and rank merge candidates — iterating exactly
+    // this query (merge the winner, recount) IS byte-pair-encoding tokenizer
+    // training; one round is the honest catalog face (the loop is driver
+    // code like KMeans.lloyd, not a different plan shape). Shape: token and
+    // char-pair arrays cache-staged before their explodes (TextFunctions
+    // contract), then a single (pair → count) hash-agg — partial aggregation
+    // absorbs the per-word fan-out map-side, and the top-10 is TakeOrdered
+    // on (count, pair), never a vocabulary-wide sort.
+    "tx_bpe_first_merge" -> ((s, d) => {
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("__toks")).cache()
+      val charStaged = staged.select(explode(col("__toks")).as("tok"))
+        .select(T.bigramsFromTokens(split(col("tok"), "")).as("__pairs")).cache()
+      charStaged.select(explode(col("__pairs")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(10)
+    }),
+
     // unigram negative-log-likelihood per doc — the cheap stand-in for the
     // LM-perplexity quality filter every corpus pipeline runs (docs whose
     // tokens are corpus-typical score low; gibberish and boilerplate-with-
@@ -515,6 +535,14 @@ object TextOps {
       s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM (SELECT doc_id, unnest(${S.tokens("text")}) AS tok FROM documents)
          |GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT 25""".stripMargin,
+
+    "tx_bpe_first_merge" ->
+      s"""WITH words AS (SELECT unnest(${S.tokens("text")}) AS tok FROM documents),
+         |pairs AS (SELECT unnest(CASE WHEN len(cs) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |    list_transform(range(1, len(cs)), i -> cs[i] || ' ' || cs[i+1]) END) AS pair
+         |  FROM (SELECT string_split(tok, '') AS cs FROM words))
+         |SELECT pair, count(*) AS n FROM pairs
+         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 10""".stripMargin,
 
     "tx_unigram_logprob" ->
       s"""WITH tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),

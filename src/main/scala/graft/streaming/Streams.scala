@@ -148,4 +148,51 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** Sessionization with EVENT-TIME TIMEOUT: unlike [[sessionize]] (which
+    * only closes a user's session when a LATER event for the same user
+    * arrives), the open session also closes when the watermark passes
+    * last_event + gap — so a user who walks away still gets their session
+    * emitted, with watermark latency. This is the semantics an unbounded
+    * production stream needs: state for idle keys is guaranteed to drain,
+    * making state size track the ACTIVE key set, not the all-time key set. */
+  def sessionizeTimeout(events: Dataset[Event], gapMinutes: Long = 30,
+                        watermark: String = "0 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000
+
+    def fn(userId: Long, it: Iterator[Event],
+           state: GroupState[(Timestamp, Timestamp, Long, Double)]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val (s0, e0, n, v) = state.get
+        state.remove()
+        Iterator.single(SessionOut(userId, s0, e0, n, v))
+      } else {
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var out = List.empty[SessionOut]
+        var cur = state.getOption
+        for (e <- sorted) {
+          cur match {
+            case Some((s0, e0, n, v)) if e.ts.getTime - e0.getTime <= gapMs =>
+              cur = Some((s0, e.ts, n + 1, v + e.value))
+            case Some((s0, e0, n, v)) =>
+              out ::= SessionOut(userId, s0, e0, n, v)
+              cur = Some((e.ts, e.ts, 1L, e.value))
+            case None =>
+              cur = Some((e.ts, e.ts, 1L, e.value))
+          }
+        }
+        cur.foreach { c =>
+          state.update(c)
+          state.setTimeoutTimestamp(c._2.getTime + gapMs)
+        }
+        out.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -189,6 +189,31 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
       s"view@5 for user 2 must emit with null purchase after watermark: ${out.mkString(",")}")
   }
 
+  test("sessionizeTimeout closes idle sessions when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionizeTimeout(mem.toDS()).writeStream
+      .format("memory").queryName("sess_timeout").outputMode("append").start()
+    // user 1's session (events at 0 and 5) stays open: nothing can close it
+    mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_timeout").count() == 0, "session must still be open")
+    // an UNRELATED user's event advances the watermark past 5 + 30min;
+    // the timeout fires on the following trigger
+    mem.addData(Event(3, ts(200), 2, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(210), 2, "view", 1.0))
+    q.processAllAvailable(); q.stop()
+    // user 1's session emitted WITHOUT any further user-1 event — the thing
+    // the NoTimeout variant cannot do
+    val u1 = spark.table("sess_timeout").as[Streams.SessionOut]
+      .collect().filter(_.user_id == 1)
+    assert(u1.length == 1, s"expected exactly one closed session: ${u1.mkString(",")}")
+    assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
+    assert(u1.head.session_start == ts(0) && u1.head.session_end == ts(5))
+  }
+
   test("dedupFirst keeps one row per (user_id, event_type)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
