@@ -52,6 +52,26 @@ object Probe {
         }
         th.unpersist()
       }
+      else if (name == "COSBENCH") {
+        // microbench: native fused cosine vs composed three-fold cosine over
+        // an inflated all-pairs-vs-query frame (embeddings × 100 replicas).
+        import graft.engine.{Tables, Vectors => V}
+        val e = Tables.load(spark, d, "embeddings")
+          .crossJoin(spark.range(100))
+          .select(V.vd(col("embedding")).as("v")).cache()
+        e.count()
+        val q = Tables.load(spark, d, "embeddings").filter(col("vec_id") === 0)
+          .select(V.vd(col("embedding")).as("qv"))
+        for (round <- 1 to 2) {
+          time(s"cosbench composed r$round") {
+            e.crossJoin(broadcast(q)).select(sum(V.cosineComposed(col("v"), col("qv")))).head
+          }
+          time(s"cosbench native   r$round") {
+            e.crossJoin(broadcast(q)).select(sum(V.cosine(col("v"), col("qv")))).head
+          }
+        }
+        e.unpersist()
+      }
       else {
         val fn = SparkEntry.queries(name)
         time(name) { fn(spark, d).write.format("noop").mode("overwrite").save() }

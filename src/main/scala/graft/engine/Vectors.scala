@@ -28,7 +28,17 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — dispatches to the native fused one-pass expression
+    * (graft.plans.CosineSim, codegen'd); the composed three-fold form is
+    * kept below as the executable specification, property-checked equal in
+    * PlansSpec. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.GraftExtensions.cosineSim(a, b)
+
+  /** The composed form cosine dispatches to natively: three interpreted
+    * higher-order folds per pair. */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Deterministic LCG pseudo-random hyperplane component r(j,i) ∈ [-0.5, 0.5):
     * ((1103515245*(j*dim+i) + 12345) mod 65536)/65536 - 0.5. */

@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSigFn)
     ext.injectFunction(GraftExtensions.shingleHashesFn)
     ext.injectFunction(GraftExtensions.simhash24Fn)
+    ext.injectFunction(GraftExtensions.cosineSimFn)
     ext.injectOptimizerRule(_ => EliminateDurationRoundTrip)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -55,6 +56,8 @@ object GraftExtensions {
     ColumnBridge.toColumn(ShingleHashes(ColumnBridge.toExpression(c)))
   def simhash24(c: Column): Column =
     ColumnBridge.toColumn(SimHash24(ColumnBridge.toExpression(c)))
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(CosineSim(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
 
   private type FnDef = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
@@ -88,6 +91,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash24].getName, "simhash24"),
     (args: Seq[Expression]) => SimHash24(args.head))
 
+  val cosineSimFn: FnDef = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (args: Seq[Expression]) => CosineSim(args(0), args(1)))
+
   /** Install into an already-running session (tests / notebooks): registers
     * the SQL functions, the optimizer rule, and the as-of join strategy. */
   def install(spark: SparkSession): Unit = {
@@ -103,6 +111,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("shingle_hashes", args => ShingleHashes(args.head), "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("simhash24", args => SimHash24(args.head), "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("cosine_sim", args => CosineSim(args(0), args(1)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(EliminateDurationRoundTrip))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EliminateDurationRoundTrip

@@ -166,6 +166,49 @@ class PlansSpec extends AnyFunSuite with SharedSparkSpec {
     assert(viaSql >= 0L && viaSql < (1L << 24))
   }
 
+  test("native cosine_sim ≡ composed dot/norm·norm on edges + random vectors") {
+    import spark.implicits._
+    import graft.engine.{Vectors => V}
+    val rnd = new scala.util.Random(23)
+    val edges: Seq[(Seq[Double], Seq[Double])] = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),          // orthogonal
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)), // identical
+      (Seq(1.0, 2.0), Seq(-1.0, -2.0)),        // opposite
+      (Seq(1e-150, 1e-150), Seq(1e-150, 1e-150)), // squares near the underflow edge
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)))     // length mismatch → null both
+    val randoms = Seq.fill(300) {
+      val n = rnd.nextInt(80) + 1
+      (Seq.fill(n)(rnd.nextGaussian()), Seq.fill(n)(rnd.nextGaussian()))
+    }
+    val rows = (edges ++ randoms).toDF("a", "b")
+      .select(V.cosine(col("a"), col("b")).as("native"),
+              V.cosineComposed(col("a"), col("b")).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      (r.isNullAt(0), r.isNullAt(1)) match {
+        case (true, true) => // both null (length mismatch) ✓
+        case (false, false) =>
+          val n = r.getDouble(0); val c = r.getDouble(1)
+          assert(java.lang.Double.compare(n, c) == 0, // bit-exact, NaN-safe
+            s"cosine mismatch: native=$n composed=$c")
+        case other => fail(s"null-ness mismatch: $other")
+      }
+    }
+    // degenerate zero-norm case — the ONE documented difference: the native
+    // form returns null (try_divide semantics) where composed THROWS under
+    // ANSI (session default); a 100 TB job should not die on one zero vector
+    val degenerate = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    assert(degenerate.select(V.cosine(col("a"), col("b"))).head.isNullAt(0))
+    intercept[Exception] {
+      degenerate.select(V.cosineComposed(col("a"), col("b"))).collect()
+    }
+    // SQL registration
+    GraftExtensions.install(spark)
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS c").head.getDouble(0)
+    assert(math.abs(viaSql - 1.0) < 1e-12)
+  }
+
   test("array-consuming native exprs reject nullable-element arrays at analysis") {
     // session-wide SQL registration means hostile inputs like
     // array(1, CAST(NULL AS BIGINT)) can reach the kernels, whose getLong
