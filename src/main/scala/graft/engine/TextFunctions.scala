@@ -96,6 +96,15 @@ object TextFunctions {
       zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
         (a, b) => concat(a, lit(" "), b)))
 
+  /** Word n-grams joined with single spaces; empty array when the doc is
+    * shorter than n. Same staging contract as [[bigramsFromTokens]]: `t`
+    * must be a real (staged) column — it is referenced once per output
+    * element by the slice lambda. */
+  def ngramsFromTokens(t: Column, n: Int): Column =
+    when(size(t) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+
   /** MinHash family: h_j(s) = (a_j*s + b_j) % P with deterministic a_j, b_j. */
   def minhashA(j: Int): Long = ((j + 1) * 2654435761L) % P
   def minhashB(j: Int): Long = (j * 40503L + 17L) % P

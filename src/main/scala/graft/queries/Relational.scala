@@ -406,6 +406,64 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("sum_price"))
         .orderBy("bucket")),
 
+    // ---- equi-DEPTH histogram (deciles by population, not by value range):
+    // needs every row's global rank, which is the classic single-reducer
+    // trap — so the rank comes from the same two-level scheme as
+    // w3_every_kth: range-repartition on the sort key, per-partition local
+    // row numbers, partition offsets via a broadcast prefix-sum of the
+    // tiny per-partition count table. No global window anywhere; bucket
+    // boundaries then fall out of pure integer arithmetic
+    // (1 + (rn-1)*10 div N), which is also exactly how the DuckDB oracle's
+    // row_number formulation buckets — remainder rows land in the LOW
+    // buckets on both sides. The tie-break (price, orderkey) makes the
+    // global order total, so bucketing is deterministic.
+    "agg_hist_equidepth" -> ((s, d) => {
+      val local = t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(col("o_totalprice").asc, col("o_orderkey").asc)
+        .sortWithinPartitions(col("o_totalprice").asc, col("o_orderkey").asc)
+        .withColumn("__mid", monotonically_increasing_id())
+        .withColumn("pid", shiftright(col("__mid"), 33))
+        .withColumn("lrn", col("__mid") - shiftleft(col("pid"), 33) + 1)
+      val cnts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      val offsets = cnts
+        .join(cnts.select(col("pid").as("ppid"), col("cnt").as("pcnt")),
+          col("ppid") < col("pid"), "left")
+        .groupBy("pid").agg(coalesce(sum("pcnt"), lit(0L)).as("offset"))
+      val n = local.agg(count(lit(1)).as("n_total"))
+      local.join(broadcast(offsets), "pid")
+        .withColumn("rn", col("lrn") + col("offset"))
+        .crossJoin(broadcast(n))
+        // (rn-1)*10/N in double is exact at every decile boundary for
+        // N < 2^49 (integer operands, product < 2^53), so floor matches
+        // the oracle's integer `//` division bit-for-bit.
+        .withColumn("bucket",
+          (lit(1) + floor((col("rn") - 1) * 10 / col("n_total"))).cast("bigint"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+             r4(min("o_totalprice")).as("lo"),
+             r4(max("o_totalprice")).as("hi"),
+             r4(avg("o_totalprice")).as("avg_price"))
+        .orderBy("bucket")
+    }),
+
+    // ---- null-safe equality join (<=> / IS NOT DISTINCT FROM): ordinary
+    // equi-joins drop null keys on the floor; the null-safe form makes NULL
+    // a first-class join key — the semantics a dimension with an "unknown"
+    // bucket needs. Planner note: Spark lowers `<=>` to an EqualNullSafe
+    // equi-join key, so this still hash-partitions both sides (all nulls
+    // co-locate in one partition — fine when the null bucket is one group's
+    // worth of rows, the salting pattern in skew_salted_join otherwise).
+    "j6_join_nullsafe" -> ((s, d) => {
+      val fact = t(s, d, "lineitem")
+        .select(nullif(col("l_returnflag"), lit("N")).as("k"), col("l_extendedprice"))
+      val dim = fact.select(col("k").as("dk")).distinct()
+      fact.join(dim, col("k") <=> col("dk"))
+        .groupBy("dk")
+        .agg(count(lit(1)).as("n"), r4(sum("l_extendedprice")).as("rev"))
+        .orderBy(col("dk").asc_nulls_first)
+    }),
+
     // ---- typed custom aggregates (engine.Aggregators) given a catalog
     // face: the Welford one-pass moments and the heap-based per-group top-k
     // run as partial→final aggregation exactly like built-ins (mergeable
@@ -869,6 +927,23 @@ object Relational {
       """SELECT CAST(least(floor(o_totalprice / 60000.0), 9.0) AS BIGINT) AS bucket,
         |  count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "agg_hist_equidepth" ->
+      """SELECT CAST(1 + ((rn - 1) * 10) // n_total AS BIGINT) AS bucket,
+        |  count(*) AS n, round(min(o_totalprice), 4) AS lo,
+        |  round(max(o_totalprice), 4) AS hi, round(avg(o_totalprice), 4) AS avg_price
+        |FROM (SELECT o_totalprice,
+        |        row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+        |        count(*) OVER () AS n_total
+        |      FROM orders)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "j6_join_nullsafe" ->
+      """WITH fact AS (SELECT nullif(l_returnflag, 'N') AS k, l_extendedprice FROM lineitem),
+        |dim AS (SELECT DISTINCT k AS dk FROM fact)
+        |SELECT dk, count(*) AS n, round(sum(l_extendedprice), 4) AS rev
+        |FROM fact JOIN dim ON k IS NOT DISTINCT FROM dk
+        |GROUP BY dk ORDER BY dk NULLS FIRST""".stripMargin,
 
     "w1_lag_diff" ->
       """SELECT event_id, user_id, value, prev_value, value - prev_value AS delta,

@@ -257,6 +257,53 @@ object ScaleOps {
         .orderBy("o_orderstatus")
     }),
 
+    // ---- per-file min/max data skipping (engine.FileSkipping): the
+    // layout twin of pp_partition_pruned for keys too continuous to
+    // directory-partition on. lineitem is written once per sf range-
+    // clustered on l_extendedprice into 8 files plus a one-row-per-file
+    // (min,max,count) manifest — the Delta/Iceberg stats-log pattern — and
+    // the price-band query reads ONLY the files whose envelope intersects
+    // the band (FileSkippingSpec asserts strictly fewer files than the
+    // layout holds, and agreement with the unpruned scan). The surviving-
+    // file list is a metadata-sized driver decision, like reading a
+    // transaction log; the data path stays distributed.
+    "layout_file_skipping" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_filestats/lineitem_$tag"
+      if (!new java.io.File(path + "/_SUCCESS").exists())
+        graft.engine.FileSkipping.writeRangedWithStats(
+          t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_extendedprice"),
+          "l_extendedprice", 8, path)
+      graft.engine.FileSkipping.prunedRead(s, path, "l_extendedprice", 2000.0, 15000.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 4).as("rev"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- validation routing (dead-letter / quarantine split): every row is
+    // classified by the FIRST failing rule — malformed-event type, suspect
+    // JSON payload, negligible value — and the query reports the routing
+    // census per reason. At 100 TB this is a pure scan-side projection (the
+    // JSON probe is one codegen'd get_json_object) feeding a 4-group
+    // aggregate: the quarantine stream is `filter(reason != 'ok')` on the
+    // same frame, no second scan. Rule order IS the contract (a row failing
+    // two rules lands in the first), mirrored exactly by the oracle's CASE.
+    "etl_quarantine" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .withColumn("reason",
+          when(col("event_type") === "error", "error_event")
+            .when(col("k") >= 95, "suspect_props")
+            .when(col("value") < 0.01, "negligible_value")
+            .otherwise("ok"))
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct("user_id").as("n_users"),
+             min("event_id").as("first_event"),
+             max("event_id").as("last_event"))
+        .orderBy("reason")),
+
     // ---- sketch aggregates. HLL/KLL internals differ across engines, so the
     // query emits the BOUND CHECK, not the raw sketch: both the approximate
     // and the exact aggregate are computed in-query and the output is the
@@ -414,6 +461,23 @@ object ScaleOps {
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS rev
         |FROM orders WHERE year(o_orderdate) = 1995
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "layout_file_skipping" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS rev
+        |FROM lineitem
+        |WHERE l_extendedprice >= 2000.0 AND l_extendedprice <= 15000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "etl_quarantine" ->
+      """SELECT reason, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM (SELECT event_id, user_id,
+        |        CASE WHEN event_type = 'error' THEN 'error_event'
+        |             WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 95 THEN 'suspect_props'
+        |             WHEN value < 0.01 THEN 'negligible_value'
+        |             ELSE 'ok' END AS reason
+        |      FROM events)
+        |GROUP BY reason ORDER BY reason""".stripMargin,
 
     // Sketch oracles verify the BOUND, not the sketch: the oracle computes
     // the exact side and asserts the bound literally TRUE — the Spark query

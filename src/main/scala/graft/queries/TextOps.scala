@@ -405,6 +405,60 @@ object TextOps {
              min("doc_id").as("first_doc"),
              max("doc_id").as("last_doc"))
         .orderBy("shard", "chunk_id")
+    }),
+
+    // cross-document duplicated-n-gram fraction — the Gopher/Dolma corpus
+    // quality signal tx_repetition can't see: what share of a doc's word
+    // 5-grams also appear in at least one OTHER document (boilerplate,
+    // mirrored spans, template text). Shape: 5-gram arrays cache-staged
+    // before the explode (TextFunctions contract), one (gram → distinct-doc
+    // count) hash-agg — the "dimension" side, vocabulary-sized — then a
+    // shuffle join back on the gram key and a per-doc re-aggregate. Never
+    // doc×doc: the corpus-wide sharing structure rides entirely on the
+    // gram-key shuffle, the same fact⋈dim layout as tx_tfidf. Docs shorter
+    // than 5 tokens have no 5-grams and drop out on both sides.
+    "tx_dup_ngram_fraction" -> ((s, d) => {
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("__toks")).cache()
+      val grams = staged
+        .select(col("doc_id"), T.ngramsFromTokens(col("__toks"), 5).as("__g")).cache()
+      val pairs = grams.select(col("doc_id"), explode(col("__g")).as("gram"))
+      val docFreq = pairs.groupBy("gram").agg(countDistinct("doc_id").as("df"))
+      pairs.join(docFreq, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+             sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"),
+             round(avg(when(col("df") >= 2, 1.0).otherwise(0.0)), 4).as("dup_fraction"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic weighted sample: 3 docs per language, selection
+    // probability rising with n_chars — the "sample long documents for
+    // manual QA" draw. The priority key is hash(doc_id)/weight (threshold
+    // sampling): pure integer hash + one IEEE division, so the draw is
+    // reproducible across engines, repartition-stable, and recomputable
+    // per-row — no rand(), no global sort. Selection is the bounded typed
+    // TopK aggregator (per-partition heap, mergeable partial state), NOT a
+    // per-group window sort: at 100 TB each partition contributes at most
+    // k candidate rows to the final merge. Negated key because TopK keeps
+    // the largest values; ties break to the lowest doc_id inside the heap
+    // and in the oracle's row_number alike.
+    "tx_sample_weighted" -> ((s, d) => {
+      val topk = org.apache.spark.sql.functions.udaf(new graft.engine.Aggregators.TopK(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
+      val scored = t(s, d, "documents")
+        .withColumn("h", pmod(col("doc_id"), lit(1000000007L)) * 2654435761L % 1000000007L)
+        .withColumn("skey", col("h").cast("double") / col("n_chars"))
+      val picked = scored
+        .groupBy("lang")
+        .agg(topk(col("doc_id"), -col("skey")).as("ids"))
+        .select(col("lang"), posexplode(col("ids")))
+        .select(col("lang"), (col("pos") + 1).cast("bigint").as("rnk"), col("col").as("doc_id"))
+      picked.join(scored.select(col("doc_id"), col("n_chars"), round(col("skey"), 4).as("skey")),
+          "doc_id")
+        .select("lang", "rnk", "doc_id", "n_chars", "skey")
+        .orderBy("lang", "rnk")
     })
   )
 
@@ -601,6 +655,29 @@ object TextOps {
          |SELECT shard, CAST(floor(cum_before / 256.0) AS BIGINT) AS chunk_id,
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM c GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin
+         |FROM c GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin,
+
+    "tx_dup_ngram_fraction" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END) AS gram
+         |  FROM (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents)),
+         |dfreq AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+         |  round(avg(CAST(CASE WHEN df >= 2 THEN 1 ELSE 0 END AS DOUBLE)), 4) AS dup_fraction
+         |FROM g JOIN dfreq USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tx_sample_weighted" ->
+      """WITH scored AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST((doc_id % 1000000007) * 2654435761 % 1000000007 AS DOUBLE) / n_chars AS skey
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, n_chars, skey,
+        |        row_number() OVER (PARTITION BY lang ORDER BY skey ASC, doc_id ASC) AS rnk
+        |      FROM scored)
+        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, round(skey, 4) AS skey
+        |FROM r WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin
   )
 }
