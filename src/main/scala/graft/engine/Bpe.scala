@@ -1,0 +1,77 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-round byte-pair-encoding tokenizer training — the iterative
+  * closure of the catalog's oracle-checked single merge selection
+  * (`tx_bpe_first_merge` is the pair-counting half of round 1). The loop
+  * operates on the standard BPE working set: the distinct-word frequency
+  * table, ORDERS of magnitude smaller than the corpus (pair counts weighted
+  * by word frequency are identical to counting over every occurrence).
+  *
+  * Per round: one explode→hash-agg over adjacent symbol pairs (partial
+  * aggregation absorbs the fan-out map-side), a 1-row TakeOrdered for the
+  * winner — the only driver-visible data, one (pair, count) row per round —
+  * and a distributed leftmost-greedy rewrite of each word's symbol
+  * sequence. `localCheckpoint()` truncates lineage per round
+  * (KMeans.lloyd / dd_clusters pattern): plan depth stays constant for any
+  * vocabulary size.
+  *
+  * Determinism: the winner is max count with lexicographic pair tie-break,
+  * and the rewrite is leftmost-first — both engine-order-independent, so
+  * the merge table is reproducible at any partitioning.
+  */
+object Bpe {
+
+  /** Leftmost-first greedy application of one merge to a symbol sequence. */
+  def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        buf += (a + b); i += 2
+      } else { buf += syms(i); i += 1 }
+    }
+    buf.toSeq
+  }
+
+  /** The word-frequency working set for a document frame with a `text`
+    * column: distinct words, each split into single-character symbols. */
+  def wordTable(docs: DataFrame): DataFrame = {
+    val staged = docs.select(TextFunctions.tokens(col("text")).as("__toks")).cache()
+    staged.select(explode(col("__toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(split(col("word"), "").as("syms"), col("freq"))
+  }
+
+  /** Train `k` merges. Returns the merge table in order — (left, right,
+    * weighted pair count) per round, counts non-increasing by greedy
+    * maximality — and the final rewritten word table (syms, freq). Stops
+    * early if no adjacent pair remains. */
+  def train(spark: SparkSession, words: DataFrame, k: Int): (Seq[(String, String, Long)], DataFrame) = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import spark.implicits._
+    var tbl: Dataset[(Seq[String], Long)] =
+      words.select(col("syms").cast("array<string>"), col("freq").cast("bigint"))
+        .as[(Seq[String], Long)].localCheckpoint()
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to k if !done) {
+      val top = tbl.toDF("syms", "freq")
+        .select(TextFunctions.bigramsFromTokens(col("syms")).as("__pairs"), col("freq"))
+        .select(explode(col("__pairs")).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect() // exactly one (pair, count) row crosses to the driver
+      if (top.isEmpty) done = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        merges += ((a, b, top(0).getLong(1)))
+        tbl = tbl.map { case (syms, freq) => (applyMerge(syms, a, b), freq) }
+          .localCheckpoint()
+      }
+    }
+    (merges.result(), tbl.toDF("syms", "freq"))
+  }
+}

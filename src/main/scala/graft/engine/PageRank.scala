@@ -1,0 +1,60 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-round damped PageRank over a (src, dst) edge list — the iterative
+  * closure of the catalog's single oracle-checked step (`graph_rank_step`
+  * is exactly round 1 of this loop restricted to the receiving side).
+  *
+  * Per round: one edge⋈outdeg join and one edge⋈rank join — both on `src`,
+  * the key the edge list is already partitioned on after its first shuffle,
+  * so AQE reuses the layout — then a per-node aggregation of contributions
+  * and a node-frame left join to re-seed nodes that received nothing.
+  * `localCheckpoint()` truncates lineage every round (the dd_clusters /
+  * KMeans.lloyd pattern), keeping plan depth constant for any round count;
+  * the driver holds only round deltas, never rank rows.
+  *
+  * Dangling nodes (no out-edges) leak their mass rather than redistributing
+  * it — the textbook simplification. Consequences pinned in PageRankSpec:
+  * every rank stays ≥ (1-damping), and total mass is non-increasing round
+  * over round instead of conserved.
+  *
+  * Caller contract: node ids must identify nodes globally. For a bipartite
+  * edge list whose two sides draw from overlapping id spaces (customer 5 vs
+  * supplier 5), encode sides into disjoint ids first — the loop cannot know
+  * two equal numbers are different entities.
+  */
+object PageRank {
+
+  /** Run `rounds` damped power iterations from uniform rank 1.0.
+    * `edges` must have columns (src, dst); duplicate edges count double by
+    * design (a weighted graph arrives pre-aggregated or deduplicated).
+    * Returns the final (node, rank) frame and the per-round max absolute
+    * rank change — strictly contracting for damping < 1. */
+  def run(edges: DataFrame, rounds: Int, damping: Double = 0.85): (DataFrame, Seq[Double]) = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint()
+    val deltas = Seq.newBuilder[Double]
+    for (_ <- 1 to rounds) {
+      val contribs = edges
+        .join(out, "src")
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("mass"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1 - damping) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+      deltas += next.join(ranks.select(col("node"), col("rank").as("prev")), "node")
+        .agg(max(abs(col("rank") - col("prev")))).head.getDouble(0)
+      ranks = next
+    }
+    (ranks, deltas.result())
+  }
+}

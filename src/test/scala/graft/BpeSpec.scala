@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Bpe, Tables}
+
+/** Pins the multi-round BPE training loop: exact merges on the classic toy
+  * corpus, agreement of round 1 with the oracle-checked catalog query, and
+  * the greedy-maximality invariant (merge counts never increase). */
+class BpeSpec extends AnyFunSuite with SharedSparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  test("toy corpus: exact merge table, leftmost-greedy rewrite") {
+    import spark.implicits._
+    val words = Seq(
+      ("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L), ("hugs", 5L))
+      .toDF("word", "freq")
+      .select(org.apache.spark.sql.functions.split($"word", "").as("syms"), $"freq")
+    val (merges, tbl) = Bpe.train(spark, words, k = 3)
+    // pair counts: (u,g)=10+5+5=20, (p,u)=5+12=17, (u,n)=12+4=16, (h,u)=15…
+    // round 2 recounts AFTER the ug merge: (u,n)=16 beats (h,ug)=15
+    assert(merges == Seq(("u", "g", 20L), ("u", "n", 16L), ("h", "ug", 15L)))
+    val rewritten = tbl.as[(Seq[String], Long)].collect().toMap
+    assert(rewritten(Seq("hug")) == 10L)          // h+ug merged in round 3
+    assert(rewritten(Seq("p", "ug")) == 5L)
+    assert(rewritten(Seq("p", "un")) == 12L)
+    assert(rewritten(Seq("b", "un")) == 4L)
+    assert(rewritten(Seq("hug", "s")) == 5L)
+  }
+
+  test("round 1 on documents reproduces the tx_bpe_first_merge winner") {
+    val words = Bpe.wordTable(Tables.load(spark, d, "documents"))
+    val (merges, _) = Bpe.train(spark, words, k = 1)
+    val top = SparkEntry.queries("tx_bpe_first_merge")(spark, d)
+      .limit(1).collect()(0)
+    val Array(a, b) = top.getString(0).split(" ", 2)
+    assert(merges.head._1 == a && merges.head._2 == b)
+    assert(merges.head._3 == top.getLong(1),
+      "frequency-weighted pair count must equal the per-occurrence count")
+  }
+
+  test("merge counts are non-increasing across rounds (greedy maximality)") {
+    val words = Bpe.wordTable(Tables.load(spark, d, "documents"))
+    val (merges, _) = Bpe.train(spark, words, k = 6)
+    assert(merges.length == 6, "this corpus has far more than 6 mergeable pairs")
+    merges.map(_._3).sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"counts must not increase: ${merges.map(_._3)}")
+    }
+    assert(merges.map(m => (m._1, m._2)).distinct.length == 6, "merges must be distinct")
+  }
+
+  test("applyMerge is leftmost-first greedy on overlapping runs") {
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(Bpe.applyMerge(Seq("x"), "a", "a") == Seq("x"))
+    assert(Bpe.applyMerge(Nil, "a", "b") == Nil)
+  }
+}
