@@ -39,6 +39,40 @@ object Aggregators {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
   }
 
+  /** Misra–Gries heavy-hitters summary: at most `width` counters. The two
+    * guarantees (Agarwal et al., "Mergeable Summaries"): estimates never
+    * overcount, and they undercount by at most n/(width+1) — so any item
+    * with true frequency above n/(width+1) is guaranteed a surviving
+    * counter. The merge is counter-wise sum followed by the same
+    * decrement-and-trim as reduce, so the summary runs partial→final like
+    * any built-in and the bound holds at any partitioning. The raw
+    * ESTIMATES depend on merge order; the BOUNDS do not — catalog queries
+    * expose only order-independent facts (the sketch_* oracle convention),
+    * the raw summary stays spec-land. */
+  final class MisraGries(width: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(width >= 1)
+    override def zero: Map[String, Long] = Map.empty
+    private def trim(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= width) m
+      else {
+        // subtract the (width+1)-th largest weight from everything; at
+        // least one counter zeroes out, and the removed mass per input
+        // row stays bounded by 1/(width+1) of the rows seen
+        val cut = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(width)
+        m.collect { case (k, v) if v > cut => k -> (v - cut) }
+      }
+    override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      trim(b.updated(x, b.getOrElse(x, 0L) + 1L))
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      trim(b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) })
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   /** Bounded top-k by value without a sort — per-partition heap, mergeable.
     * The typed analogue of TakeOrderedAndProject for use inside groupBy. */
   final class TopK(k: Int) extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[Long]] {

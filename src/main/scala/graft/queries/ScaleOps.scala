@@ -355,6 +355,62 @@ object ScaleOps {
           (col("rank_le") >= col("q") * col("n") - col("n") / 10000.0 - 1.0 &&
            col("rank_le") <= col("q") * col("n") + col("n") / 10000.0 + 1.0).as("rank_ok"))
         .orderBy("o_orderstatus", "q")
+    }),
+
+    // ---- Misra–Gries heavy hitters (engine.Aggregators.MisraGries): the
+    // mergeable frequent-items summary — 16 counters replace the full
+    // vocabulary aggregate wherever "which items exceed ~6% of the stream"
+    // is the actual question. Same oracle convention as the other
+    // sketches: raw estimates are merge-order-dependent, so the query
+    // exposes only the order-independent facts — never-overcount and the
+    // n/(width+1) undercount bound — checked for the exact top-10 tokens,
+    // against a literal-TRUE oracle next to the exact counts. SketchSpec
+    // pins survival of a planted heavy hitter independently.
+    "sketch_heavy_hitters" -> ((s, d) => {
+      val mg = udaf(new graft.engine.Aggregators.MisraGries(16),
+        org.apache.spark.sql.Encoders.STRING)
+      val staged = t(s, d, "documents")
+        .select(graft.engine.TextFunctions.tokens(col("text")).as("__toks")).cache()
+      val toks = staged.select(explode(col("__toks")).as("tok"))
+      val summary = toks.agg(mg(col("tok")).as("mg"), count(lit(1)).as("n_total"))
+      toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok").asc)
+        .limit(10)
+        .crossJoin(broadcast(summary))
+        .withColumn("est", coalesce(element_at(col("mg"), col("tok")), lit(0L)))
+        .select(col("tok"), col("exact_cnt"),
+          (col("est") <= col("exact_cnt") &&
+           col("est") >= col("exact_cnt") - col("n_total") / 17.0).as("within_bound"))
+        .orderBy("tok")
+    }),
+
+    // ---- schema-evolution merge read: two parquet generations written
+    // side by side (gen=2 adds o_orderpriority), read back as ONE frame via
+    // mergeSchema + partition discovery — the lakehouse "add a column
+    // without rewriting history" contract. Old-generation rows surface the
+    // new column as NULL; the census proves both the union schema and the
+    // per-generation null semantics. At 100 TB schema merge is a FOOTER
+    // operation (one scan over file metadata at planning), not a data
+    // rewrite.
+    "etl_schema_merge" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_evolve/orders_$tag"
+      if (!new java.io.File(s"$base/gen=1/_SUCCESS").exists()) {
+        val o = t(s, d, "orders")
+        o.filter(year(col("o_orderdate")) < 1995)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$base/gen=1")
+        o.filter(year(col("o_orderdate")) >= 1995)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$base/gen=2")
+      }
+      s.read.option("mergeSchema", "true").parquet(base)
+        .groupBy(col("gen").cast("bigint").as("gen"))
+        .agg(count(lit(1)).as("n"),
+             count(col("o_orderpriority")).as("n_with_priority"),
+             countDistinct(col("o_orderstatus")).as("n_status"),
+             round(sum("o_totalprice"), 4).as("rev"))
+        .orderBy("gen")
     })
   )
 
@@ -493,6 +549,23 @@ object ScaleOps {
       """SELECT o_orderstatus, q, n, TRUE AS rank_ok
         |FROM (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1)
         |CROSS JOIN (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q)
-        |ORDER BY o_orderstatus, q""".stripMargin
+        |ORDER BY o_orderstatus, q""".stripMargin,
+
+    "sketch_heavy_hitters" ->
+      s"""SELECT tok, exact_cnt, TRUE AS within_bound FROM (
+         |  SELECT tok, count(*) AS exact_cnt
+         |  FROM (SELECT unnest(${SqlText.tokens("text")}) AS tok FROM documents)
+         |  GROUP BY tok ORDER BY exact_cnt DESC, tok ASC LIMIT 10)
+         |ORDER BY tok""".stripMargin,
+
+    "etl_schema_merge" ->
+      """SELECT gen, count(*) AS n,
+        |  CAST(sum(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_priority,
+        |  count(DISTINCT o_orderstatus) AS n_status,
+        |  round(sum(o_totalprice), 4) AS rev
+        |FROM (SELECT CAST(CASE WHEN year(o_orderdate) < 1995 THEN 1 ELSE 2 END AS BIGINT) AS gen,
+        |        o_orderstatus, o_totalprice
+        |      FROM orders)
+        |GROUP BY gen ORDER BY gen""".stripMargin
   )
 }

@@ -75,4 +75,27 @@ class SketchSpec extends AnyFunSuite with SharedSparkSpec {
         s"approx distinct for $k: $a vs exact $e")
     }
   }
+
+  test("misra-gries: planted heavy hitter survives with a bounded undercount") {
+    import spark.implicits._
+    // 30% of the stream is one token, the tail is 200 near-unique tokens —
+    // the regime the 16-counter summary exists for (hot > n/17 ≈ 5.9%)
+    val stream = (Seq.fill(3000)("hot") ++
+      (0 until 7000).map(i => s"tail_${i % 200}")).toDF("tok")
+      .repartition(8) // force multi-partition partial→final merges
+    val mg = udaf(new graft.engine.Aggregators.MisraGries(16),
+      org.apache.spark.sql.Encoders.STRING)
+    val m = stream.agg(mg(col("tok"))).head.getMap[String, Long](0)
+    val n = 10000L
+    assert(m.contains("hot"), s"heavy hitter must survive, summary: $m")
+    assert(m.size <= 16, s"summary must stay bounded, got ${m.size}")
+    assert(m("hot") <= 3000L, "estimates never overcount")
+    assert(m("hot") >= 3000L - n / 17, s"undercount beyond n/(w+1): ${m("hot")}")
+    // every surviving estimate obeys the same two-sided bound
+    val exact = Map("hot" -> 3000L).withDefault(k => 7000L / 200)
+    for ((k, est) <- m) {
+      assert(est <= exact(k) + 0, s"$k overcounts: $est > ${exact(k)}")
+      assert(est >= exact(k) - n / 17)
+    }
+  }
 }
