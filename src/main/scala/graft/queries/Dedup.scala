@@ -194,6 +194,51 @@ object Dedup {
         .select(col("doc_id"), col("cid").as("canonical_id"), col("is_kept"))
         .orderBy("doc_id")),
 
+    // ---- the whole curation pipeline in ONE manifest: every corpus doc is
+    // classified by the first stage that rejects it — exact dup (dd_exact's
+    // keep-min rule), transitive near-dup (LSH pairs → connected
+    // components), quality filter (tx_quality's rule) — and survivors get
+    // their deterministic train/val/test assignment (tx_split_assign's
+    // hash). This is the query a corpus owner actually ships: one pass
+    // produces the per-(lang, disposition) census that audits the entire
+    // dedup→filter→split funnel. Scale shape: each stage reuses its
+    // catalog query's plan (hash-agg dedup, banded CC loop, scan-side
+    // quality/split exprs); the final classify is two narrow joins
+    // (exact-keep on the 32-char hash, cluster label on doc_id) into one
+    // aggregate — no stage sees doc×doc work. Stage ORDER is the contract:
+    // a doc failing two stages reports the first.
+    "pipe_corpus_manifest" -> ((s, d) => {
+      val docs = corpus(s, d).cache()
+      val labels = connectedComponents(docs, lshPairs(s, d).cache())
+      val exactKeep = docs
+        .groupBy(md5(lower(trim(col("text")))).as("h"))
+        .agg(min("doc_id").as("keep_id"))
+      val toks = col("__toks")
+      docs
+        .withColumn("h", md5(lower(trim(col("text")))))
+        .join(exactKeep, "h")
+        .join(labels, "doc_id")
+        .withColumn("__toks", T.tokens(col("text")))
+        .withColumn("n_tokens", size(toks).cast("bigint"))
+        .withColumn("uniq_ratio",
+          when(col("n_tokens") > 0,
+            round(size(array_distinct(toks)).cast("double") / col("n_tokens"), 4)))
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(1000000007L)) * 2654435761L % 1000000007L % 100)
+        .withColumn("status",
+          when(col("doc_id") =!= col("keep_id"), "exact_dup")
+            .when(col("doc_id") =!= col("cid"), "near_dup")
+            .when(!(col("n_tokens") >= 5 && col("n_tokens") <= 10000 &&
+                    col("uniq_ratio") > 0.2), "low_quality")
+            .when(col("bucket") < 80, "kept_train")
+            .when(col("bucket") < 90, "kept_val")
+            .otherwise("kept_test"))
+        .groupBy("lang", "status")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(length(col("text"))).cast("bigint").as("total_chars"))
+        .orderBy("lang", "status")
+    }),
+
     // simhash fingerprints (24-bit).
     "dd_simhash_sig" -> ((s, d) =>
       stagedSimhash(t(s, d, "documents"))
@@ -422,6 +467,38 @@ object Dedup {
          |SELECT id AS doc_id, CAST(min(tgt) AS BIGINT) AS canonical_id,
          |  (id = min(tgt)) AS is_kept
          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "pipe_corpus_manifest" ->
+      s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$pairsCte,
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |r(id, tgt) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN edges e ON e.a = r.tgt),
+         |cc AS (SELECT id AS doc_id, min(tgt) AS cid FROM r GROUP BY id),
+         |ek AS (SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id FROM docs GROUP BY 1),
+         |q AS (SELECT doc_id,
+         |        CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(${S.tokens("text")})) AS BIGINT) AS n_uniq
+         |      FROM docs),
+         |cls AS (SELECT d.lang, length(d.text) AS len_chars,
+         |  CASE WHEN d.doc_id != ek.keep_id THEN 'exact_dup'
+         |       WHEN d.doc_id != cc.cid THEN 'near_dup'
+         |       WHEN NOT (q.n_tokens >= 5 AND q.n_tokens <= 10000 AND
+         |         (CASE WHEN q.n_tokens = 0 THEN NULL
+         |               ELSE round(CAST(q.n_uniq AS DOUBLE) / q.n_tokens, 4) END) > 0.2)
+         |         THEN 'low_quality'
+         |       WHEN (d.doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 80 THEN 'kept_train'
+         |       WHEN (d.doc_id % 1000000007) * 2654435761 % 1000000007 % 100 < 90 THEN 'kept_val'
+         |       ELSE 'kept_test' END AS status
+         |  FROM docs d
+         |  JOIN ek ON md5(lower(trim(d.text))) = ek.h
+         |  JOIN cc ON d.doc_id = cc.doc_id
+         |  JOIN q ON d.doc_id = q.doc_id)
+         |SELECT lang, status, count(*) AS n_docs,
+         |  CAST(sum(len_chars) AS BIGINT) AS total_chars
+         |FROM cls GROUP BY lang, status ORDER BY lang, status""".stripMargin,
 
     "dd_simhash_sig" ->
       s"""WITH th AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM documents)

@@ -614,6 +614,22 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // ---- W8 relative-position functions: percent_rank ((rank-1)/(n-1))
+    // and cume_dist (rows ≤ current / n) per status group — the CDF view
+    // of a partitioned order. The (price, orderkey) tie-break makes ranks
+    // unique, so both ratios are exact integer-over-integer divisions —
+    // identical doubles in any engine; round(4) is belt-and-braces. Same
+    // single-shuffle window shape as w4/w7.
+    "w8_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- O1/O2 sorts + O4 top-k. Top-k compiles to TakeOrderedAndProject:
     // per-partition heap + driver merge — no global sort at scale.
     "o1_sort_multikey" -> ((s, d) =>
@@ -1010,6 +1026,12 @@ object Relational {
         |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS quartile,
         |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "w8_percent_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC), 4) AS pr,
+        |  round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC), 4) AS cd
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "o1_sort_multikey" ->
