@@ -407,6 +407,53 @@ object TextOps {
         .orderBy("shard", "chunk_id")
     }),
 
+    // BM25 relevance scoring (Okapi, k1=1.2 b=0.75) for a fixed query term
+    // set — tx_tfidf's retrieval-grade sibling with tf saturation and
+    // doc-length normalization. Shape: the query-term filter lands ON the
+    // exploded token stream before any aggregation (the scan-side kill
+    // switch — at 100 TB only matching (doc, term) pairs survive into the
+    // shuffle); df/N/avgdl are vocabulary- and 1-row-sized frames joined
+    // back broadcast-style. Top-20 selection orders by the ROUNDED score
+    // with a doc_id tie-break so the cut is engine-deterministic.
+    "tx_bm25" -> ((s, d) => {
+      val qterms = Seq("spark", "data", "join")
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("__toks")).cache()
+      val dl = staged.select(col("doc_id"), size(col("__toks")).cast("double").as("dl"))
+      val tf = staged.select(col("doc_id"), explode(col("__toks")).as("tok"))
+        .filter(col("tok").isin(qterms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfx = tf.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      tf.join(dfx, "tok").join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("score",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+            col("tf") * 2.2 /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(round(sum("score"), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // temperature-weighted source mixture (T=0.7): the domain-mixing step
+    // of corpus assembly — sampling weight ∝ size^0.7 flattens the source
+    // distribution so giant sources don't drown the tail. One small
+    // aggregate per source, the normalizer as a broadcast 1-row frame;
+    // weights are rounded, so the 1-ulp libm pow divergence between
+    // engines can't surface.
+    "tx_source_mixture" -> ((s, d) => {
+      val per = t(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      val z = per.agg(sum(pow(col("total_chars").cast("double"), 0.7)).as("z"))
+      per.crossJoin(broadcast(z))
+        .withColumn("weight",
+          round(pow(col("total_chars").cast("double"), 0.7) / col("z"), 4))
+        .select("source", "n_docs", "total_chars", "weight")
+        .orderBy("source")
+    }),
+
     // cross-document duplicated-n-gram fraction — the Gopher/Dolma corpus
     // quality signal tx_repetition can't see: what share of a doc's word
     // 5-grams also appear in at least one OTHER document (boilerplate,
@@ -656,6 +703,31 @@ object TextOps {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY shard, chunk_id ORDER BY shard, chunk_id""".stripMargin,
+
+    "tx_bm25" ->
+      s"""WITH dl AS (SELECT doc_id, CAST(len(${S.tokens("text")}) AS DOUBLE) AS dl FROM documents),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(${S.tokens("text")}) AS tok FROM documents)
+         |       WHERE tok IN ('spark', 'data', 'join') GROUP BY doc_id, tok),
+         |dfx AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok)
+         |SELECT doc_id,
+         |  round(sum(ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + 1) *
+         |    tf * CAST(2.2 AS DOUBLE) /
+         |    (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))), 4) AS bm25,
+         |  count(*) AS n_terms_hit
+         |FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "tx_source_mixture" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT sum(pow(CAST(total_chars AS DOUBLE), 0.7)) AS z FROM per)
+        |SELECT source, n_docs, total_chars,
+        |  round(pow(CAST(total_chars AS DOUBLE), 0.7) / z, 4) AS weight
+        |FROM per CROSS JOIN z ORDER BY source""".stripMargin,
 
     "tx_dup_ngram_fraction" ->
       s"""WITH g AS (
