@@ -57,6 +57,37 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** First-failing-rule classification — the streaming face of the batch
+    * catalog query `etl_quarantine` (same rule order; the Event schema has
+    * no JSON payload, so the props rule doesn't apply here). */
+  def classify(events: DataFrame): DataFrame =
+    events.withColumn("reason",
+      when(col("event_type") === "error", "error_event")
+        .when(col("value") < 0.01, "negligible_value")
+        .otherwise("ok"))
+
+  /** Multi-sink dead-letter routing via foreachBatch: each micro-batch is
+    * classified ONCE (cached), then split into the clean sink and the
+    * quarantine sink inside the same batch function. foreachBatch gives
+    * per-batch atomicity hooks: both sink callbacks receive the batchId,
+    * so idempotent sinks (overwrite-by-batchId) survive micro-batch
+    * replays after failure — the standard exactly-once recipe for
+    * multi-sink streaming. State footprint is zero (stateless
+    * classification); throughput is one scan per batch, not one per sink. */
+  def routeQuarantine(events: DataFrame,
+                      good: (DataFrame, Long) => Unit,
+                      quarantine: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    classify(events).writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val staged = batch.cache() // classify once, feed both sinks
+        try {
+          good(staged.filter(col("reason") === "ok").drop("reason"), id)
+          quarantine(staged.filter(col("reason") =!= "ok"), id)
+        } finally { staged.unpersist(); () }
+      }
+      .start()
+
   /** Native session_window aggregation on the stream — twin of the batch
     * "st_session_window" (same gap semantics: an event at exactly
     * last_ts + gap starts a new session). State is (user, open session),

@@ -39,6 +39,34 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("routeQuarantine splits every micro-batch into clean and dead-letter sinks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val all = sample ++ Seq(
+      Event(6, ts(10), 3, "error", 0.5),     // error_event
+      Event(7, ts(11), 3, "click", 0.001))   // negligible_value
+    val good = scala.collection.mutable.Buffer.empty[(Long, String)]
+    val bad = scala.collection.mutable.Buffer.empty[(Long, String, String)]
+    val batchIds = scala.collection.mutable.Buffer.empty[Long]
+    val q = Streams.routeQuarantine(mem.toDF(),
+      (df, id) => { batchIds += id
+        good ++= df.select("event_id", "event_type").collect()
+          .map(r => (r.getLong(0), r.getString(1))) },
+      (df, _) => bad ++= df.select("event_id", "event_type", "reason").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))))
+    // two micro-batches: routing must hold per batch, not just in total
+    mem.addData(all.take(4): _*); q.processAllAvailable()
+    mem.addData(all.drop(4): _*); q.processAllAvailable()
+    q.stop()
+    assert(batchIds.distinct.size >= 2, "expected at least two micro-batches")
+    assert(good.map(_._1).sorted == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(bad.sortBy(_._1) == Seq(
+      (6L, "error", "error_event"), (7L, "click", "negligible_value")))
+    // the clean sink never sees a reason column; the union is exactly the input
+    assert(good.size + bad.size == all.size)
+  }
+
   test("sessionize emits closed sessions with keyed state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
