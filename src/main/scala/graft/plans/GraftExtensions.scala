@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSigFn)
     ext.injectFunction(GraftExtensions.shingleHashesFn)
     ext.injectFunction(GraftExtensions.simhash24Fn)
+    ext.injectFunction(GraftExtensions.cdcChunksFn)
     ext.injectFunction(GraftExtensions.cosineSimFn)
     ext.injectOptimizerRule(_ => EliminateDurationRoundTrip)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
@@ -56,6 +57,8 @@ object GraftExtensions {
     ColumnBridge.toColumn(ShingleHashes(ColumnBridge.toExpression(c)))
   def simhash24(c: Column): Column =
     ColumnBridge.toColumn(SimHash24(ColumnBridge.toExpression(c)))
+  def cdcChunks(c: Column): Column =
+    ColumnBridge.toColumn(CdcChunks(ColumnBridge.toExpression(c)))
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.toColumn(CosineSim(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
 
@@ -91,6 +94,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash24].getName, "simhash24"),
     (args: Seq[Expression]) => SimHash24(args.head))
 
+  val cdcChunksFn: FnDef = (
+    FunctionIdentifier("cdc_chunks"),
+    new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+    (args: Seq[Expression]) => CdcChunks(args.head))
+
   val cosineSimFn: FnDef = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
@@ -111,6 +119,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("shingle_hashes", args => ShingleHashes(args.head), "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("simhash24", args => SimHash24(args.head), "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("cdc_chunks", args => CdcChunks(args.head), "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("cosine_sim", args => CosineSim(args(0), args(1)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(EliminateDurationRoundTrip))

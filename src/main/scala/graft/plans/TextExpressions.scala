@@ -258,3 +258,63 @@ object TokenHashes {
     new GenericArrayData(out)
   }
 }
+
+/** Native content-defined chunking: split the text at positions where the
+  * rolling 4-char window hash satisfies `w % 64 == 0` (Rabin-style gear
+  * boundary — average chunk ≈ 64 chars on random text) and emit the
+  * polynomial hash of each chunk, one pass over the UTF-16 units inside
+  * whole-stage codegen. Boundary windows use ABSOLUTE text positions (they
+  * may span a just-emitted boundary), so the boundary set — and therefore
+  * the chunking — is a pure function of content: insert a byte early in a
+  * 100 TB document and every chunk after the next boundary re-aligns, which
+  * is the whole point of CDC dedup vs fixed-width blocks (FastCDC, Xia et
+  * al., FAST'16). Window hash w = ((c₀·131 + c₁)·131 + c₂)·131 + c₃ (no
+  * modulus — max value ≈ 2^47 for BMP input); chunk hash = fold
+  * (acc·131 + c) mod 1e9+7 from the chunk's first char, matching
+  * SqlText.wordHash's fold exactly so DuckDB can replicate it. Empty text →
+  * empty array; text shorter than 4 chars → one chunk. A trailing boundary
+  * at the last char emits no empty tail chunk.
+  */
+case class CdcChunks(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunks.chunks(input.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.CdcChunks.chunks($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  private val P = 1000000007L
+  private val B = 131L
+  private val Mask = 64L
+
+  /** Exposed as a static for codegen. */
+  def chunks(s: String): ArrayData = {
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](8)
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * B + s.charAt(i)) % P
+      if (i >= 3) {
+        val w = ((s.charAt(i - 3).toLong * B + s.charAt(i - 2)) * B + s.charAt(i - 1)) * B + s.charAt(i)
+        if (w % Mask == 0) { out += h; h = 0L; start = i + 1 }
+      }
+      i += 1
+    }
+    if (start < n) out += h
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -130,6 +130,81 @@ object Relational {
         .limit(20)
     }),
 
+    // ---- TPC-H-Q4 shape: order-priority census gated by an EXISTS
+    // qualifier (any line shipped after the order date). The left-semi join
+    // carries the non-equi residual (l_shipdate > o_orderdate) on top of
+    // the orderkey equi-key, so it stays a hash/sort-merge SEMI join — each
+    // order emits at most once, no qualifier aggregation or distinct
+    // needed. Scale shape: the date range reaches the orders scan
+    // (PushedFilters) and the semi join's build side never materializes
+    // more than a boolean per order.
+    "q4_priority_exists" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01")
+      val l = t(s, d, "lineitem")
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- TPC-H-Q10 shape: returned-item revenue, top 20 customers. The
+    // two facts (lineitem⋈orders) shuffle on orderkey; customer joins on
+    // the aggregated-down stream; nation broadcasts. The returnflag filter
+    // reaches the lineitem scan, the quarter range the orders scan;
+    // TakeOrderedAndProject caps the result without a global sort.
+    "q10_returned_revenue" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // ---- TPC-H-Q14 shape: promo revenue share for one ship month — a
+    // conditional-sum ratio over lineitem⋈part. part is NOT broadcast: at
+    // TPC-H ratios it is fact-sized/30 (2.6 B rows under a 100 TB
+    // lineitem), far past any broadcast threshold — the join shuffles on
+    // partkey and AQE may still broadcast at small SF where it genuinely
+    // fits. The one-month range reaches the lineitem scan, so the shuffle
+    // carries ~1/80th of the fact.
+    "q14_promo_share" -> ((s, d) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= "1996-03-01" && col("l_shipdate") < "1996-04-01")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          r4(lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) / sum(rev))
+            .as("promo_share"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- TPC-H-Q19 shape: disjunction of brand×size×quantity brackets as
+    // the join residual. The partkey equi-key keeps this a hash join (NOT a
+    // cartesian) with the OR-of-ANDs evaluated as a codegen'd residual;
+    // the per-side conjuncts Catalyst can factor out (quantity ≤ upper
+    // bracket bound, size ≥ 1) are pushed into the scans.
+    "q19_disjunctive" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val p = t(s, d, "part")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(p, col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 40))))
+        .agg(r4(sum(rev)).as("revenue"), count(lit(1)).as("n"))
+    }),
+
     // ---- regression/correlation aggregates: the relationship-profiling
     // pass (does price scale with quantity per return class?). All four
     // statistics are single-pass mergeable moment aggregates — partial
@@ -765,6 +840,46 @@ object Relational {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT
+        |  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
 
     "agg_corr_regr" ->
       """SELECT l_returnflag, count(*) AS n,

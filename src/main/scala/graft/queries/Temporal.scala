@@ -173,7 +173,69 @@ object Temporal {
         .agg(count(lit(1)).as("n"),
              countDistinct("user_id").as("n_users"),
              round(avg("value"), 4).as("avg_value"))
-        .orderBy("day"))
+        .orderBy("day")),
+
+    // OHLC resample: downsample the per-user value stream to hourly
+    // open/high/low/close bars with min_by/max_by — ONE partial→final hash
+    // aggregation, no window, no self-join. This is the shape that survives
+    // 100 TB: the per-group state is four doubles + two timestamps however
+    // many events land in the bucket, and (user_id, ts) is unique in the
+    // corpus so the by-key argmin/argmax is deterministic.
+    "ts_resample_ohlc" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("hour", date_trunc("HOUR", col("ts")))
+        .groupBy("user_id", "hour")
+        .agg(round(min_by(col("value"), col("ts")), 4).as("open"),
+             round(max("value"), 4).as("high"),
+             round(min("value"), 4).as("low"),
+             round(max_by(col("value"), col("ts")), 4).as("close"),
+             count(lit(1)).as("n"))
+        .orderBy("user_id", "hour")),
+
+    // gap-fill + forward-fill: densify each user's hourly series onto a
+    // complete grid (sequence() per user from its own min to max hour —
+    // generated IN the engine, no driver-side range), left-join the real
+    // hourly aggregate, then carry the last observation forward with
+    // last(ignoreNulls) over the user window. The grid explode keys on
+    // user_id so it co-partitions with the join; per-user grid length is
+    // bounded by the series span, never by table size. Demonstration face
+    // keeps 8 users so the output stays eyeball-able.
+    "ts_gapfill" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("user_id") < 8)
+        .withColumn("hour", date_trunc("HOUR", col("ts")))
+      val hourly = ev.groupBy("user_id", "hour")
+        .agg(round(avg("value"), 4).as("avg_value"))
+      val grid = ev.groupBy("user_id")
+        .agg(min("hour").as("h0"), max("hour").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .withColumn("filled_value", last("avg_value", ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("avg_value").isNull)
+        .orderBy("user_id", "hour")
+    }),
+
+    // sweep-line max concurrency: how many 5-minute event intervals overlap
+    // at the peak, per event type. Each interval contributes a +1 at its
+    // start and a -1 at its end; the running sum over (t, delta) is the
+    // live-interval count, its max the answer. Ends sort before starts at
+    // the same instant (delta asc) = half-open [ts, ts+5m) semantics. The
+    // cumulative sum partitions by event_type — the catalog face of the
+    // interval-overlap counting that a global single-partition window
+    // could NOT do at scale.
+    "ts_max_concurrency" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"))
+        .unionByName(ev.select(col("event_type"),
+          (col("ts") + expr("interval 5 minutes")).as("t"), lit(-1L).as("delta")))
+      val w = Window.partitionBy("event_type").orderBy(col("t").asc, col("delta").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("running", sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(max("running").as("max_concurrent"))
+        .orderBy("event_type")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -273,6 +335,44 @@ object Temporal {
         |FROM (SELECT user_id, date_trunc('week', ts) AS aw,
         |        min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort
         |      FROM events)
-        |GROUP BY cohort, offset_w ORDER BY cohort, offset_w""".stripMargin
+        |GROUP BY cohort, offset_w ORDER BY cohort, offset_w""".stripMargin,
+
+    "ts_resample_ohlc" ->
+      """SELECT user_id, date_trunc('hour', ts) AS hour,
+        |  round(arg_min(value, ts), 4) AS open,
+        |  round(max(value), 4) AS high,
+        |  round(min(value), 4) AS low,
+        |  round(arg_max(value, ts), 4) AS close,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, hour""".stripMargin,
+
+    "ts_gapfill" ->
+      """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS hour, value
+        |    FROM events WHERE user_id < 8),
+        |hourly AS (SELECT user_id, hour, round(avg(value), 4) AS avg_value
+        |    FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |    FROM ev GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |    FROM bounds)
+        |SELECT g.user_id, g.hour, h.avg_value,
+        |  last_value(h.avg_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |  h.avg_value IS NULL AS is_gap
+        |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+        |ORDER BY g.user_id, g.hour""".stripMargin,
+
+    "ts_max_concurrency" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts AS t, CAST(1 AS BIGINT) AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL 5 MINUTE, CAST(-1 AS BIGINT) FROM events)
+        |SELECT event_type, CAST(max(running) AS BIGINT) AS max_concurrent FROM (
+        |  SELECT event_type, sum(delta) OVER (
+        |    PARTITION BY event_type ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM pts)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

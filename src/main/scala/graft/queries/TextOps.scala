@@ -506,7 +506,26 @@ object TextOps {
           "doc_id")
         .select("lang", "rnk", "doc_id", "n_chars", "skey")
         .orderBy("lang", "rnk")
-    })
+    }),
+
+    // content-defined chunking + chunk-level dedup profile: cdc_chunks (the
+    // native Rabin-style boundary splitter — see graft.plans.CdcChunks)
+    // hashes each content-defined chunk; per source the distinct/total
+    // chunk ratio is the storage win chunk dedup would buy. Scale shape:
+    // the chunker is scan-side codegen (one pass per doc, no shuffle); the
+    // explode keys the ONE shuffle on (source, chunk-hash) partial
+    // count-distinct — at 100 TB this is exactly the dedup-store planning
+    // pass, never an all-pairs comparison.
+    "tx_cdc_chunks" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"),
+          explode(graft.plans.GraftExtensions.cdcChunks(col("text"))).as("ch"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("total_chunks"),
+             countDistinct("ch").as("uniq_chunks"))
+        .withColumn("dedup_ratio",
+          round(col("uniq_chunks").cast("double") / col("total_chunks"), 4))
+        .orderBy("source"))
   )
 
   private val S = SqlText
@@ -750,6 +769,36 @@ object TextOps {
         |        row_number() OVER (PARTITION BY lang ORDER BY skey ASC, doc_id ASC) AS rnk
         |      FROM scored)
         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, round(skey, 4) AS skey
-        |FROM r WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin
+        |FROM r WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
+
+    // mirrors graft.plans.CdcChunks exactly: boundary after 1-based position
+    // i (i in [4, n]) iff the raw 4-char window hash ≡ 0 (mod 64); chunk
+    // hash = SqlText.wordHash-style fold over the chunk's chars.
+    "tx_cdc_chunks" ->
+      """WITH chars AS (SELECT doc_id, source,
+        |    CASE WHEN text = '' THEN CAST([] AS BIGINT[])
+        |         ELSE list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))
+        |    END AS cs
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, cs, len(cs) AS n,
+        |    list_filter(range(4, len(cs) + 1),
+        |      i -> (((cs[i-3]*131 + cs[i-2])*131 + cs[i-1])*131 + cs[i]) % 64 = 0) AS bs
+        |  FROM chars),
+        |e AS (SELECT doc_id, source, cs, n,
+        |    list_concat([0], CASE WHEN len(bs) > 0 AND bs[len(bs)] = n
+        |                          THEN bs ELSE list_concat(bs, [n]) END) AS fb
+        |  FROM b),
+        |segs AS (SELECT doc_id, source,
+        |    CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+        |         ELSE list_transform(range(1, len(fb)), k ->
+        |           list_reduce(list_prepend(CAST(0 AS BIGINT), cs[fb[k]+1 : fb[k+1]]),
+        |             (a, x) -> (a*131 + x) % 1000000007))
+        |    END AS chunks
+        |  FROM e)
+        |SELECT source, count(*) AS total_chunks,
+        |  count(DISTINCT ch) AS uniq_chunks,
+        |  round(CAST(count(DISTINCT ch) AS DOUBLE) / count(*), 4) AS dedup_ratio
+        |FROM (SELECT source, unnest(chunks) AS ch FROM segs)
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -209,4 +209,40 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     assert(p.contains("hashpartitioning(gram"),
       s"expected the doc-frequency join to shuffle on the gram key:\n$p")
   }
+
+  test("q4_priority_exists: EXISTS lowers to a semi join carrying the non-equi residual") {
+    val p = planOf("q4_priority_exists")
+    assert(p.contains("LeftSemi"), s"expected a semi join, not inner+distinct:\n$p")
+    assert(p.contains("l_shipdate") && p.contains("> o_orderdate"),
+      s"the shipdate>orderdate residual must ride the semi join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"),
+      s"the order-date range must reach the orders scan:\n$p")
+  }
+
+  test("q10_returned_revenue: top-20 via TakeOrderedAndProject; returnflag pushed") {
+    val p = planOf("q10_returned_revenue")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must avoid a global sort:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"the returnflag filter must reach the lineitem scan:\n$p")
+  }
+
+  test("ts_resample_ohlc: OHLC bars are ONE hash aggregation — no Window, no self-join") {
+    val p = planOf("ts_resample_ohlc")
+    assert(!p.contains("Window"), s"OHLC must not plan a Window operator:\n$p")
+    assert(p.contains("partial_min_by") && p.contains("partial_max_by"),
+      s"open/close must be mergeable min_by/max_by partial aggregates:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("tx_cdc_chunks: native chunker explodes directly over the scan (no pre-shuffle)") {
+    val p = planOf("tx_cdc_chunks")
+    assert(p.contains("explode(cdc_chunks("),
+      s"expected the native cdc_chunks expression under the explode:\n$p")
+    // the Generate must consume the FileScan without an intervening exchange
+    val genIdx = p.indexOf("Generate explode(cdc_chunks")
+    val scanIdx = p.indexOf("FileScan parquet", genIdx)
+    val betw = p.substring(genIdx, scanIdx)
+    assert(!betw.contains("Exchange"), s"chunking must be scan-side:\n$p")
+  }
 }
