@@ -247,6 +247,56 @@ object Similarity {
              round(avg("err"), 4).as("avg_err"),
              round(max("err"), 6).as("max_err"))
         .orderBy("label")
+    }),
+
+    // ---- per-dimension whitening (the embedding-preprocessing pass before
+    // indexing/clustering): dim-wise mean/std over the whole corpus, then a
+    // per-label profile of the standardized values. Scale shape: the stats
+    // side collapses to 64 rows in partial aggregation (one tiny shuffle)
+    // and broadcasts back onto the exploded frame — the fit-then-transform
+    // two-pass that never materializes a second copy of the vectors.
+    "emb_whitening" -> ((s, d) => {
+      val dims = emb(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("v")))
+        .select(col("vec_id"), col("label"),
+          (col("pos") + 1).cast("bigint").as("dim"), col("col").as("x"))
+      val stats = dims.groupBy("dim")
+        .agg(avg("x").as("mu"), stddev_pop(col("x")).as("sigma"))
+      dims.join(broadcast(stats), "dim")
+        .withColumn("z",
+          when(col("sigma") === 0.0, lit(0.0))
+            .otherwise((col("x") - col("mu")) / col("sigma")))
+        .groupBy("label")
+        .agg(countDistinct("vec_id").as("n_vecs"),
+             round(avg(col("z") * col("z")), 4).as("avg_z2"),
+             round(avg("z"), 4).as("avg_z"))
+        .orderBy("label")
+    }),
+
+    // ---- Matryoshka-style truncation retention: cosine similarity between
+    // each vector and its first-k-dims truncation is ‖v₁..ₖ‖/‖v‖ exactly, so
+    // the whole "how much recall do I keep at k dims" analysis is a scan —
+    // three prefix-norm aggregates per row, no join, no shuffle beyond the
+    // per-label rollup. The decision table for serving truncated embeddings
+    // at 1/8th the storage.
+    "emb_mrl_retention" -> ((s, d) => {
+      def n2(c: org.apache.spark.sql.Column) =
+        aggregate(c, lit(0.0), (a, x) => a + x * x)
+      def sim(k: Int) = {
+        val r = sqrt(n2(slice(col("v"), 1, k)) / n2(col("v")))
+        when(n2(col("v")) === 0.0, lit(1.0)).otherwise(r)
+      }
+      emb(s, d)
+        .withColumn("sim_k8", sim(8))
+        .withColumn("sim_k16", sim(16))
+        .withColumn("sim_k32", sim(32))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+             round(avg("sim_k8"), 4).as("avg_sim_k8"),
+             round(avg("sim_k16"), 4).as("avg_sim_k16"),
+             round(avg("sim_k32"), 4).as("avg_sim_k32"),
+             round(min("sim_k32"), 4).as("min_sim_k32"))
+        .orderBy("label")
     })
   )
 
@@ -387,6 +437,39 @@ object Similarity {
          |  FROM best GROUP BY vec_id, label)
          |SELECT label, count(*) AS n_vecs,
          |  round(avg(err), 4) AS avg_err, round(max(err), 6) AS max_err
-         |FROM perv GROUP BY label ORDER BY label""".stripMargin
+         |FROM perv GROUP BY label ORDER BY label""".stripMargin,
+
+    "emb_whitening" ->
+      s"""$embCte,
+         |dims AS (SELECT vec_id, label, CAST(dim AS BIGINT) AS dim,
+         |    v[CAST(dim AS INTEGER)] AS x
+         |  FROM e, generate_series(1, 64) t(dim)),
+         |stats AS (SELECT dim, avg(x) AS mu, stddev_pop(x) AS sigma
+         |  FROM dims GROUP BY dim)
+         |SELECT label, count(DISTINCT vec_id) AS n_vecs,
+         |  round(avg(z*z), 4) AS avg_z2, round(avg(z), 4) AS avg_z
+         |FROM (SELECT label, vec_id,
+         |        CASE WHEN sigma = 0 THEN 0.0 ELSE (x - mu) / sigma END AS z
+         |      FROM dims JOIN stats USING (dim))
+         |GROUP BY label ORDER BY label""".stripMargin,
+
+    "emb_mrl_retention" ->
+      s"""$embCte,
+         |sims AS (SELECT label,
+         |    CASE WHEN n2full = 0 THEN 1.0 ELSE sqrt(n2k8 / n2full) END AS sim_k8,
+         |    CASE WHEN n2full = 0 THEN 1.0 ELSE sqrt(n2k16 / n2full) END AS sim_k16,
+         |    CASE WHEN n2full = 0 THEN 1.0 ELSE sqrt(n2k32 / n2full) END AS sim_k32
+         |  FROM (SELECT label,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x*x)), (a, x) -> a + x) AS n2full,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v[1:8], x -> x*x)), (a, x) -> a + x) AS n2k8,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v[1:16], x -> x*x)), (a, x) -> a + x) AS n2k16,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v[1:32], x -> x*x)), (a, x) -> a + x) AS n2k32
+         |    FROM e))
+         |SELECT label, count(*) AS n_vecs,
+         |  round(avg(sim_k8), 4) AS avg_sim_k8,
+         |  round(avg(sim_k16), 4) AS avg_sim_k16,
+         |  round(avg(sim_k32), 4) AS avg_sim_k32,
+         |  round(min(sim_k32), 4) AS min_sim_k32
+         |FROM sims GROUP BY label ORDER BY label""".stripMargin
   )
 }

@@ -133,12 +133,15 @@ object TextOps {
       val b = t(s, d, "documents").select((col("doc_id") - 1).as("b_id"), col("text").as("b_text"))
       a.join(b, col("doc_id") === col("b_id"))
         .withColumn("dist", levenshtein(col("text"), col("b_text")).cast("bigint"))
-        .withColumn("self_dist", levenshtein(col("text"), col("text")).cast("bigint"))
+        // |len(a) − len(b)| is a free lower bound on edit distance — the
+        // pre-filter that skips the DP entirely for length-mismatched pairs
+        .withColumn("len_delta",
+          abs(length(col("text")) - length(col("b_text"))).cast("bigint"))
         // thresholded form: banded DP, O(len·k) not O(len²) — at scale the
         // verify stage only cares "is it within k", so this is the column
         // a 100 TB pipeline would actually compute (-1 = beyond the band)
         .withColumn("dist_within8", levenshtein(col("text"), col("b_text"), 8).cast("bigint"))
-        .select("doc_id", "dist", "self_dist", "dist_within8")
+        .select("doc_id", "dist", "len_delta", "dist_within8")
         .orderBy("doc_id")
     }),
 
@@ -508,6 +511,33 @@ object TextOps {
         .orderBy("lang", "rnk")
     }),
 
+    // bigram language-model scoring — the train-then-score two-pass: MLE
+    // conditional probabilities P(b|a) = c(a,b)/c(a,·) fitted over the WHOLE
+    // corpus (both count tables collapse in partial aggregation), then each
+    // doc scored by its mean bigram log-likelihood — the fluency signal a
+    // heuristic quality filter uses beside tx_unigram_logprob's NLL. The
+    // bigram frame is built with the zip_with-over-slices shape (immune to
+    // CollapseProject re-inlining — the tx_ngram_stats lesson) off a cached
+    // token stage. Docs with <2 tokens have no bigrams and are absent, same
+    // as the oracle's unnest semantics.
+    "tx_bigram_lm" -> ((s, d) => {
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("__toks")).cache()
+      val ab = staged.filter(size(col("__toks")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      val cab = ab.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      val ca = ab.groupBy("a").agg(count(lit(1)).as("ca"))
+      ab.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+             round(avg(log(col("cab").cast("double") / col("ca"))), 4).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // content-defined chunking + chunk-level dedup profile: cdc_chunks (the
     // native Rabin-style boundary splitter — see graft.plans.CdcChunks)
     // hashes each content-defined chunk; per source the distinct/total
@@ -586,7 +616,7 @@ object TextOps {
 
     "tx_edit_distance" ->
       """SELECT a.doc_id, CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
-        |  CAST(levenshtein(a.text, a.text) AS BIGINT) AS self_dist,
+        |  CAST(abs(length(a.text) - length(b.text)) AS BIGINT) AS len_delta,
         |  CAST(CASE WHEN levenshtein(a.text, b.text) > 8 THEN -1
         |       ELSE levenshtein(a.text, b.text) END AS BIGINT) AS dist_within8
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
@@ -770,6 +800,18 @@ object TextOps {
         |      FROM scored)
         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, round(skey, 4) AS skey
         |FROM r WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
+
+    "tx_bigram_lm" ->
+      s"""WITH tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |bgs AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS bg FROM tl),
+         |ab AS (SELECT doc_id, string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b FROM bgs),
+         |cab AS (SELECT a, b, count(*) AS cab FROM ab GROUP BY a, b),
+         |ca AS (SELECT a, count(*) AS ca FROM ab GROUP BY a)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(ln(CAST(cab AS DOUBLE) / ca)), 4) AS avg_logprob
+         |FROM ab JOIN cab USING (a, b) JOIN ca USING (a)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // mirrors graft.plans.CdcChunks exactly: boundary after 1-based position
     // i (i in [4, n]) iff the raw 4-char window hash ≡ 0 (mod 64); chunk
