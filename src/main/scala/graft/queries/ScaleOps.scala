@@ -243,6 +243,56 @@ object ScaleOps {
     // zero data-file IO outside 1995 (plan-asserted in PlanQualitySpec). At
     // 100 TB this is THE first-line scan reducer: date-partitioned layout
     // turns a full-corpus scan into a per-partition read.
+    // ---- dynamic partition pruning: the partition filter is NOT a literal
+    // — it's the year set a dim-side predicate selects at RUNTIME. The fact
+    // is the same year-partitioned layout as pp_partition_pruned; the dim
+    // is a tiny (year, era) parquet table; filtering era='mid' lets Spark
+    // inject a dynamicpruning subquery into the fact scan's
+    // PartitionFilters (plan-asserted), so only the mid-era directories are
+    // read even though no literal year appears in the query. At 100 TB this
+    // is how "join orders to the current catalog snapshot" avoids scanning
+    // a decade of partitions.
+    "pp_dynamic_pruning" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val fact = s"/tmp/graft_partitioned/orders_$tag"
+      if (!new java.io.File(fact + "/_SUCCESS").exists())
+        t(s, d, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(fact)
+      val dim = s"/tmp/graft_partitioned/years_$tag"
+      if (!new java.io.File(dim + "/_SUCCESS").exists())
+        t(s, d, "orders")
+          .select(year(col("o_orderdate")).as("o_year")).distinct()
+          .withColumn("era",
+            when(col("o_year") < 1995, "early")
+              .when(col("o_year") < 1998, "mid")
+              .otherwise("late"))
+          .coalesce(1).write.mode("overwrite").parquet(dim)
+      s.read.parquet(fact)
+        .join(broadcast(s.read.parquet(dim).filter(col("era") === "mid")), "o_year")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("rev"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- bitmap exact-distinct: count(DISTINCT user) re-expressed as
+    // bucketed bitmap words — bit b of word w is set iff user 64·w+b
+    // appeared — OR-merged per group. The shuffle carries (group, word)
+    // longs instead of every raw (group, user) pair: 64× narrower partial
+    // state, fully mergeable (bit_or is associative/commutative), and the
+    // popcount sum at the end is exact, not a sketch. The roaring-bitmap
+    // trick relational engines use when count-distinct's expand/shuffle is
+    // the bottleneck; works whenever the id domain is dense integers.
+    "agg_bitmap_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"), (col("user_id") / 64).cast("long").as("word_idx"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("bit"))
+        .groupBy("event_type", "word_idx")
+        .agg(bit_or(col("bit")).as("word"))
+        .groupBy("event_type")
+        .agg(sum(bit_count(col("word"))).as("n_users"))
+        .orderBy("event_type")),
+
     "pp_partition_pruned" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/tmp/graft_partitioned/orders_$tag"
@@ -517,6 +567,15 @@ object ScaleOps {
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS rev
         |FROM orders WHERE year(o_orderdate) = 1995
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "pp_dynamic_pruning" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS rev
+        |FROM orders WHERE year(o_orderdate) >= 1995 AND year(o_orderdate) < 1998
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "layout_file_skipping" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS rev

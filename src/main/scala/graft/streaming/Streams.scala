@@ -35,6 +35,23 @@ object Streams {
       .select(col("w.start").as("ws"), col("w.end").as("we"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hourly OHLC bars per user with watermark — the streaming twin of
+    * Temporal."ts_resample_ohlc". min_by/max_by carry mergeable
+    * (value, ts) extremum state, so each (user, hour) window updates
+    * incrementally and finalizes once the watermark passes: downsampling an
+    * unbounded metric stream with state proportional to open windows, never
+    * to events seen. */
+  def ohlcBars(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+      .agg(min_by(col("value"), col("ts")).as("open"),
+           max("value").as("high"), min("value").as("low"),
+           max_by(col("value"), col("ts")).as("close"),
+           count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("hour"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
   /** Streaming dedup within the watermark — twin of "st_dedup_first". */
   def dedupFirst(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -235,6 +235,21 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$p")
   }
 
+  test("pp_dynamic_pruning: runtime year set reaches the fact scan as a dynamic PartitionFilter") {
+    SparkEntry.queries("pp_dynamic_pruning")(spark, d).collect() // first-use layout write
+    val p = planOf("pp_dynamic_pruning")
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the fact scan's PartitionFilters:\n$p")
+  }
+
+  test("agg_bitmap_distinct: bitmap words OR-merge in partial aggregation (no expand/distinct)") {
+    val p = planOf("agg_bitmap_distinct")
+    assert(p.contains("partial_bit_or"),
+      s"bitmap words must merge map-side:\n$p")
+    assert(!p.contains("Expand") && !p.toLowerCase.contains("distinct"),
+      s"the whole point is no count-distinct machinery:\n$p")
+  }
+
   test("tx_cdc_chunks: native chunker explodes directly over the scan (no pre-shuffle)") {
     val p = planOf("tx_cdc_chunks")
     assert(p.contains("explode(cdc_chunks("),

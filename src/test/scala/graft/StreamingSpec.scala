@@ -39,6 +39,30 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("ohlcBars over MemoryStream matches the batch OHLC aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = Streams.ohlcBars(mem.toDF()).writeStream
+      .format("memory").queryName("ohlc").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ohlc").orderBy("user_id", "hour").collect().toSeq
+    val batch = sample.toDF()
+      .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+      .agg(min_by(col("value"), col("ts")).as("open"),
+           max("value").as("high"), min("value").as("low"),
+           max_by(col("value"), col("ts")).as("close"),
+           count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("hour"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+      .orderBy("user_id", "hour").collect().toSeq
+    assert(streamed == batch)
+    // user 1, first hour: events at t+0 (1.0) and t+5 (2.0) → open 1.0 close 2.0
+    val r = streamed.find(r => r.getLong(0) == 1 && r.getLong(6) == 2).get
+    assert(r.getDouble(2) == 1.0 && r.getDouble(5) == 2.0)
+  }
+
   test("routeQuarantine splits every micro-batch into clean and dead-letter sinks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
