@@ -64,7 +64,23 @@ object PlanDump {
       "back and a per-doc re-aggregate — fact⋈dim layout, never doc×doc."),
     "layout_file_skipping" -> ("File-stats data skipping: the scan's InMemoryFileIndex " +
       "lists ONLY the manifest-surviving files (subset of the 8-file layout); the exact " +
-      "band predicate still pushes down within them.")
+      "band predicate still pushes down within them."),
+    "pp_dynamic_pruning" -> ("Dynamic partition pruning: the era predicate on the year dim " +
+      "becomes a dynamicpruning subquery in the fact scan's PartitionFilters — the year " +
+      "set is resolved at runtime, only matching directories are read."),
+    "agg_bitmap_distinct" -> ("Bitmap exact-distinct: (group, user/64) bitmap words bit_or-" +
+      "merge in PARTIAL aggregation — no Expand, no count-distinct shuffle of raw ids; " +
+      "the popcount sum is exact."),
+    "tx_cdc_chunks" -> ("Content-defined chunking: the native cdc_chunks expression " +
+      "explodes directly over the scan (zero pre-shuffle); chunk-level dedup is one " +
+      "(source, chunk-hash) partial count-distinct."),
+    "ts_resample_ohlc" -> ("OHLC bars: min_by/max_by carry mergeable (value, ts) extremum " +
+      "state — ONE hash aggregation, no Window, no self-join."),
+    "q4_priority_exists" -> ("TPC-H-Q4 EXISTS: lowered to a LeftSemi join carrying the " +
+      "shipdate>orderdate residual; the order-date range lands in PushedFilters."),
+    "opt_reused_exchange" -> ("Day-over-day self-join: both sides consume ONE aggregated " +
+      "subplan — the second side reuses the first's shuffle (non-nullable grouping key " +
+      "keeps the canonical forms identical), so the fact is scanned once.")
   )
 
   def main(args: Array[String]): Unit = {

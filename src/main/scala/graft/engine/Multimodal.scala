@@ -146,6 +146,27 @@ object AudioHeaders {
     b
   }
 
+  /** Signed 16-bit little-endian PCM samples, all channels interleaved —
+    * genuine byte decoding (low byte unsigned, high byte sign-extended),
+    * shared with nothing on the synthesis side. None for corrupt WAVs or
+    * non-16-bit clips. */
+  def samples16(p: Array[Byte]): Option[Array[Int]] =
+    decode(p).flatMap { case (ch, _, bits, ns) =>
+      if (bits != 16) None
+      else {
+        val n = (ns * ch).toInt
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val lo = p(WavHeaderLen + 2 * i) & 0xff
+          val hi = p(WavHeaderLen + 2 * i + 1) // signed → sign-extends the sample
+          out(i) = (hi << 8) | lo
+          i += 1
+        }
+        Some(out)
+      }
+    }
+
   /** (channels, sample_rate, bits, n_samples), or None for anything that is
     * not a well-formed PCM WAV — corrupt clips drop, they don't throw. */
   def decode(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {

@@ -128,6 +128,48 @@ object Multimodal {
     // from their byte offsets (validating the untrusted data-chunk length
     // in Long arithmetic). duration_ms is integer floor division on both
     // engines.
+    // audio feature extraction over REAL sample bytes: synthesize 16-bit
+    // PCM WAVs with a deterministic sample pattern, then recover RMS energy
+    // and peak amplitude by decoding the int16 little-endian data section
+    // (AudioHeaders.samples16 — low byte unsigned, high byte sign-extended;
+    // the decoder shares no arithmetic with the synthesizer, so the oracle
+    // match proves the byte math). Every squared sample is an exact integer
+    // < 2^31 and the per-clip sum stays < 2^53, so the double accumulation
+    // is order-independent — bit-identical across engines without rounding
+    // tricks. Per-partition iteration = decoder-init-once batch shape.
+    "mm_audio_energy" -> ((s, d) => {
+      import s.implicits._
+      import graft.engine.{AudioHeaders => AH, Multimodal => M}
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val ch = (id % 2 + 1).toInt
+        val n = ((id % 40 + 1) * 8).toInt
+        val b = AH.wavBytes(ch, 8000, 16, n)
+        var j = 0
+        val total = n * ch * 2
+        while (j < total) {
+          b(AH.WavHeaderLen + j) = ((id * 13 + j * 7) % 256).toByte
+          j += 1
+        }
+        M.MediaRecord(id, b, "audio/wav")
+      }
+      media.mapPartitions { it =>
+        // codec init would sit here, once per partition
+        it.flatMap { r =>
+          AH.samples16(r.payload).map { ss =>
+            var sum2 = 0.0
+            var peak = 0
+            ss.foreach { v =>
+              sum2 += v.toDouble * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+            }
+            (r.doc_id, ss.length.toLong, math.sqrt(sum2 / ss.length), peak.toLong)
+          }
+        }
+      }.toDF("doc_id", "n_samples_total", "rms", "peak")
+        .withColumn("rms", round(col("rms"), 4))
+        .orderBy("doc_id")
+    }),
+
     "mm_wav_meta" -> ((s, d) => {
       import s.implicits._
       import graft.engine.{AudioHeaders => AH, Multimodal => M}
@@ -179,6 +221,24 @@ object Multimodal {
 
     // synthesis formulas, independently re-derived — the byte parser must
     // recover every PCM parameter exactly
+    // samples independently re-derived from the synthesis formula: data
+    // byte j = (doc_id·13 + j·7) mod 256; sample i = sign-extended high
+    // byte (2i+1) · 256 + unsigned low byte (2i)
+    "mm_audio_energy" ->
+      """WITH s AS (SELECT doc_id, doc_id % 2 + 1 AS ch, (doc_id % 40 + 1) * 8 AS n
+        |  FROM documents),
+        |samp AS (SELECT doc_id, n * ch AS total, unnest(range(0, n * ch)) AS i FROM s),
+        |v AS (SELECT doc_id, total,
+        |    (CASE WHEN (doc_id*13 + (2*i+1)*7) % 256 >= 128
+        |          THEN (doc_id*13 + (2*i+1)*7) % 256 - 256
+        |          ELSE (doc_id*13 + (2*i+1)*7) % 256 END) * 256
+        |    + (doc_id*13 + (2*i)*7) % 256 AS val
+        |  FROM samp)
+        |SELECT doc_id, CAST(any_value(total) AS BIGINT) AS n_samples_total,
+        |  round(sqrt(sum(CAST(val AS DOUBLE) * val) / any_value(total)), 4) AS rms,
+        |  CAST(max(abs(val)) AS BIGINT) AS peak
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "mm_wav_meta" ->
       """SELECT doc_id,
         |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,

@@ -205,6 +205,54 @@ object Relational {
         .agg(r4(sum(rev)).as("revenue"), count(lit(1)).as("n"))
     }),
 
+    // ---- winsorized (outlier-robust) mean: clamp each group's values to
+    // its own [p05, p95] band, then average — the metric a pipeline reports
+    // when a handful of corrupt rows would otherwise move the mean. Two
+    // passes: the exact-percentile fit collapses to one row per group
+    // (3 groups) and broadcasts back onto the scan; no row-level window, no
+    // sort of the fact. The same fit-broadcast-transform shape as
+    // emb_whitening — at 100 TB the second pass is embarrassingly parallel.
+    "agg_winsorize" -> ((s, d) => {
+      val bands = t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), lit(0.05)).as("p05"),
+             percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      t(s, d, "lineitem")
+        .join(broadcast(bands), "l_returnflag")
+        .withColumn("w", least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             round(avg("l_extendedprice"), 4).as("raw_mean"),
+             round(avg("w"), 4).as("winsor_mean"),
+             round(first(col("p05")), 4).as("p05"),
+             round(first(col("p95")), 4).as("p95"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- day-over-day self-join built from ONE aggregated subplan: both
+    // join inputs are the same daily rollup, so the planner reuses the
+    // first aggregation's shuffle for the second side (plan-asserted)
+    // instead of scanning and aggregating twice — the optimizer feature
+    // that halves the IO of every "compare this period to the previous
+    // one" query at scale. The grouping key is made NON-nullable
+    // (coalesce with a sentinel the data never hits): join-key isnotnull
+    // constraints would otherwise push DIFFERENT inferred filters into the
+    // two sides' scans (isnotnull(day) vs isnotnull(day+1d)) and break the
+    // canonical subplan equality that exchange reuse keys on.
+    "opt_reused_exchange" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(coalesce(date_trunc("DAY", col("ts")),
+          to_timestamp(lit("1970-01-01"))).as("day"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("day_value"))
+      daily.as("a")
+        .join(daily.select((col("day") + expr("interval 1 day")).as("day"),
+            col("n").as("prev_n"), col("day_value").as("prev_value")).as("b"),
+          Seq("day"))
+        .select(col("day"), col("n"), col("prev_n"),
+          round(col("day_value") - col("prev_value"), 4).as("delta_value"))
+        .orderBy("day")
+    }),
+
     // ---- regression/correlation aggregates: the relationship-profiling
     // pass (does price scale with quantity per return class?). All four
     // statistics are single-pass mergeable moment aggregates — partial
@@ -880,6 +928,27 @@ object Relational {
         |        AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "agg_winsorize" ->
+      """WITH bands AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, count(*) AS n,
+        |  round(avg(l_extendedprice), 4) AS raw_mean,
+        |  round(avg(least(greatest(l_extendedprice, p05), p95)), 4) AS winsor_mean,
+        |  round(any_value(p05), 4) AS p05, round(any_value(p95), 4) AS p95
+        |FROM lineitem JOIN bands USING (l_returnflag)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "opt_reused_exchange" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS n,
+        |    round(sum(value), 4) AS day_value
+        |  FROM events GROUP BY 1)
+        |SELECT a.day AS day, a.n AS n, b.n AS prev_n,
+        |  round(a.day_value - b.day_value, 4) AS delta_value
+        |FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 1 DAY
+        |ORDER BY day""".stripMargin,
 
     "agg_corr_regr" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -216,6 +216,38 @@ object Temporal {
         .orderBy("user_id", "hour")
     }),
 
+    // exponentially-weighted moving average — a true per-key RECURRENCE
+    // (ew_t = α·v_t + (1−α)·ew_{t−1}), which no window frame expresses.
+    // This is the disciplined mapGroups escape hatch: one shuffle on
+    // user_id, the recurrence runs sequentially inside each group, state is
+    // bounded by the per-user series (never partition size). The oracle
+    // replays the identical FP operation sequence via list_reduce over the
+    // ordered prefix, so the match is bit-exact, not coincidental. At
+    // 100 TB this is the shape for per-entity decay features where closed
+    // forms would need numerically explosive (1−α)^(−i) weights.
+    "ts_ewma" -> ((s, d) => {
+      import s.implicits._
+      // literal 0.2/0.8 on BOTH sides — deriving 1−α at runtime could land
+      // on a different double than the oracle's literal
+      t(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (uid, it) =>
+          val evs = it.toArray.sortBy(e => (e._2, e._3))
+          var ew = 0.0
+          var first = true
+          evs.iterator.map { case (_, _, eid, v) =>
+            ew = if (first) { first = false; v } else 0.2 * v + 0.8 * ew
+            (uid, eid, ew)
+          }
+        }
+        .toDF("user_id", "event_id", "ewma")
+        .withColumn("ewma", round(col("ewma"), 4))
+        .orderBy("user_id", "event_id")
+    }),
+
     // sweep-line max concurrency: how many 5-minute event intervals overlap
     // at the peak, per event type. Each interval contributes a +1 at its
     // start and a -1 at its end; the running sum over (t, delta) is the
@@ -362,6 +394,21 @@ object Temporal {
         |  h.avg_value IS NULL AS is_gap
         |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
         |ORDER BY g.user_id, g.hour""".stripMargin,
+
+    // identical FP op order as the Scala recurrence: list_reduce seeds with
+    // the first element and folds 0.2·x + 0.8·acc left-to-right
+    "ts_ewma" ->
+      """WITH ord AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |ag AS (SELECT user_id, list(value ORDER BY rn) AS vs,
+        |    list(event_id ORDER BY rn) AS ids FROM ord GROUP BY user_id),
+        |ex AS (SELECT user_id, unnest(ids) AS event_id,
+        |    unnest(list_transform(range(1, len(vs) + 1),
+        |      t -> list_reduce(vs[1:t], (acc, x) -> 0.2*x + 0.8*acc))) AS ewma
+        |  FROM ag)
+        |SELECT user_id, event_id, round(ewma, 4) AS ewma
+        |FROM ex ORDER BY user_id, event_id""".stripMargin,
 
     "ts_max_concurrency" ->
       """WITH pts AS (

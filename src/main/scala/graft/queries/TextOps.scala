@@ -511,6 +511,24 @@ object TextOps {
         .orderBy("lang", "rnk")
     }),
 
+    // blocked fuzzy join (record linkage): candidate pairs come from an
+    // EQUALITY block (first-8-char prefix), and the quadratic edit-distance
+    // work runs only inside blocks — the string-matching sibling of
+    // dd_lsh_pairs' band trick. At 100 TB the block key is whatever cheap
+    // canonical prefix/phonetic/sorted-token key the domain gives you; the
+    // plan stays a hash equi-join however fuzzy the verify predicate is.
+    "tx_fuzzy_join" -> ((s, d) => {
+      val keyed = t(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 8).as("blk"),
+          substring(col("text"), 1, 32).as("pfx"))
+      keyed.as("x").join(keyed.as("y"),
+          col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+        .withColumn("pdist", levenshtein(col("x.pfx"), col("y.pfx")).cast("bigint"))
+        .filter(col("pdist") <= 6)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("pdist"))
+        .orderBy("a", "b")
+    }),
+
     // bigram language-model scoring — the train-then-score two-pass: MLE
     // conditional probabilities P(b|a) = c(a,b)/c(a,·) fitted over the WHOLE
     // corpus (both count tables collapse in partial aggregation), then each
@@ -800,6 +818,15 @@ object TextOps {
         |      FROM scored)
         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, round(skey, 4) AS skey
         |FROM r WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
+
+    "tx_fuzzy_join" ->
+      """WITH k AS (SELECT doc_id, substr(text, 1, 8) AS blk,
+        |    substr(text, 1, 32) AS pfx FROM documents)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(levenshtein(x.pfx, y.pfx) AS BIGINT) AS pdist
+        |FROM k x JOIN k y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |WHERE levenshtein(x.pfx, y.pfx) <= 6
+        |ORDER BY a, b""".stripMargin,
 
     "tx_bigram_lm" ->
       s"""WITH tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),

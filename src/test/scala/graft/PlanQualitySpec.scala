@@ -235,6 +235,23 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$p")
   }
 
+  test("opt_reused_exchange: the self-joined daily rollup reuses one exchange (single scan)") {
+    // ReusedExchange appears in the ADAPTIVE plan after AQE stage planning;
+    // executing the query materializes the final plan
+    val df = SparkEntry.queries("opt_reused_exchange")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(p.contains("Reused") || scans == 1,
+      s"the identical aggregated subplan must be computed once:\n$p")
+  }
+
+  test("agg_winsorize: percentile bands broadcast back — no row-level window over the fact") {
+    val p = planOf("agg_winsorize")
+    assert(!p.contains("Window"), s"clamping must not sort the fact:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the 3-row band table must broadcast:\n$p")
+  }
+
   test("pp_dynamic_pruning: runtime year set reaches the fact scan as a dynamic PartitionFilter") {
     SparkEntry.queries("pp_dynamic_pruning")(spark, d).collect() // first-use layout write
     val p = planOf("pp_dynamic_pruning")
