@@ -205,6 +205,40 @@ object Relational {
         .agg(r4(sum(rev)).as("revenue"), count(lit(1)).as("n"))
     }),
 
+    // ---- running distinct count (the live-dashboard "unique users so
+    // far" metric): windowed count(DISTINCT) doesn't exist in any engine,
+    // so the scalable form marks each user's FIRST appearance with a
+    // per-(type,user) row_number and running-sums the flags — two window
+    // passes whose partition keys both contain event_type, so AQE plans one
+    // exchange layout; no distinct state ever exceeds a long per row.
+    "w9_running_distinct" -> ((s, d) => {
+      val firstSeen = Window.partitionBy("event_type", "user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val running = Window.partitionBy("event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("is_first", (row_number().over(firstSeen) === 1).cast("long"))
+        .withColumn("distinct_users_so_far", sum("is_first").over(running))
+        .select("event_type", "event_id", "ts", "distinct_users_so_far")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // ---- the spark.sql surface: the same engine drives multi-CTE ANSI SQL
+    // over registered views — proof a reference user can bring their SQL
+    // text instead of the DataFrame API and get identical plans (the CTE
+    // lowers to the exact agg⋈agg shape q18 builds programmatically).
+    "sql_multi_cte" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        WITH rev AS (SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+                     FROM v_lineitem GROUP BY l_orderkey)
+        SELECT o_orderpriority, count(*) AS n_orders, round(sum(revenue), 4) AS total_rev
+        FROM v_orders JOIN rev ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     // ---- winsorized (outlier-robust) mean: clamp each group's values to
     // its own [p05, p95] band, then average — the metric a pipeline reports
     // when a handful of corrupt rows would otherwise move the mean. Two
@@ -928,6 +962,25 @@ object Relational {
         |        AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "w9_running_distinct" ->
+      """SELECT event_type, event_id, ts,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS distinct_users_so_far
+        |FROM (SELECT event_type, event_id, ts,
+        |        row_number() OVER (PARTITION BY event_type, user_id
+        |          ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "sql_multi_cte" ->
+      """WITH rev AS (SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |             FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_orders, round(sum(revenue), 4) AS total_rev
+        |FROM orders JOIN rev ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "agg_winsorize" ->
       """WITH bands AS (SELECT l_returnflag,
