@@ -205,6 +205,38 @@ object Relational {
         .agg(r4(sum(rev)).as("revenue"), count(lit(1)).as("n"))
     }),
 
+    // ---- the NOT IN null trap, solved both ways: one NULL in a NOT IN
+    // subquery makes EVERY row's membership test UNKNOWN → zero rows, while
+    // NOT EXISTS ignores the NULL and anti-joins normally. Spark plans the
+    // null-aware form as a broadcast NullAwareAntiJoin (never a cartesian);
+    // the catalog face reports both counts side by side so the semantic
+    // difference is hash-checked against the oracle, not just documented.
+    "sub_not_in_null_trap" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "customer")
+        .select(when(col("c_acctbal") < 0, col("c_custkey")).as("nullable_key"))
+        .createOrReplaceTempView("v_subkeys")
+      s.sql("""
+        SELECT
+          (SELECT count(*) FROM v_orders
+           WHERE o_custkey NOT IN (SELECT nullable_key FROM v_subkeys)) AS n_not_in,
+          (SELECT count(*) FROM v_orders o
+           WHERE NOT EXISTS (SELECT 1 FROM v_subkeys s
+                             WHERE s.nullable_key = o.o_custkey)) AS n_not_exists""")
+    }),
+
+    // ---- rollup with grouping_id: the bitmask that tells a report reader
+    // WHICH level each output row aggregates (0 = leaf, 1 = status
+    // subtotal, 3 = grand total) — without it, rollup output with nullable
+    // group keys is ambiguous (a NULL key vs a subtotal row).
+    "agg_grouping_id" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("rev"),
+             grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_last,
+          col("o_orderpriority").asc_nulls_last)),
+
     // ---- running distinct count (the live-dashboard "unique users so
     // far" metric): windowed count(DISTINCT) doesn't exist in any engine,
     // so the scalable form marks each user's FIRST appearance with a
@@ -962,6 +994,23 @@ object Relational {
         |        AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "sub_not_in_null_trap" ->
+      """WITH v_subkeys AS (SELECT CASE WHEN c_acctbal < 0 THEN c_custkey END AS nullable_key
+        |  FROM customer)
+        |SELECT
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT nullable_key FROM v_subkeys)) AS n_not_in,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM v_subkeys s
+        |                     WHERE s.nullable_key = o.o_custkey)) AS n_not_exists""".stripMargin,
+
+    "agg_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS rev,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin,
 
     "w9_running_distinct" ->
       """SELECT event_type, event_id, ts,

@@ -175,6 +175,20 @@ object Temporal {
              round(avg("value"), 4).as("avg_value"))
         .orderBy("day")),
 
+    // sliding (hopping) event-time windows — 1-hour span every 15 minutes,
+    // so each event lands in exactly 4 overlapping windows. Spark expands
+    // the event BEFORE the aggregation (4 rows per event, then the usual
+    // partial→final hash agg) — at 100 TB the fan-out factor is span/slide
+    // and the state is per-window, which is why production configs keep the
+    // ratio small. Streaming runs the identical groupBy under a watermark.
+    "st_sliding_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(col("w.start").as("ws"), col("w.end").as("we"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("ws", "event_type")),
+
     // OHLC resample: downsample the per-user value stream to hourly
     // open/high/low/close bars with min_by/max_by — ONE partial→final hash
     // aggregation, no window, no self-join. This is the shape that survives
@@ -394,6 +408,16 @@ object Temporal {
         |  h.avg_value IS NULL AS is_gap
         |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
         |ORDER BY g.user_id, g.hour""".stripMargin,
+
+    // each event belongs to the 4 epoch-aligned 15-minute-stepped window
+    // starts within the preceding hour
+    "st_sliding_window" ->
+      """SELECT ws, ws + INTERVAL 1 HOUR AS we, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |        - k * INTERVAL '15 minutes' AS ws, event_type, value
+        |      FROM events, (SELECT unnest(range(0, 4)) AS k))
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
 
     // identical FP op order as the Scala recurrence: list_reduce seeds with
     // the first element and folds 0.2·x + 0.8·acc left-to-right

@@ -33,6 +33,26 @@ class IngestSpec extends AnyFunSuite with SharedSparkSpec {
     assert(pruned.count() == 2)
   }
 
+  test("dynamic partition overwrite replaces only the partitions in the batch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-dpo").toString + "/t"
+    val v1 = Seq((2023, "a", 1), (2024, "b", 2)).toDF("year", "k", "v")
+    v1.write.partitionBy("year").parquet(base)
+    // STATIC overwrite would drop 2023 too; dynamic mode rewrites only the
+    // partitions present in the incoming batch — the idempotent daily
+    // backfill pattern (re-run one day without touching the rest of the
+    // 100 TB layout)
+    Seq((2024, "b2", 20)).toDF("year", "k", "v")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year").parquet(base)
+    val back = spark.read.parquet(base)
+    assert(back.where($"year" === 2023).collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      == Seq(("a", 1)), "untouched partition must survive the overwrite")
+    assert(back.where($"year" === 2024).collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      == Seq(("b2", 20)), "incoming partition must be fully replaced")
+  }
+
   test("raw CSV ingest honors NA tokens and never infers") {
     val dir = Files.createTempDirectory("graft-csv")
     Files.writeString(dir.resolve("weather_data.csv"),

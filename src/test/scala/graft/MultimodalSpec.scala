@@ -95,6 +95,18 @@ class MultimodalSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("samples16: sign-extended int16 decode; non-16-bit and corrupt clips drop") {
+    import graft.engine.AudioHeaders
+    // LE byte pairs (lo, hi): (00,01)→256, (ff,7f)→32767, (00,80)→-32768, (ff,ff)→-1
+    val b = AudioHeaders.wavBytes(1, 8000, 16, 4)
+    val data = Array[Byte](0x00, 0x01, 0xff.toByte, 0x7f, 0x00, 0x80.toByte, 0xff.toByte, 0xff.toByte)
+    System.arraycopy(data, 0, b, AudioHeaders.WavHeaderLen, 8)
+    assert(AudioHeaders.samples16(b).get.toSeq == Seq(256, 32767, -32768, -1))
+    assert(AudioHeaders.samples16(AudioHeaders.wavBytes(1, 8000, 8, 4)).isEmpty,
+      "8-bit clips must not decode through the int16 path")
+    assert(AudioHeaders.samples16("not a wav".getBytes("UTF-8")).isEmpty)
+  }
+
   test("repartition by byte budget keeps batches balanced") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.asMedia(spark, docs).repartition(8)

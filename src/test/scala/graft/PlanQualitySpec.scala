@@ -252,6 +252,12 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"the 3-row band table must broadcast:\n$p")
   }
 
+  test("sub_not_in_null_trap: null-aware NOT IN plans as an anti join, not a nested loop scan") {
+    val p = planOf("sub_not_in_null_trap")
+    assert(p.contains("LeftAnti"), s"both subqueries must lower to anti joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian for existence tests:\n$p")
+  }
+
   test("pp_dynamic_pruning: runtime year set reaches the fact scan as a dynamic PartitionFilter") {
     SparkEntry.queries("pp_dynamic_pruning")(spark, d).collect() // first-use layout write
     val p = planOf("pp_dynamic_pruning")
