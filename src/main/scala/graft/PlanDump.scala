@@ -80,7 +80,13 @@ object PlanDump {
       "shipdate>orderdate residual; the order-date range lands in PushedFilters."),
     "opt_reused_exchange" -> ("Day-over-day self-join: both sides consume ONE aggregated " +
       "subplan — the second side reuses the first's shuffle (non-nullable grouping key " +
-      "keeps the canonical forms identical), so the fact is scanned once.")
+      "keeps the canonical forms identical), so the fact is scanned once."),
+    "src_pushdown_docs" -> ("Custom DataSource V2 scan: the doc_id range is absorbed into " +
+      "the generated interval (BatchScan shows [90000, 90100)); unprojected columns never " +
+      "materialize in the reader."),
+    "sub_not_in_null_trap" -> ("NOT IN under a nullable subquery: null-aware broadcast " +
+      "anti join beside the plain NOT EXISTS anti join — both existence tests, no " +
+      "nested-loop scans.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -275,6 +275,23 @@ object ScaleOps {
         .orderBy("o_orderstatus")
     }),
 
+    // ---- custom DataSource V2 face: the graft.sources.SyntheticDocs
+    // connector generates rows partition-parallel; the doc_id range filter
+    // is ABSORBED by the scan builder (rows outside [90000, 90100) are
+    // never generated — SourcesSpec asserts the planned interval), and
+    // column pruning drops the text field at the reader. The oracle
+    // recomputes the same deterministic formulas from a DuckDB range() —
+    // so the whole connector stack is hash-checked end to end.
+    "src_pushdown_docs" -> ((s, d) => {
+      val _ = d // source is synthetic; sf dir unused
+      s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "100000").option("slices", "8").load()
+        .filter(col("doc_id") >= 90000 && col("doc_id") < 90100)
+        .groupBy((col("doc_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("score").as("sum_score"))
+        .orderBy("bucket")
+    }),
+
     // ---- bitmap exact-distinct: count(DISTINCT user) re-expressed as
     // bucketed bitmap words — bit b of word w is set iff user 64·w+b
     // appeared — OR-merged per group. The shuffle carries (group, word)
@@ -576,6 +593,14 @@ object ScaleOps {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // re-derives the connector's row formulas (score = id·31 mod 1000)
+    // over the same pushed range
+    "src_pushdown_docs" ->
+      """SELECT doc_id % 10 AS bucket, count(*) AS n,
+        |  CAST(sum(doc_id * 31 % 1000) AS BIGINT) AS sum_score
+        |FROM (SELECT unnest(range(90000, 90100)) AS doc_id)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "layout_file_skipping" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS rev

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming surface (SURVEY.md §2.9: batch-first engine with the
@@ -242,5 +243,41 @@ object Streams {
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  case class UserRunning(user_id: Long, event_id: Long, n_so_far: Long, ewma: Double)
+
+  /** Arbitrary stateful processing on the transformWithState API (the
+    * mapGroupsWithState successor): per-user running count + EWMA carried in
+    * a typed ValueState across micro-batches. State lives in the RocksDB
+    * state store (the operator requires it — spec sets the provider), is
+    * keyed per user so it distributes, and TTLConfig would bound it for
+    * unbounded key spaces. Within a batch, rows are processed in event-time
+    * order so the recurrence matches the batch ts_ewma semantics. */
+  class RunningStatsProcessor extends StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var st: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("running",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[UserRunning] = {
+      var (n, ew) = if (st.exists()) st.get() else (0L, 0.0)
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).map { e =>
+        n += 1
+        ew = if (n == 1) e.value else 0.2 * e.value + 0.8 * ew
+        UserRunning(key, e.event_id, n, ew)
+      }
+      st.update((n, ew))
+      out.iterator
+    }
+  }
+
+  /** Per-user running stats over transformWithState. Requires
+    * spark.sql.streaming.stateStore.providerClass=RocksDBStateStoreProvider. */
+  def runningStats(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

@@ -273,6 +273,17 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
       s"the whole point is no count-distinct machinery:\n$p")
   }
 
+  test("AQE coalesces over-provisioned shuffle partitions after tiny aggregations") {
+    // shuffle.partitions is sized for the big scans; AQE shrinks the
+    // post-shuffle side when the data turns out small — the runtime knob
+    // that makes one static setting survive 100 TB and 100 MB alike
+    val df = SparkEntry.queries("q1_agg")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead coalesced"),
+      s"expected AQE partition coalescing on the 6-group aggregate:\n$p")
+  }
+
   test("tx_cdc_chunks: native chunker explodes directly over the scan (no pre-shuffle)") {
     val p = planOf("tx_cdc_chunks")
     assert(p.contains("explode(cdc_chunks("),

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SyntheticDocs
+
+/** DataSource V2 connector behavior: filter pushdown shrinks what is
+  * GENERATED (not just what is returned), column pruning reaches the
+  * reader, and the range splits into parallel partitions. */
+class SourcesSpec extends AnyFunSuite with SharedSparkSpec {
+
+  private def docs(rows: Long, slices: Int = 4) =
+    spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", rows.toString).option("slices", slices.toString).load()
+
+  test("full scan produces the declared row count with deterministic values") {
+    val df = docs(1000)
+    assert(df.count() == 1000)
+    val r = df.filter(col("doc_id") === 42).collect()(0)
+    assert(r.getString(r.fieldIndex("text")) == SyntheticDocs.textOf(42))
+    assert(r.getLong(r.fieldIndex("score")) == SyntheticDocs.scoreOf(42))
+  }
+
+  test("doc_id range predicates are absorbed into the generated interval") {
+    val df = docs(100000).filter(col("doc_id") >= 90000 && col("doc_id") < 90100)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("[90000, 90100)"),
+      s"the scan must generate only the surviving range:\n$p")
+    assert(df.count() == 100)
+    // the absorbed range never materializes rows outside it: a 1-row equality
+    // plans exactly one 1-row partition
+    val one = docs(100000).filter(col("doc_id") === 77777)
+    assert(one.rdd.getNumPartitions == 1, "equality must collapse to one slice")
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(77777L))
+  }
+
+  test("non-doc_id predicates stay residual (returned rows still correct)") {
+    val df = docs(1000).filter(col("doc_id") < 100 && col("score") > 500)
+    val expected = (0L until 100L).filter(SyntheticDocs.scoreOf(_) > 500)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == expected)
+  }
+
+  test("column pruning reaches the reader (text never materialized)") {
+    val df = docs(1000).select("doc_id", "score")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cols=doc_id,score"),
+      s"reader schema must exclude the unprojected text column:\n$p")
+  }
+
+  test("the surviving range splits into parallel input partitions") {
+    val df = docs(1000, slices = 8)
+    assert(df.rdd.getNumPartitions == 8)
+    // partitions cover the range exactly once (no dup/gap at split points)
+    assert(df.select(sum("doc_id")).collect()(0).getLong(0) == (0L until 1000L).sum)
+  }
+}

@@ -266,6 +266,60 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
     assert(u1.head.session_start == ts(0) && u1.head.session_end == ts(5))
   }
 
+  test("transformWithState carries typed per-key state across micro-batches (RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = Streams.runningStats(mem.toDS()).writeStream
+        .format("memory").queryName("tws").outputMode("update").start()
+      // batch 1: user 1 sees events at t0 (v=10) and t5 (v=20)
+      mem.addData(Event(1, ts(0), 1, "click", 10.0), Event(2, ts(5), 1, "click", 20.0))
+      q.processAllAvailable()
+      // batch 2: user 1 again (state must survive), user 2 fresh
+      mem.addData(Event(3, ts(10), 1, "view", 30.0), Event(4, ts(1), 2, "view", 7.0))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("tws").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val ew2 = 0.2 * 20.0 + 0.8 * 10.0            // within batch 1
+      val ew3 = 0.2 * 30.0 + 0.8 * ew2             // recurrence CONTINUES in batch 2
+      assert(rows == Seq((1L, 1L, 1L, 10.0), (1L, 2L, 2L, ew2),
+        (1L, 3L, 3L, ew3), (2L, 4L, 1L, 7.0)))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("checkpointed query restarts from where it stopped (no reprocessing, state intact)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val mem = MemoryStream[Event]
+    def start() = Streams.hourlyCounts(mem.toDF(), "10 minutes").writeStream
+      .format("memory").queryName("ckpt_counts").outputMode("complete")
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0))
+    q1.processAllAvailable(); q1.stop()
+
+    // restart against the SAME checkpoint: the committed offsets mean batch 0
+    // is not re-read; new data folds into the restored window state
+    val q2 = start()
+    mem.addData(Event(3, ts(7), 1, "click", 4.0))
+    q2.processAllAvailable(); q2.stop()
+
+    val row = spark.table("ckpt_counts")
+      .filter(col("event_type") === "click").collect()
+    assert(row.length == 1, s"one window expected, got ${row.toSeq}")
+    assert(row(0).getAs[Long]("n") == 3 && row(0).getAs[Double]("sum_value") == 7.0,
+      "restored state must include the pre-restart events exactly once")
+  }
+
   test("dedupFirst keeps one row per (user_id, event_type)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
