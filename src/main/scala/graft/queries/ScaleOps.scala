@@ -292,6 +292,43 @@ object ScaleOps {
         .orderBy("bucket")
     }),
 
+    // ---- CSV source round-trip: write once per sf (first-use, like the
+    // bucketed layouts), read back with an EXPLICIT schema (never inferred
+    // — inference is a full extra pass at 100 TB and type-unstable), and
+    // aggregate. Doubles survive because both writers emit shortest
+    // round-trippable decimal text. The oracle reads the original parquet,
+    // so the hash match certifies the whole text round-trip.
+    "src_csv_roundtrip" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_formats/orders_csv_$tag"
+      if (!new java.io.File(path + "/_SUCCESS").exists())
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .csv(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("rev"),
+             min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- ORC source round-trip: the other columnar format Spark ships
+    // natively — same first-use layout, filter pushed to the ORC scan.
+    "src_orc_roundtrip" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_formats/lineitem_orc_$tag"
+      if (!new java.io.File(path + "/_SUCCESS").exists())
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .filter(col("l_quantity") < 25)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 4).as("rev"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- bitmap exact-distinct: count(DISTINCT user) re-expressed as
     // bucketed bitmap words — bit b of word w is set iff user 64·w+b
     // appeared — OR-merged per group. The shuffle carries (group, word)
@@ -593,6 +630,16 @@ object ScaleOps {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "src_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS rev,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "src_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS rev
+        |FROM lineitem WHERE l_quantity < 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // re-derives the connector's row formulas (score = id·31 mod 1000)
     // over the same pushed range
