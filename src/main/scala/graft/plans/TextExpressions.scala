@@ -274,6 +274,11 @@ object TokenHashes {
   * SqlText.wordHash's fold exactly so DuckDB can replicate it. Empty text →
   * empty array; text shorter than 4 chars → one chunk. A trailing boundary
   * at the last char emits no empty tail chunk.
+  *
+  * Character contract (same as TokenHashes): hashes UTF-16 code units, so
+  * for supplementary-plane characters (surrogate pairs) it folds two units
+  * where a code-point fold (the DuckDB oracle's string_split+ascii) folds
+  * one — identical on the entire BMP, which is the corpus/oracle contract.
   */
 case class CdcChunks(child: Expression) extends UnaryExpression
     with ImplicitCastInputTypes {

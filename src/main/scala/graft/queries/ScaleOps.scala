@@ -339,8 +339,12 @@ object ScaleOps {
     // the bottleneck; works whenever the id domain is dense integers.
     "agg_bitmap_distinct" -> ((s, d) =>
       t(s, d, "events")
-        .select(col("event_type"), (col("user_id") / 64).cast("long").as("word_idx"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("bit"))
+        // word/bit via shift+mask, NOT division: a double divide loses
+        // exactness past 2^53 and a truncating `div` disagrees with pmod on
+        // negatives — arithmetic shiftright = floor(id/64) and `& 63` stay
+        // exact and mutually consistent for EVERY 64-bit id
+        .select(col("event_type"), shiftright(col("user_id"), 6).as("word_idx"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id & 63 AS INT))").as("bit"))
         .groupBy("event_type", "word_idx")
         .agg(bit_or(col("bit")).as("word"))
         .groupBy("event_type")

@@ -284,13 +284,30 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
       s"expected AQE partition coalescing on the 6-group aggregate:\n$p")
   }
 
+  test("bitmap distinct word/bit arithmetic stays exact at the edges of the 64-bit id domain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a double divide would collapse adjacent ids past 2^53; truncating div
+    // would collide -1 with 63 — shiftright+mask must count all of these
+    val ids = Seq(Long.MaxValue, Long.MaxValue - 1, Long.MaxValue - 64,
+      -1L, -63L, -64L, -65L, 0L, 1L, 63L, 64L, (1L << 53) + 1, (1L << 53) + 2)
+    val n = ids.toDF("user_id")
+      .select(shiftright(col("user_id"), 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id & 63 AS INT))").as("bit"))
+      .groupBy("w").agg(bit_or(col("bit")).as("word"))
+      .agg(sum(bit_count(col("word")))).collect()(0).getLong(0)
+    assert(n == ids.distinct.size, s"expected ${ids.distinct.size} distinct, bitmap counted $n")
+  }
+
   test("tx_cdc_chunks: native chunker explodes directly over the scan (no pre-shuffle)") {
     val p = planOf("tx_cdc_chunks")
     assert(p.contains("explode(cdc_chunks("),
       s"expected the native cdc_chunks expression under the explode:\n$p")
     // the Generate must consume the FileScan without an intervening exchange
     val genIdx = p.indexOf("Generate explode(cdc_chunks")
-    val scanIdx = p.indexOf("FileScan parquet", genIdx)
+    val scanIdx = p.indexOf("FileScan parquet", math.max(genIdx, 0))
+    assert(genIdx >= 0 && scanIdx > genIdx,
+      s"expected Generate over a FileScan in:\n$p")
     val betw = p.substring(genIdx, scanIdx)
     assert(!betw.contains("Exchange"), s"chunking must be scan-side:\n$p")
   }
