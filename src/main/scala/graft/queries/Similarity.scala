@@ -249,6 +249,28 @@ object Similarity {
         .orderBy("label")
     }),
 
+    // ---- one power-iteration step of PCA from the e₁ axis: C·e₁ is column
+    // one of the covariance matrix, so the step is 64 mergeable covar_pop
+    // aggregates over the exploded (vec, dim) frame — the "fit a direction
+    // over 100 TB of embeddings" shape where the shuffle carries only
+    // per-dim moment state (n, Σx, Σy, Σxy), never vectors. The unit-norm
+    // output is the estimated principal direction's profile; further
+    // iterations repeat the same plan with the broadcast direction.
+    "emb_pca_power" -> ((s, d) => {
+      val dims = emb(s, d)
+        .select(col("vec_id"), posexplode(col("v")))
+        .select(col("vec_id"), (col("pos") + 1).cast("bigint").as("dim"), col("col").as("x"))
+      val axis = dims.filter(col("dim") === 1)
+        .select(col("vec_id"), col("x").as("x1"))
+      val cov = dims.join(axis, "vec_id")
+        .groupBy("dim")
+        .agg(covar_pop(col("x"), col("x1")).as("c"), count(lit(1)).as("n"))
+      val norm = cov.agg(sqrt(sum(col("c") * col("c"))).as("cn"))
+      cov.crossJoin(broadcast(norm))
+        .select(col("dim"), col("n"), round(col("c") / col("cn"), 4).as("direction"))
+        .orderBy("dim")
+    }),
+
     // ---- per-dimension whitening (the embedding-preprocessing pass before
     // indexing/clustering): dim-wise mean/std over the whole corpus, then a
     // per-label profile of the standardized values. Scale shape: the stats
@@ -438,6 +460,18 @@ object Similarity {
          |SELECT label, count(*) AS n_vecs,
          |  round(avg(err), 4) AS avg_err, round(max(err), 6) AS max_err
          |FROM perv GROUP BY label ORDER BY label""".stripMargin,
+
+    "emb_pca_power" ->
+      s"""$embCte,
+         |dims AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+         |    v[CAST(dim AS INTEGER)] AS x
+         |  FROM e, generate_series(1, 64) t(dim)),
+         |axis AS (SELECT vec_id, x AS x1 FROM dims WHERE dim = 1),
+         |cov AS (SELECT dim, covar_pop(x, x1) AS c, count(*) AS n
+         |  FROM dims JOIN axis USING (vec_id) GROUP BY dim),
+         |nrm AS (SELECT sqrt(sum(c*c)) AS cn FROM cov)
+         |SELECT dim, n, round(c / cn, 4) AS direction
+         |FROM cov CROSS JOIN nrm ORDER BY dim""".stripMargin,
 
     "emb_whitening" ->
       s"""$embCte,

@@ -39,6 +39,28 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("sliding windows under a watermark match the batch hopping aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = mem.toDF().withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName("sliding").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sliding").orderBy("ws", "event_type").collect().toSeq
+    val batch = sample.toDF()
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // every event must appear in exactly span/slide = 4 windows
+    assert(streamed.map(_.getLong(2)).sum == sample.size * 4)
+  }
+
   test("ohlcBars over MemoryStream matches the batch OHLC aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
