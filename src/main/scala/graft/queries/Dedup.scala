@@ -83,6 +83,25 @@ object Dedup {
     (cand, sg)
   }
 
+  /** LSH candidate pairs joined to both sides' distinct bigram sets with
+    * the inclusion-exclusion intersection precomputed — the shared verify
+    * frame behind dd_jaccard_verify and dd_containment (one definition so
+    * the gram/intersection math cannot drift between them). Quadratic work
+    * stays confined to candidates; the gram table is cache-staged before
+    * the double join. */
+  private def gramPairs(s: SparkSession, d: String): DataFrame = {
+    val (cand, _) = candidates(s, d)
+    val grams = corpus(s, d)
+      .withColumn("__toks", T.tokens(col("text")))
+      .select(col("doc_id"), array_distinct(T.bigramsFromTokens(col("__toks"))).as("g"))
+      .cache()
+    cand
+      .join(grams.select(col("doc_id").as("a"), col("g").as("ga")), "a")
+      .join(grams.select(col("doc_id").as("b"), col("g").as("gb")), "b")
+      .withColumn("n_union", size(array_distinct(concat(col("ga"), col("gb")))).cast("bigint"))
+      .withColumn("n_inter", (size(col("ga")) + size(col("gb"))).cast("bigint") - col("n_union"))
+  }
+
   /** Confirmed LSH near-dup pairs (shared by dd_lsh_pairs and dd_clusters):
     * banded candidates → signature-estimated Jaccard ≥ 0.5. */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
@@ -261,22 +280,12 @@ object Dedup {
     }),
 
     // exact n-gram Jaccard on LSH candidates (the verify stage after LSH).
-    "dd_jaccard_verify" -> ((s, d) => {
-      val (cand, _) = candidates(s, d)
-      val grams = corpus(s, d)
-        .withColumn("__toks", T.tokens(col("text")))
-        .select(col("doc_id"), array_distinct(T.bigramsFromTokens(col("__toks"))).as("g"))
-        .cache()
-      cand
-        .join(grams.select(col("doc_id").as("a"), col("g").as("ga")), "a")
-        .join(grams.select(col("doc_id").as("b"), col("g").as("gb")), "b")
-        .withColumn("n_union", size(array_distinct(concat(col("ga"), col("gb")))).cast("bigint"))
-        .withColumn("n_inter", (size(col("ga")) + size(col("gb"))).cast("bigint") - col("n_union"))
+    "dd_jaccard_verify" -> ((s, d) =>
+      gramPairs(s, d)
         .withColumn("jaccard", round(col("n_inter") / col("n_union"), 4))
         .filter(col("jaccard") >= 0.6)
         .select("a", "b", "n_inter", "n_union", "jaccard")
-        .orderBy("a", "b")
-    }),
+        .orderBy("a", "b")),
 
     // asymmetric shingle CONTAINMENT |A∩B|/|A| (and /|B|): catches
     // doc-inside-doc duplication that symmetric Jaccard misses — a short
@@ -285,23 +294,13 @@ object Dedup {
     // quadratic gram intersection only ever runs on banded candidates.
     // Denominators are never zero: candidates require ≥3 tokens (signature
     // precondition), so both gram sets are non-empty.
-    "dd_containment" -> ((s, d) => {
-      val (cand, _) = candidates(s, d)
-      val grams = corpus(s, d)
-        .withColumn("__toks", T.tokens(col("text")))
-        .select(col("doc_id"), array_distinct(T.bigramsFromTokens(col("__toks"))).as("g"))
-        .cache()
-      cand
-        .join(grams.select(col("doc_id").as("a"), col("g").as("ga")), "a")
-        .join(grams.select(col("doc_id").as("b"), col("g").as("gb")), "b")
-        .withColumn("n_union", size(array_distinct(concat(col("ga"), col("gb")))).cast("bigint"))
-        .withColumn("n_inter", (size(col("ga")) + size(col("gb"))).cast("bigint") - col("n_union"))
+    "dd_containment" -> ((s, d) =>
+      gramPairs(s, d)
         .withColumn("containment_a", round(col("n_inter") / size(col("ga")).cast("bigint"), 4))
         .withColumn("containment_b", round(col("n_inter") / size(col("gb")).cast("bigint"), 4))
         .filter(col("containment_a") >= 0.8 || col("containment_b") >= 0.8)
         .select("a", "b", "n_inter", "containment_a", "containment_b")
-        .orderBy("a", "b")
-    }),
+        .orderBy("a", "b")),
 
     // canonical-doc selection: dedup pipelines don't keep the MIN id, they
     // keep the BEST doc per duplicate cluster (here: longest text, id as

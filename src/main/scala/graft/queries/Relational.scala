@@ -25,6 +25,30 @@ object Relational {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
   private def r4(c: Column) = round(c, 4)
 
+  /** Global row numbers WITHOUT a single-partition Window — the two-level
+    * scheme shared by w3_every_kth and agg_hist_equidepth: range-repartition
+    * on the sort key, per-partition local row numbers decoded from
+    * monotonically_increasing_id (partition id in the high bits, record
+    * index in the low 33), then partition offsets from a broadcast
+    * prefix-sum over the tiny per-partition count table. Appends `rn`
+    * (1-based, total order over sortCols). One definition so the id-layout
+    * decode and the offsets join cannot drift between the two queries. */
+  private def withGlobalRowNumbers(df: DataFrame, sortCols: Column*): DataFrame = {
+    val local = df
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("__mid"), 33))
+      .withColumn("lrn", col("__mid") - shiftleft(col("pid"), 33) + 1)
+    val cnts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val offsets = cnts
+      .join(cnts.select(col("pid").as("ppid"), col("cnt").as("pcnt")),
+        col("ppid") < col("pid"), "left")
+      .groupBy("pid").agg(coalesce(sum("pcnt"), lit(0L)).as("offset"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("rn", col("lrn") + col("offset"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- flagship: TPC-H-Q1-shaped scan→filter→agg→sort (SURVEY §7.3).
     // One shuffle (partial→final hash agg); filter + 7-column projection reach
@@ -607,21 +631,11 @@ object Relational {
     // buckets on both sides. The tie-break (price, orderkey) makes the
     // global order total, so bucketing is deterministic.
     "agg_hist_equidepth" -> ((s, d) => {
-      val local = t(s, d, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .repartitionByRange(col("o_totalprice").asc, col("o_orderkey").asc)
-        .sortWithinPartitions(col("o_totalprice").asc, col("o_orderkey").asc)
-        .withColumn("__mid", monotonically_increasing_id())
-        .withColumn("pid", shiftright(col("__mid"), 33))
-        .withColumn("lrn", col("__mid") - shiftleft(col("pid"), 33) + 1)
-      val cnts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      val offsets = cnts
-        .join(cnts.select(col("pid").as("ppid"), col("cnt").as("pcnt")),
-          col("ppid") < col("pid"), "left")
-        .groupBy("pid").agg(coalesce(sum("pcnt"), lit(0L)).as("offset"))
-      val n = local.agg(count(lit(1)).as("n_total"))
-      local.join(broadcast(offsets), "pid")
-        .withColumn("rn", col("lrn") + col("offset"))
+      val ranked = withGlobalRowNumbers(
+        t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+        col("o_totalprice").asc, col("o_orderkey").asc)
+      val n = ranked.agg(count(lit(1)).as("n_total"))
+      ranked
         .crossJoin(broadcast(n))
         // (rn-1)*10/N in double is exact at every decile boundary for
         // N < 2^49 (integer operands, product < 2^53), so floor matches
@@ -726,25 +740,12 @@ object Relational {
     // 32-way range shuffle and no Window at all. (For heavy approximate
     // sampling df.sample/TABLESAMPLE remains the cheaper path; this is the
     // exact-stride variant.)
-    "w3_every_kth" -> ((s, d) => {
-      val local = t(s, d, "events")
-        .select("event_id", "ts")
-        .repartitionByRange(col("ts").asc, col("event_id").asc)
-        .sortWithinPartitions(col("ts").asc, col("event_id").asc)
-        .withColumn("__mid", monotonically_increasing_id())
-        .withColumn("pid", shiftright(col("__mid"), 33))
-        .withColumn("lrn", col("__mid") - shiftleft(col("pid"), 33) + 1)
-      val cnts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      val offsets = cnts
-        .join(cnts.select(col("pid").as("ppid"), col("cnt").as("pcnt")),
-          col("ppid") < col("pid"), "left")
-        .groupBy("pid").agg(coalesce(sum("pcnt"), lit(0L)).as("offset"))
-      local.join(broadcast(offsets), "pid")
-        .withColumn("rn", col("lrn") + col("offset"))
+    "w3_every_kth" -> ((s, d) =>
+      withGlobalRowNumbers(t(s, d, "events").select("event_id", "ts"),
+          col("ts").asc, col("event_id").asc)
         .filter(col("rn") % 100 === 1)
         .select("rn", "event_id", "ts")
-        .orderBy("rn")
-    }),
+        .orderBy("rn")),
 
     // ---- W4 ranking (SURVEY §2.5 "natural reconstruction" of Position).
     "w4_rank_topn" -> ((s, d) => {
@@ -1044,8 +1045,8 @@ object Relational {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "opt_reused_exchange" ->
-      """WITH daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS n,
-        |    round(sum(value), 4) AS day_value
+      """WITH daily AS (SELECT coalesce(date_trunc('day', ts), TIMESTAMP '1970-01-01') AS day,
+        |    count(*) AS n, round(sum(value), 4) AS day_value
         |  FROM events GROUP BY 1)
         |SELECT a.day AS day, a.n AS n, b.n AS prev_n,
         |  round(a.day_value - b.day_value, 4) AS delta_value

@@ -379,9 +379,14 @@ object Scalars {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // genuinely parses the JSON (json_keys + per-key extract) instead of
+    // hardcoding the fixture's single-key shape, so NULL/empty/multi-key
+    // props keep the oracle row-for-row with Spark's map explode
     "json_map_explode" ->
-      """SELECT event_id, 'k' AS key, CAST(json_extract_string(props, '$.k') AS BIGINT) AS value
-        |FROM events ORDER BY event_id, key""".stripMargin,
+      """SELECT event_id, key,
+        |  CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT) AS value
+        |FROM (SELECT event_id, props, unnest(json_keys(props)) AS key FROM events)
+        |ORDER BY event_id, key""".stripMargin,
 
     "json_struct_agg" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -503,7 +503,10 @@ object ScaleOps {
     "etl_schema_merge" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val base = s"/tmp/graft_evolve/orders_$tag"
-      if (!new java.io.File(s"$base/gen=1/_SUCCESS").exists()) {
+      // gate on BOTH generations' commit markers: a crash between the two
+      // writes must not leave a half-built layout that later runs accept
+      if (!new java.io.File(s"$base/gen=1/_SUCCESS").exists() ||
+          !new java.io.File(s"$base/gen=2/_SUCCESS").exists()) {
         val o = t(s, d, "orders")
         o.filter(year(col("o_orderdate")) < 1995)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -557,12 +560,18 @@ object ScaleOps {
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
+    // NOT the same oracle as asof_join: AsOfJoinExec is backward-inclusive
+    // on TIME alone (any signup with ts <= purchase ts matches, regardless
+    // of event_id order among same-microsecond rows), which is exactly
+    // max(signup ts) over a RANGE frame — order-independent under ties,
+    // where the ROWS-frame form would diverge for a same-ts signup with a
+    // larger event_id than the purchase.
     "asof_join_custom" ->
       """SELECT event_id, user_id, ts, last_signup_ts FROM (
         |  SELECT event_id, user_id, ts, event_type,
-        |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        |    max(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 

@@ -16,6 +16,20 @@ object Temporal {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Gap-based session assignment shared by st_sessionize and
+    * st_session_transcript: lag → new-session flag → running sum, one
+    * shuffle on user_id. One definition so the "same session assignment"
+    * contract between the two queries cannot drift. */
+  private def withSessionIdx(df: DataFrame, gapMinutes: Long = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    df.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        coalesce(unix_micros(col("ts")) - col("prev_us") > gapMinutes * 60 * 1000000, lit(true)))
+      .withColumn("session_idx",
+        sum(when(col("is_new"), 1L).otherwise(0L))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   val queries: Map[String, Q] = Map(
     // tumbling 1-hour event-time window × event_type (streaming: identical
     // groupBy(window(...)) with withWatermark — see graft.streaming).
@@ -30,14 +44,7 @@ object Temporal {
     // running sum = session index → per-session aggregate. One shuffle on
     // user_id; the canonical scale pattern for clickstream sessionization.
     "st_sessionize" -> ((s, d) => {
-      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-      t(s, d, "events")
-        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-        .withColumn("is_new",
-          coalesce(unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, lit(true)))
-        .withColumn("session_idx",
-          sum(when(col("is_new"), 1L).otherwise(0L))
-            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withSessionIdx(t(s, d, "events"))
         .groupBy("user_id", "session_idx")
         .agg(count(lit(1)).as("n_events"),
              min("ts").as("session_start"),
@@ -101,14 +108,7 @@ object Temporal {
     // shuffle on user_id and the per-session array stays bounded by
     // session length, never by partition size.
     "st_session_transcript" -> ((s, d) => {
-      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-      t(s, d, "events")
-        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-        .withColumn("is_new",
-          coalesce(unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, lit(true)))
-        .withColumn("session_idx",
-          sum(when(col("is_new"), 1L).otherwise(0L))
-            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withSessionIdx(t(s, d, "events"))
         .groupBy("user_id", "session_idx")
         .agg(count(lit(1)).as("n_events"),
           array_join(transform(
