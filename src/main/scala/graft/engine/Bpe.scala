@@ -39,7 +39,9 @@ object Bpe {
   /** The word-frequency working set for a document frame with a `text`
     * column: distinct words, each split into single-character symbols. */
   def wordTable(docs: DataFrame): DataFrame = {
-    val staged = docs.select(TextFunctions.tokens(col("text")).as("__toks")).cache()
+    // no cache: the token stage has exactly one downstream consumer (the
+    // explode/groupBy below) — pinning it would cost storage for nothing
+    val staged = docs.select(TextFunctions.tokens(col("text")).as("__toks"))
     staged.select(explode(col("__toks")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(split(col("word"), "").as("syms"), col("freq"))

@@ -44,6 +44,10 @@ object KMeans {
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("seed_id"), col("v").as("c"))
       .localCheckpoint()
+    // fail the seed contract loudly: an id space not starting at 0 would
+    // otherwise surface as a bare NPE from the first inertia read
+    require(cents.limit(1).count() == 1,
+      s"k-means seeds empty: no rows with vec_id < $k (seed contract needs ids from 0)")
     val inertia = Seq.newBuilder[Double]
     for (_ <- 1 to rounds) {
       val a = assign(e, cents).localCheckpoint() // one distributed pass, reused twice below

@@ -39,6 +39,8 @@ object PageRank {
       .union(edges.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    // empty graph would otherwise surface as an NPE reading the delta agg
+    require(out.limit(1).count() == 1, "page-rank needs a non-empty edge frame")
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint()
     val deltas = Seq.newBuilder[Double]
     for (_ <- 1 to rounds) {

@@ -25,6 +25,11 @@ object Tables {
       // to micros (integer `div` — a double division would lose precision at
       // 1.7e18 ns). DuckDB's own reader truncates ns→µs identically, so oracle
       // comparisons stay exact.
+      // The conf is set at session build in localSession; setting it here
+      // too covers externally built sessions (tests). Known tradeoff: it is
+      // session-wide and sticky, so any later TIMESTAMP(NANOS) parquet read
+      // in the same session also comes back as LongType — events is the
+      // only nanos table in this corpus.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
@@ -44,6 +49,9 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // nanos tables (events) read as LongType from the start — not as a
+      // hidden side effect of the first events load (see Tables.load)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

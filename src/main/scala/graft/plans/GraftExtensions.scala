@@ -2,22 +2,37 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, ExpressionInfo,
+  GreaterThanOrEqual, If, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
 
 /** Optimizer rule: eliminate duration-codec round-trips —
-  * parse(format(x)) → x and format(parse(x)) is left alone (format is not
-  * injective on its domain: '61:09:999' re-emits as '01:01:09:999').
+  * parse(format(x)) → x ONLY where parse∘format is provably the identity,
+  * and format(parse(x)) is left alone (format is not injective on its
+  * domain: '61:09:999' re-emits as '01:01:09:999').
   *
-  * parse∘format == id holds for every millis value (PlansSpec property), so
-  * the rewrite is semantics-preserving; it turns the canonicalizer's
-  * validate-re-emit-re-validate chains into no-ops at the plan level.
+  * parse∘format == id holds for |x| ≤ 9999999:59:59:999 in millis
+  * (35_999_999_999_999): beyond that, format emits an 8+-digit leading hour
+  * group that parse (by its golden-fixture contract, f6_parse_edges)
+  * rejects to NULL — and abs(Long.MinValue) overflows before format even
+  * runs. So the rewrite guards with an explicit BETWEEN (a blanket
+  * parse(format(x)) → x would change results at the extremes): in range →
+  * x, out of range → NULL, null → null (If's false branch). Still removes
+  * the whole parse cost from the canonicalizer's
+  * validate-re-emit-re-validate chains.
   */
 object EliminateDurationRoundTrip extends Rule[LogicalPlan] {
+  /** largest millis whose formatted leading hour group stays ≤ 7 digits. */
+  val MaxRoundTrip: Long = 9999999L * 3600000L + 59L * 60000L + 59L * 1000L + 999L
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case ParseF1Duration(FormatF1Duration(inner)) => inner
+      case ParseF1Duration(FormatF1Duration(inner)) =>
+        If(And(GreaterThanOrEqual(inner, Literal(-MaxRoundTrip, LongType)),
+               LessThanOrEqual(inner, Literal(MaxRoundTrip, LongType))),
+          inner, Literal(null, LongType))
     }
 }
 

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -25,7 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * null (try_divide semantics), because at 100 TB one all-zero embedding
   * should yield a null similarity, not kill the stage.
   */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  // implicit casting: a raw array<float> embedding column (the module's
+  // documented domain) gets a Cast node injected by the analyzer instead of
+  // an AnalysisException; array<double> inputs stay cast-free
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def checkInputDataTypes() = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     (left.dataType, right.dataType) match {

@@ -19,7 +19,9 @@ import java.sql.Timestamp
   * across executors; watermarks bound state size; shuffle partitioning is the
   * same hash-on-key layout the batch jobs use.
   */
-object Streams {
+// Serializable: the sessionizer closures reference the shared foldSessions
+// member, so tasks capture the module object itself
+object Streams extends Serializable {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
@@ -53,7 +55,12 @@ object Streams {
       .select(col("user_id"), col("w.start").as("hour"),
         col("open"), col("high"), col("low"), col("close"), col("n"))
 
-  /** Streaming dedup within the watermark — twin of "st_dedup_first". */
+  /** Streaming dedup keeping the first-ARRIVED row per key. Matches the
+    * batch "st_dedup_first" (min event-time row) only under in-order
+    * delivery — dropDuplicates keeps whatever arrived first, so an
+    * out-of-order earlier-timestamped row inside the watermark loses here
+    * but wins in batch. A strict keep-earliest stream needs keyed min_by
+    * state instead; this is the stock-API form. */
   def dedupFirst(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
@@ -126,30 +133,13 @@ object Streams {
     * join state grows forever). Batch twin: Temporal."st_view_purchase"
     * runs the same join condition then aggregates per user. */
   def viewToPurchase(views: DataFrame, purchases: DataFrame,
-                     watermark: String = "2 hours"): DataFrame = {
-    val v = views
-      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
-      .withWatermark("view_ts", watermark)
-    val p = purchases
-      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
-        col("value").as("purchase_value"))
-      .withWatermark("purchase_ts", watermark)
-    v.join(p,
-        col("user_id") === col("p_user_id") &&
-          col("purchase_ts") >= col("view_ts") &&
-          col("purchase_ts") < col("view_ts") + expr("INTERVAL 1 HOUR"))
-      .select(col("user_id"), col("view_id"), col("view_ts"),
-        col("purchase_ts"), col("purchase_value"))
-  }
+                     watermark: String = "2 hours"): DataFrame =
+    attributionJoin(views, purchases, watermark, "inner")
 
-  /** LEFT-OUTER stream-stream join: like [[viewToPurchase]], but views with
-    * no purchase in their hour emit once with null purchase columns — AFTER
-    * the watermark passes the end of their window, because only then can the
-    * engine prove no match is still coming. This is the "unconverted
-    * impressions" feed a training pipeline needs alongside the conversions;
-    * the null rows arrive with watermark latency by construction. */
-  def viewToPurchaseOuter(views: DataFrame, purchases: DataFrame,
-                          watermark: String = "2 hours"): DataFrame = {
+  /** The one attribution-join definition both variants share — the window
+    * bound and column names cannot drift between inner and outer. */
+  private def attributionJoin(views: DataFrame, purchases: DataFrame,
+                              watermark: String, joinType: String): DataFrame = {
     val v = views
       .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
       .withWatermark("view_ts", watermark)
@@ -161,36 +151,63 @@ object Streams {
         col("user_id") === col("p_user_id") &&
           col("purchase_ts") >= col("view_ts") &&
           col("purchase_ts") < col("view_ts") + expr("INTERVAL 1 HOUR"),
-        "left_outer")
+        joinType)
       .select(col("user_id"), col("view_id"), col("view_ts"),
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** LEFT-OUTER stream-stream join: like [[viewToPurchase]], but views with
+    * no purchase in their hour emit once with null purchase columns — AFTER
+    * the watermark passes the end of their window, because only then can the
+    * engine prove no match is still coming. This is the "unconverted
+    * impressions" feed a training pipeline needs alongside the conversions;
+    * the null rows arrive with watermark latency by construction. */
+  def viewToPurchaseOuter(views: DataFrame, purchases: DataFrame,
+                          watermark: String = "2 hours"): DataFrame =
+    attributionJoin(views, purchases, watermark, "left_outer")
+
   /** Gap-based sessionization with explicit keyed state
     * (flatMapGroupsWithState, event-time timeout) — twin of "st_sessionize".
     * Emits a session when a gap > gapMinutes closes it. */
+  private type SessionState = (Timestamp, Timestamp, Long, Double)
+
+  /** The one gap-merge fold both sessionizers share: folds a batch's events
+    * (pre-sorted by event time) into the open session, emitting sessions a
+    * gap closes. An out-of-order event that lands INSIDE the gap extends
+    * the session on whichever end it falls (min start / max end) — it must
+    * never shrink session_end below session_start, which the naive
+    * "end := e.ts" update did for cross-batch late arrivals. */
+  private def foldSessions(userId: Long, sorted: Seq[Event],
+                           init: Option[SessionState],
+                           gapMs: Long): (List[SessionOut], Option[SessionState]) = {
+    var out = List.empty[SessionOut]
+    var cur = init
+    for (e <- sorted) {
+      cur match {
+        case Some((s0, e0, n, v)) if e.ts.getTime - e0.getTime <= gapMs =>
+          val s1 = if (e.ts.getTime < s0.getTime) e.ts else s0
+          val e1 = if (e.ts.getTime > e0.getTime) e.ts else e0
+          cur = Some((s1, e1, n + 1, v + e.value))
+        case Some((s0, e0, n, v)) =>
+          out ::= SessionOut(userId, s0, e0, n, v)
+          cur = Some((e.ts, e.ts, 1L, e.value))
+        case None =>
+          cur = Some((e.ts, e.ts, 1L, e.value))
+      }
+    }
+    (out.reverse, cur)
+  }
+
   def sessionize(events: Dataset[Event], gapMinutes: Long = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60 * 1000
 
     def fn(userId: Long, it: Iterator[Event],
-           state: GroupState[(Timestamp, Timestamp, Long, Double)]): Iterator[SessionOut] = {
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
       val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var out = List.empty[SessionOut]
-      var cur = state.getOption
-      for (e <- sorted) {
-        cur match {
-          case Some((s0, e0, n, v)) if e.ts.getTime - e0.getTime <= gapMs =>
-            cur = Some((s0, e.ts, n + 1, v + e.value))
-          case Some((s0, e0, n, v)) =>
-            out ::= SessionOut(userId, s0, e0, n, v)
-            cur = Some((e.ts, e.ts, 1L, e.value))
-          case None =>
-            cur = Some((e.ts, e.ts, 1L, e.value))
-        }
-      }
+      val (out, cur) = foldSessions(userId, sorted, state.getOption, gapMs)
       cur.foreach(state.update)
-      out.reverseIterator
+      out.iterator
     }
 
     events
@@ -211,31 +228,19 @@ object Streams {
     val gapMs = gapMinutes * 60 * 1000
 
     def fn(userId: Long, it: Iterator[Event],
-           state: GroupState[(Timestamp, Timestamp, Long, Double)]): Iterator[SessionOut] = {
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
       if (state.hasTimedOut) {
         val (s0, e0, n, v) = state.get
         state.remove()
         Iterator.single(SessionOut(userId, s0, e0, n, v))
       } else {
         val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        var out = List.empty[SessionOut]
-        var cur = state.getOption
-        for (e <- sorted) {
-          cur match {
-            case Some((s0, e0, n, v)) if e.ts.getTime - e0.getTime <= gapMs =>
-              cur = Some((s0, e.ts, n + 1, v + e.value))
-            case Some((s0, e0, n, v)) =>
-              out ::= SessionOut(userId, s0, e0, n, v)
-              cur = Some((e.ts, e.ts, 1L, e.value))
-            case None =>
-              cur = Some((e.ts, e.ts, 1L, e.value))
-          }
-        }
+        val (out, cur) = foldSessions(userId, sorted, state.getOption, gapMs)
         cur.foreach { c =>
           state.update(c)
           state.setTimeoutTimestamp(c._2.getTime + gapMs)
         }
-        out.reverseIterator
+        out.iterator
       }
     }
 

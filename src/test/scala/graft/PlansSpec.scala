@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.{Durations => D}
-import graft.plans.{FormatF1Duration, GraftExtensions, ParseF1Duration}
+import graft.plans.{EliminateDurationRoundTrip, FormatF1Duration, GraftExtensions, ParseF1Duration}
 import graft.plans.GraftExtensions.{formatF1Duration, parseF1Duration}
 
 /** Native codec expressions: agreement with the composed Column versions,
@@ -79,6 +79,23 @@ class PlansSpec extends AnyFunSuite with SharedSparkSpec {
     val stillThere = optimized.expressions.exists(_.exists(_.isInstanceOf[ParseF1Duration]))
     assert(!stillThere, s"round-trip not eliminated:\n$optimized")
     assert(df.head.getLong(0) == 1234L)
+  }
+
+  test("round-trip eliminator preserves parse's overflow rejection at the extremes") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val max = EliminateDurationRoundTrip.MaxRoundTrip
+    val ids = Seq(0L, max, -max, max + 1, -(max + 1), Long.MaxValue, Long.MinValue)
+    val got = ids.toDF("ms")
+      .select(parseF1Duration(formatF1Duration(col("ms"))).as("rt"))
+      .collect().map(r => if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+    // ground truth: the actual parse∘format composition, no optimizer involved
+    val expected = ids.map(x => ParseF1Duration.parseBoxed(FormatF1Duration.format(x)))
+    assert(got.toSeq == expected.toSeq,
+      s"rewrite diverged from true parse∘format: got=${got.toSeq} exp=${expected.toSeq}")
+    assert(got(1) == max && got(2) == -max, "in-range values survive the rewrite")
+    assert(got(3) == null && got(5) == null && got(6) == null,
+      "format overflow past 7 hour digits must stay NULL under the rewrite")
   }
 
   test("native token_hashes ≡ composed tokenHashes on edges + random BMP corpus") {

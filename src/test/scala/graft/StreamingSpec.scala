@@ -263,6 +263,30 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
       s"view@5 for user 2 must emit with null purchase after watermark: ${out.mkString(",")}")
   }
 
+  test("sessionize merges in-gap late events without regressing session_end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30).writeStream
+      .format("memory").queryName("late_sess").outputMode("append").start()
+    mem.addData(Event(1, ts(20), 1, "click", 1.0)) // state: session at t+20
+    q.processAllAvailable()
+    // batch 2: a LATE in-gap event (t+0) must extend the session's START,
+    // never shrink its end — the old end:=e.ts update produced end<start
+    mem.addData(Event(2, ts(0), 1, "view", 2.0), Event(3, ts(60), 1, "click", 3.0))
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(120), 1, "click", 4.0)) // closes the t+60 session
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("late_sess").orderBy("session_start").collect()
+    assert(sessions.length == 2, s"got ${sessions.toSeq}")
+    assert(sessions(0).getAs[Timestamp]("session_start") == ts(0) &&
+           sessions(0).getAs[Timestamp]("session_end") == ts(20) &&
+           sessions(0).getAs[Long]("n_events") == 2,
+      s"late in-gap event must extend start, not regress end: ${sessions.toSeq}")
+    sessions.foreach(r => assert(!r.getAs[Timestamp]("session_end")
+      .before(r.getAs[Timestamp]("session_start")), "end must never precede start"))
+  }
+
   test("sessionizeTimeout closes idle sessions when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
