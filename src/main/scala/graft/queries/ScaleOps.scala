@@ -292,6 +292,25 @@ object ScaleOps {
         .orderBy("bucket")
     }),
 
+    // ---- migration audit checksum: an order-independent per-bucket
+    // fingerprint of row CONTENT (md5 over a canonical pipe-joined text of
+    // the key/string columns, reduced to a Long via the shared polynomial
+    // char hash, then summed). Two systems holding the same rows produce
+    // identical (bucket, n, checksum) tables regardless of partitioning or
+    // row order — the cheap "did the 100 TB copy lose or mutate anything"
+    // gate run after every migration. Long sums are exact, so no float
+    // rounding anywhere. Floats are deliberately excluded from the signed
+    // text: double→string formatting is engine-specific.
+    "etl_row_hash_audit" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("row_sig", md5(concat_ws("|",
+          col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))))
+        .withColumn("sig_num",
+          element_at(graft.engine.TextFunctions.tokenHashes(col("row_sig")), 1))
+        .groupBy(pmod(col("o_orderkey"), lit(16)).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("sig_num").as("checksum"))
+        .orderBy("bucket")),
+
     // ---- CSV source round-trip: write once per sf (first-use, like the
     // bucketed layouts), read back with an EXPLICIT schema (never inferred
     // — inference is a full extra pass at 100 TB and type-unstable), and
@@ -643,6 +662,11 @@ object ScaleOps {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "etl_row_hash_audit" ->
+      s"""SELECT o_orderkey % 16 AS bucket, count(*) AS n,
+         |  CAST(sum(${SqlText.wordHash("md5(concat_ws('|', o_orderkey, o_orderstatus, o_orderpriority))")}) AS BIGINT) AS checksum
+         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "src_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS rev,

@@ -511,6 +511,25 @@ object TextOps {
         .orderBy("lang", "rnk")
     }),
 
+    // Zipf-law fit over the vocabulary HEAD: slope/r² of log-freq vs
+    // log-rank for the top-1000 tokens — the corpus-statistics sanity check
+    // (natural text ≈ −1; synthetic/templated corpora deviate). Scale
+    // shape: the vocab aggregates partial→final, TakeOrdered bounds the
+    // head, and the rank window runs over the bounded 1000-row frame — the
+    // one place a single-partition window is legitimate, because the input
+    // is top-k-bounded by construction (same justification as o4_topk).
+    "tx_zipf_fit" -> ((s, d) => {
+      val vocab = t(s, d, "documents")
+        .select(explode(T.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val top = vocab.orderBy(col("freq").desc, col("tok").asc).limit(1000)
+      top.withColumn("rnk",
+          row_number().over(Window.orderBy(col("freq").desc, col("tok").asc)))
+        .agg(count(lit(1)).as("n_terms"),
+             round(regr_slope(log(col("freq")), log(col("rnk"))), 4).as("zipf_slope"),
+             round(regr_r2(log(col("freq")), log(col("rnk"))), 4).as("r2"))
+    }),
+
     // blocked fuzzy join (record linkage): candidate pairs come from an
     // EQUALITY block (first-8-char prefix), and the quadratic edit-distance
     // work runs only inside blocks — the string-matching sibling of
@@ -818,6 +837,16 @@ object TextOps {
         |      FROM scored)
         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, round(skey, 4) AS skey
         |FROM r WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
+
+    "tx_zipf_fit" ->
+      s"""WITH vocab AS (SELECT tok, count(*) AS freq
+         |  FROM (SELECT unnest(${S.tokens("text")}) AS tok FROM documents) GROUP BY tok),
+         |top AS (SELECT tok, freq FROM vocab ORDER BY freq DESC, tok ASC LIMIT 1000),
+         |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk FROM top)
+         |SELECT count(*) AS n_terms,
+         |  round(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
+         |  round(regr_r2(ln(freq), ln(rnk)), 4) AS r2
+         |FROM r""".stripMargin,
 
     "tx_fuzzy_join" ->
       """WITH k AS (SELECT doc_id, substr(text, 1, 8) AS blk,
