@@ -273,6 +273,32 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
       s"the whole point is no count-distinct machinery:\n$p")
   }
 
+  test("tx_fuzzy_join: fuzzy match rides a hash equi-join on the block key (no nested loop)") {
+    val p = planOf("tx_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance verify must stay inside prefix-equality blocks:\n$p")
+    assert(p.contains("hashpartitioning(blk") || p.contains("BroadcastHashJoin"),
+      s"expected a blk equi-join:\n$p")
+  }
+
+  test("tx_bigram_lm: count tables collapse in partial aggregation before the score joins") {
+    val p = planOf("tx_bigram_lm")
+    assert(p.contains("partial_count"), s"LM counts must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross products in the score join:\n$p")
+  }
+
+  test("emb_whitening: the 64-row per-dim stats broadcast back onto the exploded frame") {
+    val p = planOf("emb_whitening")
+    assert(p.contains("BroadcastHashJoin"), s"the stats side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in fit-then-transform:\n$p")
+  }
+
+  test("ts_ewma: the recurrence shuffles once on user_id (keyed state, no extra exchange)") {
+    val p = planOf("ts_ewma")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$p")
+  }
+
   test("AQE coalesces over-provisioned shuffle partitions after tiny aggregations") {
     // shuffle.partitions is sized for the big scans; AQE shrinks the
     // post-shuffle side when the data turns out small — the runtime knob
