@@ -319,6 +319,27 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // ---- median absolute deviation: the robust spread companion to
+    // agg_winsorize's robust mean — median(|x − median(x)|) per group via
+    // the same fit-broadcast-transform two-pass (exact percentile fit
+    // collapses to one row per group; the deviation pass is embarrassingly
+    // parallel; a second exact percentile closes it). Outliers move MAD
+    // not at all, where stddev chases them quadratically.
+    "agg_mad" -> ((s, d) => {
+      val med = t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"))
+      t(s, d, "lineitem")
+        .join(broadcast(med), "l_returnflag")
+        .withColumn("dev", abs(col("l_extendedprice") - col("med")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             round(first(col("med")), 4).as("median_price"),
+             round(percentile(col("dev"), lit(0.5)), 4).as("mad"),
+             round(stddev_pop(col("l_extendedprice")), 4).as("stddev"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- day-over-day self-join built from ONE aggregated subplan: both
     // join inputs are the same daily rollup, so the planner reuses the
     // first aggregation's shuffle for the second side (plan-asserted)
@@ -1042,6 +1063,17 @@ object Relational {
         |  round(avg(least(greatest(l_extendedprice, p05), p95)), 4) AS winsor_mean,
         |  round(any_value(p05), 4) AS p05, round(any_value(p95), 4) AS p95
         |FROM lineitem JOIN bands USING (l_returnflag)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_mad" ->
+      """WITH med AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, count(*) AS n,
+        |  round(any_value(med), 4) AS median_price,
+        |  round(quantile_cont(abs(l_extendedprice - med), 0.5), 4) AS mad,
+        |  round(stddev_pop(l_extendedprice), 4) AS stddev
+        |FROM lineitem JOIN med USING (l_returnflag)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "opt_reused_exchange" ->

@@ -511,6 +511,26 @@ object TextOps {
         .orderBy("lang", "rnk")
     }),
 
+    // per-doc token entropy: H = −Σ p·ln p over the doc's own token
+    // distribution — near-zero for degenerate repetition, ≈ln(n_tokens)
+    // for all-distinct text; the gibberish/boilerplate signal quality
+    // filters use beside tx_repetition. One explode → (doc, tok) count →
+    // per-doc fold; both aggregations partial→final, nothing wider than
+    // the token instance frame shuffles.
+    "tx_token_entropy" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+             count(lit(1)).as("n_distinct"),
+             sum(col("c") * log(col("c"))).as("sum_clnc"))
+        // H = ln N − (Σ c·ln c)/N — one grouped pass, no per-token division
+        .withColumn("entropy",
+          round(log(col("n_tokens")) - col("sum_clnc") / col("n_tokens"), 4))
+        .select("doc_id", "n_tokens", "n_distinct", "entropy")
+        .orderBy("doc_id")),
+
     // Zipf-law fit over the vocabulary HEAD: slope/r² of log-freq vs
     // log-rank for the top-1000 tokens — the corpus-statistics sanity check
     // (natural text ≈ −1; synthetic/templated corpora deviate). Scale
@@ -837,6 +857,17 @@ object TextOps {
         |      FROM scored)
         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, round(skey, 4) AS skey
         |FROM r WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
+
+    "tx_token_entropy" ->
+      s"""SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  n_distinct, round(ln(n_tokens) - sum_clnc / n_tokens, 4) AS entropy
+         |FROM (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+         |        sum(c * ln(c)) AS sum_clnc
+         |      FROM (SELECT doc_id, tok, count(*) AS c
+         |            FROM (SELECT doc_id, unnest(${S.tokens("text")}) AS tok FROM documents)
+         |            GROUP BY doc_id, tok)
+         |      GROUP BY doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "tx_zipf_fit" ->
       s"""WITH vocab AS (SELECT tok, count(*) AS freq
