@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.plans.RoundStrip
+
+/** Rounding-margin audit over the whole catalog (VERDICT r4 item 2): for
+  * every query whose final projection rounds a double, execute the
+  * round-stripped plan and report how close the worst cell sits to a
+  * half-grid rounding boundary. A margin inside the aggregate's ulp-noise
+  * band means shuffle-merge order could flip the rounded digit between runs
+  * — the class of flake that cost `emb_kmeans_step` its r4 row.
+  *
+  * Flag criterion: 0 < distance < max(1e-9, 64·ulp(value)) — the absolute
+  * floor is the VERDICT's bar; the ulp term scales it up for
+  * large-magnitude sums (ulp(1e9) ≈ 2.4e-7), where merge noise is
+  * proportionally larger. Distance EXACTLY 0 is reported but safe: only a
+  * binary-exact value (a ratio with a power-of-two denominator, e.g.
+  * 23/32 = 0.71875) can land ON the boundary double; such values are
+  * deterministic — not float accumulations — and both engines round the
+  * half-tie away from zero identically (tx_quality/w8_percent_rank have
+  * shipped 4 green rounds this way).
+  *
+  * Usage: runMain graft.MarginAudit <sfDir> [query ...]
+  * Exits 1 if any cell is flagged. */
+object MarginAudit {
+  /** Queries whose rounded doubles fold through FixedPoint.qsum/qmean —
+    * bit-deterministic at any partitioning, so only the absolute 1e-9
+    * boundary floor applies to them, not the 64·ulp merge-noise band.
+    * (RoundingMarginSpec audits this same set per-test.) */
+  val fixedPointQueries: Set[String] = Set(
+    "emb_kmeans_step", "emb_kmeans_k3", "emb_centroids", "emb_whitening",
+    "emb_mrl_retention", "emb_pq_error", "emb_quantize_error", "emb_norm_stats",
+    "sim_ivf_topk", "tx_token_entropy", "tx_bigram_lm", "graph_rank_step",
+    "graph_rank_converged", "agg_winsorize", "q1_agg", "q3_shipping_priority",
+    "q5_region_volume", "q6_forecast_revenue", "q10_returned_revenue",
+    "q14_promo_share", "q19_disjunctive", "agg_grouping_id", "a7_multiagg",
+    "agg_hist_equiwidth", "agg_hist_equidepth", "opt_reused_exchange",
+    "st_hourly_window", "st_sessionize", "st_session_window",
+    "st_view_purchase", "st_daily_profile", "st_sliding_window", "ts_gapfill")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val only = args.drop(1).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var flagged = 0
+    var audited = 0
+    var globalWorst: Option[(String, String, Double)] = None
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if only.isEmpty || only(name)) {
+      try {
+        val worst = RoundStrip.audit(fn(spark, sfDir))
+        if (worst.nonEmpty) {
+          audited += 1
+          for ((colName, (dist, v, u)) <- worst) {
+            val bar = if (fixedPointQueries(name)) 1e-9 else math.max(1e-9, 64 * u)
+            if (dist == 0.0) {
+              println(f"TIE  $name%-24s $colName%-16s value=$v%.10g sits exactly on a boundary (binary-exact ratio; deterministic)")
+            } else if (dist < bar) {
+              flagged += 1
+              println(f"FLAG $name%-24s $colName%-16s dist=$dist%.3e value=$v%.10g ulp=$u%.3e")
+            }
+            if (dist > 0 && globalWorst.forall(_._3 > dist / bar))
+              globalWorst = Some((name, colName, dist / bar))
+          }
+          val m = worst.values.map(_._1).min
+          println(f"ok   $name%-24s minMargin=$m%.3e")
+        }
+      } catch {
+        case e: Throwable =>
+          flagged += 1
+          println(s"FAIL $name: audit error: ${e.getMessage}")
+      }
+      spark.sharedState.cacheManager.clearCache()
+    }
+    val gw = globalWorst.map { case (q, c, r) => f"$q/$c ratio=$r%.2f" }.getOrElse("n/a")
+    println(s"[margin-audit] audited=$audited flagged=$flagged tightest(dist/bar)=$gw")
+    spark.stop()
+    if (flagged > 0) sys.exit(1)
+  }
+}

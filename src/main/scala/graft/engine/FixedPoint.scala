@@ -1,0 +1,41 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Merge-order-independent replacements for `round(avg|sum(double), k)`:
+  * quantize each value onto a binary fixed-point grid (multiplying a double
+  * by a power of two is IEEE-EXACT — only the exponent changes), accumulate
+  * the resulting integers in BIGINT (integer addition commutes, so
+  * shuffle-fetch arrival order cannot change the total), and divide back
+  * ONCE at the end. Every step is either exact integer arithmetic or a
+  * single correctly-rounded IEEE operation on bit-identical inputs, so
+  * Spark and DuckDB ([[graft.queries.SqlText]]'s qsum/qmean twins) produce
+  * the SAME double on every run — unlike sum/avg over doubles, whose
+  * partial-aggregate merge order varies with shuffle arrival and can move
+  * the result by an ulp, flipping a `round(·,4)` digit when a group lands
+  * near a 0.00005 boundary (the r4 `emb_kmeans_step` flake).
+  *
+  * Quantization error is ≤ 2^-(bits+1) per value — invisible at catalog
+  * rounding (4–6 decimals) for bits ≥ 20. Pick `bits` so |x|·2^bits·n stays
+  * well under 2^63: 30 for unit-magnitude values (embedding components,
+  * probabilities, log-likelihoods, entropies), 20 for price-magnitude
+  * columns.
+  *
+  * Scale shape: identical to sum/avg — one (long, long) mergeable partial
+  * state per group; no collect_list, no sort, no decimal arithmetic. */
+object FixedPoint {
+  private def p(bits: Int): Double = (1L << bits).toDouble
+
+  /** floor(x·2^bits + 0.5) — round-half-up onto the binary grid; Spark's
+    * floor over doubles already yields BIGINT. */
+  def q(c: Column, bits: Int): Column = floor(c * p(bits) + lit(0.5))
+
+  /** Order-independent Σx (null-skipping, like `sum`). */
+  def qsum(c: Column, bits: Int = 30): Column =
+    sum(q(c, bits)).cast("double") / p(bits)
+
+  /** Order-independent mean (null-skipping, like `avg`). */
+  def qmean(c: Column, bits: Int = 30): Column =
+    sum(q(c, bits)).cast("double") / (count(c).cast("double") * p(bits))
+}

@@ -54,7 +54,11 @@ object KMeans {
       inertia += a.agg(sum("dist2")).head.getDouble(0)
       cents = a
         .select(col("cluster"), posexplode(col("v")))
-        .groupBy("cluster", "pos").agg(avg("col").as("cv"))
+        // fixed-point mean: order-independent BIGINT partials make every
+        // round's centroids bit-identical run to run (and to the catalog
+        // face / its DuckDB twin), where avg(double) would drift an ulp
+        // with shuffle-merge order
+        .groupBy("cluster", "pos").agg(FixedPoint.qmean(col("col")).as("cv"))
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
           s => s.getField("cv")).as("c"))

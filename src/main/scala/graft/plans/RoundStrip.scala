@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, NamedExpression, Round}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.DoubleType
+
+/** Rounding-margin audit support (VERDICT r4 follow-up): rewrites a catalog
+  * query's FINAL projection to emit the PRE-round value of every
+  * `round(x, k)` double column, so callers can measure how far each output
+  * cell sits from a half-grid rounding boundary ((m + 0.5)·10^-k). A cell
+  * whose unrounded value is within ulp-noise of a boundary is a latent
+  * hash flake: merge-order jitter in an order-sensitive float aggregate can
+  * flip the rounded digit between runs (the r4 `emb_kmeans_step` failure).
+  *
+  * Only the top chain (Sort/Limit over Project/Aggregate) is rewritten —
+  * interior rounds (e.g. a rounded centroid inside a CTE) are real values
+  * the rest of the query consumes and must stay rounded. */
+object RoundStrip {
+
+  /** The stripped frame plus (output column → round scale k) for every
+    * final-projection double column that had a `round`. Alias exprIds are
+    * preserved so parent Sort/Limit references stay valid. */
+  def strip(df: DataFrame): (DataFrame, Map[String, Int]) = {
+    val ks = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def stripNamed(ne: NamedExpression): NamedExpression = ne match {
+      case a @ Alias(child, name) =>
+        var k0: Option[Int] = None
+        val stripped = child.transform {
+          case r: Round if r.dataType == DoubleType =>
+            r.scale match {
+              case Literal(k: Int, _) =>
+                k0 = Some(k0.fold(k)(math.min(_, k))); r.child
+              case _ => r
+            }
+        }
+        k0 match {
+          case Some(k) =>
+            ks(name) = k
+            Alias(stripped, name)(exprId = a.exprId, qualifier = a.qualifier,
+              explicitMetadata = a.explicitMetadata)
+          case None => a
+        }
+      case other => other
+    }
+    // Descend through the row-wise top chain (Sort/Limit/Filter/Project —
+    // a stripped alias keeps its exprId, so upstream references stay valid
+    // and simply observe the unrounded value); STOP at an Aggregate after
+    // stripping its own expressions: below it, a rounded value is an input
+    // the rest of the pipeline genuinely consumes.
+    def top(p: LogicalPlan): LogicalPlan = p match {
+      case s: Sort        => s.copy(child = top(s.child))
+      case l: GlobalLimit => l.copy(child = top(l.child))
+      case l: LocalLimit  => l.copy(child = top(l.child))
+      case f: Filter      => f.copy(child = top(f.child))
+      case pr: Project    => pr.copy(projectList = pr.projectList.map(stripNamed),
+                                     child = top(pr.child))
+      case ag: Aggregate  => ag.copy(aggregateExpressions = ag.aggregateExpressions.map(stripNamed))
+      case other          => other
+    }
+    val plan = top(ColumnBridge.logicalPlan(df))
+    (ColumnBridge.ofRows(df.sparkSession, plan), ks.toMap)
+  }
+
+  /** Per-cell distance from the nearest rounding boundary of the 10^-k grid
+    * (absolute, in value units). 0 means the unrounded value sits exactly ON
+    * a boundary double. */
+  def boundaryDistance(v: Double, k: Int): Double = {
+    val p = math.pow(10, k)
+    val d = math.abs(v) * p
+    val frac = d - math.floor(d)
+    math.abs(frac - 0.5) / p
+  }
+
+  /** Executes the stripped plan and returns, per rounded column, the worst
+    * (distance, cell value, its ulp) triple. Non-finite cells are skipped —
+    * they round deterministically. */
+  def audit(df: DataFrame): Map[String, (Double, Double, Double)] = {
+    val (stripped, ks) = strip(df)
+    if (ks.isEmpty) return Map.empty
+    val names = ks.keys.toSeq
+    val rows = stripped.select(names.map(org.apache.spark.sql.functions.col): _*).collect()
+    names.zipWithIndex.flatMap { case (name, i) =>
+      val k = ks(name)
+      val cells = rows.iterator.filterNot(_.isNullAt(i)).map(_.getDouble(i))
+        .filter(v => !v.isNaN && !v.isInfinite)
+      if (cells.isEmpty) None
+      else {
+        val worst = cells.map(v => (boundaryDistance(v, k), v, math.ulp(v))).minBy(_._1)
+        Some(name -> worst)
+      }
+    }.toMap
+  }
+}

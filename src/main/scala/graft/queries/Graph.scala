@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.Tables
+import graft.engine.{FixedPoint => FP, Tables}
 
 /** Graph-shaped analytics over the star schema: the customer→supplier
   * bipartite graph induced by orders⋈lineitem (an edge per distinct
@@ -46,18 +46,21 @@ object Graph {
     // rank(s) = 0.15 + 0.85 · Σ_{c→s} 1/outdeg(c). The edge⋈outdeg join is
     // on src — the same key the edge distinct just shuffled on, so AQE
     // reuses the partitioning; the per-supplier aggregation is the only new
-    // exchange. Float-sum order is partition-dependent → round(4) per the
-    // catalog convention.
+    // exchange. The Σ 1/outdeg mass sum folds through the fixed-point
+    // qsum (order-independent BIGINT partials) so the rounded rank cannot
+    // flake with shuffle-merge order.
     "graph_rank_step" -> ((s, d) => {
       val e = edges(s, d)
       val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       e.join(out, "src")
         .groupBy(col("dst").as("s_suppkey"))
         .agg(count(lit(1)).as("in_deg"),
-             round(lit(0.15) + lit(0.85) * sum(lit(1.0) / col("outdeg")), 4).as("rank"))
+             round(lit(0.15) + lit(0.85) * FP.qsum(lit(1.0) / col("outdeg")), 4).as("rank"))
         .orderBy("s_suppkey")
     })
   )
+
+  private val S = SqlText
 
   val oracles: Map[String, String] = Map(
     "graph_degree_hist" ->
@@ -68,13 +71,13 @@ object Graph {
         |GROUP BY outdeg ORDER BY outdeg""".stripMargin,
 
     "graph_rank_step" ->
-      """WITH edges AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
-        |SELECT dst AS s_suppkey, count(*) AS in_deg,
-        |  round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
-        |    sum(CAST(1.0 AS DOUBLE) / outdeg), 4) AS rank
-        |FROM edges JOIN outd USING (src)
-        |GROUP BY dst ORDER BY s_suppkey""".stripMargin
+      s"""WITH edges AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
+         |SELECT dst AS s_suppkey, count(*) AS in_deg,
+         |  round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+         |    ${S.qsum("CAST(1.0 AS DOUBLE) / outdeg")}, 4) AS rank
+         |FROM edges JOIN outd USING (src)
+         |GROUP BY dst ORDER BY s_suppkey""".stripMargin
   )
 }

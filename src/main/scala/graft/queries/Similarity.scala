@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.engine.{Tables, Vectors => V}
+import graft.engine.{FixedPoint => FP, Tables, Vectors => V}
 
 /** Similarity-search catalog over `embeddings` (builder-prompt first-class
   * component): brute-force cosine top-k as the exact baseline, a
@@ -89,7 +89,7 @@ object Similarity {
       // centroids: explode → per-(label, dim) avg → re-assemble ordered array
       val centroids = e.select(col("label"), posexplode(col("v")))
         .groupBy(col("label"), col("pos"))
-        .agg(round(avg("col"), 6).as("cval"))
+        .agg(round(FP.qmean(col("col")), 6).as("cval"))
         .groupBy("label")
         .agg(array_sort(collect_list(struct(col("pos"), col("cval")))).as("pairs"))
         .select(col("label").as("c_label"), expr("transform(pairs, p -> p.cval)").as("cvec"))
@@ -115,7 +115,7 @@ object Similarity {
         .select(col("label"), posexplode(col("v")))
         .select(col("label"), (col("pos") + 1).cast("bigint").as("dim"), col("col").as("val"))
         .groupBy("label", "dim")
-        .agg(round(avg("val"), 4).as("centroid_val"), count(lit(1)).as("n"))
+        .agg(round(FP.qmean(col("val")), 4).as("centroid_val"), count(lit(1)).as("n"))
         .orderBy("label", "dim")),
 
     // per-label norm statistics.
@@ -124,7 +124,7 @@ object Similarity {
         .withColumn("nrm", V.norm(col("v")))
         .groupBy("label")
         .agg(count(lit(1)).as("n"),
-             round(avg("nrm"), 4).as("avg_norm"),
+             round(FP.qmean(col("nrm")), 4).as("avg_norm"),
              round(min("nrm"), 6).as("min_norm"),
              round(max("nrm"), 6).as("max_norm"))
         .orderBy("label")),
@@ -154,7 +154,7 @@ object Similarity {
             .otherwise(sqrt(col("num")) / sqrt(col("den"))))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
-             round(avg("err"), 4).as("avg_err"),
+             round(FP.qmean(col("err")), 4).as("avg_err"),
              round(max("err"), 6).as("max_err"))
         .orderBy("label")),
 
@@ -167,7 +167,10 @@ object Similarity {
     // (candidates for a vector are co-partitioned by construction), so the
     // only wide exchange carries n rows, then ≤ k·64 groups. Iterating this
     // query IS distributed k-means at 100 TB: seeds stay broadcast-sized,
-    // nothing quadratic ever shuffles.
+    // nothing quadratic ever shuffles. The update-step mean is the
+    // fixed-point qmean (order-independent BIGINT sums) — round(avg(double))
+    // was the r4 flake: merge order could move a near-boundary group by an
+    // ulp and flip the 4th decimal vs the oracle.
     "emb_kmeans_step" -> ((s, d) => {
       val e = emb(s, d)
       val seeds = e.filter(col("vec_id") < 8)
@@ -180,7 +183,7 @@ object Similarity {
         .agg(min(struct(col("dist2"), col("seed_id"), col("v"))).as("m"))
         .select(col("m.seed_id").as("cluster"), posexplode(col("m.v")))
         .groupBy(col("cluster"), (col("pos") + 1).cast("bigint").as("dim"))
-        .agg(count(lit(1)).as("n"), round(avg("col"), 4).as("centroid_val"))
+        .agg(count(lit(1)).as("n"), round(FP.qmean(col("col")), 4).as("centroid_val"))
         .orderBy("cluster", "dim")
     }),
 
@@ -244,7 +247,7 @@ object Similarity {
         .withColumn("err", when(col("den") === 0.0, lit(0.0)).otherwise(col("num") / col("den")))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
-             round(avg("err"), 4).as("avg_err"),
+             round(FP.qmean(col("err")), 4).as("avg_err"),
              round(max("err"), 6).as("max_err"))
         .orderBy("label")
     }),
@@ -282,16 +285,20 @@ object Similarity {
         .select(col("vec_id"), col("label"), posexplode(col("v")))
         .select(col("vec_id"), col("label"),
           (col("pos") + 1).cast("bigint").as("dim"), col("col").as("x"))
+      // mu/sigma via fixed-point moments (E[x], E[x²]) so the fitted stats —
+      // and therefore every z — are bit-identical run to run; stddev_pop's
+      // merge-order-sensitive moment state would leak ulp noise into z.
       val stats = dims.groupBy("dim")
-        .agg(avg("x").as("mu"), stddev_pop(col("x")).as("sigma"))
+        .agg(FP.qmean(col("x")).as("mu"), FP.qmean(col("x") * col("x")).as("ex2"))
+        .withColumn("sigma", sqrt(greatest(col("ex2") - col("mu") * col("mu"), lit(0.0))))
       dims.join(broadcast(stats), "dim")
         .withColumn("z",
           when(col("sigma") === 0.0, lit(0.0))
             .otherwise((col("x") - col("mu")) / col("sigma")))
         .groupBy("label")
         .agg(countDistinct("vec_id").as("n_vecs"),
-             round(avg(col("z") * col("z")), 4).as("avg_z2"),
-             round(avg("z"), 4).as("avg_z"))
+             round(FP.qmean(col("z") * col("z")), 4).as("avg_z2"),
+             round(FP.qmean(col("z")), 4).as("avg_z"))
         .orderBy("label")
     }),
 
@@ -314,9 +321,9 @@ object Similarity {
         .withColumn("sim_k32", sim(32))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
-             round(avg("sim_k8"), 4).as("avg_sim_k8"),
-             round(avg("sim_k16"), 4).as("avg_sim_k16"),
-             round(avg("sim_k32"), 4).as("avg_sim_k32"),
+             round(FP.qmean(col("sim_k8")), 4).as("avg_sim_k8"),
+             round(FP.qmean(col("sim_k16")), 4).as("avg_sim_k16"),
+             round(FP.qmean(col("sim_k32")), 4).as("avg_sim_k32"),
              round(min("sim_k32"), 4).as("min_sim_k32"))
         .orderBy("label")
     })
@@ -360,7 +367,7 @@ object Similarity {
 
     "sim_ivf_topk" ->
       s"""$embCte,
-         |cd AS (SELECT label, dim, round(avg(v[CAST(dim AS INTEGER)]), 6) AS cval
+         |cd AS (SELECT label, dim, round(${S.qmean("v[CAST(dim AS INTEGER)]")}, 6) AS cval
          |       FROM e, generate_series(1, 64) t(dim) GROUP BY label, dim),
          |cent AS (SELECT label AS c_label, list(cval ORDER BY dim) AS cvec FROM cd GROUP BY label),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -374,7 +381,7 @@ object Similarity {
 
     "emb_centroids" ->
       s"""$embCte
-         |SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(v[CAST(dim AS INTEGER)]), 4) AS centroid_val,
+         |SELECT label, CAST(dim AS BIGINT) AS dim, round(${S.qmean("v[CAST(dim AS INTEGER)]")}, 4) AS centroid_val,
          |  count(*) AS n
          |FROM e, generate_series(1, 64) t(dim)
          |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
@@ -382,7 +389,7 @@ object Similarity {
     "emb_norm_stats" ->
       s"""$embCte
          |SELECT label, count(*) AS n,
-         |  round(avg(${S.norm("v")}), 4) AS avg_norm,
+         |  round(${S.qmean(S.norm("v"))}, 4) AS avg_norm,
          |  round(min(${S.norm("v")}), 6) AS min_norm,
          |  round(max(${S.norm("v")}), 6) AS max_norm
          |FROM e GROUP BY label ORDER BY label""".stripMargin,
@@ -401,11 +408,12 @@ object Similarity {
          |      list_transform(v, x -> x * x)), (a, x) -> a + x)) END AS err
          |  FROM sc)
          |SELECT label, count(*) AS n_vecs,
-         |  round(avg(err), 4) AS avg_err, round(max(err), 6) AS max_err
+         |  round(${S.qmean("err")}, 4) AS avg_err, round(max(err), 6) AS max_err
          |FROM errs GROUP BY label ORDER BY label""".stripMargin,
 
     // same fold order as the Spark zip_with→aggregate chain so dist2 is
-    // bit-identical; the argmin tie-break (dist2, seed_id) matches struct-min
+    // bit-identical; the argmin tie-break (dist2, seed_id) matches struct-min;
+    // the update-step mean is the fixed-point qmean twin (order-independent)
     "emb_kmeans_step" ->
       s"""$embCte,
          |seeds AS (SELECT vec_id AS seed_id, v AS c FROM e WHERE vec_id < 8),
@@ -419,7 +427,7 @@ object Similarity {
          |      ORDER BY dist2, seed_id) AS rn FROM a)
          |  WHERE rn = 1)
          |SELECT seed_id AS cluster, CAST(dim AS BIGINT) AS dim, count(*) AS n,
-         |  round(avg(v[CAST(dim AS INTEGER)]), 4) AS centroid_val
+         |  round(${S.qmean("v[CAST(dim AS INTEGER)]")}, 4) AS centroid_val
          |FROM best, generate_series(1, 64) t(dim)
          |GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
 
@@ -458,7 +466,7 @@ object Similarity {
          |         ELSE sqrt(sum(dist2)) / sqrt(sum(svn2)) END AS err
          |  FROM best GROUP BY vec_id, label)
          |SELECT label, count(*) AS n_vecs,
-         |  round(avg(err), 4) AS avg_err, round(max(err), 6) AS max_err
+         |  round(${S.qmean("err")}, 4) AS avg_err, round(max(err), 6) AS max_err
          |FROM perv GROUP BY label ORDER BY label""".stripMargin,
 
     "emb_pca_power" ->
@@ -478,10 +486,11 @@ object Similarity {
          |dims AS (SELECT vec_id, label, CAST(dim AS BIGINT) AS dim,
          |    v[CAST(dim AS INTEGER)] AS x
          |  FROM e, generate_series(1, 64) t(dim)),
-         |stats AS (SELECT dim, avg(x) AS mu, stddev_pop(x) AS sigma
-         |  FROM dims GROUP BY dim)
+         |stats AS (SELECT dim, mu, sqrt(greatest(ex2 - mu*mu, 0.0)) AS sigma
+         |  FROM (SELECT dim, ${S.qmean("x")} AS mu, ${S.qmean("x*x")} AS ex2
+         |        FROM dims GROUP BY dim))
          |SELECT label, count(DISTINCT vec_id) AS n_vecs,
-         |  round(avg(z*z), 4) AS avg_z2, round(avg(z), 4) AS avg_z
+         |  round(${S.qmean("z*z")}, 4) AS avg_z2, round(${S.qmean("z")}, 4) AS avg_z
          |FROM (SELECT label, vec_id,
          |        CASE WHEN sigma = 0 THEN 0.0 ELSE (x - mu) / sigma END AS z
          |      FROM dims JOIN stats USING (dim))
@@ -500,9 +509,9 @@ object Similarity {
          |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v[1:32], x -> x*x)), (a, x) -> a + x) AS n2k32
          |    FROM e))
          |SELECT label, count(*) AS n_vecs,
-         |  round(avg(sim_k8), 4) AS avg_sim_k8,
-         |  round(avg(sim_k16), 4) AS avg_sim_k16,
-         |  round(avg(sim_k32), 4) AS avg_sim_k32,
+         |  round(${S.qmean("sim_k8")}, 4) AS avg_sim_k8,
+         |  round(${S.qmean("sim_k16")}, 4) AS avg_sim_k16,
+         |  round(${S.qmean("sim_k32")}, 4) AS avg_sim_k32,
          |  round(min(sim_k32), 4) AS min_sim_k32
          |FROM sims GROUP BY label ORDER BY label""".stripMargin
   )

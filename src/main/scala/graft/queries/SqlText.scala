@@ -68,6 +68,21 @@ private[queries] object SqlText {
   def lshBucket(v: String, planes: Int = 8): String =
     (0 until planes).map(j => s"${lshBit(v, j)} * ${1L << j}").mkString("(", " + ", ")")
 
+  /** DuckDB twins of [[graft.engine.FixedPoint]].qsum/qmean — the identical
+    * quantize→BIGINT-sum→divide chain (every step exact integer math or one
+    * correctly-rounded IEEE op on bit-identical inputs), so the folded
+    * double is the same on both engines regardless of partial-aggregate
+    * merge order. */
+  def qsum(x: String, bits: Int = 30): String = {
+    val p = (1L << bits).toDouble
+    s"(CAST(sum(CAST(floor(($x) * $p + 0.5) AS BIGINT)) AS DOUBLE) / $p)"
+  }
+
+  def qmean(x: String, bits: Int = 30): String = {
+    val p = (1L << bits).toDouble
+    s"(CAST(sum(CAST(floor(($x) * $p + 0.5) AS BIGINT)) AS DOUBLE) / (count($x) * $p))"
+  }
+
   /** shared corpus-with-planted-duplicates CTE body (exact + near dups) */
   val docsWithVariants: String =
     """SELECT doc_id, text, lang, source FROM documents

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.engine.Tables
+import graft.engine.{FixedPoint => FP, Tables}
 
 /** Event-time operators over `events` — the batch-semantics twins of the
   * Structured Streaming pipelines in graft.streaming (SURVEY.md §2.9): tumbling
@@ -36,7 +36,7 @@ object Temporal {
     "st_hourly_window" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n"), round(FP.qsum(col("value"), 20), 4).as("sum_value"))
         .select(col("w.start").as("ws"), col("w.end").as("we"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("ws", "event_type")),
 
@@ -49,7 +49,7 @@ object Temporal {
         .agg(count(lit(1)).as("n_events"),
              min("ts").as("session_start"),
              max("ts").as("session_end"),
-             round(sum("value"), 4).as("session_value"))
+             round(FP.qsum(col("value"), 20), 4).as("session_value"))
         .orderBy("user_id", "session_idx")
     }),
 
@@ -94,7 +94,7 @@ object Temporal {
     "st_session_window" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("session_value"))
+        .agg(count(lit(1)).as("n_events"), round(FP.qsum(col("value"), 20), 4).as("session_value"))
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start")),
@@ -143,7 +143,7 @@ object Temporal {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"),
              countDistinct(col("view_id")).as("n_views_converted"),
-             round(sum("purchase_value"), 4).as("attributed_value"),
+             round(FP.qsum(col("purchase_value"), 20), 4).as("attributed_value"),
              min(unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("min_lag_us"))
         .orderBy("user_id")
     }),
@@ -172,7 +172,7 @@ object Temporal {
         .groupBy("day")
         .agg(count(lit(1)).as("n"),
              countDistinct("user_id").as("n_users"),
-             round(avg("value"), 4).as("avg_value"))
+             round(FP.qmean(col("value"), 20), 4).as("avg_value"))
         .orderBy("day")),
 
     // sliding (hopping) event-time windows — 1-hour span every 15 minutes,
@@ -184,7 +184,7 @@ object Temporal {
     "st_sliding_window" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n"), round(FP.qsum(col("value"), 20), 4).as("sum_value"))
         .select(col("w.start").as("ws"), col("w.end").as("we"), col("event_type"),
           col("n"), col("sum_value"))
         .orderBy("ws", "event_type")),
@@ -218,7 +218,7 @@ object Temporal {
       val ev = t(s, d, "events").filter(col("user_id") < 8)
         .withColumn("hour", date_trunc("HOUR", col("ts")))
       val hourly = ev.groupBy("user_id", "hour")
-        .agg(round(avg("value"), 4).as("avg_value"))
+        .agg(round(FP.qmean(col("value"), 20), 4).as("avg_value"))
       val grid = ev.groupBy("user_id")
         .agg(min("hour").as("h0"), max("hour").as("h1"))
         .select(col("user_id"),
@@ -284,17 +284,19 @@ object Temporal {
     })
   )
 
+  private val S = SqlText
+
   val oracles: Map[String, String] = Map(
     "st_hourly_window" ->
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
         |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS we,
-        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |  event_type, count(*) AS n, round(${S.qsum("value", 20)}, 4) AS sum_value
         |FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin,
 
     "st_sessionize" ->
-      """SELECT user_id, session_idx, count(*) AS n_events,
+      s"""SELECT user_id, session_idx, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end,
-        |  round(sum(value), 4) AS session_value
+        |  round(${S.qsum("value", 20)}, 4) AS session_value
         |FROM (
         |  SELECT user_id, ts, value,
         |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) OVER (
@@ -329,13 +331,13 @@ object Temporal {
         |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
 
     "st_view_purchase" ->
-      """WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+      s"""WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
         |  FROM events WHERE event_type = 'view'),
         |p AS (SELECT user_id, ts AS purchase_ts, value AS purchase_value
         |  FROM events WHERE event_type = 'purchase')
         |SELECT v.user_id, count(*) AS n_pairs,
         |  count(DISTINCT view_id) AS n_views_converted,
-        |  round(sum(purchase_value), 4) AS attributed_value,
+        |  round(${S.qsum("purchase_value", 20)}, 4) AS attributed_value,
         |  min(epoch_us(purchase_ts) - epoch_us(view_ts)) AS min_lag_us
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND purchase_ts >= view_ts
@@ -357,12 +359,12 @@ object Temporal {
         |ORDER BY stage""".stripMargin,
 
     "st_daily_profile" ->
-      """SELECT date_trunc('day', ts) AS day, count(*) AS n,
-        |  count(DISTINCT user_id) AS n_users, round(avg(value), 4) AS avg_value
+      s"""SELECT date_trunc('day', ts) AS day, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users, round(${S.qmean("value", 20)}, 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
     "st_session_window" ->
-      """WITH x AS (SELECT user_id, ts, value, event_id,
+      s"""WITH x AS (SELECT user_id, ts, value, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
         |  FROM events),
         |y AS (SELECT user_id, ts, value,
@@ -371,7 +373,7 @@ object Temporal {
         |  FROM x)
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  count(*) AS n_events, round(sum(value), 4) AS session_value
+        |  count(*) AS n_events, round(${S.qsum("value", 20)}, 4) AS session_value
         |FROM y GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
 
@@ -393,9 +395,9 @@ object Temporal {
         |FROM events GROUP BY 1, 2 ORDER BY user_id, hour""".stripMargin,
 
     "ts_gapfill" ->
-      """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS hour, value
+      s"""WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS hour, value
         |    FROM events WHERE user_id < 8),
-        |hourly AS (SELECT user_id, hour, round(avg(value), 4) AS avg_value
+        |hourly AS (SELECT user_id, hour, round(${S.qmean("value", 20)}, 4) AS avg_value
         |    FROM ev GROUP BY 1, 2),
         |bounds AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
         |    FROM ev GROUP BY 1),
@@ -412,8 +414,8 @@ object Temporal {
     // each event belongs to the 4 epoch-aligned 15-minute-stepped window
     // starts within the preceding hour
     "st_sliding_window" ->
-      """SELECT ws, ws + INTERVAL 1 HOUR AS we, event_type,
-        |  count(*) AS n, round(sum(value), 4) AS sum_value
+      s"""SELECT ws, ws + INTERVAL 1 HOUR AS we, event_type,
+        |  count(*) AS n, round(${S.qsum("value", 20)}, 4) AS sum_value
         |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts)
         |        - k * INTERVAL '15 minutes' AS ws, event_type, value
         |      FROM events, (SELECT unnest(range(0, 4)) AS k))

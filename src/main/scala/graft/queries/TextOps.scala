@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.engine.{Tables, TextFunctions => T}
+import graft.engine.{FixedPoint => FP, Tables, TextFunctions => T}
 
 /** Text-analysis catalog over the `documents` table (builder-prompt
   * first-class components): token counting, quality scoring, language ID,
@@ -524,7 +524,8 @@ object TextOps {
         .groupBy("doc_id")
         .agg(sum("c").as("n_tokens"),
              count(lit(1)).as("n_distinct"),
-             sum(col("c") * log(col("c"))).as("sum_clnc"))
+             // fixed-point qsum: Σ c·ln c is order-independent (r4 flake class)
+             FP.qsum(col("c") * log(col("c"))).as("sum_clnc"))
         // H = ln N − (Σ c·ln c)/N — one grouped pass, no per-token division
         .withColumn("entropy",
           round(log(col("n_tokens")) - col("sum_clnc") / col("n_tokens"), 4))
@@ -591,7 +592,7 @@ object TextOps {
       ab.join(cab, Seq("a", "b")).join(ca, Seq("a"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
-             round(avg(log(col("cab").cast("double") / col("ca"))), 4).as("avg_logprob"))
+             round(FP.qmean(log(col("cab").cast("double") / col("ca"))), 4).as("avg_logprob"))
         .orderBy("doc_id")
     }),
 
@@ -862,7 +863,7 @@ object TextOps {
       s"""SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  n_distinct, round(ln(n_tokens) - sum_clnc / n_tokens, 4) AS entropy
          |FROM (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
-         |        sum(c * ln(c)) AS sum_clnc
+         |        ${S.qsum("c * ln(c)")} AS sum_clnc
          |      FROM (SELECT doc_id, tok, count(*) AS c
          |            FROM (SELECT doc_id, unnest(${S.tokens("text")}) AS tok FROM documents)
          |            GROUP BY doc_id, tok)
@@ -896,7 +897,7 @@ object TextOps {
          |cab AS (SELECT a, b, count(*) AS cab FROM ab GROUP BY a, b),
          |ca AS (SELECT a, count(*) AS ca FROM ab GROUP BY a)
          |SELECT doc_id, count(*) AS n_bigrams,
-         |  round(avg(ln(CAST(cab AS DOUBLE) / ca)), 4) AS avg_logprob
+         |  round(${S.qmean("ln(CAST(cab AS DOUBLE) / ca)")}, 4) AS avg_logprob
          |FROM ab JOIN cab USING (a, b) JOIN ca USING (a)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
