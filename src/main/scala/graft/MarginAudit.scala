@@ -36,7 +36,8 @@ object MarginAudit {
     "q14_promo_share", "q19_disjunctive", "agg_grouping_id", "a7_multiagg",
     "agg_hist_equiwidth", "agg_hist_equidepth", "opt_reused_exchange",
     "st_hourly_window", "st_sessionize", "st_session_window",
-    "st_view_purchase", "st_daily_profile", "st_sliding_window", "ts_gapfill")
+    "st_view_purchase", "st_daily_profile", "st_sliding_window", "ts_gapfill",
+    "etl_snapshot_read")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -48,7 +48,11 @@ object PageRank {
         .join(out, "src")
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") / col("outdeg")).as("mass"))
+        // fixed-point mass sum: exact BIGINT partials make every round's
+        // ranks bit-identical at any partitioning (and to the catalog
+        // face's DuckDB twin), where sum(double) would drift an ulp with
+        // shuffle-merge order and compound across rounds
+        .agg(FixedPoint.qsum(col("rank") / col("outdeg")).as("mass"))
       val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(1 - damping) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("rank"))

@@ -57,6 +57,29 @@ object Graph {
         .agg(count(lit(1)).as("in_deg"),
              round(lit(0.15) + lit(0.85) * FP.qsum(lit(1.0) / col("outdeg")), 4).as("rank"))
         .orderBy("s_suppkey")
+    }),
+
+    // ---- PageRank to (bounded) convergence: FIVE damped rounds of
+    // engine.PageRank over the SYMMETRIC trading graph — the oracle-checked
+    // face of the iterative closure, not just its first step (the
+    // dd_clusters move, applied to the numeric loop). Ids are encoded
+    // disjoint (customers even, suppliers odd) per the PageRank caller
+    // contract, and both edge directions are included so mass actually
+    // circulates and five rounds are a real contraction, not a fixed point.
+    // Every round's mass sum is the fixed-point qsum, so five rounds of
+    // rank chain bit-identically on both engines; the DuckDB twin unrolls
+    // the same five rounds as sequential CTEs. The additive constant is
+    // written (1 − 0.85) exactly as the engine computes it — the literal
+    // 0.15 is a DIFFERENT double (oracle-determinism rule).
+    "graph_rank_converged" -> ((s, d) => {
+      val base = edges(s, d)
+        .select((col("src") * 2).as("src"), (col("dst") * 2 + 1).as("dst"))
+      val sym = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+      val (ranks, _) = graft.engine.PageRank.run(sym, rounds = 5)
+      ranks.filter(col("node") % 2 === 1)
+        .select(((col("node") - 1) / 2).cast("bigint").as("s_suppkey"),
+          round(col("rank"), 4).as("rank"))
+        .orderBy("s_suppkey")
     })
   )
 
@@ -78,6 +101,32 @@ object Graph {
          |  round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
          |    ${S.qsum("CAST(1.0 AS DOUBLE) / outdeg")}, 4) AS rank
          |FROM edges JOIN outd USING (src)
-         |GROUP BY dst ORDER BY s_suppkey""".stripMargin
+         |GROUP BY dst ORDER BY s_suppkey""".stripMargin,
+
+    // five unrolled rounds of the PageRank.run recurrence: same symmetric
+    // disjoint-id edge frame, same left-join + coalesce re-seed, same
+    // fixed-point mass sum, and the additive constant written (1 − 0.85)
+    // exactly as the engine computes it — the literal 0.15 is a DIFFERENT
+    // double (oracle-determinism rule)
+    "graph_rank_converged" -> {
+      def rnd(i: Int) =
+        s"""r$i AS (SELECT n.node,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           |      + CAST(0.85 AS DOUBLE) * coalesce(m.mass, CAST(0.0 AS DOUBLE)) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT ed.dst AS node, ${S.qsum("r.rank / outd.outdeg")} AS mass
+           |    FROM ed JOIN outd ON ed.src = outd.src JOIN r${i - 1} r ON r.node = ed.src
+           |    GROUP BY ed.dst) m ON m.node = n.node)"""
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |ed AS (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM e0
+         |       UNION ALL SELECT dst * 2 + 1, src * 2 FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM ed UNION SELECT DISTINCT dst FROM ed),
+         |outd AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+         |${(1 to 5).map(rnd).mkString(",\n")}
+         |SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey, round(rank, 4) AS rank
+         |FROM r5 WHERE node % 2 = 1 ORDER BY s_suppkey""".stripMargin
+    }
   )
 }

@@ -381,7 +381,12 @@ object Scalars {
 
     // genuinely parses the JSON (json_keys + per-key extract) instead of
     // hardcoding the fixture's single-key shape, so NULL/empty/multi-key
-    // props keep the oracle row-for-row with Spark's map explode
+    // props keep the oracle row-for-row with Spark's map explode.
+    // CHARSET ASSUMPTION: the extracted key is re-interpolated into a JSON
+    // path ('$."key"'), which is only well-formed while keys contain no
+    // double quotes or backslashes — true of the events fixture's
+    // identifier-style keys; a corpus with quoted keys would need
+    // json_each(props) key/value pairs instead of path re-querying
     "json_map_explode" ->
       """SELECT event_id, key,
         |  CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT) AS value

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.engine.Tables
+import graft.engine.{FixedPoint => FP, Tables}
 
 /** Scale-path operators beyond the reference's surface: skew-salted joins,
   * as-of joins, and sketch aggregates — the moves a 100 TB pipeline actually
@@ -290,6 +290,55 @@ object ScaleOps {
         .groupBy((col("doc_id") % 10).as("bucket"))
         .agg(count(lit(1)).as("n"), sum("score").as("sum_score"))
         .orderBy("bucket")
+    }),
+
+    // ---- connector-level AGGREGATE pushdown (SupportsPushDownAggregates,
+    // partial mode): the global count/min/max over a filtered synthetic
+    // range never generates a row — each range partition answers
+    // arithmetically from its [lo, hi) bounds and Spark merges `slices`
+    // one-row partials. SourcesSpec asserts the scan node carries the
+    // pushed aggregate list; this face hash-checks the answers.
+    "src_pushdown_agg" -> ((s, d) => {
+      val _ = d // source is synthetic; sf dir unused
+      s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "1000000").option("slices", "8").load()
+        .filter(col("doc_id") >= 250000 && col("doc_id") < 750000)
+        .agg(count(lit(1)).as("n_rows"),
+             min("doc_id").as("min_id"),
+             max("doc_id").as("max_id"))
+    }),
+
+    // ---- snapshot-isolation / time-travel read contract ("AS OF" reads,
+    // the Delta-style semantics the sandbox can't ship a jar for; see the
+    // README's table-format stance): the SCD2 history IS the transaction
+    // log, a snapshot date IS a version pin, and reconstructing the table
+    // at four quarterly pins yields per-snapshot row counts, fixed-point
+    // revenue totals, and an order-independent content checksum (md5 →
+    // polynomial hash → exact BIGINT sum, the etl_row_hash_audit
+    // primitive) a replica can compare replica-wide. Scale shape: the
+    // history builds with one shuffle + a PARTITIONED window; the 4-row
+    // snapshot frame broadcasts onto it; floats stay out of the signature
+    // (double→text formatting is engine-specific).
+    "etl_snapshot_read" -> ((s, d) => {
+      val w = Window.partitionBy("custkey").orderBy("eff_from")
+      val hist = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("custkey"),
+                 to_date(col("o_orderdate")).as("eff_from"))
+        .agg(round(FP.qsum(col("o_totalprice"), 20), 4).as("day_rev"))
+        .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+      val snaps = Seq("1996-07-01", "1997-01-01", "1997-07-01", "1998-01-01")
+      val snapF = s.range(1).select(
+        explode(array(snaps.map(x => lit(x).cast("date")): _*)).as("snapshot_date"))
+      hist.crossJoin(broadcast(snapF))
+        .filter(col("eff_from") <= col("snapshot_date") &&
+          (col("eff_to").isNull || col("eff_to") > col("snapshot_date")))
+        .withColumn("sig", element_at(graft.engine.TextFunctions.tokenHashes(
+          md5(concat_ws("|", col("custkey"), col("eff_from")))), 1))
+        .groupBy("snapshot_date")
+        .agg(count(lit(1)).as("n_keys"),
+             round(FP.qsum(col("day_rev"), 20), 4).as("total_rev"),
+             sum("sig").as("checksum"))
+        .orderBy("snapshot_date")
     }),
 
     // ---- migration audit checksum: an order-independent per-bucket
@@ -663,6 +712,22 @@ object ScaleOps {
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "etl_snapshot_read" ->
+      s"""WITH statez AS (SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS eff_from,
+         |    round(${SqlText.qsum("o_totalprice", 20)}, 4) AS day_rev
+         |  FROM orders GROUP BY 1, 2),
+         |hist AS (SELECT custkey, eff_from, day_rev,
+         |    lead(eff_from, 1) OVER (PARTITION BY custkey ORDER BY eff_from) AS eff_to
+         |  FROM statez),
+         |snaps AS (SELECT unnest([DATE '1996-07-01', DATE '1997-01-01',
+         |                         DATE '1997-07-01', DATE '1998-01-01']) AS snapshot_date)
+         |SELECT snapshot_date, count(*) AS n_keys,
+         |  round(${SqlText.qsum("day_rev", 20)}, 4) AS total_rev,
+         |  CAST(sum(${SqlText.wordHash("md5(concat_ws('|', custkey, eff_from))")}) AS BIGINT) AS checksum
+         |FROM hist CROSS JOIN snaps
+         |WHERE eff_from <= snapshot_date AND (eff_to IS NULL OR eff_to > snapshot_date)
+         |GROUP BY snapshot_date ORDER BY snapshot_date""".stripMargin,
+
     "etl_row_hash_audit" ->
       s"""SELECT o_orderkey % 16 AS bucket, count(*) AS n,
          |  CAST(sum(${SqlText.wordHash("md5(concat_ws('|', o_orderkey, o_orderstatus, o_orderpriority))")}) AS BIGINT) AS checksum
@@ -685,6 +750,12 @@ object ScaleOps {
         |  CAST(sum(doc_id * 31 % 1000) AS BIGINT) AS sum_score
         |FROM (SELECT unnest(range(90000, 90100)) AS doc_id)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // the pushed-range arithmetic re-derived in SQL (the connector never
+    // materializes a row for this query; the oracle shouldn't either)
+    "src_pushdown_agg" ->
+      """SELECT CAST(750000 - 250000 AS BIGINT) AS n_rows,
+        |  CAST(250000 AS BIGINT) AS min_id, CAST(749999 AS BIGINT) AS max_id""".stripMargin,
 
     "layout_file_skipping" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS rev

@@ -187,6 +187,20 @@ object Similarity {
         .orderBy("cluster", "dim")
     }),
 
+    // ---- THREE Lloyd rounds, oracle-checked end to end: the iterative
+    // closure of emb_kmeans_step (engine.KMeans.lloyd), proven against a
+    // DuckDB twin that unrolls the same three assign→update rounds as
+    // sequential CTEs. Possible only because the update mean is the
+    // fixed-point qmean — bit-identical centroids at every round on both
+    // engines — and the argmin tie-break is pinned (dist2, seed_id).
+    "emb_kmeans_k3" -> ((s, d) => {
+      val (cents, _) = graft.engine.KMeans.lloyd(emb(s, d), k = 8, rounds = 3)
+      cents.select(col("seed_id").as("cluster"), posexplode(col("c")))
+        .select(col("cluster"), (col("pos") + 1).cast("bigint").as("dim"),
+          round(col("col"), 4).as("centroid_val"))
+        .orderBy("cluster", "dim")
+    }),
+
     // ---- batch k-NN join: top-3 cosine neighbors for a deterministic
     // SAMPLE of query vectors (vec_id % 100 == 0) against the full corpus —
     // the retrieval-evaluation join an embedding pipeline runs after each
@@ -430,6 +444,31 @@ object Similarity {
          |  round(${S.qmean("v[CAST(dim AS INTEGER)]")}, 4) AS centroid_val
          |FROM best, generate_series(1, 64) t(dim)
          |GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
+
+    // the three-round unroll of the emb_kmeans_step twin: identical dist2
+    // fold, identical (dist2, seed_id) tie-break, identical qmean update —
+    // cents0 is the raw seed vectors, cents{i} the round-i centroids
+    "emb_kmeans_k3" -> {
+      def rnd(i: Int, prev: String) =
+        s"""a$i AS (SELECT e.vec_id, e.v, c.seed_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(e.v, c.c), p -> (p[1]-p[2])*(p[1]-p[2]))),
+           |      (acc, x) -> acc + x) AS dist2
+           |  FROM e CROSS JOIN $prev c),
+           |best$i AS (SELECT vec_id, v, seed_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist2, seed_id) AS rn FROM a$i) WHERE rn = 1),
+           |cd$i AS (SELECT seed_id, dim, ${S.qmean("v[CAST(dim AS INTEGER)]")} AS cval
+           |  FROM best$i, generate_series(1, 64) t(dim) GROUP BY seed_id, dim),
+           |cents$i AS (SELECT seed_id, list(cval ORDER BY dim) AS c FROM cd$i GROUP BY seed_id)"""
+      s"""$embCte,
+         |cents0 AS (SELECT vec_id AS seed_id, v AS c FROM e WHERE vec_id < 8),
+         |${rnd(1, "cents0")},
+         |${rnd(2, "cents1")},
+         |${rnd(3, "cents2")}
+         |SELECT seed_id AS cluster, CAST(dim AS BIGINT) AS dim, round(cval, 4) AS centroid_val
+         |FROM cd3 ORDER BY cluster, dim""".stripMargin
+    },
 
     "sim_knn_join" ->
       s"""$embCte,

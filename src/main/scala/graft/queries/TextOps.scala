@@ -295,6 +295,25 @@ object TextOps {
         .limit(10)
     }),
 
+    // ---- BPE trained for FIVE merges, oracle-checked: the iterative
+    // closure of tx_bpe_first_merge (engine.Bpe.train) against a DuckDB
+    // twin that unrolls five count→argmax→leftmost-rewrite rounds over the
+    // word-frequency table. The rewrite fold merges the accumulator's tail
+    // symbol with the current one — exactly leftmost-greedy, because a
+    // token merged THIS round can never equal the left symbol again (a+b
+    // is strictly longer than a). Winner selection (count desc, pair asc)
+    // and the fold are both engine-order-independent, so the merge table
+    // is reproducible at any partitioning.
+    "tx_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      val words = graft.engine.Bpe.wordTable(t(s, d, "documents"))
+      val (merges, _) = graft.engine.Bpe.train(s, words, k = 5)
+      merges.zipWithIndex
+        .map { case ((a, b, n), i) => (i + 1L, a, b, n) }
+        .toDF("merge_rank", "lhs", "rhs", "n")
+        .orderBy("merge_rank")
+    }),
+
     // unigram negative-log-likelihood per doc — the cheap stand-in for the
     // LM-perplexity quality filter every corpus pipeline runs (docs whose
     // tokens are corpus-typical score low; gibberish and boilerplate-with-
@@ -751,6 +770,32 @@ object TextOps {
          |  FROM (SELECT string_split(tok, '') AS cs FROM words))
          |SELECT pair, count(*) AS n FROM pairs
          |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 10""".stripMargin,
+
+    // five unrolled BPE rounds: words{i} is the word-frequency table after
+    // merge i; win{i} the round's (count desc, pair asc) argmax; the
+    // rewrite is the leftmost-greedy fold described at the query site
+    "tx_bpe_merges" -> {
+      def rnd(i: Int) =
+        s"""pairs$i AS (SELECT pair, sum(freq) AS n FROM (
+           |    SELECT unnest(CASE WHEN len(syms) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+           |      list_transform(range(1, len(syms)), j -> syms[j] || ' ' || syms[j+1]) END) AS pair, freq
+           |    FROM words${i - 1}) GROUP BY pair),
+           |win$i AS (SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, n
+           |  FROM pairs$i ORDER BY n DESC, pair ASC LIMIT 1),
+           |words$i AS (SELECT list_reduce(
+           |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+           |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = w.a AND x[1] = w.b
+           |                THEN list_concat(acc[1:len(acc)-1], [w.a || w.b])
+           |                ELSE list_concat(acc, x) END) AS syms, freq
+           |  FROM words${i - 1} CROSS JOIN win$i w)"""
+      s"""WITH words0 AS (SELECT string_split(word, '') AS syms, count(*) AS freq
+         |  FROM (SELECT unnest(${S.tokens("text")}) AS word FROM documents) GROUP BY word),
+         |${(1 to 5).map(rnd).mkString(",\n")}
+         |${(1 to 5).map(i =>
+             s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, CAST(n AS BIGINT) AS n FROM win$i")
+           .mkString("\nUNION ALL ")}
+         |ORDER BY merge_rank""".stripMargin
+    },
 
     "tx_unigram_logprob" ->
       s"""WITH tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),

@@ -2,10 +2,11 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns}
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
   IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -22,6 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    strictly fewer rows, spec-asserted);
   *  - `SupportsPushDownRequiredColumns`: the reader materializes only the
   *    projected fields (ReadSchema pruning, spec-asserted);
+  *  - `SupportsPushDownAggregates` (partial): ungrouped count(*) /
+  *    min(doc_id) / max(doc_id) collapse to one arithmetic row per range
+  *    partition — no row generation at all (spec-asserted);
   *  - `planInputPartitions`: the surviving range splits into `slices`
   *    independent readers — executor-parallel generation, no driver data.
   *
@@ -60,11 +64,25 @@ private[sources] class DocsTable(rows: Long, slices: Int) extends Table with Sup
 }
 
 private[sources] class DocsScanBuilder(rows: Long, slices: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows // exclusive
   private var pushed = Array.empty[Filter]
   private var required: StructType = SyntheticDocs.schema
+  private var aggKinds: Seq[String] = Nil
+
+  // ---- saturation guards: a bound of Long.MaxValue must not wrap on the
+  // half-open +1 conversion (ADVICE r4 — the wrapped lo made an
+  // absorbed-but-unapplied `doc_id > MAX` return every row, and the
+  // wrapped hi made `doc_id <= MAX` return none).
+  /** doc_id > x: x = MAX is vacuously false → force an empty range. */
+  private def boundGt(x: Long): Unit =
+    if (x == Long.MaxValue) { lo = math.max(lo, hi) }
+    else lo = math.max(lo, x + 1)
+  /** doc_id <= x: x = MAX is vacuously true → no upper bound to tighten. */
+  private def boundLe(x: Long): Unit =
+    if (x != Long.MaxValue) hi = math.min(hi, x + 1)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
@@ -74,12 +92,12 @@ private[sources] class DocsScanBuilder(rows: Long, slices: Int) extends ScanBuil
       case _ => false
     }
     accepted.foreach {
-      case GreaterThan("doc_id", v: Number)        => lo = math.max(lo, v.longValue + 1)
+      case GreaterThan("doc_id", v: Number)        => boundGt(v.longValue)
       case GreaterThanOrEqual("doc_id", v: Number) => lo = math.max(lo, v.longValue)
       case LessThan("doc_id", v: Number)           => hi = math.min(hi, v.longValue)
-      case LessThanOrEqual("doc_id", v: Number)    => hi = math.min(hi, v.longValue + 1)
+      case LessThanOrEqual("doc_id", v: Number)    => boundLe(v.longValue)
       case EqualTo("doc_id", v: Number) =>
-        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
+        lo = math.max(lo, v.longValue); boundLe(v.longValue)
       case IsNotNull("doc_id") => // non-nullable: always true, fully absorbed
       case f => throw new IllegalStateException(s"unreachable filter $f")
     }
@@ -88,7 +106,34 @@ private[sources] class DocsScanBuilder(rows: Long, slices: Int) extends ScanBuil
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new DocsScan(lo, math.max(lo, hi), slices, required)
+
+  // ---- aggregate pushdown (PARTIAL: supportCompletePushDown stays false,
+  // so each generated partition emits ONE pre-aggregated row — count of its
+  // range, min/max of its doc_id slice — and Spark's final aggregate merges
+  // them; grouped or non-doc_id aggregates fall back to the row scan).
+  private def docIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("doc_id"))
+      case _ => false
+    }
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty) return false
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if docIdRef(m.column) => Some("min")
+      case m: Max if docIdRef(m.column) => Some("max")
+      case _ => None
+    }
+    if (kinds.contains(None)) return false
+    aggKinds = kinds.flatten
+    true
+  }
+
+  override def build(): Scan = {
+    val boundedHi = math.max(lo, hi)
+    if (aggKinds.nonEmpty) new DocsAggScan(lo, boundedHi, slices, aggKinds)
+    else new DocsScan(lo, boundedHi, slices, required)
+  }
 }
 
 private[sources] class DocsScan(lo: Long, hi: Long, slices: Int, schema: StructType)
@@ -107,6 +152,47 @@ private[sources] class DocsScan(lo: Long, hi: Long, slices: Int, schema: StructT
     }
   }
   override def createReaderFactory(): PartitionReaderFactory = new DocsReaderFactory(schema)
+}
+
+/** Pushed-aggregate scan: each range partition collapses to ONE
+  * pre-aggregated row computed arithmetically from its [lo, hi) bounds —
+  * no row is ever generated. Spark plans the final merge on top (partial
+  * pushdown), so `SELECT count(*), min(doc_id), max(doc_id)` over a
+  * billion-row synthetic table reads `slices` rows total. */
+private[sources] class DocsAggScan(lo: Long, hi: Long, slices: Int, kinds: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(kinds.map {
+    case "count" => StructField("count_star", LongType, nullable = false)
+    case k       => StructField(s"${k}_doc_id", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticDocs range [$lo, $hi) pushedAggregates=[${kinds.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    if (n <= 0) Array.empty // final agg over zero partials: count→0, min/max→null
+    else {
+      val k = math.min(slices.toLong, n).toInt
+      Array.tabulate(k)(i => DocsRange(lo + n * i / k, lo + n * (i + 1) / k))
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new DocsAggReaderFactory(kinds)
+}
+
+private[sources] class DocsAggReaderFactory(kinds: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[DocsRange]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val go = !emitted && r.hi > r.lo; emitted = true; go }
+      override def get(): InternalRow = InternalRow.fromSeq(kinds.map {
+        case "count" => r.hi - r.lo
+        case "min"   => r.lo
+        case "max"   => r.hi - 1
+      })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] case class DocsRange(lo: Long, hi: Long) extends InputPartition

@@ -173,10 +173,14 @@ object Streams extends Serializable {
 
   /** The one gap-merge fold both sessionizers share: folds a batch's events
     * (pre-sorted by event time) into the open session, emitting sessions a
-    * gap closes. An out-of-order event that lands INSIDE the gap extends
-    * the session on whichever end it falls (min start / max end) — it must
+    * gap closes. An out-of-order event that lands INSIDE the gap — within
+    * gapMs on EITHER side of the open [start, end] window — extends the
+    * session on whichever end it falls (min start / max end); it must
     * never shrink session_end below session_start, which the naive
-    * "end := e.ts" update did for cross-batch late arrivals. */
+    * "end := e.ts" update did for cross-batch late arrivals. A late event
+    * from BEFORE start − gap cannot extend the session (the batch twin
+    * would give it its own earlier session), so it is emitted as a
+    * single-event session immediately. */
   private def foldSessions(userId: Long, sorted: Seq[Event],
                            init: Option[SessionState],
                            gapMs: Long): (List[SessionOut], Option[SessionState]) = {
@@ -184,6 +188,8 @@ object Streams extends Serializable {
     var cur = init
     for (e <- sorted) {
       cur match {
+        case Some((s0, _, _, _)) if e.ts.getTime < s0.getTime - gapMs =>
+          out ::= SessionOut(userId, e.ts, e.ts, 1L, e.value)
         case Some((s0, e0, n, v)) if e.ts.getTime - e0.getTime <= gapMs =>
           val s1 = if (e.ts.getTime < s0.getTime) e.ts else s0
           val e1 = if (e.ts.getTime > e0.getTime) e.ts else e0

@@ -13,7 +13,10 @@ class DeterminismSpec extends AnyFunSuite with SharedSparkSpec {
   private val targets = Seq(
     "emb_kmeans_step", "emb_centroids", "emb_whitening", "emb_mrl_retention",
     "emb_pq_error", "emb_quantize_error", "tx_token_entropy", "tx_bigram_lm",
-    "graph_rank_step", "agg_winsorize")
+    "graph_rank_step", "agg_winsorize",
+    // the iterative closures: bit-identity must survive N rounds of
+    // checkpoint-truncated loop, not just one aggregation
+    "graph_rank_converged", "emb_kmeans_k3", "tx_bpe_merges")
 
   /** Run under an explicit (shuffle partitions, scan split) regime; Row
     * .toString prints doubles via Double.toString (shortest round-trip

@@ -53,4 +53,37 @@ class SourcesSpec extends AnyFunSuite with SharedSparkSpec {
     // partitions cover the range exactly once (no dup/gap at split points)
     assert(df.select(sum("doc_id")).collect()(0).getLong(0) == (0L until 1000L).sum)
   }
+
+  test("Long.MaxValue bounds saturate instead of wrapping (ADVICE r4)") {
+    // doc_id > MAX is vacuously false: the wrapped lo used to absorb the
+    // filter yet return EVERY row
+    assert(docs(1000).filter(col("doc_id") > Long.MaxValue).count() == 0)
+    // doc_id <= MAX is vacuously true: the wrapped hi used to return none
+    assert(docs(1000).filter(col("doc_id") <= Long.MaxValue).count() == 1000)
+    assert(docs(1000).filter(col("doc_id") >= Long.MaxValue).count() == 0)
+    assert(docs(1000).filter(col("doc_id") === Long.MaxValue).count() == 0)
+  }
+
+  test("ungrouped count/min/max push into the scan (no row generation)") {
+    val df = docs(1000000, slices = 8)
+      .filter(col("doc_id") >= 100 && col("doc_id") < 900000)
+      .agg(count(lit(1)), min("doc_id"), max("doc_id"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pushedAggregates=[count,min,max]"),
+      s"the scan node must answer the aggregate arithmetically:\n$p")
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 900000 - 100 && r.getLong(1) == 100 && r.getLong(2) == 899999)
+  }
+
+  test("grouped or non-doc_id aggregates fall back to the row scan") {
+    val df = docs(1000).groupBy((col("doc_id") % 2).as("b")).agg(min("score"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("pushedAggregates"), s"grouped agg must not push:\n$p")
+    assert(df.count() == 2)
+    // empty pushed-agg range: final agg over zero partials
+    val empty = docs(1000).filter(col("doc_id") > Long.MaxValue)
+      .agg(count(lit(1)), min("doc_id"))
+    val e = empty.collect()(0)
+    assert(e.getLong(0) == 0 && e.isNullAt(1))
+  }
 }

@@ -131,6 +131,30 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
     assert(u2.length == 1 && u2.head.n_events == 1 && u2.head.total_value == 4.0)
   }
 
+  test("a cross-batch event from before start − gap gets its OWN session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // batch 1 opens user 9's session at minute 100
+    mem.addData(Event(1, ts(100), 9, "click", 1.0))
+    val q = Streams.sessionize(mem.toDS()).writeStream
+      .format("memory").queryName("early_sessions").outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: a late event from minute 0 — far outside start − 30 min; the
+    // old gap test (e.ts − end ≤ gap is trivially true for EARLIER events)
+    // merged it and silently stretched the session back 100 minutes
+    mem.addData(Event(2, ts(0), 9, "view", 2.0))
+    q.processAllAvailable()
+    // batch 3 closes the open session so it emits too
+    mem.addData(Event(3, ts(200), 9, "click", 3.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("early_sessions").as[Streams.SessionOut]
+      .collect().filter(_.user_id == 9).sortBy(_.session_start.getTime)
+    assert(out.length == 2, s"expected the stray early event + the closed session, got ${out.toSeq}")
+    assert(out(0).session_start == ts(0) && out(0).session_end == ts(0) && out(0).n_events == 1)
+    assert(out(1).session_start == ts(100) && out(1).session_end == ts(100) && out(1).n_events == 1)
+  }
+
   test("watermark drops late events and finalizes windows (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
