@@ -35,6 +35,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // ~200 catalog plans compile 400+ generated classes; the default
+      // 100-entry codegen class cache churns mid-bench, and each recompile
+      // reads as a GC/latency spike — r4's retry path fired 11 times on
+      // clean plans. A catalog-sized cache keeps steady state compile-free
+      // (VERDICT r4 item 8: retried ≤ 5).
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -35,16 +35,20 @@ object PageRank {
   def run(edges: DataFrame, rounds: Int, damping: Double = 0.85): (DataFrame, Seq[Double]) = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
+    // materialize the edge frame ONCE: it joins into every round, and a
+    // lazy edge plan (e.g. a fact⋈fact distinct) would re-execute per
+    // round — at 5 rounds that was most of graph_rank_converged's time
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
-    val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
     // empty graph would otherwise surface as an NPE reading the delta agg
     require(out.limit(1).count() == 1, "page-rank needs a non-empty edge frame")
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint()
     val deltas = Seq.newBuilder[Double]
     for (_ <- 1 to rounds) {
-      val contribs = edges
+      val contribs = e
         .join(out, "src")
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))

@@ -341,6 +341,61 @@ object ScaleOps {
         .orderBy("snapshot_date")
     }),
 
+    // ---- incremental rollup maintenance (materialized-view refresh): the
+    // merged result of a BASE rollup (history, computed once) and a DELTA
+    // rollup (the new partition) must equal the full recompute — without
+    // rescanning history. Works because every aggregate carried is a
+    // mergeable partial: counts are integers, and revenue is carried as
+    // the UNDIVIDED fixed-point BIGINT (FixedPoint.q), whose sums are
+    // associative — so incremental == full EXACTLY, not approximately,
+    // which is the contract an MV refresh needs before it can replace the
+    // full scan at 100 TB. The oracle is the full recompute.
+    "etl_incremental_rollup" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("month", date_trunc("MONTH", col("o_orderdate")))
+        .withColumn("qrev", FP.q(col("o_totalprice"), 20))
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderstatus", "month")
+          .agg(count(lit(1)).as("n"), sum("qrev").as("qrev_sum"))
+      val base = rollup(o.filter(col("o_orderdate") < "1997-01-01"))
+      val delta = rollup(o.filter(col("o_orderdate") >= "1997-01-01"))
+      base.union(delta)
+        .groupBy("o_orderstatus", "month")
+        .agg(sum("n").as("n"),
+             round((sum("qrev_sum").cast("double") / (1L << 20).toDouble), 4).as("rev"))
+        .orderBy("o_orderstatus", "month")
+    }),
+
+    // ---- small-file compaction (the OPTIMIZE / bin-packing maintenance
+    // op): a deliberately fragmented layout (64 splits of a filtered
+    // orders slice) compacts to 4 bin-packed files; the face reports the
+    // before/after file counts read from the filesystem plus the row count
+    // and an order-independent content checksum, which is how a compactor
+    // proves it changed LAYOUT and nothing else. At 100 TB this runs per
+    // partition with target-size binpacking; the written layouts are
+    // first-use-cached like the other /tmp layouts.
+    "etl_compact_files" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_compact/orders_$tag"
+      val slice = t(s, d, "orders").filter(col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      if (!new java.io.File(s"$base/frag/_SUCCESS").exists())
+        slice.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+      if (!new java.io.File(s"$base/compact/_SUCCESS").exists())
+        s.read.parquet(s"$base/frag").repartition(4)
+          .write.mode("overwrite").parquet(s"$base/compact")
+      def files(p: String): Long =
+        new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
+      val compacted = s.read.parquet(s"$base/compact")
+        .withColumn("sig", element_at(graft.engine.TextFunctions.tokenHashes(
+          md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus")))), 1))
+        .agg(count(lit(1)).as("n_rows"), sum("sig").as("checksum"))
+      compacted.select(
+        lit(files(s"$base/frag")).as("files_before"),
+        lit(files(s"$base/compact")).as("files_after"),
+        col("n_rows"), col("checksum"))
+    }),
+
     // ---- migration audit checksum: an order-independent per-bucket
     // fingerprint of row CONTENT (md5 over a canonical pipe-joined text of
     // the key/string columns, reduced to a Long via the shared polynomial
@@ -588,7 +643,9 @@ object ScaleOps {
         .agg(count(lit(1)).as("n"),
              count(col("o_orderpriority")).as("n_with_priority"),
              countDistinct(col("o_orderstatus")).as("n_status"),
-             round(sum("o_totalprice"), 4).as("rev"))
+             // fixed-point: this cell had the catalog's tightest remaining
+             // boundary margin (1.6× the 64-ulp band, r5 audit)
+             round(FP.qsum(col("o_totalprice"), 20), 4).as("rev"))
         .orderBy("gen")
     })
   )
@@ -712,6 +769,24 @@ object ScaleOps {
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // full recompute — the incremental base+delta merge must equal this
+    // exactly (associative integer partials)
+    "etl_incremental_rollup" ->
+      s"""SELECT o_orderstatus, date_trunc('month', ts_month) AS month, count(*) AS n,
+         |  round(${SqlText.qsum("o_totalprice", 20)}, 4) AS rev
+         |FROM (SELECT o_orderstatus, CAST(o_orderdate AS TIMESTAMP) AS ts_month, o_totalprice
+         |      FROM orders)
+         |GROUP BY 1, 2 ORDER BY o_orderstatus, month""".stripMargin,
+
+    // layout facts are deterministic (64 → 4 splits by construction); the
+    // row count and checksum re-derive from the source slice, proving the
+    // compaction changed file layout and nothing else
+    "etl_compact_files" ->
+      s"""SELECT CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after,
+         |  count(*) AS n_rows,
+         |  CAST(sum(${SqlText.wordHash("md5(concat_ws('|', o_orderkey, o_orderstatus))")}) AS BIGINT) AS checksum
+         |FROM orders WHERE o_orderkey % 4 = 0""".stripMargin,
+
     "etl_snapshot_read" ->
       s"""WITH statez AS (SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS eff_from,
          |    round(${SqlText.qsum("o_totalprice", 20)}, 4) AS day_rev
@@ -798,10 +873,10 @@ object ScaleOps {
          |ORDER BY tok""".stripMargin,
 
     "etl_schema_merge" ->
-      """SELECT gen, count(*) AS n,
-        |  CAST(sum(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_priority,
-        |  count(DISTINCT o_orderstatus) AS n_status,
-        |  round(sum(o_totalprice), 4) AS rev
+      s"""SELECT gen, count(*) AS n,
+         |  CAST(sum(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_priority,
+         |  count(DISTINCT o_orderstatus) AS n_status,
+         |  round(${SqlText.qsum("o_totalprice", 20)}, 4) AS rev
         |FROM (SELECT CAST(CASE WHEN year(o_orderdate) < 1995 THEN 1 ELSE 2 END AS BIGINT) AS gen,
         |        o_orderstatus, o_totalprice
         |      FROM orders)

@@ -16,7 +16,9 @@ class DeterminismSpec extends AnyFunSuite with SharedSparkSpec {
     "graph_rank_step", "agg_winsorize",
     // the iterative closures: bit-identity must survive N rounds of
     // checkpoint-truncated loop, not just one aggregation
-    "graph_rank_converged", "emb_kmeans_k3", "tx_bpe_merges")
+    "graph_rank_converged", "emb_kmeans_k3", "tx_bpe_merges",
+    // MV maintenance: base+delta merge must stay exact under re-partitioning
+    "etl_incremental_rollup")
 
   /** Run under an explicit (shuffle partitions, scan split) regime; Row
     * .toString prints doubles via Double.toString (shortest round-trip
