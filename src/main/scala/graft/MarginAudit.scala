@@ -37,7 +37,8 @@ object MarginAudit {
     "agg_hist_equiwidth", "agg_hist_equidepth", "opt_reused_exchange",
     "st_hourly_window", "st_sessionize", "st_session_window",
     "st_view_purchase", "st_daily_profile", "st_sliding_window", "ts_gapfill",
-    "etl_snapshot_read", "etl_schema_merge", "etl_incremental_rollup")
+    "etl_snapshot_read", "etl_schema_merge", "etl_incremental_rollup",
+    "src_json_roundtrip", "etl_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

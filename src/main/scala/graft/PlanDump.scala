@@ -86,7 +86,18 @@ object PlanDump {
       "materialize in the reader."),
     "sub_not_in_null_trap" -> ("NOT IN under a nullable subquery: null-aware broadcast " +
       "anti join beside the plain NOT EXISTS anti join — both existence tests, no " +
-      "nested-loop scans.")
+      "nested-loop scans."),
+    "src_pushdown_agg" -> ("DSv2 aggregate pushdown (partial): the BatchScan answers " +
+      "count/min/max arithmetically per range partition (pushedAggregates in the scan " +
+      "description) — Spark's final HashAggregate merges `slices` one-row partials; " +
+      "no row is ever generated."),
+    "etl_snapshot_read" -> ("Time-travel reads: the SCD2 history builds with one " +
+      "shuffle + a PARTITIONED window; the 4-row snapshot-date frame broadcasts onto " +
+      "it (BroadcastNestedLoopJoin over 4 rows), and each snapshot's checksum is an " +
+      "exact BIGINT sum."),
+    "etl_incremental_rollup" -> ("MV refresh: base and delta rollups collapse in " +
+      "partial aggregation before their union; the merge re-aggregates rollup-sized " +
+      "frames only — history facts are scanned once, never re-joined.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -341,6 +341,40 @@ object ScaleOps {
         .orderBy("snapshot_date")
     }),
 
+    // ---- change-data-feed between two snapshot pins (the "what changed
+    // between version V1 and V2" read Delta calls CDF): full-outer-join the
+    // two AS-OF states of the SCD2 history and classify every key as
+    // inserted / updated / unchanged — deleted is impossible here because
+    // the history only ever adds validity windows, and the face proves that
+    // by construction (no 'deleted' rows in the census). One shuffle on
+    // custkey for the self-join of two validity filters over ONE history
+    // scan; counts per class plus fixed-point revenue deltas.
+    "etl_snapshot_diff" -> ((s, d) => {
+      val w = Window.partitionBy("custkey").orderBy("eff_from")
+      val hist = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("custkey"),
+                 to_date(col("o_orderdate")).as("eff_from"))
+        .agg(round(FP.qsum(col("o_totalprice"), 20), 4).as("day_rev"))
+        .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+      def asOf(pin: String) = hist
+        .filter(col("eff_from") <= lit(pin).cast("date") &&
+          (col("eff_to").isNull || col("eff_to") > lit(pin).cast("date")))
+        .select(col("custkey"), col("eff_from"), col("day_rev"))
+      val v1 = asOf("1996-07-01")
+      val v2 = asOf("1997-07-01")
+      v1.as("a").join(v2.as("b"), Seq("custkey"), "full_outer")
+        .withColumn("change",
+          when(col("a.eff_from").isNull, "inserted")
+            .when(col("b.eff_from").isNull, "deleted")
+            .when(col("a.eff_from") =!= col("b.eff_from"), "updated")
+            .otherwise("unchanged"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n_keys"),
+             round(FP.qsum(coalesce(col("b.day_rev"), lit(0.0)) -
+               coalesce(col("a.day_rev"), lit(0.0)), 20), 4).as("rev_delta"))
+        .orderBy("change")
+    }),
+
     // ---- incremental rollup maintenance (materialized-view refresh): the
     // merged result of a BASE rollup (history, computed once) and a DELTA
     // rollup (the new partition) must equal the full recompute — without
@@ -450,6 +484,28 @@ object ScaleOps {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 4).as("rev"))
         .orderBy("l_returnflag")
+    }),
+
+    // ---- JSON-lines source round-trip: the third text/columnar format in
+    // the matrix (CSV, ORC, JSON; no spark-avro jar ships in this
+    // environment). Same contract: write once per sf, read back with an
+    // EXPLICIT schema (inference is a full extra pass at 100 TB), and the
+    // oracle reads the ORIGINAL parquet — so the hash match certifies the
+    // JSON text round-trip of every value, doubles included (both writers
+    // emit shortest round-trippable decimal text).
+    "src_json_roundtrip" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_formats/customer_json_$tag"
+      if (!new java.io.File(path + "/_SUCCESS").exists())
+        t(s, d, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+          .write.mode("overwrite").json(path)
+      s.read.schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
+        .json(path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+             round(FP.qsum(col("c_acctbal"), 20), 4).as("bal"),
+             min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+        .orderBy("c_mktsegment")
     }),
 
     // ---- bitmap exact-distinct: count(DISTINCT user) re-expressed as
@@ -769,6 +825,28 @@ object ScaleOps {
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // the CDF census re-derived: same two validity-window pins over the
+    // same SCD2 CTE, classified by a full outer join
+    "etl_snapshot_diff" ->
+      s"""WITH statez AS (SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS eff_from,
+         |    round(${SqlText.qsum("o_totalprice", 20)}, 4) AS day_rev
+         |  FROM orders GROUP BY 1, 2),
+         |hist AS (SELECT custkey, eff_from, day_rev,
+         |    lead(eff_from, 1) OVER (PARTITION BY custkey ORDER BY eff_from) AS eff_to
+         |  FROM statez),
+         |v1 AS (SELECT custkey, eff_from, day_rev FROM hist
+         |  WHERE eff_from <= DATE '1996-07-01' AND (eff_to IS NULL OR eff_to > DATE '1996-07-01')),
+         |v2 AS (SELECT custkey, eff_from, day_rev FROM hist
+         |  WHERE eff_from <= DATE '1997-07-01' AND (eff_to IS NULL OR eff_to > DATE '1997-07-01'))
+         |SELECT CASE WHEN a.eff_from IS NULL THEN 'inserted'
+         |            WHEN b.eff_from IS NULL THEN 'deleted'
+         |            WHEN a.eff_from != b.eff_from THEN 'updated'
+         |            ELSE 'unchanged' END AS change,
+         |  count(*) AS n_keys,
+         |  round(${SqlText.qsum("coalesce(b.day_rev, 0.0) - coalesce(a.day_rev, 0.0)", 20)}, 4) AS rev_delta
+         |FROM v1 a FULL OUTER JOIN v2 b USING (custkey)
+         |GROUP BY change ORDER BY change""".stripMargin,
+
     // full recompute — the incremental base+delta merge must equal this
     // exactly (associative integer partials)
     "etl_incremental_rollup" ->
@@ -817,6 +895,12 @@ object ScaleOps {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS rev
         |FROM lineitem WHERE l_quantity < 25
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "src_json_roundtrip" ->
+      s"""SELECT c_mktsegment, count(*) AS n,
+         |  round(${SqlText.qsum("c_acctbal", 20)}, 4) AS bal,
+         |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // re-derives the connector's row formulas (score = id·31 mod 1000)
     // over the same pushed range

@@ -325,6 +325,30 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     assert(n == ids.distinct.size, s"expected ${ids.distinct.size} distinct, bitmap counted $n")
   }
 
+  test("etl_incremental_rollup: facts scanned once per generation, merge over rollup frames") {
+    val p = planOf("etl_incremental_rollup")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 filtered scans (base, delta), got $scans:\n$p")
+    // the merge must re-aggregate the unioned ROLLUPS, not join facts
+    assert("partial_sum".r.findAllIn(p).nonEmpty, s"expected partial aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"MV merge must be union+agg, never a join:\n$p")
+  }
+
+  test("etl_snapshot_read: snapshot pins broadcast; no fact-side shuffle for the pin join") {
+    val p = planOf("etl_snapshot_read")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 4-row snapshot frame must broadcast:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"history must not be rebuilt per snapshot, got $scans scans:\n$p")
+  }
+
+  test("src_pushdown_agg: the scan answers the aggregate (no row generation)") {
+    val p = planOf("src_pushdown_agg")
+    assert(p.contains("pushedAggregates=[count,min,max]"),
+      s"aggregate must push into the DSv2 scan:\n$p")
+  }
+
   test("tx_cdc_chunks: native chunker explodes directly over the scan (no pre-shuffle)") {
     val p = planOf("tx_cdc_chunks")
     assert(p.contains("explode(cdc_chunks("),
