@@ -72,6 +72,26 @@ object Probe {
         }
         e.unpersist()
       }
+      else if (name == "QSUMBENCH") {
+        // microbench: the fixed-point determinism layer vs plain float
+        // aggregation — floor + BIGINT sums vs double sums over an
+        // inflated lineitem (×20). Both whole-stage codegen'd; the grid
+        // quantization should cost ~nothing next to the scan.
+        import graft.engine.{FixedPoint => FP}
+        val l = Tables.load(spark, d, "lineitem")
+          .crossJoin(spark.range(20))
+          .select(col("l_returnflag"), col("l_extendedprice")).cache()
+        l.count()
+        for (round <- 1 to 2) {
+          time(s"qsumbench plain sum   r$round") {
+            l.groupBy("l_returnflag").agg(sum("l_extendedprice")).collect()
+          }
+          time(s"qsumbench fixed-point r$round") {
+            l.groupBy("l_returnflag").agg(FP.qsum(col("l_extendedprice"), 20)).collect()
+          }
+        }
+        l.unpersist()
+      }
       else {
         val fn = SparkEntry.queries(name)
         time(name) { fn(spark, d).write.format("noop").mode("overwrite").save() }

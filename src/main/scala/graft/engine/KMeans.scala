@@ -38,8 +38,13 @@ object KMeans {
     * each round's assignment — non-increasing by Lloyd's descent property
     * (each assignment is optimal for the previous centroids, each update is
     * optimal for the assignment). A cluster that loses every point drops
-    * out rather than being re-seeded (deterministic; k can only shrink). */
-  def lloyd(e: DataFrame, k: Int, rounds: Int): (DataFrame, Seq[Double]) = {
+    * out rather than being re-seeded (deterministic; k can only shrink).
+    * With `trackInertia = false` the inertia list is empty and the loop
+    * skips one aggregation job per round — fixed-round-count callers (the
+    * `emb_kmeans_k3` catalog face) don't pay for a descent signal they
+    * never read. */
+  def lloyd(e: DataFrame, k: Int, rounds: Int,
+            trackInertia: Boolean = true): (DataFrame, Seq[Double]) = {
     require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("seed_id"), col("v").as("c"))
@@ -51,7 +56,7 @@ object KMeans {
     val inertia = Seq.newBuilder[Double]
     for (_ <- 1 to rounds) {
       val a = assign(e, cents).localCheckpoint() // one distributed pass, reused twice below
-      inertia += a.agg(sum("dist2")).head.getDouble(0)
+      if (trackInertia) inertia += a.agg(sum("dist2")).head.getDouble(0)
       cents = a
         .select(col("cluster"), posexplode(col("v")))
         // fixed-point mean: order-independent BIGINT partials make every

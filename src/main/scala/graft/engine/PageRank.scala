@@ -31,8 +31,13 @@ object PageRank {
     * `edges` must have columns (src, dst); duplicate edges count double by
     * design (a weighted graph arrives pre-aggregated or deduplicated).
     * Returns the final (node, rank) frame and the per-round max absolute
-    * rank change — strictly contracting for damping < 1. */
-  def run(edges: DataFrame, rounds: Int, damping: Double = 0.85): (DataFrame, Seq[Double]) = {
+    * rank change — strictly contracting for damping < 1. With
+    * `trackDeltas = false` the delta list is empty and the loop skips one
+    * join + driver action per round — the fixed-round-count callers
+    * (the `graph_rank_converged` catalog face) don't pay for a convergence
+    * signal they never read. */
+  def run(edges: DataFrame, rounds: Int, damping: Double = 0.85,
+          trackDeltas: Boolean = true): (DataFrame, Seq[Double]) = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
     // materialize the edge frame ONCE: it joins into every round, and a
@@ -61,8 +66,9 @@ object PageRank {
         .select(col("node"),
           (lit(1 - damping) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
         .localCheckpoint()
-      deltas += next.join(ranks.select(col("node"), col("rank").as("prev")), "node")
-        .agg(max(abs(col("rank") - col("prev")))).head.getDouble(0)
+      if (trackDeltas)
+        deltas += next.join(ranks.select(col("node"), col("rank").as("prev")), "node")
+          .agg(max(abs(col("rank") - col("prev")))).head.getDouble(0)
       ranks = next
     }
     (ranks, deltas.result())

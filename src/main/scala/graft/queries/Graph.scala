@@ -75,7 +75,7 @@ object Graph {
       val base = edges(s, d)
         .select((col("src") * 2).as("src"), (col("dst") * 2 + 1).as("dst"))
       val sym = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
-      val (ranks, _) = graft.engine.PageRank.run(sym, rounds = 5)
+      val (ranks, _) = graft.engine.PageRank.run(sym, rounds = 5, trackDeltas = false)
       ranks.filter(col("node") % 2 === 1)
         .select(((col("node") - 1) / 2).cast("bigint").as("s_suppkey"),
           round(col("rank"), 4).as("rank"))

@@ -194,7 +194,8 @@ object Similarity {
     // fixed-point qmean — bit-identical centroids at every round on both
     // engines — and the argmin tie-break is pinned (dist2, seed_id).
     "emb_kmeans_k3" -> ((s, d) => {
-      val (cents, _) = graft.engine.KMeans.lloyd(emb(s, d), k = 8, rounds = 3)
+      val (cents, _) = graft.engine.KMeans.lloyd(emb(s, d), k = 8, rounds = 3,
+        trackInertia = false)
       cents.select(col("seed_id").as("cluster"), posexplode(col("c")))
         .select(col("cluster"), (col("pos") + 1).cast("bigint").as("dim"),
           round(col("col"), 4).as("centroid_val"))
