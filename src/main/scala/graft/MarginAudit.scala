@@ -10,15 +10,16 @@ import graft.plans.RoundStrip
   * band means shuffle-merge order could flip the rounded digit between runs
   * — the class of flake that cost `emb_kmeans_step` its r4 row.
   *
-  * Flag criterion: 0 < distance < max(1e-9, 64·ulp(value)) — the absolute
-  * floor is the VERDICT's bar; the ulp term scales it up for
+  * Flag criterion (shared with RoundingMarginSpec via [[bar]]):
+  * distance < max(1e-9, 64·ulp(value)) for ORDER-SENSITIVE aggregates —
+  * the absolute floor is the VERDICT's bar; the ulp term scales it up for
   * large-magnitude sums (ulp(1e9) ≈ 2.4e-7), where merge noise is
-  * proportionally larger. Distance EXACTLY 0 is reported but safe: only a
-  * binary-exact value (a ratio with a power-of-two denominator, e.g.
-  * 23/32 = 0.71875) can land ON the boundary double; such values are
-  * deterministic — not float accumulations — and both engines round the
-  * half-tie away from zero identically (tx_quality/w8_percent_rank have
-  * shipped 4 green rounds this way).
+  * proportionally larger. For DETERMINISTIC queries (fixed-point
+  * aggregates, or integer-ratio outputs like 23/32 = 0.71875) only the
+  * 1e-9 floor applies, and distance EXACTLY 0 is safe: the value is the
+  * same double every run and both engines round the half-tie away from
+  * zero identically. For an order-sensitive aggregate, dist == 0 is the
+  * WORST case (the next run lands an ulp off the boundary) and flags.
   *
   * Usage: runMain graft.MarginAudit <sfDir> [query ...]
   * Exits 1 if any cell is flagged. */
@@ -38,11 +39,32 @@ object MarginAudit {
     "st_hourly_window", "st_sessionize", "st_session_window",
     "st_view_purchase", "st_daily_profile", "st_sliding_window", "ts_gapfill",
     "etl_snapshot_read", "etl_schema_merge", "etl_incremental_rollup",
-    "src_json_roundtrip", "etl_snapshot_diff")
+    "src_json_roundtrip", "etl_snapshot_diff", "etl_scd2", "etl_scd2_asof")
+
+  /** Deterministic-but-not-fixed-point: outputs are ratios/products of
+    * exact integers (same double every run on both engines), so an exact
+    * boundary tie is reproducible, not a flake. */
+  val integerExactQueries: Set[String] = Set(
+    "tx_quality", "tx_repetition", "w8_percent_rank", "tx_tfidf")
+
+  /** A query whose rounded doubles cannot move between runs. */
+  def deterministic(name: String): Boolean =
+    fixedPointQueries(name) || integerExactQueries(name)
+
+  /** The minimum safe distance to a rounding boundary (shared between the
+    * standalone audit and RoundingMarginSpec so the two cannot drift). */
+  def bar(isDeterministic: Boolean, ulp: Double): Double =
+    if (isDeterministic) 1e-9 else math.max(1e-9, 64 * ulp)
 
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: runMain graft.MarginAudit <sfDir> [queryName ...]")
     val sfDir = args(0)
     val only = args.drop(1).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — an audit that " +
+        "matches nothing must not report success")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,15 +83,16 @@ object MarginAudit {
         if (worst.nonEmpty) {
           audited += 1
           for ((colName, (dist, v, u)) <- worst) {
-            val bar = if (fixedPointQueries(name)) 1e-9 else math.max(1e-9, 64 * u)
-            if (dist == 0.0) {
-              println(f"TIE  $name%-24s $colName%-16s value=$v%.10g sits exactly on a boundary (binary-exact ratio; deterministic)")
-            } else if (dist < bar) {
+            val det = deterministic(name)
+            val b = bar(det, u)
+            if (dist == 0.0 && det) {
+              println(f"TIE  $name%-24s $colName%-16s value=$v%.10g sits exactly on a boundary (deterministic; engines agree on the half-tie)")
+            } else if (dist < b) {
               flagged += 1
               println(f"FLAG $name%-24s $colName%-16s dist=$dist%.3e value=$v%.10g ulp=$u%.3e")
             }
-            if (dist > 0 && globalWorst.forall(_._3 > dist / bar))
-              globalWorst = Some((name, colName, dist / bar))
+            if (dist > 0 && globalWorst.forall(_._3 > dist / b))
+              globalWorst = Some((name, colName, dist / b))
           }
           val m = worst.values.map(_._1).min
           println(f"ok   $name%-24s minMargin=$m%.3e")

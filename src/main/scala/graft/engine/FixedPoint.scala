@@ -16,11 +16,19 @@ import org.apache.spark.sql.functions._
   * the result by an ulp, flipping a `round(·,4)` digit when a group lands
   * near a 0.00005 boundary (the r4 `emb_kmeans_step` flake).
   *
-  * Quantization error is ≤ 2^-(bits+1) per value — invisible at catalog
-  * rounding (4–6 decimals) for bits ≥ 20. Pick `bits` so |x|·2^bits·n stays
-  * well under 2^63: 30 for unit-magnitude values (embedding components,
-  * probabilities, log-likelihoods, entropies), 20 for price-magnitude
-  * columns.
+  * Accuracy: quantization error is ≤ 2^-(bits+1) PER VALUE. For qmean the
+  * mean's error keeps that per-value bound regardless of group size —
+  * invisible at catalog rounding (4–6 decimals) for bits ≥ 20. For qsum
+  * the error ACCUMULATES: worst case n·2^-(bits+1), typically
+  * ~√n·2^-(bits+1) (signed errors cancel), so a million-row qsum at
+  * bits=20 can differ from the exact sum in the 4th decimal. That is a
+  * deliberate trade: the quantized sum is the SAME value on every run and
+  * every engine (the catalog's correctness contract), and the relative
+  * error — ~1e-10 of a million-row money sum — is far below any analytic
+  * significance; FixedPointSpec pins the n·2^-(bits+1) bound. Pick `bits`
+  * so |x|·2^bits·n stays well under 2^63: 30 for unit-magnitude values
+  * (embedding components, probabilities, log-likelihoods, entropies), 20
+  * for price-magnitude columns.
   *
   * Scale shape: identical to sum/avg — one (long, long) mergeable partial
   * state per group; no collect_list, no sort, no decimal arithmetic.

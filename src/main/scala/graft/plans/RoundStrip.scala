@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, NamedExpression, Round}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.plans.logical.{Window => WindowOp}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.DoubleType
 
@@ -14,9 +15,20 @@ import org.apache.spark.sql.types.DoubleType
   * hash flake: merge-order jitter in an order-sensitive float aggregate can
   * flip the rounded digit between runs (the r4 `emb_kmeans_step` failure).
   *
-  * Only the top chain (Sort/Limit over Project/Aggregate) is rewritten —
-  * interior rounds (e.g. a rounded centroid inside a CTE) are real values
-  * the rest of the query consumes and must stay rounded. */
+  * Only the top chain (Sort/Limit/Filter/Window over Project/Aggregate) is
+  * rewritten — interior rounds below a join or aggregation boundary (e.g. a
+  * rounded centroid inside a CTE) are real values the rest of the query
+  * consumes and must stay rounded.
+  *
+  * HEURISTIC CAVEATS (this is an audit probe, not a semantics-preserving
+  * transform): a Sort/Limit/Filter above a stripped alias now orders or
+  * filters on the UNROUNDED value, so for top-k queries the audited row set
+  * can differ from production by rows that tie at the rounded value — for
+  * the fixed-point (deterministic) queries this is harmless, and the
+  * remaining order-sensitive queries in the audit have no rounded-value
+  * sorts. A Window above a stripped alias likewise sees unrounded input;
+  * the catalog's window specs never partition or order by a rounded
+  * column. */
 object RoundStrip {
 
   /** The stripped frame plus (output column → round scale k) for every
@@ -54,6 +66,10 @@ object RoundStrip {
       case l: GlobalLimit => l.copy(child = top(l.child))
       case l: LocalLimit  => l.copy(child = top(l.child))
       case f: Filter      => f.copy(child = top(f.child))
+      // descend through Window: an SCD2-shaped plan (Project over Window
+      // over Aggregate) keeps its rounded aggregate BELOW the window node,
+      // and skipping it left etl_scd2's day_rev invisible to the audit
+      case w: WindowOp    => w.copy(child = top(w.child))
       case pr: Project    => pr.copy(projectList = pr.projectList.map(stripNamed),
                                      child = top(pr.child))
       case ag: Aggregate  => ag.copy(aggregateExpressions = ag.aggregateExpressions.map(stripNamed))

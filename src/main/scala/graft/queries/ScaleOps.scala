@@ -13,6 +13,23 @@ object ScaleOps {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Shared SCD2 dimension history: per-(custkey, day) revenue states with
+    * lead()-derived validity windows — the ONE history every versioned-read
+    * face consumes (etl_scd2, etl_scd2_asof, etl_snapshot_read,
+    * etl_snapshot_diff). day_rev folds through the fixed-point qsum so all
+    * four consumers are merge-order-independent; before this helper the
+    * four inline copies had already drifted (two qsum, two plain sum — the
+    * r5 margin audit could not even SEE the plain ones because their round
+    * sits below the Window node). */
+  private def scd2Hist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("custkey").orderBy("eff_from")
+    t(s, d, "orders")
+      .groupBy(col("o_custkey").as("custkey"),
+               to_date(col("o_orderdate")).as("eff_from"))
+      .agg(round(FP.qsum(col("o_totalprice"), 20), 4).as("day_rev"))
+      .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- skew-salted aggregation+join. Scenario: one hot key dominates
     // (here: synthetic hot_key = user_id % 3 == 0 collapsed to key 0 — at
@@ -174,11 +191,7 @@ object ScaleOps {
     // States are the per-(customer, day) order revenue snapshots.
     "etl_scd2" -> ((s, d) => {
       val w = Window.partitionBy("custkey").orderBy("eff_from")
-      t(s, d, "orders")
-        .groupBy(col("o_custkey").as("custkey"),
-                 to_date(col("o_orderdate")).as("eff_from"))
-        .agg(round(sum("o_totalprice"), 4).as("day_rev"))
-        .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+      scd2Hist(s, d)
         .withColumn("version", row_number().over(w).cast("bigint"))
         .withColumn("is_current", col("eff_to").isNull)
         .select("custkey", "version", "eff_from", "eff_to", "is_current", "day_rev")
@@ -192,13 +205,8 @@ object ScaleOps {
     // key by construction. This is how a training job pins features to a
     // label date without leakage.
     "etl_scd2_asof" -> ((s, d) => {
-      val w = Window.partitionBy("custkey").orderBy("eff_from")
       val asof = lit("1998-01-01").cast("date")
-      t(s, d, "orders")
-        .groupBy(col("o_custkey").as("custkey"),
-                 to_date(col("o_orderdate")).as("eff_from"))
-        .agg(round(sum("o_totalprice"), 4).as("day_rev"))
-        .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+      scd2Hist(s, d)
         .filter(col("eff_from") <= asof &&
           (col("eff_to").isNull || col("eff_to") > asof))
         .select("custkey", "eff_from", "eff_to", "day_rev")
@@ -320,12 +328,7 @@ object ScaleOps {
     // snapshot frame broadcasts onto it; floats stay out of the signature
     // (double→text formatting is engine-specific).
     "etl_snapshot_read" -> ((s, d) => {
-      val w = Window.partitionBy("custkey").orderBy("eff_from")
-      val hist = t(s, d, "orders")
-        .groupBy(col("o_custkey").as("custkey"),
-                 to_date(col("o_orderdate")).as("eff_from"))
-        .agg(round(FP.qsum(col("o_totalprice"), 20), 4).as("day_rev"))
-        .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+      val hist = scd2Hist(s, d)
       val snaps = Seq("1996-07-01", "1997-01-01", "1997-07-01", "1998-01-01")
       val snapF = s.range(1).select(
         explode(array(snaps.map(x => lit(x).cast("date")): _*)).as("snapshot_date"))
@@ -350,12 +353,7 @@ object ScaleOps {
     // custkey for the self-join of two validity filters over ONE history
     // scan; counts per class plus fixed-point revenue deltas.
     "etl_snapshot_diff" -> ((s, d) => {
-      val w = Window.partitionBy("custkey").orderBy("eff_from")
-      val hist = t(s, d, "orders")
-        .groupBy(col("o_custkey").as("custkey"),
-                 to_date(col("o_orderdate")).as("eff_from"))
-        .agg(round(FP.qsum(col("o_totalprice"), 20), 4).as("day_rev"))
-        .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+      val hist = scd2Hist(s, d)
       def asOf(pin: String) = hist
         .filter(col("eff_from") <= lit(pin).cast("date") &&
           (col("eff_to").isNull || col("eff_to") > lit(pin).cast("date")))
@@ -787,9 +785,9 @@ object ScaleOps {
         |WHERE op != 'D' ORDER BY k1, k2""".stripMargin,
 
     "etl_scd2_asof" ->
-      """WITH statez AS (
-        |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS eff_from,
-        |    round(sum(o_totalprice), 4) AS day_rev
+      s"""WITH statez AS (
+         |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS eff_from,
+         |    round(${SqlText.qsum("o_totalprice", 20)}, 4) AS day_rev
         |  FROM orders GROUP BY 1, 2),
         |hist AS (
         |  SELECT custkey, eff_from, lead(eff_from, 1) OVER w AS eff_to, day_rev
@@ -800,9 +798,9 @@ object ScaleOps {
         |ORDER BY custkey""".stripMargin,
 
     "etl_scd2" ->
-      """WITH statez AS (
-        |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS eff_from,
-        |    round(sum(o_totalprice), 4) AS day_rev
+      s"""WITH statez AS (
+         |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS eff_from,
+         |    round(${SqlText.qsum("o_totalprice", 20)}, 4) AS day_rev
         |  FROM orders GROUP BY 1, 2)
         |SELECT custkey, CAST(row_number() OVER w AS BIGINT) AS version,
         |  eff_from, lead(eff_from, 1) OVER w AS eff_to,

@@ -177,19 +177,35 @@ object Streams extends Serializable {
     * gapMs on EITHER side of the open [start, end] window — extends the
     * session on whichever end it falls (min start / max end); it must
     * never shrink session_end below session_start, which the naive
-    * "end := e.ts" update did for cross-batch late arrivals. A late event
-    * from BEFORE start − gap cannot extend the session (the batch twin
-    * would give it its own earlier session), so it is emitted as a
-    * single-event session immediately. */
+    * "end := e.ts" update did for cross-batch late arrivals. Late events
+    * from BEFORE start − gap cannot extend the open session (the batch
+    * twin would give them their own earlier session[s]); they gap-fold
+    * among THEMSELVES and emit when the batch ends. Known approximation vs
+    * batch: a late "bridge" event that would transitively connect an early
+    * session to the open one in a single batch sort still merges only with
+    * the open session — the inherent cost of having already admitted the
+    * open session's start into state. */
   private def foldSessions(userId: Long, sorted: Seq[Event],
                            init: Option[SessionState],
                            gapMs: Long): (List[SessionOut], Option[SessionState]) = {
     var out = List.empty[SessionOut]
     var cur = init
+    // accumulator for the before-window late events of THIS batch
+    var early: Option[SessionState] = None
+    def flushEarly(): Unit = early.foreach { case (es, ee, n, v) =>
+      out ::= SessionOut(userId, es, ee, n, v); early = None
+    }
     for (e <- sorted) {
       cur match {
         case Some((s0, _, _, _)) if e.ts.getTime < s0.getTime - gapMs =>
-          out ::= SessionOut(userId, e.ts, e.ts, 1L, e.value)
+          early match {
+            case Some((es, ee, n, v)) if e.ts.getTime - ee.getTime <= gapMs =>
+              // sorted input ⇒ e.ts >= ee; extend the early session forward
+              early = Some((es, e.ts, n + 1, v + e.value))
+            case _ =>
+              flushEarly()
+              early = Some((e.ts, e.ts, 1L, e.value))
+          }
         case Some((s0, e0, n, v)) if e.ts.getTime - e0.getTime <= gapMs =>
           val s1 = if (e.ts.getTime < s0.getTime) e.ts else s0
           val e1 = if (e.ts.getTime > e0.getTime) e.ts else e0
@@ -201,6 +217,7 @@ object Streams extends Serializable {
           cur = Some((e.ts, e.ts, 1L, e.value))
       }
     }
+    flushEarly()
     (out.reverse, cur)
   }
 

@@ -23,18 +23,20 @@ class DeterminismSpec extends AnyFunSuite with SharedSparkSpec {
   /** Run under an explicit (shuffle partitions, scan split) regime; Row
     * .toString prints doubles via Double.toString (shortest round-trip
     * form), so string equality is bit equality. */
-  private def runAt(name: String, parts: Int, maxBytes: String): Seq[String] =
+  private def runAt(name: String, parts: Int, maxBytes: String): Seq[String] = {
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       spark.conf.set("spark.sql.files.maxPartitionBytes", maxBytes)
       SparkEntry.queries(name)(spark, d).collect().map(_.toString).toSeq
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set("spark.sql.shuffle.partitions", prior)
       spark.conf.unset("spark.sql.files.maxPartitionBytes")
       // staged .cache() frames must not leak one regime's partitioning
       // into the next run
       spark.sharedState.cacheManager.clearCache()
     }
+  }
 
   for (name <- targets)
     test(s"$name: bit-identical under 2-partition vs 13-partition execution") {

@@ -39,16 +39,15 @@ class RoundingMarginSpec extends AnyFunSuite with SharedSparkSpec {
       val worst = RoundStrip.audit(SparkEntry.queries(name)(spark, d))
       assert(worst.nonEmpty, s"$name has no rounded double output to audit")
       for ((colName, (dist, v, u)) <- worst) {
-        // order-sensitive folds get the 64·ulp noise band; fixed-point
-        // queries are bit-deterministic, so only a value essentially ON
-        // the boundary (where the two engines' round() implementations
-        // could disagree about the half-tie of a non-exact double) is a
-        // risk — the absolute 1e-9 floor covers that.
-        val bar = if (ulpScaled) math.max(1e-9, 64 * u) else 1e-9
-        // dist == 0 is a binary-exact ratio sitting ON the boundary —
-        // deterministic, and both engines round the half-tie away from
-        // zero identically; only 0 < dist < bar signals risk.
-        assert(dist == 0.0 || dist >= bar,
+        // the bar and the dist==0 semantics live with MarginAudit so the
+        // spec and the standalone audit cannot drift: deterministic
+        // queries get the absolute floor (an exact tie is reproducible
+        // and both engines round it identically); order-sensitive folds
+        // get the 64·ulp merge-noise band, where dist == 0 is the WORST
+        // margin, not a safe tie.
+        val det = !ulpScaled
+        val bar = MarginAudit.bar(det, u)
+        assert((dist == 0.0 && det) || dist >= bar,
           f"$name.$colName: value $v%.12g sits $dist%.3e from a rounding boundary " +
             f"(bar $bar%.3e) — migrate this aggregate to FixedPoint.qsum/qmean")
       }

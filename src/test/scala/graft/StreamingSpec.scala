@@ -140,18 +140,24 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
     val q = Streams.sessionize(mem.toDS()).writeStream
       .format("memory").queryName("early_sessions").outputMode("append").start()
     q.processAllAvailable()
-    // batch 2: a late event from minute 0 — far outside start − 30 min; the
-    // old gap test (e.ts − end ≤ gap is trivially true for EARLIER events)
-    // merged it and silently stretched the session back 100 minutes
-    mem.addData(Event(2, ts(0), 9, "view", 2.0))
+    // batch 2: three late events from minutes 0/10/20 — all before
+    // start − 30 min, all within 30 min of EACH OTHER. The old gap test
+    // (e.ts − end ≤ gap is trivially true for earlier events) merged them
+    // into the open session and stretched it back 100 minutes; emitting
+    // each as a singleton would instead triple-count one batch session.
+    // They must gap-fold among themselves into ONE early session.
+    mem.addData(Event(2, ts(0), 9, "view", 2.0),
+                Event(3, ts(10), 9, "view", 2.5),
+                Event(4, ts(20), 9, "view", 3.5))
     q.processAllAvailable()
     // batch 3 closes the open session so it emits too
-    mem.addData(Event(3, ts(200), 9, "click", 3.0))
+    mem.addData(Event(5, ts(200), 9, "click", 3.0))
     q.processAllAvailable(); q.stop()
     val out = spark.table("early_sessions").as[Streams.SessionOut]
       .collect().filter(_.user_id == 9).sortBy(_.session_start.getTime)
-    assert(out.length == 2, s"expected the stray early event + the closed session, got ${out.toSeq}")
-    assert(out(0).session_start == ts(0) && out(0).session_end == ts(0) && out(0).n_events == 1)
+    assert(out.length == 2, s"expected one merged early session + the closed session, got ${out.toSeq}")
+    assert(out(0).session_start == ts(0) && out(0).session_end == ts(20) &&
+      out(0).n_events == 3 && out(0).total_value == 8.0)
     assert(out(1).session_start == ts(100) && out(1).session_end == ts(100) && out(1).n_events == 1)
   }
 
