@@ -39,7 +39,8 @@ object MarginAudit {
     "st_hourly_window", "st_sessionize", "st_session_window",
     "st_view_purchase", "st_daily_profile", "st_sliding_window", "ts_gapfill",
     "etl_snapshot_read", "etl_schema_merge", "etl_incremental_rollup",
-    "src_json_roundtrip", "etl_snapshot_diff", "etl_scd2", "etl_scd2_asof")
+    "src_json_roundtrip", "etl_snapshot_diff", "etl_scd2", "etl_scd2_asof",
+    "ts_anomaly")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact

@@ -49,4 +49,13 @@ object FixedPoint {
   /** Order-independent mean (null-skipping, like `avg`). */
   def qmean(c: Column, bits: Int = 30): Column =
     sum(q(c, bits)).cast("double") / (count(c).cast("double") * p(bits))
+
+  /** Windowed Σx over a frame: with a fully-ordered frame (unique
+    * tie-break key) the integer sum is the same on every run AND engine,
+    * which makes rolling moments (means, z-scores) cross-engine
+    * hash-identical — window stddev built-ins use engine-specific
+    * incremental algorithms and differ in final ulps. */
+  def qsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec,
+               bits: Int = 30): Column =
+    sum(q(c, bits)).over(w).cast("double") / p(bits)
 }

@@ -230,6 +230,34 @@ object Temporal {
         .orderBy("user_id", "hour")
     }),
 
+    // ---- rolling z-score anomaly detection (the ops-monitoring staple):
+    // each event scored against the trailing-24 window's mean/std of its
+    // own user's series, outliers |z| > 2.5 flagged. (The window must be
+    // materially larger than the threshold allows: max |z| over an n-row
+    // frame with population σ is √(n−1), so a 5-row frame can NEVER flag
+    // at 2.5 — the initial draft did exactly that and "passed" on two
+    // trivially empty result sets.) The rolling moments fold
+    // through windowed fixed-point sums (FixedPoint.qsumOver) over a
+    // FULLY-ORDERED frame (ts, event_id tie-break), so mean, std, and z are
+    // bit-identical on both engines — window stddev built-ins would differ
+    // in final ulps (engine-specific incremental algorithms) and turn every
+    // row into a rounding-boundary lottery. One shuffle on user_id; state
+    // is the 24-row frame.
+    "ts_anomaly" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-23, Window.currentRow)
+      val nW = count(lit(1)).over(w).cast("double")
+      t(s, d, "events")
+        .withColumn("m", FP.qsumOver(col("value"), w, 20) / nW)
+        .withColumn("ex2", FP.qsumOver(col("value") * col("value"), w, 20) / nW)
+        .withColumn("sd", sqrt(greatest(col("ex2") - col("m") * col("m"), lit(0.0))))
+        .withColumn("z", when(col("sd") === 0.0, lit(0.0))
+          .otherwise((col("value") - col("m")) / col("sd")))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("user_id"), col("event_id"), round(col("z"), 4).as("z"), col("value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // exponentially-weighted moving average — a true per-key RECURRENCE
     // (ew_t = α·v_t + (1−α)·ew_{t−1}), which no window frame expresses.
     // This is the disciplined mapGroups escape hatch: one shuffle on
@@ -420,6 +448,24 @@ object Temporal {
         |        - k * INTERVAL '15 minutes' AS ws, event_type, value
         |      FROM events, (SELECT unnest(range(0, 4)) AS k))
         |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
+    // identical windowed quantize→BIGINT-sum→divide chain over the same
+    // fully-ordered frame, so m/sd/z replay bit-exactly
+    "ts_anomaly" ->
+      s"""WITH st AS (SELECT user_id, event_id, value,
+         |    CAST(sum(CAST(floor(value * 1048576.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 1048576.0
+         |      / count(*) OVER w AS m,
+         |    CAST(sum(CAST(floor(value * value * 1048576.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 1048576.0
+         |      / count(*) OVER w AS ex2
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         |zz AS (SELECT user_id, event_id, value,
+         |    CASE WHEN sqrt(greatest(ex2 - m*m, 0.0)) = 0 THEN 0.0
+         |         ELSE (value - m) / sqrt(greatest(ex2 - m*m, 0.0)) END AS z
+         |  FROM st)
+         |SELECT user_id, event_id, round(z, 4) AS z, value
+         |FROM zz WHERE abs(z) > 2.5 ORDER BY user_id, event_id""".stripMargin,
 
     // identical FP op order as the Scala recurrence: list_reduce seeds with
     // the first element and folds 0.2·x + 0.8·acc left-to-right

@@ -18,7 +18,9 @@ class DeterminismSpec extends AnyFunSuite with SharedSparkSpec {
     // checkpoint-truncated loop, not just one aggregation
     "graph_rank_converged", "emb_kmeans_k3", "tx_bpe_merges",
     // MV maintenance: base+delta merge must stay exact under re-partitioning
-    "etl_incremental_rollup")
+    "etl_incremental_rollup",
+    // windowed fixed-point moments: rolling z-scores over ordered frames
+    "ts_anomaly")
 
   /** Run under an explicit (shuffle partitions, scan split) regime; Row
     * .toString prints doubles via Double.toString (shortest round-trip
