@@ -52,10 +52,14 @@ object MarginAudit {
   def deterministic(name: String): Boolean =
     fixedPointQueries(name) || integerExactQueries(name)
 
-  /** The minimum safe distance to a rounding boundary (shared between the
-    * standalone audit and RoundingMarginSpec so the two cannot drift). */
-  def bar(isDeterministic: Boolean, ulp: Double): Double =
-    if (isDeterministic) 1e-9 else math.max(1e-9, 64 * ulp)
+  /** The minimum safe distance to a rounding boundary for ORDER-SENSITIVE
+    * aggregates (shared between the standalone audit and RoundingMarginSpec
+    * so the two cannot drift). Deterministic queries no longer have a
+    * distance bar at all: a bit-identical value is safe at ANY distance,
+    * including exactly on a boundary — the sub-floor flag was a false
+    * positive (ADVICE r5). What deterministic queries DO get audited for is
+    * the SIGNED-ZERO class below. */
+  def bar(ulp: Double): Double = math.max(1e-9, 64 * ulp)
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
@@ -83,19 +87,32 @@ object MarginAudit {
         val worst = RoundStrip.audit(fn(spark, sfDir))
         if (worst.nonEmpty) {
           audited += 1
-          for ((colName, (dist, v, u)) <- worst) {
+          for ((colName, cell) <- worst) {
             val det = deterministic(name)
-            val b = bar(det, u)
-            if (dist == 0.0 && det) {
-              println(f"TIE  $name%-24s $colName%-16s value=$v%.10g sits exactly on a boundary (deterministic; engines agree on the half-tie)")
-            } else if (dist < b) {
+            // SIGNED-ZERO class (r5 judge root cause): an un-canonicalized
+            // rounded column carrying ANY negative cell can round a tiny
+            // negative to zero magnitude at some sf — Spark emits +0.0,
+            // DuckDB -0.0, and the driver's bit hash fails deterministically.
+            // Applies to deterministic AND order-sensitive queries alike;
+            // fix = qround (round(x,k) + 0.0) on BOTH engine sides.
+            if (cell.negExposed && !cell.canonicalized) {
               flagged += 1
-              println(f"FLAG $name%-24s $colName%-16s dist=$dist%.3e value=$v%.10g ulp=$u%.3e")
+              val live = if (cell.negZeroLive) "LIVE -0 cell at this sf" else "negative cells; -0 possible at another sf"
+              println(f"NEGZ $name%-24s $colName%-16s $live — migrate to qround on both sides")
             }
-            if (dist > 0 && globalWorst.forall(_._3 > dist / b))
-              globalWorst = Some((name, colName, dist / b))
+            if (!det) {
+              val b = bar(cell.ulp)
+              if (cell.dist < b) {
+                flagged += 1
+                println(f"FLAG $name%-24s $colName%-16s dist=${cell.dist}%.3e value=${cell.value}%.10g ulp=${cell.ulp}%.3e")
+              }
+              if (cell.dist > 0 && globalWorst.forall(_._3 > cell.dist / b))
+                globalWorst = Some((name, colName, cell.dist / b))
+            } else if (cell.dist == 0.0) {
+              println(f"TIE  $name%-24s $colName%-16s value=${cell.value}%.10g sits exactly on a boundary (deterministic; engines agree on the half-tie)")
+            }
           }
-          val m = worst.values.map(_._1).min
+          val m = worst.values.map(_.dist).min
           println(f"ok   $name%-24s minMargin=$m%.3e")
         }
       } catch {

@@ -58,4 +58,21 @@ object FixedPoint {
   def qsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec,
                bits: Int = 30): Column =
     sum(q(c, bits)).over(w).cast("double") / p(bits)
+
+  /** SIGNED-ZERO RULE (r5 judge root cause — the 3-round `emb_kmeans_step`
+    * hash fail): when a TINY NEGATIVE value rounds to zero magnitude, the
+    * two engines disagree on the SIGN of the zero — Spark's `round()` goes
+    * through Java `BigDecimal`, which has no negative zero, and returns
+    * `+0.0`; DuckDB's `round()` preserves the IEEE sign and returns `-0.0`.
+    * `-0.0 == 0.0` is true, so value compares pass — but the driver hashes
+    * raw BITS (`0x0` vs `0x8000000000000000`), so the row fails
+    * deterministically on every run. Therefore: ANY rounded output column
+    * whose value can be negative MUST round through `qround` on the Spark
+    * side and [[graft.queries.SqlText.qround]] on the oracle side. The
+    * trailing `+ 0.0` is the IEEE canonicalization (`-0.0 + 0.0 = +0.0`;
+    * every other value, NaN included, is unchanged), making both engines
+    * emit the positive zero. `graft.MarginAudit` flags any un-canonicalized
+    * rounded column that carries a negative cell; RoundStrip recognizes the
+    * `round(x,k) + 0.0` shape as the canonicalization marker. */
+  def qround(c: Column, k: Int): Column = round(c, k) + lit(0.0)
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, NamedExpression, Round}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Expression, Literal, NamedExpression, Round}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.plans.logical.{Window => WindowOp}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -31,14 +31,42 @@ import org.apache.spark.sql.types.DoubleType
   * column. */
 object RoundStrip {
 
-  /** The stripped frame plus (output column → round scale k) for every
+  /** Per-rounded-column metadata: `k` is the round scale; `canonicalized`
+    * records whether the column rounds through the signed-zero-safe
+    * `qround` shape — `round(x, k) + 0.0` ([[graft.engine.FixedPoint.qround]])
+    * — which maps the `-0.0` that DuckDB's sign-preserving `round()` emits
+    * for tiny negatives onto the `+0.0` Spark's BigDecimal-backed `round()`
+    * already produces. An UN-canonicalized rounded column with negative
+    * cells is the r5 `emb_kmeans_step` bug class: value-equal, bit-unequal
+    * zeros that fail the driver's bit hash on every run. */
+  final case class RoundInfo(k: Int, canonicalized: Boolean)
+
+  /** Worst-margin audit result for one rounded output column. `negExposed`:
+    * some cell's pre-round value is negative (or -0.0), so at SOME scale
+    * factor a cell can round to a signed zero; `negZeroLive`: a cell at
+    * THIS sf actually rounds to zero magnitude from a negative value — a
+    * live cross-engine bit divergence unless canonicalized. */
+  final case class Cell(dist: Double, value: Double, ulp: Double,
+                        canonicalized: Boolean, negExposed: Boolean,
+                        negZeroLive: Boolean)
+
+  /** The stripped frame plus per-column [[RoundInfo]] for every
     * final-projection double column that had a `round`. Alias exprIds are
     * preserved so parent Sort/Limit references stay valid. */
-  def strip(df: DataFrame): (DataFrame, Map[String, Int]) = {
-    val ks = scala.collection.mutable.LinkedHashMap[String, Int]()
+  def strip(df: DataFrame): (DataFrame, Map[String, RoundInfo]) = {
+    val ks = scala.collection.mutable.LinkedHashMap[String, RoundInfo]()
+    def isZeroLit(e: Expression): Boolean = e match {
+      case Literal(v: Double, DoubleType) => v == 0.0
+      case _ => false
+    }
     def stripNamed(ne: NamedExpression): NamedExpression = ne match {
       case a @ Alias(child, name) =>
         var k0: Option[Int] = None
+        val canon = child.exists {
+          case Add(_: Round, z, _) if isZeroLit(z) => true
+          case Add(z, _: Round, _) if isZeroLit(z) => true
+          case _ => false
+        }
         val stripped = child.transform {
           case r: Round if r.dataType == DoubleType =>
             r.scale match {
@@ -49,7 +77,7 @@ object RoundStrip {
         }
         k0 match {
           case Some(k) =>
-            ks(name) = k
+            ks(name) = RoundInfo(k, canon)
             Alias(stripped, name)(exprId = a.exprId, qualifier = a.qualifier,
               explicitMetadata = a.explicitMetadata)
           case None => a
@@ -89,22 +117,36 @@ object RoundStrip {
     math.abs(frac - 0.5) / p
   }
 
+  /** A value that rounds to ZERO MAGNITUDE at the 10^-k grid from the
+    * negative side — Spark (BigDecimal) emits +0.0 for it, DuckDB (IEEE)
+    * emits -0.0. Round-half-away-from-zero: |v|·10^k < 0.5 rounds to zero;
+    * an exact 0.5 tie rounds AWAY, i.e. non-zero. */
+  def roundsToNegZero(v: Double, k: Int): Boolean =
+    isNegativeOrNegZero(v) && math.abs(v) * math.pow(10, k) < 0.5
+
+  private def isNegativeOrNegZero(v: Double): Boolean =
+    v < 0.0 || (v == 0.0 && java.lang.Double.doubleToRawLongBits(v) != 0L)
+
   /** Executes the stripped plan and returns, per rounded column, the worst
-    * (distance, cell value, its ulp) triple. Non-finite cells are skipped —
-    * they round deterministically. */
-  def audit(df: DataFrame): Map[String, (Double, Double, Double)] = {
+    * boundary-margin cell plus signed-zero exposure ([[Cell]]). Non-finite
+    * cells are skipped for the margin — they round deterministically — but
+    * still feed the negative-exposure scan. */
+  def audit(df: DataFrame): Map[String, Cell] = {
     val (stripped, ks) = strip(df)
     if (ks.isEmpty) return Map.empty
     val names = ks.keys.toSeq
     val rows = stripped.select(names.map(org.apache.spark.sql.functions.col): _*).collect()
     names.zipWithIndex.flatMap { case (name, i) =>
-      val k = ks(name)
-      val cells = rows.iterator.filterNot(_.isNullAt(i)).map(_.getDouble(i))
-        .filter(v => !v.isNaN && !v.isInfinite)
+      val RoundInfo(k, canon) = ks(name)
+      val all = rows.iterator.filterNot(_.isNullAt(i)).map(_.getDouble(i)).toSeq
+      val negExposed = all.exists(v => !v.isNaN && isNegativeOrNegZero(v))
+      val negLive = all.exists(v => !v.isNaN && roundsToNegZero(v, k))
+      val cells = all.filter(v => !v.isNaN && !v.isInfinite)
       if (cells.isEmpty) None
       else {
-        val worst = cells.map(v => (boundaryDistance(v, k), v, math.ulp(v))).minBy(_._1)
-        Some(name -> worst)
+        val (dist, v, u) = cells.iterator
+          .map(v => (boundaryDistance(v, k), v, math.ulp(v))).minBy(_._1)
+        Some(name -> Cell(dist, v, u, canon, negExposed, negLive))
       }
     }.toMap
   }

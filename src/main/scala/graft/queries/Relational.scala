@@ -368,7 +368,8 @@ object Relational {
             col("n").as("prev_n"), col("day_value").as("prev_value")).as("b"),
           Seq("day"))
         .select(col("day"), col("n"), col("prev_n"),
-          round(col("day_value") - col("prev_value"), 4).as("delta_value"))
+          // day-over-day delta is sign-capable → qround (signed-zero rule)
+          FP.qround(col("day_value") - col("prev_value"), 4).as("delta_value"))
         .orderBy("day")
     }),
 
@@ -382,9 +383,11 @@ object Relational {
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-             round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
-             round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
-             round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+             // corr/slope/intercept are sign-capable → qround (signed-zero
+             // rule); r2 ∈ [0,1] stays plain round
+             FP.qround(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+             FP.qround(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+             FP.qround(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
              round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"))
         .orderBy("l_returnflag")),
 
@@ -619,8 +622,9 @@ object Relational {
         .groupBy("l_returnflag")
         .agg(r4(stddev_samp(col("l_extendedprice"))).as("sd_price"),
              r4(var_samp(col("l_quantity"))).as("var_qty"),
-             r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
-             r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"))
+             // corr/covar are sign-capable → qround (signed-zero rule)
+             FP.qround(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+             FP.qround(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"))
         .orderBy("l_returnflag")),
 
     // exact per-group percentiles (the non-sketch twin of sketch_quantiles):
@@ -1089,15 +1093,15 @@ object Relational {
          |    count(*) AS n, round(${SqlText.qsum("value", 20)}, 4) AS day_value
         |  FROM events GROUP BY 1)
         |SELECT a.day AS day, a.n AS n, b.n AS prev_n,
-        |  round(a.day_value - b.day_value, 4) AS delta_value
+        |  (round(a.day_value - b.day_value, 4) + 0.0) AS delta_value
         |FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 1 DAY
         |ORDER BY day""".stripMargin,
 
     "agg_corr_regr" ->
       """SELECT l_returnflag, count(*) AS n,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  (round(corr(l_quantity, l_extendedprice), 4) + 0.0) AS corr_qp,
+        |  (round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0) AS slope,
+        |  (round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0) AS intercept,
         |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -1257,8 +1261,8 @@ object Relational {
       """SELECT l_returnflag,
         |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
         |  round(var_samp(l_quantity), 4) AS var_qty,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+        |  (round(corr(l_quantity, l_extendedprice), 4) + 0.0) AS corr_qty_price,
+        |  (round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0) AS covar_qty_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_percentile_exact" ->

@@ -151,7 +151,8 @@ object ScaleOps {
         .select(
           coalesce(col("c_custkey"), col("s_custkey")).as("custkey"),
           coalesce(col("c_name"), lit("NEW CUSTOMER")).as("name"),
-          round(coalesce(col("c_acctbal"), lit(0.0)) + coalesce(col("delta"), lit(0.0)), 4).as("new_acctbal"),
+          // acctbal can be negative → qround (signed-zero rule)
+          FP.qround(coalesce(col("c_acctbal"), lit(0.0)) + coalesce(col("delta"), lit(0.0)), 4).as("new_acctbal"),
           when(col("s_custkey").isNull, "carried")
             .when(col("c_custkey").isNull, "inserted")
             .otherwise("updated").as("action"))
@@ -765,7 +766,7 @@ object ScaleOps {
         |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
         |SELECT coalesce(c_custkey, s_custkey) AS custkey,
         |  coalesce(c_name, 'NEW CUSTOMER') AS name,
-        |  round(coalesce(c_acctbal, 0.0) + coalesce(delta, 0.0), 4) AS new_acctbal,
+        |  (round(coalesce(c_acctbal, 0.0) + coalesce(delta, 0.0), 4) + 0.0) AS new_acctbal,
         |  CASE WHEN s_custkey IS NULL THEN 'carried'
         |       WHEN c_custkey IS NULL THEN 'inserted'
         |       ELSE 'updated' END AS action

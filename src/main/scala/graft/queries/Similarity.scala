@@ -115,7 +115,7 @@ object Similarity {
         .select(col("label"), posexplode(col("v")))
         .select(col("label"), (col("pos") + 1).cast("bigint").as("dim"), col("col").as("val"))
         .groupBy("label", "dim")
-        .agg(round(FP.qmean(col("val")), 4).as("centroid_val"), count(lit(1)).as("n"))
+        .agg(FP.qround(FP.qmean(col("val")), 4).as("centroid_val"), count(lit(1)).as("n"))
         .orderBy("label", "dim")),
 
     // per-label norm statistics.
@@ -183,7 +183,11 @@ object Similarity {
         .agg(min(struct(col("dist2"), col("seed_id"), col("v"))).as("m"))
         .select(col("m.seed_id").as("cluster"), posexplode(col("m.v")))
         .groupBy(col("cluster"), (col("pos") + 1).cast("bigint").as("dim"))
-        .agg(count(lit(1)).as("n"), round(FP.qmean(col("col")), 4).as("centroid_val"))
+        // qround, not round: a tiny NEGATIVE centroid mean rounds to zero
+        // magnitude, where Spark's BigDecimal round emits +0.0 but DuckDB
+        // preserves the IEEE sign (-0.0) — value-equal, bit-unequal, and
+        // the driver hashes bits (the r3–r5 persistent red row).
+        .agg(count(lit(1)).as("n"), FP.qround(FP.qmean(col("col")), 4).as("centroid_val"))
         .orderBy("cluster", "dim")
     }),
 
@@ -198,7 +202,7 @@ object Similarity {
         trackInertia = false)
       cents.select(col("seed_id").as("cluster"), posexplode(col("c")))
         .select(col("cluster"), (col("pos") + 1).cast("bigint").as("dim"),
-          round(col("col"), 4).as("centroid_val"))
+          FP.qround(col("col"), 4).as("centroid_val"))
         .orderBy("cluster", "dim")
     }),
 
@@ -285,7 +289,7 @@ object Similarity {
         .agg(covar_pop(col("x"), col("x1")).as("c"), count(lit(1)).as("n"))
       val norm = cov.agg(sqrt(sum(col("c") * col("c"))).as("cn"))
       cov.crossJoin(broadcast(norm))
-        .select(col("dim"), col("n"), round(col("c") / col("cn"), 4).as("direction"))
+        .select(col("dim"), col("n"), FP.qround(col("c") / col("cn"), 4).as("direction"))
         .orderBy("dim")
     }),
 
@@ -313,7 +317,7 @@ object Similarity {
         .groupBy("label")
         .agg(countDistinct("vec_id").as("n_vecs"),
              round(FP.qmean(col("z") * col("z")), 4).as("avg_z2"),
-             round(FP.qmean(col("z")), 4).as("avg_z"))
+             FP.qround(FP.qmean(col("z")), 4).as("avg_z"))
         .orderBy("label")
     }),
 
@@ -396,7 +400,7 @@ object Similarity {
 
     "emb_centroids" ->
       s"""$embCte
-         |SELECT label, CAST(dim AS BIGINT) AS dim, round(${S.qmean("v[CAST(dim AS INTEGER)]")}, 4) AS centroid_val,
+         |SELECT label, CAST(dim AS BIGINT) AS dim, ${S.qround(S.qmean("v[CAST(dim AS INTEGER)]"), 4)} AS centroid_val,
          |  count(*) AS n
          |FROM e, generate_series(1, 64) t(dim)
          |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
@@ -428,7 +432,11 @@ object Similarity {
 
     // same fold order as the Spark zip_with→aggregate chain so dist2 is
     // bit-identical; the argmin tie-break (dist2, seed_id) matches struct-min;
-    // the update-step mean is the fixed-point qmean twin (order-independent)
+    // the update-step mean is the fixed-point qmean twin (order-independent).
+    // qround, not round: 2 of 512 cells at sf0.01 are tiny NEGATIVE means
+    // that round to zero magnitude — DuckDB's round preserves the IEEE sign
+    // (-0.0) where Spark's BigDecimal round emits +0.0, and the driver
+    // hashes bits, so plain round failed deterministically for 3 rounds.
     "emb_kmeans_step" ->
       s"""$embCte,
          |seeds AS (SELECT vec_id AS seed_id, v AS c FROM e WHERE vec_id < 8),
@@ -442,7 +450,7 @@ object Similarity {
          |      ORDER BY dist2, seed_id) AS rn FROM a)
          |  WHERE rn = 1)
          |SELECT seed_id AS cluster, CAST(dim AS BIGINT) AS dim, count(*) AS n,
-         |  round(${S.qmean("v[CAST(dim AS INTEGER)]")}, 4) AS centroid_val
+         |  ${S.qround(S.qmean("v[CAST(dim AS INTEGER)]"), 4)} AS centroid_val
          |FROM best, generate_series(1, 64) t(dim)
          |GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
 
@@ -467,7 +475,7 @@ object Similarity {
          |${rnd(1, "cents0")},
          |${rnd(2, "cents1")},
          |${rnd(3, "cents2")}
-         |SELECT seed_id AS cluster, CAST(dim AS BIGINT) AS dim, round(cval, 4) AS centroid_val
+         |SELECT seed_id AS cluster, CAST(dim AS BIGINT) AS dim, ${S.qround("cval", 4)} AS centroid_val
          |FROM cd3 ORDER BY cluster, dim""".stripMargin
     },
 
@@ -518,7 +526,7 @@ object Similarity {
          |cov AS (SELECT dim, covar_pop(x, x1) AS c, count(*) AS n
          |  FROM dims JOIN axis USING (vec_id) GROUP BY dim),
          |nrm AS (SELECT sqrt(sum(c*c)) AS cn FROM cov)
-         |SELECT dim, n, round(c / cn, 4) AS direction
+         |SELECT dim, n, ${S.qround("c / cn", 4)} AS direction
          |FROM cov CROSS JOIN nrm ORDER BY dim""".stripMargin,
 
     "emb_whitening" ->
@@ -530,7 +538,7 @@ object Similarity {
          |  FROM (SELECT dim, ${S.qmean("x")} AS mu, ${S.qmean("x*x")} AS ex2
          |        FROM dims GROUP BY dim))
          |SELECT label, count(DISTINCT vec_id) AS n_vecs,
-         |  round(${S.qmean("z*z")}, 4) AS avg_z2, round(${S.qmean("z")}, 4) AS avg_z
+         |  round(${S.qmean("z*z")}, 4) AS avg_z2, ${S.qround(S.qmean("z"), 4)} AS avg_z
          |FROM (SELECT label, vec_id,
          |        CASE WHEN sigma = 0 THEN 0.0 ELSE (x - mu) / sigma END AS z
          |      FROM dims JOIN stats USING (dim))

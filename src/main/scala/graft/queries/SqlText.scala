@@ -83,6 +83,17 @@ private[queries] object SqlText {
     s"(CAST(sum(CAST(floor(($x) * $p + 0.5) AS BIGINT)) AS DOUBLE) / (count($x) * $p))"
   }
 
+  /** Signed-zero-canonicalized round — the oracle twin of
+    * [[graft.engine.FixedPoint.qround]]. DuckDB's `round()` preserves the
+    * IEEE sign of zero (`round(-0.00001, 4)` → `-0.0`) while Spark's (Java
+    * `BigDecimal`) returns `+0.0`; the driver hashes raw float BITS, so the
+    * two zeros mismatch even though `-0.0 == 0.0`. The `+ 0.0` maps `-0.0`
+    * to `+0.0` (IEEE: `-0.0 + 0.0 = +0.0`; all other values, NaN included,
+    * unchanged), so both engines emit the same bits. REQUIRED on every
+    * rounded oracle column whose value can be negative — pair it with
+    * qround on the Spark side. */
+  def qround(x: String, k: Int): String = s"(round($x, $k) + 0.0)"
+
   /** shared corpus-with-planted-duplicates CTE body (exact + near dups) */
   val docsWithVariants: String =
     """SELECT doc_id, text, lang, source FROM documents

@@ -254,7 +254,9 @@ object Temporal {
         .withColumn("z", when(col("sd") === 0.0, lit(0.0))
           .otherwise((col("value") - col("m")) / col("sd")))
         .filter(abs(col("z")) > 2.5)
-        .select(col("user_id"), col("event_id"), round(col("z"), 4).as("z"), col("value"))
+        // |z| > 2.5 can never round to -0, but z is sign-capable → qround
+        // keeps the catalog-wide signed-zero rule uniform
+        .select(col("user_id"), col("event_id"), FP.qround(col("z"), 4).as("z"), col("value"))
         .orderBy("user_id", "event_id")
     }),
 
@@ -464,7 +466,7 @@ object Temporal {
          |    CASE WHEN sqrt(greatest(ex2 - m*m, 0.0)) = 0 THEN 0.0
          |         ELSE (value - m) / sqrt(greatest(ex2 - m*m, 0.0)) END AS z
          |  FROM st)
-         |SELECT user_id, event_id, round(z, 4) AS z, value
+         |SELECT user_id, event_id, (round(z, 4) + 0.0) AS z, value
          |FROM zz WHERE abs(z) > 2.5 ORDER BY user_id, event_id""".stripMargin,
 
     // identical FP op order as the Scala recurrence: list_reduce seeds with

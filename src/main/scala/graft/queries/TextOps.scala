@@ -566,7 +566,8 @@ object TextOps {
       top.withColumn("rnk",
           row_number().over(Window.orderBy(col("freq").desc, col("tok").asc)))
         .agg(count(lit(1)).as("n_terms"),
-             round(regr_slope(log(col("freq")), log(col("rnk"))), 4).as("zipf_slope"),
+             // zipf slope is negative by nature → qround (signed-zero rule)
+             FP.qround(regr_slope(log(col("freq")), log(col("rnk"))), 4).as("zipf_slope"),
              round(regr_r2(log(col("freq")), log(col("rnk"))), 4).as("r2"))
     }),
 
@@ -611,7 +612,7 @@ object TextOps {
       ab.join(cab, Seq("a", "b")).join(ca, Seq("a"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
-             round(FP.qmean(log(col("cab").cast("double") / col("ca"))), 4).as("avg_logprob"))
+             FP.qround(FP.qmean(log(col("cab").cast("double") / col("ca"))), 4).as("avg_logprob"))
         .orderBy("doc_id")
     }),
 
@@ -921,7 +922,7 @@ object TextOps {
          |top AS (SELECT tok, freq FROM vocab ORDER BY freq DESC, tok ASC LIMIT 1000),
          |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk FROM top)
          |SELECT count(*) AS n_terms,
-         |  round(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
+         |  (round(regr_slope(ln(freq), ln(rnk)), 4) + 0.0) AS zipf_slope,
          |  round(regr_r2(ln(freq), ln(rnk)), 4) AS r2
          |FROM r""".stripMargin,
 
@@ -942,7 +943,7 @@ object TextOps {
          |cab AS (SELECT a, b, count(*) AS cab FROM ab GROUP BY a, b),
          |ca AS (SELECT a, count(*) AS ca FROM ab GROUP BY a)
          |SELECT doc_id, count(*) AS n_bigrams,
-         |  round(${S.qmean("ln(CAST(cab AS DOUBLE) / ca)")}, 4) AS avg_logprob
+         |  ${S.qround(S.qmean("ln(CAST(cab AS DOUBLE) / ca)"), 4)} AS avg_logprob
          |FROM ab JOIN cab USING (a, b) JOIN ca USING (a)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

@@ -3,17 +3,24 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.plans.RoundStrip
 
-/** VERDICT r4 item 2: every catalog query that still rounds an
-  * ORDER-SENSITIVE float aggregate (moment-based corr/regr/stddev/covar,
-  * avg/sum of doubles not yet migrated to fixed-point) must keep every
-  * output cell far from a 10^-k/2 rounding boundary at the driver's graded
-  * scale — otherwise shuffle-merge ulp noise can flip the rounded digit
-  * between runs and poison a future round's hash compare.
+/** VERDICT r4 item 2 + r5 signed-zero follow-up: every catalog query that
+  * rounds an ORDER-SENSITIVE float aggregate (moment-based corr/regr/
+  * stddev/covar, avg/sum of doubles not yet migrated to fixed-point) must
+  * keep every output cell far from a 10^-k/2 rounding boundary at the
+  * driver's graded scale — otherwise shuffle-merge ulp noise can flip the
+  * rounded digit between runs and poison a future round's hash compare.
   *
-  * The bar is distance > max(1e-9, 64·ulp(value)): the VERDICT's absolute
-  * floor, scaled up for large-magnitude sums whose merge noise is
-  * proportionally larger. The fixed-point queries (DeterminismSpec) are
-  * audited too — for them any margin is safe, but the audit documents it. */
+  * Separately, EVERY audited query — deterministic or not — must
+  * canonicalize signed zeros: a rounded column with negative cells that is
+  * not `qround`-shaped (`round(x,k) + 0.0`) can emit Spark `+0.0` vs
+  * DuckDB `-0.0` for a tiny negative (the r5 `emb_kmeans_step` root
+  * cause), which is value-equal but bit-unequal under the driver's hash.
+  *
+  * Classification lives in ONE place — MarginAudit's sets — so this spec
+  * and the standalone full-catalog audit cannot drift (ADVICE r5: tx_tfidf
+  * was listed order-sensitive here but integer-exact there; tfidf =
+  * tf·log(n_docs/df) is a per-row function of exact integers, so it is
+  * deterministic and now comes from MarginAudit.integerExactQueries). */
 class RoundingMarginSpec extends AnyFunSuite with SharedSparkSpec {
   private val d = "/root/testdata/sf0.01"
 
@@ -22,35 +29,51 @@ class RoundingMarginSpec extends AnyFunSuite with SharedSparkSpec {
     * without changing their semantics, so they live or die by margin. (The
     * magnitudes here are ≤ ~1e4, so 64·ulp is far below the 5e-5 grid.) */
   private val orderSensitive = Seq(
-    "agg_corr_regr", "agg_mad", "emb_pca_power", "tx_zipf_fit", "tx_tfidf")
+    "agg_corr_regr", "agg_mad", "emb_pca_power", "tx_zipf_fit")
 
-  /** Migrated to fixed-point aggregates — deterministic by construction;
-    * audited anyway to document the margins (set lives with MarginAudit so
-    * the standalone full-catalog audit applies the same bars). */
-  private val fixedPoint =
-    MarginAudit.fixedPointQueries.toSeq.sorted.filter(SparkEntry.queries.contains)
+  /** Deterministic by construction (fixed-point aggregates or integer-exact
+    * ratios) — driven from MarginAudit so the two layers agree; audited for
+    * signed-zero exposure and to document the margins. */
+  private val deterministicQs =
+    (MarginAudit.fixedPointQueries ++ MarginAudit.integerExactQueries)
+      .toSeq.sorted.filter(SparkEntry.queries.contains)
       // ts_gapfill's rounds live BELOW the forward-fill join (inside the
       // hourly CTE), outside RoundStrip's top-chain scope — the audit main
       // simply skips it; the spec would false-fail on "nothing to audit".
       .filterNot(_ == "ts_gapfill")
 
-  for ((name, ulpScaled) <- orderSensitive.map((_, true)) ++ fixedPoint.map((_, false)))
-    test(s"$name: no output cell within ulp-noise of a rounding boundary (sf0.01)") {
+  // the spec's classification must be total over MarginAudit's sets: a
+  // query added there but dropped here would silently skip the gate
+  test("orderSensitive and deterministic sets are disjoint") {
+    val overlap = orderSensitive.toSet & deterministicQs.toSet
+    assert(overlap.isEmpty, s"queries classified both ways: $overlap")
+  }
+
+  for ((name, det) <- orderSensitive.map((_, false)) ++ deterministicQs.map((_, true)))
+    test(s"$name: rounding margins + signed-zero canonicalization (sf0.01)") {
       val worst = RoundStrip.audit(SparkEntry.queries(name)(spark, d))
-      assert(worst.nonEmpty, s"$name has no rounded double output to audit")
-      for ((colName, (dist, v, u)) <- worst) {
-        // the bar and the dist==0 semantics live with MarginAudit so the
-        // spec and the standalone audit cannot drift: deterministic
-        // queries get the absolute floor (an exact tie is reproducible
-        // and both engines round it identically); order-sensitive folds
-        // get the 64·ulp merge-noise band, where dist == 0 is the WORST
-        // margin, not a safe tie.
-        val det = !ulpScaled
-        val bar = MarginAudit.bar(det, u)
-        assert((dist == 0.0 && det) || dist >= bar,
-          f"$name.$colName: value $v%.12g sits $dist%.3e from a rounding boundary " +
-            f"(bar $bar%.3e) — migrate this aggregate to FixedPoint.qsum/qmean")
-      }
-      spark.sharedState.cacheManager.clearCache()
+      try {
+        if (det) assume(worst.nonEmpty, s"$name has no top-chain rounded double output")
+        else assert(worst.nonEmpty, s"$name has no rounded double output to audit")
+        for ((colName, cell) <- worst) {
+          // signed-zero rule applies to every query: negative cells in a
+          // rounded column require the qround canonicalization on BOTH
+          // engine sides, or the -0 class bites at some scale factor
+          assert(!(cell.negExposed && !cell.canonicalized),
+            s"$name.$colName carries negative cells but does not round " +
+              "through qround (round(x,k) + 0.0) — Spark +0.0 vs DuckDB " +
+              "-0.0 on a tiny negative fails the driver's bit hash" +
+              (if (cell.negZeroLive) " (LIVE -0 cell at sf0.01)" else ""))
+          // margin bar: order-sensitive only; a deterministic value is the
+          // same double every run on both engines, so any distance —
+          // including an exact boundary tie — is safe (ADVICE r5)
+          if (!det) {
+            val b = MarginAudit.bar(cell.ulp)
+            assert(cell.dist >= b,
+              f"$name.$colName: value ${cell.value}%.12g sits ${cell.dist}%.3e from a rounding " +
+                f"boundary (bar $b%.3e) — migrate this aggregate to FixedPoint.qsum/qmean")
+          }
+        }
+      } finally spark.sharedState.cacheManager.clearCache()
     }
 }

@@ -59,15 +59,29 @@ def compare(sdf, odf):
             note += f" dtype({c}): {sv.dtype} vs {ov.dtype};"
         try:
             if sv.dtype.kind == 'f' or ov.dtype.kind == 'f':
-                both_nan = sv.isna() & ov.isna()
-                eq = (sv == ov) | both_nan
+                # The driver hashes raw float BITS, so compare uint64 bit
+                # patterns, not ==. The difference matters exactly twice:
+                # NaN (where == is always false; canonicalize both sides to
+                # one quiet-NaN payload) and SIGNED ZERO (-0.0 == 0.0 is
+                # true but the bits differ — the r5 emb_kmeans_step bug that
+                # this gate's former == compare was blind to for 3 rounds).
+                sb = sv.astype(np.float64).to_numpy(copy=True)
+                ob = ov.astype(np.float64).to_numpy(copy=True)
+                sb[np.isnan(sb)] = np.float64('nan')  # canonical quiet NaN
+                ob[np.isnan(ob)] = np.float64('nan')
+                eq = sb.view(np.uint64) == ob.view(np.uint64)
                 if not eq.all():
-                    close = np.isclose(sv.astype(float), ov.astype(float),
-                                       rtol=1e-9, atol=1e-9, equal_nan=True)
+                    i = int(np.argmax(~eq))
+                    sr, orc = sb[i], ob[i]
+                    if sr == orc:
+                        return False, (f"col {c}: row {i}: SIGNED-ZERO bit mismatch "
+                                       f"spark={sr!r} oracle={orc!r} "
+                                       f"(bits {sb.view(np.uint64)[i]:#x} vs {ob.view(np.uint64)[i]:#x}) "
+                                       f"— canonicalize with qround on both sides")
+                    close = np.isclose(sb, ob, rtol=1e-9, atol=1e-9, equal_nan=True)
                     if close.all():
                         return False, f"col {c}: values close but not bit-equal (ulp drift — tighten rounding)"
-                    i = (~eq).idxmax()
-                    return False, f"col {c}: first mismatch row {i}: spark={sv[i]!r} oracle={ov[i]!r}"
+                    return False, f"col {c}: first mismatch row {i}: spark={sr!r} oracle={orc!r}"
             else:
                 sv2 = sv.astype(str); ov2 = ov.astype(str)
                 if not (sv2 == ov2).all():
