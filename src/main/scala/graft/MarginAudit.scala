@@ -40,13 +40,28 @@ object MarginAudit {
     "st_view_purchase", "st_daily_profile", "st_sliding_window", "ts_gapfill",
     "etl_snapshot_read", "etl_schema_merge", "etl_incremental_rollup",
     "src_json_roundtrip", "etl_snapshot_diff", "etl_scd2", "etl_scd2_asof",
-    "ts_anomaly")
+    "ts_anomaly",
+    // r6 sf0.1 audit migrations: ~1e10 price sums whose cells sat inside
+    // the 64·ulp band at sf0.1 (value ~7.5e9 → ulp ~1e-6, dist ~3e-6)
+    "agg_cube", "agg_grouping_sets", "bj_colocated_join", "j6_join_nullsafe",
+    "pp_dynamic_pruning", "src_csv_roundtrip", "src_orc_roundtrip",
+    // not qsum-based but bit-deterministic by construction: the EWMA
+    // recurrence is a SEQUENTIAL fold in both engines (flatMapGroups over a
+    // sorted array ↔ list_reduce over list(value ORDER BY rn)) with literal
+    // 0.2/0.8 coefficients — same op order every run, any partitioning
+    "ts_ewma")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact
     * boundary tie is reproducible, not a flake. */
   val integerExactQueries: Set[String] = Set(
-    "tx_quality", "tx_repetition", "w8_percent_rank", "tx_tfidf")
+    "tx_quality", "tx_repetition", "w8_percent_rank", "tx_tfidf",
+    // r6 sf0.1 audit reclassifications — per-row/per-group ratios of exact
+    // integers (n_inter/n_union, n_inter/|grams|, sum(int)/count, mean of
+    // exact 0.0/1.0): one correctly-rounded IEEE divide on bit-identical
+    // operands, so a boundary tie like 31/32 = 0.968750 is reproducible
+    "dd_jaccard_verify", "dd_containment", "tx_corpus_profile",
+    "tx_dup_ngram_fraction")
 
   /** A query whose rounded doubles cannot move between runs. */
   def deterministic(name: String): Boolean =

@@ -591,19 +591,24 @@ object Relational {
     "agg_cube" -> ((s, d) =>
       t(s, d, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("sum_price"))
+        // qsum: the all-rows cube cell sums ~1.5e5 prices to ~7.5e9, whose
+        // merge noise spans several ulps while sf0.1 lands 3e-6 from a
+        // boundary (r6 margin-audit FLAG)
+        .agg(count(lit(1)).as("n"), r4(FP.qsum(col("o_totalprice"), 20)).as("sum_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
     // ---- GROUPING SETS through the spark.sql surface (the engine's SQL
     // entry point; DataFrame API covers rollup/cube above).
     "agg_grouping_sets" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders_v")
+      // SqlText.qsum is valid in BOTH dialects (floor/CAST/sum only), so the
+      // Spark-SQL face and the DuckDB oracle share the identical string
       s.sql(
-        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-          |  round(sum(o_totalprice), 4) AS sum_price
-          |FROM orders_v
-          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+        s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           |  round(${SqlText.qsum("o_totalprice", 20)}, 4) AS sum_price
+           |FROM orders_v
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     }),
 
     // ---- exact distinct aggregate (Catalyst rewrites to 2-phase agg).
@@ -696,7 +701,7 @@ object Relational {
       val dim = fact.select(col("k").as("dk")).distinct()
       fact.join(dim, col("k") <=> col("dk"))
         .groupBy("dk")
-        .agg(count(lit(1)).as("n"), r4(sum("l_extendedprice")).as("rev"))
+        .agg(count(lit(1)).as("n"), r4(FP.qsum(col("l_extendedprice"), 20)).as("rev"))
         .orderBy(col("dk").asc_nulls_first)
     }),
 
@@ -1228,16 +1233,16 @@ object Relational {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "agg_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
-        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(${SqlText.qsum("o_totalprice", 20)}, 4) AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "agg_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  round(sum(o_totalprice), 4) AS sum_price
-        |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  round(${SqlText.qsum("o_totalprice", 20)}, 4) AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "agg_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
@@ -1286,11 +1291,11 @@ object Relational {
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "j6_join_nullsafe" ->
-      """WITH fact AS (SELECT nullif(l_returnflag, 'N') AS k, l_extendedprice FROM lineitem),
-        |dim AS (SELECT DISTINCT k AS dk FROM fact)
-        |SELECT dk, count(*) AS n, round(sum(l_extendedprice), 4) AS rev
-        |FROM fact JOIN dim ON k IS NOT DISTINCT FROM dk
-        |GROUP BY dk ORDER BY dk NULLS FIRST""".stripMargin,
+      s"""WITH fact AS (SELECT nullif(l_returnflag, 'N') AS k, l_extendedprice FROM lineitem),
+         |dim AS (SELECT DISTINCT k AS dk FROM fact)
+         |SELECT dk, count(*) AS n, round(${SqlText.qsum("l_extendedprice", 20)}, 4) AS rev
+         |FROM fact JOIN dim ON k IS NOT DISTINCT FROM dk
+         |GROUP BY dk ORDER BY dk NULLS FIRST""".stripMargin,
 
     "w1_lag_diff" ->
       """SELECT event_id, user_id, value, prev_value, value - prev_value AS delta,

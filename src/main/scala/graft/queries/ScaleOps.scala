@@ -240,7 +240,10 @@ object ScaleOps {
       s.table(bl).hint("merge")
         .join(s.table(bo), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 4).as("rev"))
+        // qsum: a ~1e10 price sum's merge noise is several ulps (~2e-6 each)
+        // and sf0.1 cells sit 3.4e-5 from a boundary — inside the 64·ulp
+        // flake band the r6 margin audit flags
+        .agg(count(lit(1)).as("n"), round(FP.qsum(col("l_extendedprice"), 20), 4).as("rev"))
         .orderBy("o_orderstatus")
     }),
 
@@ -280,7 +283,7 @@ object ScaleOps {
       s.read.parquet(fact)
         .join(broadcast(s.read.parquet(dim).filter(col("era") === "mid")), "o_year")
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("rev"))
+        .agg(count(lit(1)).as("n"), round(FP.qsum(col("o_totalprice"), 20), 4).as("rev"))
         .orderBy("o_orderstatus")
     }),
 
@@ -369,7 +372,10 @@ object ScaleOps {
             .otherwise("unchanged"))
         .groupBy("change")
         .agg(count(lit(1)).as("n_keys"),
-             round(FP.qsum(coalesce(col("b.day_rev"), lit(0.0)) -
+             // qround: the 'unchanged' class sums deltas that are mostly
+             // exact zeros with a few negatives — a tiny negative total
+             // rounds to -0 in DuckDB vs +0 in Spark (r6 NEGZ audit hit)
+             FP.qround(FP.qsum(coalesce(col("b.day_rev"), lit(0.0)) -
                coalesce(col("a.day_rev"), lit(0.0)), 20), 4).as("rev_delta"))
         .orderBy("change")
     }),
@@ -464,7 +470,7 @@ object ScaleOps {
         .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
         .csv(path)
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("rev"),
+        .agg(count(lit(1)).as("n"), round(FP.qsum(col("o_totalprice"), 20), 4).as("rev"),
              min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
         .orderBy("o_orderstatus")
     }),
@@ -481,7 +487,7 @@ object ScaleOps {
       s.read.orc(path)
         .filter(col("l_quantity") < 25)
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 4).as("rev"))
+        .agg(count(lit(1)).as("n"), round(FP.qsum(col("l_extendedprice"), 20), 4).as("rev"))
         .orderBy("l_returnflag")
     }),
 
@@ -756,9 +762,9 @@ object ScaleOps {
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "bj_colocated_join" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(l_extendedprice), 4) AS rev
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      s"""SELECT o_orderstatus, count(*) AS n, round(${SqlText.qsum("l_extendedprice", 20)}, 4) AS rev
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "etl_upsert" ->
       """WITH source AS (
@@ -816,9 +822,9 @@ object ScaleOps {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "pp_dynamic_pruning" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS rev
-        |FROM orders WHERE year(o_orderdate) >= 1995 AND year(o_orderdate) < 1998
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      s"""SELECT o_orderstatus, count(*) AS n, round(${SqlText.qsum("o_totalprice", 20)}, 4) AS rev
+         |FROM orders WHERE year(o_orderdate) >= 1995 AND year(o_orderdate) < 1998
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
@@ -842,7 +848,7 @@ object ScaleOps {
          |            WHEN a.eff_from != b.eff_from THEN 'updated'
          |            ELSE 'unchanged' END AS change,
          |  count(*) AS n_keys,
-         |  round(${SqlText.qsum("coalesce(b.day_rev, 0.0) - coalesce(a.day_rev, 0.0)", 20)}, 4) AS rev_delta
+         |  ${SqlText.qround(SqlText.qsum("coalesce(b.day_rev, 0.0) - coalesce(a.day_rev, 0.0)", 20), 4)} AS rev_delta
          |FROM v1 a FULL OUTER JOIN v2 b USING (custkey)
          |GROUP BY change ORDER BY change""".stripMargin,
 
@@ -886,14 +892,14 @@ object ScaleOps {
          |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "src_csv_roundtrip" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS rev,
-        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      s"""SELECT o_orderstatus, count(*) AS n, round(${SqlText.qsum("o_totalprice", 20)}, 4) AS rev,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "src_orc_roundtrip" ->
-      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS rev
-        |FROM lineitem WHERE l_quantity < 25
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      s"""SELECT l_returnflag, count(*) AS n, round(${SqlText.qsum("l_extendedprice", 20)}, 4) AS rev
+         |FROM lineitem WHERE l_quantity < 25
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "src_json_roundtrip" ->
       s"""SELECT c_mktsegment, count(*) AS n,
