@@ -129,8 +129,16 @@ object Dedup {
     * cap unconverged. Converged when no label changes; the driver-side loop
     * holds only a per-round change COUNT, never data. */
   private def connectedComponents(docs: DataFrame, edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // Symmetrize via explode, NOT union: a union puts `edges` in the plan
+    // twice, and when sym first materializes the edge pipeline's own cache
+    // is still cold, so BOTH branches run the full LSH candidate pipeline —
+    // the whole sig→band→join chain computed twice per CC consumer
+    // (r5 bench: dd_keep_best 4.8 s, pipe_corpus_manifest 4.2 s). The
+    // explode emits (a,b) and (b,a) from ONE scan of the edge frame.
+    val sym = edges.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .cache()
     // Iteration state is localCheckpoint()ed each round, not cache()d: an
     // eager checkpoint physically truncates the plan to the materialized
@@ -140,7 +148,13 @@ object Dedup {
     // self-join doubles per round (measured: 2.3 s round 1 → 120 s round 3
     // at sf0.1). On a cluster, a reliable checkpoint() adds fault tolerance
     // at the same spot.
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cid")).localCheckpoint()
+    // Iterate ONLY over vertices that appear in an edge: a doc in no
+    // near-dup pair is its own component and can never change label, so
+    // carrying it through every round just inflates the join/checkpoint
+    // working set (at 100 TB the active subgraph is orders of magnitude
+    // smaller than the corpus). Singletons rejoin in ONE pass at the end.
+    var labels = sym.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cid")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
@@ -148,10 +162,14 @@ object Dedup {
         .join(labels.select(col("doc_id").as("b"), col("cid").as("bcid")), "b")
         .groupBy(col("a").as("doc_id")).agg(min("bcid").as("nmin"))
       // carry the round-start label as `old` so convergence detection below
-      // is a filter over the checkpointed blocks, not another join job
+      // is a filter over the checkpointed blocks, not another join job.
+      // Checkpointed BEFORE the halving self-join: `propagated` appears on
+      // both sides of that join, and an unmaterialized frame in a plan twice
+      // runs its edge⋈label join twice per round.
       val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cid").as("old"),
           least(col("cid"), coalesce(col("nmin"), col("cid"))).as("cid"))
+        .localCheckpoint()
       // path halving: cid := cid's cid (labels form a total map, so inner);
       // collapses label chains geometrically → O(log diameter) rounds
       val next = propagated
@@ -161,9 +179,14 @@ object Dedup {
       changed = next.filter(col("cid") =!= col("old")).count()
       labels = next.select("doc_id", "cid")
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round=$rounds changed=$changed t=${System.nanoTime()}")
     }
     sym.unpersist()
-    labels
+    // singletons: every corpus doc not in the edge set keeps its own id
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cid"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -208,7 +231,7 @@ object Dedup {
     // dedup keep-list: connected components over the LSH pair graph.
     // (doc_id, canonical_id = min id in component, is_kept).
     "dd_clusters" -> ((s, d) =>
-      connectedComponents(corpus(s, d), lshPairs(s, d).cache())
+      connectedComponents(corpus(s, d), lshPairs(s, d))
         .withColumn("is_kept", col("doc_id") === col("cid"))
         .select(col("doc_id"), col("cid").as("canonical_id"), col("is_kept"))
         .orderBy("doc_id")),
@@ -228,14 +251,14 @@ object Dedup {
     // a doc failing two stages reports the first.
     "pipe_corpus_manifest" -> ((s, d) => {
       val docs = corpus(s, d).cache()
-      val labels = connectedComponents(docs, lshPairs(s, d).cache())
-      val exactKeep = docs
-        .groupBy(md5(lower(trim(col("text")))).as("h"))
-        .agg(min("doc_id").as("keep_id"))
+      val labels = connectedComponents(docs, lshPairs(s, d))
       val toks = col("__toks")
       docs
         .withColumn("h", md5(lower(trim(col("text")))))
-        .join(exactKeep, "h")
+        // exact-dup keep rule as a window-min over the hash: one shuffle on
+        // h, vs the agg+join-back form's two shuffles plus a join
+        .withColumn("keep_id",
+          min("doc_id").over(Window.partitionBy("h")))
         .join(labels, "doc_id")
         .withColumn("__toks", T.tokens(col("text")))
         .withColumn("n_tokens", size(toks).cast("bigint"))
@@ -308,7 +331,7 @@ object Dedup {
     // as dd_clusters; the per-cluster argmax is a partition-window
     // row_number — one shuffle on the (small) cluster label.
     "dd_keep_best" -> ((s, d) => {
-      val labels = connectedComponents(corpus(s, d), lshPairs(s, d).cache())
+      val labels = connectedComponents(corpus(s, d), lshPairs(s, d))
       val quality = corpus(s, d)
         .select(col("doc_id"), length(col("text")).cast("bigint").as("len"))
       val w = Window.partitionBy("cid").orderBy(col("len").desc, col("doc_id").asc)
