@@ -37,5 +37,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // G1 sized for the bench: 16m regions keep the ~200-plan codegen/broadcast
+  // churn out of humongous-allocation territory, and a 50 ms pause target
+  // with early concurrent marking flattens the multi-hundred-ms collections
+  // that read as per-query latency spikes mid-bench (r5: dd_clusters 436 ms
+  // GC in one warm run).
+  "-XX:+UseG1GC", "-XX:G1HeapRegionSize=16m", "-XX:MaxGCPauseMillis=50",
+  "-XX:InitiatingHeapOccupancyPercent=40",
 )

@@ -83,10 +83,15 @@ object Bench {
       var warm = timed()
       spark.sharedState.cacheManager.clearCache()
       val gc2 = gcMillis(); val cg2 = codegenCompiles()
-      // Inflation guard: a clean-plan query reading >>2 s at sf0.1 is a
-      // JVM-state artifact, not the plan. One GC'd retry; keep the min.
+      // Inflation guard: a warm run reading far above the catalog median AND
+      // above its OWN cold run is a JVM-state artifact (GC storm, codegen
+      // churn), not the plan — re-measure once and keep the min. The own-cold
+      // test is what r5's guard lacked: a genuinely expensive iterative query
+      // (dd_clusters, warm ≈ cold ≈ 3.5 s) tripped the absolute 2 s bar on
+      // EVERY bench, burning a pointless retry and reporting as instability
+      // (13 "retried" vs the ≤5 target, none of them actual artifacts).
       val threshold = math.max(2.0, 3.0 * runningMedian())
-      val retried = warm > threshold
+      val retried = warm > threshold && warm > 1.3 * cold
       if (retried) {
         System.gc()
         val again = timed()

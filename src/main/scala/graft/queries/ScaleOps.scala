@@ -320,6 +320,24 @@ object ScaleOps {
              max("doc_id").as("max_id"))
     }),
 
+    // ---- connector-level LIMIT+OFFSET pushdown (SupportsPushDownLimit /
+    // SupportsPushDownOffset, EXACT mode — isPartiallyPushed=false, so
+    // Spark drops its own Limit/Offset operators): the LIMIT-n exploration
+    // read every user runs against a new table. The range scan applies
+    // offset/limit arithmetically — a LIMIT 10 OFFSET 20 over a synthetic
+    // billion-row table plans exactly 10 rows (SourcesSpec asserts the
+    // planned partition widths and the scan's PushedLimit/PushedOffset);
+    // this face hash-checks the row contents.
+    "src_pushdown_limit" -> ((s, d) => {
+      val _ = d // source is synthetic; sf dir unused
+      s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "100000").option("slices", "8").load()
+        .filter(col("doc_id") >= 90000)
+        .offset(20).limit(10)
+        .select(col("doc_id"), col("text"), col("score"))
+        .orderBy("doc_id")
+    }),
+
     // ---- snapshot-isolation / time-travel read contract ("AS OF" reads,
     // the Delta-style semantics the sandbox can't ship a jar for; see the
     // README's table-format stance): the SCD2 history IS the transaction
@@ -920,6 +938,15 @@ object ScaleOps {
     "src_pushdown_agg" ->
       """SELECT CAST(750000 - 250000 AS BIGINT) AS n_rows,
         |  CAST(250000 AS BIGINT) AS min_id, CAST(749999 AS BIGINT) AS max_id""".stripMargin,
+
+    // filter tightens lo to 90000, offset skips 20, limit keeps 10 — the
+    // connector's row formulas re-derived over exactly that range
+    "src_pushdown_limit" ->
+      """SELECT doc_id,
+        |  'doc ' || doc_id || ' body ' || (doc_id * 7 % 97) AS text,
+        |  CAST(doc_id * 31 % 1000 AS BIGINT) AS score
+        |FROM (SELECT unnest(range(90020, 90030)) AS doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "layout_file_skipping" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS rev

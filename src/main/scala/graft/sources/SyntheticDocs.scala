@@ -6,7 +6,8 @@ import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
   IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -65,12 +66,15 @@ private[sources] class DocsTable(rows: Long, slices: Int) extends Table with Sup
 
 private[sources] class DocsScanBuilder(rows: Long, slices: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownOffset {
   private var lo = 0L
   private var hi = rows // exclusive
   private var pushed = Array.empty[Filter]
   private var required: StructType = SyntheticDocs.schema
   private var aggKinds: Seq[String] = Nil
+  private var pushedLimit: Option[Int] = None
+  private var pushedOffset: Int = 0
 
   // ---- saturation guards: a bound of Long.MaxValue must not wrap on the
   // half-open +1 conversion (ADVICE r4 — the wrapped lo made an
@@ -129,18 +133,46 @@ private[sources] class DocsScanBuilder(rows: Long, slices: Int) extends ScanBuil
     true
   }
 
+  // ---- LIMIT / OFFSET pushdown: a deterministic range source can apply
+  // both EXACTLY by shrinking [lo, hi) — skip `offset` rows from the front,
+  // keep at most `limit` after that — so `isPartiallyPushed` is false and
+  // Spark drops its own Limit/Offset operators entirely: a LIMIT-n
+  // exploration query over a billion-row synthetic table plans n rows.
+  // (Spark only attempts limit/offset pushdown on a bare scan, never above
+  // a pushed aggregate, so no aggKinds interaction exists; the guard is
+  // belt-and-braces.)
+  override def pushLimit(limit: Int): Boolean =
+    aggKinds.isEmpty && { pushedLimit = Some(limit); true }
+  override def isPartiallyPushed(): Boolean = false
+  override def pushOffset(offset: Int): Boolean =
+    aggKinds.isEmpty && { pushedOffset = offset; true }
+
   override def build(): Scan = {
     val boundedHi = math.max(lo, hi)
     if (aggKinds.nonEmpty) new DocsAggScan(lo, boundedHi, slices, aggKinds)
-    else new DocsScan(lo, boundedHi, slices, required)
+    else {
+      // Spark's combined contract (V2ScanRelationPushDown): for
+      // `df.offset(n).limit(m)` it pushes limit = n + m and offset = n, so
+      // the scan must apply the LIMIT against the range start and then skip
+      // OFFSET rows inside that prefix: [lo + offset, lo + limit). Both
+      // saturate so a past-the-end offset or oversize limit cannot wrap.
+      val hi2 = pushedLimit.fold(boundedHi)(l => math.min(boundedHi, lo + math.max(0, l)))
+      val lo2 = math.min(lo + math.max(0, pushedOffset), hi2)
+      new DocsScan(lo2, hi2, slices, required, pushedLimit, pushedOffset)
+    }
   }
 }
 
-private[sources] class DocsScan(lo: Long, hi: Long, slices: Int, schema: StructType)
+private[sources] class DocsScan(lo: Long, hi: Long, slices: Int, schema: StructType,
+                                pushedLimit: Option[Int] = None, pushedOffset: Int = 0)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"SyntheticDocs range [$lo, $hi) cols=${schema.fieldNames.mkString(",")}"
+  override def description(): String = {
+    val lim = pushedLimit.map(l => s" PushedLimit=$l").getOrElse("")
+    val off = if (pushedOffset > 0) s" PushedOffset=$pushedOffset" else ""
+    s"SyntheticDocs range [$lo, $hi) cols=${schema.fieldNames.mkString(",")}$lim$off"
+  }
   override def planInputPartitions(): Array[InputPartition] = {
     val n = hi - lo
     if (n <= 0) Array.empty

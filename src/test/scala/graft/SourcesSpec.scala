@@ -75,6 +75,34 @@ class SourcesSpec extends AnyFunSuite with SharedSparkSpec {
     assert(r.getLong(0) == 900000 - 100 && r.getLong(1) == 100 && r.getLong(2) == 899999)
   }
 
+  test("limit pushes into the scan exactly (Spark's own Limit is dropped)") {
+    val df = docs(100000, slices = 8).filter(col("doc_id") >= 90000).limit(10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedLimit=10"), s"scan must carry the pushed limit:\n$p")
+    // EXACT pushdown (isPartiallyPushed=false): the scan emits precisely the
+    // first 10 rows of the surviving range — no CollectLimit needed above
+    assert(p.contains("[90000, 90010)"),
+      s"the limit must shrink the generated interval itself:\n$p")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (90000L until 90010L))
+  }
+
+  test("offset composes with limit (skip m, keep n; saturating)") {
+    val df = docs(100000, slices = 8).filter(col("doc_id") >= 90000)
+      .offset(20).limit(10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (90020L until 90030L),
+      s"offset 20 + limit 10 over [90000,100000) must yield [90020,90030):\n$p")
+    // past-the-end offset yields an empty range, not a wrap
+    assert(docs(1000).offset(5000).count() == 0)
+    // limit larger than the range is the whole range
+    assert(docs(1000).limit(5000).count() == 1000)
+  }
+
+  test("limit does not interfere with a pushed aggregate") {
+    val df = docs(1000).agg(count(lit(1))).limit(1)
+    assert(df.collect()(0).getLong(0) == 1000)
+  }
+
   test("grouped or non-doc_id aggregates fall back to the row scan") {
     val df = docs(1000).groupBy((col("doc_id") % 2).as("b")).agg(min("score"))
     val p = df.queryExecution.executedPlan.toString
