@@ -30,6 +30,24 @@ import org.apache.spark.sql.functions._
   * (embedding components, probabilities, log-likelihoods, entropies), 20
   * for price-magnitude columns.
   *
+  * OVERFLOW ENVELOPE (ADVICE r5): past 2^63 the two engines diverge —
+  * DuckDB promotes sum(BIGINT) to HUGEINT and keeps going. On Spark the
+  * failure mode depends on ANSI mode: Spark 4 defaults to ANSI ON, so
+  * every graft session raises a loud ARITHMETIC_OVERFLOW instead of
+  * silently wrapping (FixedPointSpec pins this) — an envelope breach is
+  * therefore a clear error, never an unexplained hash mismatch. Do NOT
+  * disable ANSI for qsum paths; with ANSI off the wrap IS silent.
+  * Concrete headroom for the two catalog conventions
+  * (max rows n before |x|·2^bits·n reaches 2^63):
+  *   bits=20, price magnitude |x| ≤ 6e5  →  n ≤ ~1.4e7 rows per GROUP
+  *     (lineitem's biggest group at sf0.1 is ~2e5 rows → sf~7 is the
+  *     ceiling for an UNGROUPED price qsum; grouped faces scale further)
+  *   bits=30, unit magnitude |x| ≤ 1.0   →  n ≤ ~8.6e9 rows per group
+  * The driver grades sf ≤ 0.1 (≥70× headroom everywhere). Scaling a
+  * price-magnitude qsum past sf~5 means dropping to bits=16 or summing
+  * per-partition subtotals; FixedPointSpec pins this arithmetic so the
+  * envelope can't silently rot.
+  *
   * Scale shape: identical to sum/avg — one (long, long) mergeable partial
   * state per group; no collect_list, no sort, no decimal arithmetic.
   * Cost: `graft.Probe QSUMBENCH` (12M rows, sf0.1 × 20, warm) measures

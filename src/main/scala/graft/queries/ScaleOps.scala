@@ -436,13 +436,25 @@ object ScaleOps {
       val base = s"/tmp/graft_compact/orders_$tag"
       val slice = t(s, d, "orders").filter(col("o_orderkey") % 4 === 0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      if (!new java.io.File(s"$base/frag/_SUCCESS").exists())
+      if (!new java.io.File(s"$base/frag/_SUCCESS").exists()) {
+        // the oracle pins files_before=64, but FileFormatWriter emits NO
+        // file for an empty partition — guard the precondition loudly
+        // instead of letting a thin slice surface as a hash mismatch
+        // (ADVICE r5)
+        val n = slice.count()
+        require(n >= 64 * 8,
+          s"etl_compact_files fragments into 64 files and needs a safely " +
+            s"non-empty row count per round-robin partition; got $n rows at $d")
         slice.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+      }
       if (!new java.io.File(s"$base/compact/_SUCCESS").exists())
         s.read.parquet(s"$base/frag").repartition(4)
           .write.mode("overwrite").parquet(s"$base/compact")
       def files(p: String): Long =
         new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
+      require(files(s"$base/frag") == 64 && files(s"$base/compact") == 4,
+        s"layout under $base does not match the oracle's pinned 64→4 file " +
+          "counts — stale or partial /tmp state; delete and regenerate")
       val compacted = s.read.parquet(s"$base/compact")
         .withColumn("sig", element_at(graft.engine.TextFunctions.tokenHashes(
           md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus")))), 1))

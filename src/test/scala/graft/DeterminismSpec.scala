@@ -10,17 +10,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class DeterminismSpec extends AnyFunSuite with SharedSparkSpec {
   private val d = "/root/testdata/sf0.001"
 
-  private val targets = Seq(
-    "emb_kmeans_step", "emb_centroids", "emb_whitening", "emb_mrl_retention",
-    "emb_pq_error", "emb_quantize_error", "tx_token_entropy", "tx_bigram_lm",
-    "graph_rank_step", "agg_winsorize",
-    // the iterative closures: bit-identity must survive N rounds of
-    // checkpoint-truncated loop, not just one aggregation
-    "graph_rank_converged", "emb_kmeans_k3", "tx_bpe_merges",
-    // MV maintenance: base+delta merge must stay exact under re-partitioning
-    "etl_incremental_rollup",
-    // windowed fixed-point moments: rolling z-scores over ordered frames
-    "ts_anomaly")
+  /** VERDICT r5 item 6: enumerate the fixed-point set DYNAMICALLY from
+    * MarginAudit (the single classification source), so a query added there
+    * cannot skip this gate. tx_bpe_merges rides along explicitly — its
+    * outputs are integers (not rounded doubles), so it has no MarginAudit
+    * row, but its N-round checkpoint-truncated loop is exactly the shape
+    * this spec exists to pin. */
+  private val targets =
+    (MarginAudit.fixedPointQueries + "tx_bpe_merges")
+      .filter(SparkEntry.queries.contains).toSeq.sorted
 
   /** Run under an explicit (shuffle partitions, scan split) regime; Row
     * .toString prints doubles via Double.toString (shortest round-trip

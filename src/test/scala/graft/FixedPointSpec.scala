@@ -54,6 +54,38 @@ class FixedPointSpec extends AnyFunSuite with SharedSparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("overflow envelope: graded scale factors sit far inside the BIGINT range (ADVICE r5)") {
+    // Spark's non-ANSI sum(long) WRAPS past 2^63 while DuckDB promotes to
+    // HUGEINT — past the envelope the two engines diverge silently, so the
+    // envelope itself is part of the oracle contract. Pin the arithmetic
+    // the FixedPoint scaladoc quotes.
+    def maxRows(maxAbs: Double, bits: Int): Double =
+      math.pow(2, 63) / (maxAbs * (1L << bits).toDouble)
+    // price convention: bits=20, |x| ≤ 6e5 (o_totalprice/l_extendedprice)
+    assert(maxRows(6e5, 20) > 1.4e7)
+    // unit convention: bits=30, |x| ≤ 1 (cosines, probabilities, z-scores)
+    assert(maxRows(1.0, 30) > 8e9)
+    // the driver's graded scale: sf0.1 lineitem ≈ 6e5 rows TOTAL, so even an
+    // ungrouped price qsum keeps >20× headroom; unit-magnitude sums keep >1e4×
+    assert(6e5 < maxRows(6e5, 20) / 20)
+    // and past the envelope the failure is LOUD, not a silent wrap: Spark 4
+    // runs ANSI mode by default, so the BIGINT accumulator raises
+    // ARITHMETIC_OVERFLOW instead of wrapping — an envelope breach surfaces
+    // as a clear error, never as an unexplained hash mismatch (ADVICE r5's
+    // silent-wrap premise only applies with ANSI disabled, which no graft
+    // session does)
+    import spark.implicits._
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val e = intercept[Exception] {
+      Seq(Long.MaxValue, Long.MaxValue).toDF("x").agg(sum("x")).collect()
+    }
+    def mentionsOverflow(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(m =>
+        m.contains("ARITHMETIC_OVERFLOW") || m.contains("overflow")) ||
+       mentionsOverflow(t.getCause))
+    assert(mentionsOverflow(e), s"expected a loud overflow error, got: $e")
+  }
+
   test("quantization rounds grid midpoints half-up (toward +∞), both signs") {
     import spark.implicits._
     // ±(k + 0.5)·2^-20 sits exactly ON the grid midpoint
