@@ -36,11 +36,15 @@ object Dedup {
         .select((col("doc_id") + 2000000).as("doc_id"), col("text"), col("lang"), col("source")))
   }
 
-  /** (doc_id, sig) — cached: the narrow signature table is reused by the band
-    * explode and both sides of the candidate join; caching keeps Catalyst from
-    * inlining the (large) hash expression tree into every consumer. At scale
-    * this is the "materialize the signature table" step every LSH pipeline
-    * has (persist or write intermediate). */
+  /** (doc_id, sig) — cached: the narrow signature table is reused by the
+    * band explode and both sides of the candidate join; caching keeps
+    * Catalyst from inlining the (large) hash expression tree into every
+    * consumer. At scale this is the "materialize the signature table" step
+    * every LSH pipeline has (persist or write intermediate). Measured r6:
+    * an eager `localCheckpoint()` here is NET SLOWER (+0.5-1 s warm on the
+    * CC consumers) — the extra materialization job costs more than the
+    * partial cold-cache races it avoids at this size; cache population is
+    * per-partition, so most racing scans still hit warm blocks. */
   private def sigs(s: SparkSession, d: String): DataFrame =
     stagedSigs(corpus(s, d)).cache()
 
