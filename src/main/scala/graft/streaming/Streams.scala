@@ -178,13 +178,19 @@ object Streams extends Serializable {
     * session on whichever end it falls (min start / max end); it must
     * never shrink session_end below session_start, which the naive
     * "end := e.ts" update did for cross-batch late arrivals. Late events
-    * from BEFORE start − gap cannot extend the open session (the batch
-    * twin would give them their own earlier session[s]); they gap-fold
-    * among THEMSELVES and emit when the batch ends. Known approximation vs
-    * batch: a late "bridge" event that would transitively connect an early
-    * session to the open one in a single batch sort still merges only with
-    * the open session — the inherent cost of having already admitted the
-    * open session's start into state. */
+    * from BEFORE start − gap cannot extend the open session at arrival
+    * time (the batch twin would give them their own earlier session[s]);
+    * they gap-fold among THEMSELVES and emit when the batch ends — UNLESS
+    * a same-batch event later shrinks the open session's start to within
+    * gap of the early session's end, in which case the batch-end re-check
+    * merges the two exactly like a single batch sort would (ADVICE r5's
+    * "bridge" ordering). Sorted input gives two invariants the merge rule
+    * leans on: only the LAST early session can still be unflushed at batch
+    * end, and the open start can never shrink past an early event (an
+    * event between early.end and start − gap lands in the open branch, not
+    * early). Remaining approximation: a multi-session early CHAIN whose
+    * non-final links would transitively bridge — those flushed eagerly and
+    * cannot be recalled. */
   private def foldSessions(userId: Long, sorted: Seq[Event],
                            init: Option[SessionState],
                            gapMs: Long): (List[SessionOut], Option[SessionState]) = {
@@ -211,11 +217,29 @@ object Streams extends Serializable {
           val e1 = if (e.ts.getTime > e0.getTime) e.ts else e0
           cur = Some((s1, e1, n + 1, v + e.value))
         case Some((s0, e0, n, v)) =>
-          out ::= SessionOut(userId, s0, e0, n, v)
+          // the closing session's start may have shrunk to within gap of
+          // the early session — apply the same bridge merge before emitting
+          val (ms, me, mn, mv) = early match {
+            case Some((es, ee, ne, ve)) if s0.getTime - ee.getTime <= gapMs =>
+              early = None; (es, e0, n + ne, v + ve)
+            case _ => (s0, e0, n, v)
+          }
+          flushEarly() // an unmergeable early session still precedes in time
+          out ::= SessionOut(userId, ms, me, mn, mv)
           cur = Some((e.ts, e.ts, 1L, e.value))
         case None =>
           cur = Some((e.ts, e.ts, 1L, e.value))
       }
+    }
+    // batch-end re-check: events after the early run may have shrunk the
+    // open session's start to within gap of the early session's end — the
+    // batch twin would merge them, so merge here before flushing
+    (early, cur) match {
+      case (Some((es, ee, n, v)), Some((s0, e0, n0, v0)))
+          if s0.getTime - ee.getTime <= gapMs =>
+        cur = Some((es, e0, n + n0, v + v0))
+        early = None
+      case _ => ()
     }
     flushEarly()
     (out.reverse, cur)

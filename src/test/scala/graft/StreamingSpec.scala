@@ -317,6 +317,33 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
       .before(r.getAs[Timestamp]("session_start")), "end must never precede start"))
   }
 
+  test("a late bridge chain merges with the open session when its start shrinks into gap (ADVICE r5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30).writeStream
+      .format("memory").queryName("bridge_sess").outputMode("append").start()
+    mem.addData(Event(1, ts(100), 1, "click", 1.0)) // state: session at t+100
+    q.processAllAvailable()
+    // batch 2, sorted: t+20 and t+45 are BEFORE 100−30 → an early session
+    // [20,45]; t+75 lands in-gap of the open session and shrinks its start
+    // to 75 — now 75−45 ≤ gap, so the batch-end re-check must merge the
+    // early chain into the open session (a single batch sort would)
+    mem.addData(Event(2, ts(20), 1, "view", 2.0),
+      Event(3, ts(45), 1, "view", 4.0), Event(4, ts(75), 1, "click", 8.0))
+    q.processAllAvailable()
+    mem.addData(Event(5, ts(200), 1, "click", 16.0)) // closes the merged session
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("bridge_sess").collect()
+    assert(sessions.length == 1, s"bridge chain must merge, got ${sessions.toSeq}")
+    val s = sessions(0)
+    assert(s.getAs[Timestamp]("session_start") == ts(20) &&
+           s.getAs[Timestamp]("session_end") == ts(100) &&
+           s.getAs[Long]("n_events") == 4 &&
+           s.getAs[Double]("total_value") == 15.0,
+      s"expected the fully merged [20,100] session: ${sessions.toSeq}")
+  }
+
   test("sessionizeTimeout closes idle sessions when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
