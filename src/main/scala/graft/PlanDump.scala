@@ -91,6 +91,11 @@ object PlanDump {
       "count/min/max arithmetically per range partition (pushedAggregates in the scan " +
       "description) — Spark's final HashAggregate merges `slices` one-row partials; " +
       "no row is ever generated."),
+    "src_pushdown_limit" -> ("DSv2 limit/offset pushdown (EXACT, isPartiallyPushed=false): " +
+      "the scan description carries PushedLimit/PushedOffset and the generated interval " +
+      "shrinks to exactly the surviving rows — Spark plans NO Limit/Offset operator of " +
+      "its own, so a LIMIT-n exploration query over an arbitrarily large synthetic " +
+      "table reads n rows."),
     "etl_snapshot_read" -> ("Time-travel reads: the SCD2 history builds with one " +
       "shuffle + a PARTITIONED window; the 4-row snapshot-date frame broadcasts onto " +
       "it (BroadcastNestedLoopJoin over 4 rows), and each snapshot's checksum is an " +

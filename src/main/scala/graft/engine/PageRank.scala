@@ -47,14 +47,20 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
-    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // hoist the round-invariant edge⋈outdeg join OUT of the loop: it is
+    // identical every round, and materializing (src, dst, outdeg) once
+    // drops one join per iteration. Carrying outdeg (not a precomputed
+    // 1/outdeg) keeps the per-round `rank / outdeg` a single IEEE divide —
+    // bit-identical to the unhoisted plan and to the oracle's replay.
+    val weighted = e.join(out, "src")
+      .select(col("src"), col("dst"), col("outdeg")).localCheckpoint()
     // empty graph would otherwise surface as an NPE reading the delta agg
-    require(out.limit(1).count() == 1, "page-rank needs a non-empty edge frame")
+    require(weighted.limit(1).count() == 1, "page-rank needs a non-empty edge frame")
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint()
     val deltas = Seq.newBuilder[Double]
     for (_ <- 1 to rounds) {
-      val contribs = e
-        .join(out, "src")
+      val contribs = weighted
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("node"))
         // fixed-point mass sum: exact BIGINT partials make every round's
