@@ -1,0 +1,42 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** First-use creation of the persistent /tmp layouts (bucketed tables,
+  * partitioned parquet, format round-trips, file-stats ranges) that several
+  * catalog queries share.
+  *
+  * Why a JVM-wide lock: sbt runs test SUITES in parallel inside the one
+  * forked JVM, and the layout writers used to be bare check-then-act
+  * (`if (!exists) write`). Two suites racing the same absent layout both
+  * passed the check and overwrote the same path concurrently — the loser's
+  * committed part files vanished under the winner's overwrite, and any
+  * reader holding the pre-overwrite file listing failed with
+  * FAILED_READ_FILE.FILE_NOT_EXIST (observed on graft_bucketed in r6; the
+  * graft_partitioned path is even shared by TWO queries,
+  * pp_partition_pruned and pp_dynamic_pruning's fact side).
+  *
+  * The lock serializes the create window (steady state takes it only for
+  * the exists-check), and every (re)write invalidates Spark's cached file
+  * listings for the path so no stale FileIndex can reference replaced
+  * files. Cross-PROCESS races (two concurrent sbt JVMs) stay out of scope —
+  * the verify recipe already serializes those.
+  */
+object Layouts {
+  private[this] val lock = new Object
+
+  /** Run `write` iff `exists` is false, atomically JVM-wide, then drop any
+    * cached listings under `path`. `exists` must itself be cheap: it is
+    * evaluated under the lock (that's the double-check). */
+  def ensure(s: SparkSession, path: String)(exists: => Boolean)(write: => Unit): Unit =
+    lock.synchronized {
+      if (!exists) {
+        write
+        s.catalog.refreshByPath(path)
+      }
+    }
+
+  /** The common case: existence = the layout's _SUCCESS commit marker. */
+  def ensureCommitted(s: SparkSession, path: String)(write: => Unit): Unit =
+    ensure(s, path)(new java.io.File(s"$path/_SUCCESS").exists())(write)
+}

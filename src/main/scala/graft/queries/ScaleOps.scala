@@ -226,11 +226,13 @@ object ScaleOps {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       def ensure(base: String, df: => DataFrame, key: String): String = {
         val tbl = s"${base}_$tag"
-        if (!s.catalog.tableExists(tbl))
+        graft.engine.Layouts.ensure(s, s"/tmp/graft_bucketed/$tbl")(
+          s.catalog.tableExists(tbl)) {
           df.write.mode("overwrite")
             .bucketBy(8, key).sortBy(key)
             .option("path", s"/tmp/graft_bucketed/$tbl")
             .format("parquet").saveAsTable(tbl)
+        }
         tbl
       }
       val bo = ensure("bj_orders",
@@ -267,12 +269,13 @@ object ScaleOps {
     "pp_dynamic_pruning" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val fact = s"/tmp/graft_partitioned/orders_$tag"
-      if (!new java.io.File(fact + "/_SUCCESS").exists())
+      graft.engine.Layouts.ensureCommitted(s, fact) {
         t(s, d, "orders")
           .withColumn("o_year", year(col("o_orderdate")))
           .write.mode("overwrite").partitionBy("o_year").parquet(fact)
+      }
       val dim = s"/tmp/graft_partitioned/years_$tag"
-      if (!new java.io.File(dim + "/_SUCCESS").exists())
+      graft.engine.Layouts.ensureCommitted(s, dim) {
         t(s, d, "orders")
           .select(year(col("o_orderdate")).as("o_year")).distinct()
           .withColumn("era",
@@ -280,6 +283,7 @@ object ScaleOps {
               .when(col("o_year") < 1998, "mid")
               .otherwise("late"))
           .coalesce(1).write.mode("overwrite").parquet(dim)
+      }
       s.read.parquet(fact)
         .join(broadcast(s.read.parquet(dim).filter(col("era") === "mid")), "o_year")
         .groupBy("o_orderstatus")
@@ -334,6 +338,29 @@ object ScaleOps {
         .option("rows", "100000").option("slices", "8").load()
         .filter(col("doc_id") >= 90000)
         .offset(20).limit(10)
+        .select(col("doc_id"), col("text"), col("score"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- connector-level RUNTIME filtering (SupportsRuntimeFiltering,
+    // SPARK-35779 — the DSv2 analogue of dynamic partition pruning): the
+    // build side's predicate on score is not statically inferable onto
+    // doc_id, so at execution the broadcast's doc_id set returns to the
+    // probe scan as a dynamic In-filter, which the range source applies as
+    // a bounds intersection BEFORE planning partitions — the probe
+    // generates only the joinable slice instead of all 1M rows
+    // (SourcesSpec asserts the collapsed interval; this face hash-checks
+    // the joined answer).
+    "src_runtime_prune" -> ((s, d) => {
+      val _ = d // source is synthetic; sf dir unused
+      val probe = s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "1000000").option("slices", "8").load()
+      val build = s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "1000000").option("slices", "4").load()
+        .filter(col("doc_id") >= 700000 && col("doc_id") < 710000 &&
+          col("score") === 500)
+        .select(col("doc_id").as("k"))
+      probe.join(build, col("doc_id") === col("k"))
         .select(col("doc_id"), col("text"), col("score"))
         .orderBy("doc_id")
     }),
@@ -436,7 +463,7 @@ object ScaleOps {
       val base = s"/tmp/graft_compact/orders_$tag"
       val slice = t(s, d, "orders").filter(col("o_orderkey") % 4 === 0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      if (!new java.io.File(s"$base/frag/_SUCCESS").exists()) {
+      graft.engine.Layouts.ensureCommitted(s, s"$base/frag") {
         // the oracle pins files_before=64, but FileFormatWriter emits NO
         // file for an empty partition — guard the precondition loudly
         // instead of letting a thin slice surface as a hash mismatch
@@ -447,9 +474,10 @@ object ScaleOps {
             s"non-empty row count per round-robin partition; got $n rows at $d")
         slice.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
       }
-      if (!new java.io.File(s"$base/compact/_SUCCESS").exists())
+      graft.engine.Layouts.ensureCommitted(s, s"$base/compact") {
         s.read.parquet(s"$base/frag").repartition(4)
           .write.mode("overwrite").parquet(s"$base/compact")
+      }
       def files(p: String): Long =
         new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
       require(files(s"$base/frag") == 64 && files(s"$base/compact") == 4,
@@ -493,9 +521,10 @@ object ScaleOps {
     "src_csv_roundtrip" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/tmp/graft_formats/orders_csv_$tag"
-      if (!new java.io.File(path + "/_SUCCESS").exists())
+      graft.engine.Layouts.ensureCommitted(s, path) {
         t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
           .write.mode("overwrite").option("header", "true").csv(path)
+      }
       s.read.option("header", "true")
         .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
         .csv(path)
@@ -510,10 +539,11 @@ object ScaleOps {
     "src_orc_roundtrip" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/tmp/graft_formats/lineitem_orc_$tag"
-      if (!new java.io.File(path + "/_SUCCESS").exists())
+      graft.engine.Layouts.ensureCommitted(s, path) {
         t(s, d, "lineitem")
           .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
           .write.mode("overwrite").orc(path)
+      }
       s.read.orc(path)
         .filter(col("l_quantity") < 25)
         .groupBy("l_returnflag")
@@ -531,9 +561,10 @@ object ScaleOps {
     "src_json_roundtrip" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/tmp/graft_formats/customer_json_$tag"
-      if (!new java.io.File(path + "/_SUCCESS").exists())
+      graft.engine.Layouts.ensureCommitted(s, path) {
         t(s, d, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
           .write.mode("overwrite").json(path)
+      }
       s.read.schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
         .json(path)
         .groupBy("c_mktsegment")
@@ -568,10 +599,11 @@ object ScaleOps {
     "pp_partition_pruned" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/tmp/graft_partitioned/orders_$tag"
-      if (!new java.io.File(path + "/_SUCCESS").exists())
+      graft.engine.Layouts.ensureCommitted(s, path) {
         t(s, d, "orders")
           .withColumn("o_year", year(col("o_orderdate")))
           .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      }
       s.read.parquet(path)
         .filter(col("o_year") === 1995)
         .groupBy("o_orderstatus")
@@ -592,11 +624,12 @@ object ScaleOps {
     "layout_file_skipping" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/tmp/graft_filestats/lineitem_$tag"
-      if (!new java.io.File(path + "/_SUCCESS").exists())
+      graft.engine.Layouts.ensureCommitted(s, path) {
         graft.engine.FileSkipping.writeRangedWithStats(
           t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag",
             "l_extendedprice"),
           "l_extendedprice", 8, path)
+      }
       graft.engine.FileSkipping.prunedRead(s, path, "l_extendedprice", 2000.0, 15000.0)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 4).as("rev"))
@@ -719,8 +752,9 @@ object ScaleOps {
       val base = s"/tmp/graft_evolve/orders_$tag"
       // gate on BOTH generations' commit markers: a crash between the two
       // writes must not leave a half-built layout that later runs accept
-      if (!new java.io.File(s"$base/gen=1/_SUCCESS").exists() ||
-          !new java.io.File(s"$base/gen=2/_SUCCESS").exists()) {
+      graft.engine.Layouts.ensure(s, base)(
+        new java.io.File(s"$base/gen=1/_SUCCESS").exists() &&
+          new java.io.File(s"$base/gen=2/_SUCCESS").exists()) {
         val o = t(s, d, "orders")
         o.filter(year(col("o_orderdate")) < 1995)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -958,6 +992,17 @@ object ScaleOps {
         |  'doc ' || doc_id || ' body ' || (doc_id * 7 % 97) AS text,
         |  CAST(doc_id * 31 % 1000 AS BIGINT) AS score
         |FROM (SELECT unnest(range(90020, 90030)) AS doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the runtime-pruned join re-derived: the build side's score predicate
+    // (id·31 mod 1000 = 500) selects exactly one id per 1000 over the
+    // filtered range; the probe contributes the full row for each
+    "src_runtime_prune" ->
+      """SELECT doc_id,
+        |  'doc ' || doc_id || ' body ' || (doc_id * 7 % 97) AS text,
+        |  CAST(doc_id * 31 % 1000 AS BIGINT) AS score
+        |FROM (SELECT unnest(range(700000, 710000)) AS doc_id)
+        |WHERE doc_id * 31 % 1000 = 500
         |ORDER BY doc_id""".stripMargin,
 
     "layout_file_skipping" ->

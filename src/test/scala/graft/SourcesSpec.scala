@@ -103,6 +103,73 @@ class SourcesSpec extends AnyFunSuite with SharedSparkSpec {
     assert(df.collect()(0).getLong(0) == 1000)
   }
 
+  test("exact statistics reach the planner (rows and bytes from the range)") {
+    // 1000 rows × (8 + 24 + 8) bytes — the v2 relation's stats, not the
+    // Long.MaxValue default that makes a source broadcast-ineligible
+    val stats = docs(1000).queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(1000)), s"rowCount: ${stats.rowCount}")
+    assert(stats.sizeInBytes == BigInt(1000L * 40),
+      s"sizeInBytes: ${stats.sizeInBytes}")
+    // pushdown shrinks the stats with the range: a filtered slice reports
+    // the surviving cardinality, so the broadcast decision sees the truth
+    val sliced = docs(1000000).filter(col("doc_id") >= 100 && col("doc_id") < 600)
+    assert(sliced.queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(500)))
+  }
+
+  test("a small filtered slice broadcasts; two big scans sort-merge") {
+    import spark.implicits._
+    val big = docs(2000000, slices = 8)
+    val small = docs(2000000).filter(col("doc_id") >= 500000 && col("doc_id") < 500500)
+      .select(col("doc_id").as("k"), col("score").as("s2"))
+    val bhj = big.join(small, col("doc_id") === col("k")).queryExecution.executedPlan.toString
+    assert(bhj.contains("BroadcastHashJoin"),
+      s"a 500-row slice under the threshold must broadcast:\n$bhj")
+    val other = docs(2000000).select(col("doc_id").as("k"), col("score").as("s2"))
+    val smj = big.join(other, col("doc_id") === col("k")).queryExecution.executedPlan.toString
+    assert(smj.contains("SortMergeJoin"),
+      s"two 80 MB scans must NOT both broadcast:\n$smj")
+    val _ = $""  // keep implicits import referenced
+  }
+
+  test("join-key constraints are inferred onto the probe scan statically") {
+    // build side filtered on doc_id directly: Catalyst's constraint
+    // propagation (doc_id = k ∧ k ∈ [lo, hi)) pushes the SAME range into
+    // the unfiltered probe side — no runtime machinery needed, both scans
+    // generate only the joinable slice
+    val joined = docs(1000000, slices = 8).join(
+      docs(1000000).filter(col("doc_id") >= 700000 && col("doc_id") < 700050)
+        .select(col("doc_id").as("k")),
+      col("doc_id") === col("k"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("[0, 1000000)"),
+      s"the probe scan must inherit the inferred doc_id range:\n$p")
+    assert(joined.count() == 50)
+  }
+
+  test("runtime filtering prunes the generated range on the probe side") {
+    // build-side predicate on score is NOT statically inferable onto
+    // doc_id, so only SPARK-35779 runtime filtering can prune the probe:
+    // the broadcast's doc_id set comes back as a dynamic In-filter, and the
+    // scan applies it as a bounds intersection BEFORE planning partitions.
+    // score = id*31 % 1000, gcd(31,1000)=1 → exactly one hit per 1000
+    // consecutive ids; in [700000, 701000) that is id 700500.
+    val probe = docs(1000000, slices = 8)
+    val build = docs(1000000)
+      .filter(col("doc_id") >= 700000 && col("doc_id") < 701000 && col("score") === 500)
+      .select(col("doc_id").as("k"))
+    val joined = probe.join(build, col("doc_id") === col("k"))
+    val planned = joined.queryExecution.executedPlan.toString
+    assert(planned.contains("RuntimeFilters: [dynamicpruningexpression"),
+      s"the probe scan must accept a dynamic-pruning runtime filter:\n$planned")
+    assert(joined.collect().map(_.getLong(0)).toSeq == Seq(700500L))
+    // the scan's description reads its live bounds: after execution the
+    // dynamic In-list {700500} must have collapsed the probe range to the
+    // single joinable row — generated rows, not post-scan filtering
+    val executed = joined.queryExecution.executedPlan.toString
+    assert(executed.contains("[700500, 700501)"),
+      s"the runtime In-filter must shrink the generated interval itself:\n$executed")
+  }
+
   test("grouped or non-doc_id aggregates fall back to the row scan") {
     val df = docs(1000).groupBy((col("doc_id") % 2).as("b")).agg(min("score"))
     val p = df.queryExecution.executedPlan.toString
