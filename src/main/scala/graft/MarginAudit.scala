@@ -61,7 +61,9 @@ object MarginAudit {
     // exact 0.0/1.0): one correctly-rounded IEEE divide on bit-identical
     // operands, so a boundary tie like 31/32 = 0.968750 is reproducible
     "dd_jaccard_verify", "dd_containment", "tx_corpus_profile",
-    "tx_dup_ngram_fraction")
+    "tx_dup_ngram_fraction",
+    // clustering = 3·triangles/wedges — one divide on exact BIGINTs
+    "graph_triangles")
 
   /** A query whose rounded doubles cannot move between runs. */
   def deterministic(name: String): Boolean =

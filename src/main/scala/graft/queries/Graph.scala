@@ -80,6 +80,28 @@ object Graph {
         .select(((col("node") - 1) / 2).cast("bigint").as("s_suppkey"),
           round(col("rank"), 4).as("rank"))
         .orderBy("s_suppkey")
+    }),
+
+    // ---- triangle counting + global clustering coefficient over the
+    // co-supply graph (two suppliers sharing a part), the third graph
+    // staple after degrees and rank. The counting itself is
+    // engine.Triangles — degree-ordered orientation, Σ C(outdeg,2) =
+    // O(|E|^1.5) wedge candidates, hub-safe at 100 TB (see its scaladoc;
+    // TriangleSpec pins it on planted graphs). The oracle counts the same
+    // triangles with the simpler id-ordering — orientation choice cannot
+    // change the count.
+    "graph_triangles" -> ((s, d) => {
+      val sp = t(s, d, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+      val e = sp.as("a").join(sp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+      graft.engine.Triangles.census(e)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          // 3·closed / all wedges — a ratio of exact integers, so the
+          // rounded double is the same on both engines at any merge order
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4)
+            .as("clustering"))
     })
   )
 
@@ -92,6 +114,26 @@ object Graph {
         |outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
         |SELECT outdeg, count(*) AS n_nodes FROM outd
         |GROUP BY outdeg ORDER BY outdeg""".stripMargin,
+
+    // same triangles counted with the simpler id-ordering (u < v < w):
+    // orientation choice cannot change the count, so the degree-ordered
+    // Spark plan and this plain three-way join must agree exactly
+    "graph_triangles" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |      FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk),
+        |deg AS (SELECT node, count(*) AS dg
+        |        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        |        GROUP BY node),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  n_triangles,
+        |  round(3.0 * n_triangles /
+        |    (SELECT CAST(sum(dg * (dg - 1)) / 2 AS BIGINT) FROM deg), 4) AS clustering
+        |FROM tri""".stripMargin,
 
     "graph_rank_step" ->
       s"""WITH edges AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst

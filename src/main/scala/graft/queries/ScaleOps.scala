@@ -682,6 +682,35 @@ object ScaleOps {
             greatest(lit(2.0), col("exact_parts") * 0.10)).as("within_bound"))
         .orderBy("l_returnflag")),
 
+    // ---- the mergeable-sketch TABLE pattern (Apache DataSketches HLL,
+    // SPARK-16484 family): per-priority sketches of the customer set are
+    // built ONCE as binary partials, then re-aggregated with hll_union_agg
+    // — the union estimate comes from the stored sketches, not a second
+    // fact scan. At 100 TB this is how a daily distinct-users rollup
+    // works: each partition/day persists a ~2 KB sketch, and any window's
+    // distinct count is a union over sketch rows — O(days), not O(events).
+    // HLL register state depends only on the value SET (max per register),
+    // so estimates are merge-order-deterministic — safe to hash. lgK=12
+    // gives RSE ≈ 1.6%; the 5% bound is the deterministic-safe margin, and
+    // the oracle asserts the bound literally TRUE from exact counts.
+    "sketch_hll_union" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val sk = o.groupBy("o_orderpriority")
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"),
+             countDistinct(col("o_custkey")).as("exact_custs"))
+        .cache()
+      val uni = sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("union_est"))
+      val exactAll = o.agg(countDistinct(col("o_custkey")).as("exact_all"))
+      sk.select(col("o_orderpriority"), col("exact_custs"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_custs")) <=
+            greatest(lit(3.0), col("exact_custs") * 0.05)).as("group_ok"))
+        .crossJoin(broadcast(uni.crossJoin(exactAll).select(
+          (abs(col("union_est") - col("exact_all")) <=
+            greatest(lit(3.0), col("exact_all") * 0.05)).as("union_ok"))))
+        .orderBy("o_orderpriority")
+    }),
+
     // Quantile sketch bound check: percentile_approx(accuracy=10000) promises
     // the returned value's RANK is within eps*n (eps = 1/accuracy) of the
     // target rank q*n. We join the (tiny, broadcast) per-group quantile rows
@@ -1031,6 +1060,14 @@ object ScaleOps {
         |  count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact per-group and global distincts; both sketch bounds asserted
+    // literally TRUE (the sketch-oracle pattern: a drifting estimate
+    // hash-mismatches the boolean)
+    "sketch_hll_union" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_custs,
+        |  TRUE AS group_ok, TRUE AS union_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "sketch_quantiles" ->
       """SELECT o_orderstatus, q, n, TRUE AS rank_ok

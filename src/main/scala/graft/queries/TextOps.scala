@@ -25,6 +25,34 @@ object TextOps {
         .select("doc_id", "n_raw_tokens", "n_tokens", "len_chars", "n_chars")
         .orderBy("doc_id")),
 
+    // ---- sliding token-window chunking (the RAG / context-window prep
+    // op): every document becomes ⌈(len−W)/S⌉+1 overlapping chunks of
+    // W=40 tokens at stride S=20, identified by (doc_id, chunk_id) with an
+    // md5 content signature instead of the text itself (the downstream
+    // embed step wants bounded rows, not a second copy of the corpus). At
+    // 100 TB this is a pure scan-side explode — no shuffle, output rows ≈
+    // 2× token count / W — and the chunker never materializes a string
+    // longer than one window. Chunk geometry is integer arithmetic only,
+    // so both engines agree exactly; slice clamps the final short chunk
+    // identically on both sides.
+    "tx_chunk_sliding" -> ((s, d) => {
+      val W = 40; val S = 20
+      t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+        .withColumn("len", size(col("toks")))
+        .withColumn("n_chunks",
+          when(col("len") <= W, lit(1))
+            .otherwise((col("len") - W + (S - 1)).divide(S).cast("int") + 1))
+        .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
+        .withColumn("chunk_id", col("chunk_idx").cast("bigint"))
+        .withColumn("chunk",
+          slice(col("toks"), (col("chunk_id") * S + 1).cast("int"), lit(W)))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("bigint").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_sig"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // quality scoring: length/uniqueness/stopword-ratio heuristics.
     "tx_quality" -> ((s, d) => {
       val toks = col("__toks")
@@ -644,6 +672,22 @@ object TextOps {
          |  CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tokens,
          |  CAST(length(text) AS BIGINT) AS len_chars, n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same W=40/S=20 window geometry in integer arithmetic; list_slice
+    // clamps the final short chunk exactly like Spark's slice
+    "tx_chunk_sliding" ->
+      s"""WITH tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |        CASE WHEN len(toks) <= 40 THEN 1
+         |             ELSE (len(toks) - 40 + 19) // 20 + 1 END AS n_chunks
+         |      FROM tl),
+         |c AS (SELECT doc_id, toks,
+         |        CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_id
+         |      FROM n)
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(list_slice(toks, chunk_id * 20 + 1, chunk_id * 20 + 40)) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(list_slice(toks, chunk_id * 20 + 1, chunk_id * 20 + 40), ' ')) AS chunk_sig
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "tx_quality" ->
       s"""SELECT doc_id, n_tokens, n_uniq,

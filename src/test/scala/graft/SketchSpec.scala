@@ -76,6 +76,30 @@ class SketchSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("sketch_hll_union: bound booleans all true; union of partial sketches ≈ global distinct") {
+    val rows = SparkEntry.queries("sketch_hll_union")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("group_ok")) && r.getBoolean(r.fieldIndex("union_ok")),
+        s"HLL bound violated for ${r.getString(0)}")
+    }
+    // the mergeability contract itself: estimate(union(per-group sketches))
+    // must approximate the DIRECT global sketch of the same column — the
+    // whole point of persisting sketch partials instead of raw keys
+    val o = Tables.load(spark, d, "orders")
+    val viaUnion = o.groupBy("o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      .collect()(0).getLong(0)
+    val direct = o.agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(12))))
+      .collect()(0).getLong(0)
+    // identical value sets hitting identical register layouts: the union of
+    // per-group sketches over a PARTITION of the rows is the same sketch
+    // state as one pass — exact equality, not just within-error
+    assert(viaUnion == direct,
+      s"union-of-partials $viaUnion != direct sketch $direct")
+  }
+
   test("misra-gries: planted heavy hitter survives with a bounded undercount") {
     import spark.implicits._
     // 30% of the stream is one token, the tail is 200 near-unique tokens —

@@ -7,6 +7,28 @@ import graft.engine.{TextFunctions => T, Vectors => V}
 /** Unit semantics for the text-hash and vector primitives. */
 class TextVectorSpec extends AnyFunSuite with SharedSparkSpec {
 
+  test("tx_chunk_sliding: window geometry invariants at sf0.001") {
+    val rows = SparkEntry.queries("tx_chunk_sliding")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0)).values
+    byDoc.foreach { cs =>
+      val sorted = cs.sortBy(_.getLong(1))
+      // chunk ids are dense from 0
+      assert(sorted.map(_.getLong(1)).toSeq == sorted.indices.map(_.toLong))
+      val ns = sorted.map(_.getLong(2))
+      // every chunk is a full window except possibly the last, which is
+      // still longer than the stride remainder (else it would have been
+      // absorbed by the previous window)
+      assert(ns.init.forall(_ == 40L), s"interior chunk not full: $ns")
+      // a multi-chunk doc's tail carries the stride remainder, which the
+      // ceil geometry keeps in (W−S, W] — a shorter tail would have been
+      // absorbed by the previous window
+      if (ns.length > 1) assert(ns.last > 20L && ns.last <= 40L, s"tail: $ns")
+      else assert(ns.last >= 1L && ns.last <= 40L)
+    }
+  }
+
   test("tokenizer drops empties; hashes are order-sensitive and deterministic") {
     import spark.implicits._
     val df = Seq("the quick brown fox", "quick the brown fox", "the quick brown fox")
