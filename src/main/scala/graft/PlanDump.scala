@@ -102,7 +102,23 @@ object PlanDump {
       "exact BIGINT sum."),
     "etl_incremental_rollup" -> ("MV refresh: base and delta rollups collapse in " +
       "partial aggregation before their union; the merge re-aggregates rollup-sized " +
-      "frames only — history facts are scanned once, never re-joined.")
+      "frames only — history facts are scanned once, never re-joined."),
+    "src_runtime_prune" -> ("DSv2 runtime filtering (SPARK-35779): the probe scan " +
+      "carries RuntimeFilters: [dynamicpruningexpression(doc_id IN ...)] — the " +
+      "broadcast build side's key set returns to the scan before partition planning " +
+      "and collapses the generated interval to the joinable slice."),
+    "graph_triangles" -> ("Degree-ordered triangle counting: edge distinct, wedge " +
+      "self-join on the apex (fan-out capped by ORIENTED out-degree — O(E^1.5) " +
+      "candidates, hub-safe), one closing-edge equi-join; shape census rides the " +
+      "same cached edge frame."),
+    "sketch_hll_union" -> ("Mergeable HLL sketch table: per-group hll_sketch_agg " +
+      "partials collapse map-side; the union estimate re-aggregates the sketch " +
+      "COLUMN (hll_union_agg), not the fact — O(groups) merge, one fact scan per " +
+      "side."),
+    "tx_chunk_sliding" -> ("Sliding token windows: tokenize → integer chunk " +
+      "geometry → explode → slice, all scan-side codegen in ONE stage before the " +
+      "output sort — no shuffle touches the corpus, and no chunk string longer " +
+      "than one window materializes.")
   )
 
   def main(args: Array[String]): Unit = {
