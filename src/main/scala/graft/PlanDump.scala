@@ -87,6 +87,12 @@ object PlanDump {
     "sub_not_in_null_trap" -> ("NOT IN under a nullable subquery: null-aware broadcast " +
       "anti join beside the plain NOT EXISTS anti join — both existence tests, no " +
       "nested-loop scans."),
+    "dd_bloom_prefilter" -> ("Bloom-prefilter contamination screen: the 256-word benchmark " +
+      "bitmap broadcasts onto the corpus scan (BroadcastHashJoin), so membership is " +
+      "scan-side bit math; only bloom survivors reach the exact fingerprint semi-join."),
+    "dd_substring_spans" -> ("Duplicated-substring spans: 8-gram hashes shuffle once for " +
+      "the df count, join back on the gram key, and span merging is a doc-PARTITIONED " +
+      "window (island trick) — no global sort, no doc×doc comparison."),
     "src_pushdown_agg" -> ("DSv2 aggregate pushdown (partial): the BatchScan answers " +
       "count/min/max arithmetically per range partition (pushedAggregates in the scan " +
       "description) — Spark's final HashAggregate merges `slices` one-row partials; " +

@@ -381,6 +381,91 @@ object Dedup {
         .orderBy("test_id")
     }),
 
+    // duplicated-substring span detection (the passage-level exact-dedup
+    // primitive from "Deduplicating Training Data Makes Language Models
+    // Better", Lee et al. 2022, re-expressed relationally): every 8-token
+    // window is hashed with the rolling polynomial fold; windows whose hash
+    // occurs in ≥2 distinct docs (df-capped at 100 — the same hot-key cap
+    // as the shingle pipeline: boilerplate windows would otherwise explode
+    // the join AND are meaningless as dedup evidence) are duplicate grams;
+    // per doc, overlapping/adjacent gram starts (gap ≤ 8) merge into
+    // maximal spans via the island trick (break-flag + running sum — a
+    // PARTITIONED window, never global). Scale shape: one shuffle keyed on
+    // the gram hash for the df count, one join back, one doc-partitioned
+    // window — gram fan-out is |tokens| per doc, linear in corpus size.
+    "dd_substring_spans" -> ((s, d) => {
+      val kg = corpus(s, d)
+        .withColumn("__th", T.tokenHashes(col("text")))
+        .filter(size(col("__th")) >= 8)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(1), size(col("__th")) - 7),
+            i => aggregate(slice(col("__th"), i, lit(8)), lit(0L),
+              (a, h) => (a * 131L + h) % 1000000007L))))
+        .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"), col("col").as("kh"))
+      val dup = kg.groupBy("kh")
+        .agg(countDistinct("doc_id").as("ndocs"))
+        .filter(col("ndocs") >= 2 && col("ndocs") <= 100)
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      kg.join(dup, "kh")
+        .withColumn("brk", when(lag("pos", 1).over(w).isNull ||
+          col("pos") - lag("pos", 1).over(w) > 8, 1).otherwise(0))
+        .withColumn("island",
+          sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("span_start"), (max("pos") + 7).as("span_end"),
+          count(lit(1)).as("n_grams"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_tokens"), col("n_grams"))
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // bloom-prefilter contamination screen — the two-stage membership
+    // funnel every at-scale decontamination pass runs: build an m=16384-bit
+    // / k=3 Bloom filter over the benchmark set's document fingerprints
+    // (exact bit math, built as a 256-word bitmap via bit_or aggregation,
+    // the agg_bitmap_distinct move), broadcast it, screen the full corpus
+    // against it scan-side, and exact-verify only the survivors. Output is
+    // the per-source funnel (docs → bloom hits → exact hits), so the
+    // filter's false-positive work is visible in the result. Scale shape:
+    // the bitmap is KBs broadcast to every executor — the corpus-side
+    // membership test is a scan + tiny-broadcast join, NEVER a shuffle of
+    // corpus fingerprints against the reference set; only the bloom
+    // survivors (benchmark-rate ≪ corpus) reach the exact semi-join. The
+    // bloom math is deterministic (same fp·A+B mod P mod m probes on both
+    // engines), so even the false-positive count is oracle-exact.
+    "dd_bloom_prefilter" -> ((s, d) => {
+      val P = 1000000007L
+      val m = 16384L
+      def positions(fp: Column): Column = array((0 until 3).map { j =>
+        val a = ((j + 1) * 2654435761L) % P
+        val b = (j * 40503L + 17L) % P
+        (fp * a + b) % P % m
+      }: _*)
+      val bench = t(s, d, "documents").filter(col("doc_id") % 37 === 0)
+        .select(T.fingerprint(col("text")).as("fp")).distinct().cache()
+      val words = bench
+        .select(explode(positions(col("fp"))).as("pos"))
+        .groupBy(shiftright(col("pos"), 6).as("widx"))
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))")).as("word"))
+      val cfp = corpus(s, d)
+        .select(col("doc_id"), col("source"), T.fingerprint(col("text")).as("fp"))
+        .cache()
+      val bloomHits = cfp
+        .select(col("doc_id"), col("source"), explode(positions(col("fp"))).as("pos"))
+        .join(broadcast(words), shiftright(col("pos"), 6) === col("widx"))
+        .filter(expr("word & shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))") =!= 0)
+        .groupBy("doc_id", "source").agg(count(lit(1)).as("k_hits"))
+        .filter(col("k_hits") === 3)
+      val exactHits = cfp.join(broadcast(bench), "fp")
+      cfp.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(bloomHits.groupBy("source").agg(count(lit(1)).as("n_bloom_hits")), Seq("source"), "left")
+        .join(exactHits.groupBy("source").agg(count(lit(1)).as("n_exact_hits")), Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"),
+          coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"))
+        .orderBy("source")
+    }),
+
     // incremental dedup: classify an INCOMING batch against the existing
     // corpus — the shape every continuously-ingesting pipeline runs per
     // batch instead of re-deduping 100 TB from scratch. Stage 1: exact
@@ -587,6 +672,72 @@ object Dedup {
          |  max(CASE WHEN rk = 1 THEN doc_id END) AS best_id,
          |  max(CASE WHEN rk = 1 THEN len END) AS best_len
          |FROM ranked GROUP BY cid HAVING count(*) > 1 ORDER BY cluster_id""".stripMargin,
+
+    // same rolling 8-gram hash (the unnested range is empty for docs under
+    // 8 tokens, matching the Spark size filter), same df cap, same island
+    // merge — all integer math, so spans agree exactly
+    "dd_substring_spans" ->
+      s"""$corpusCte,
+         |th AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM docs),
+         |kg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + 7)),
+         |      (a, h) -> (a*131 + h) % ${S.P}) AS kh
+         |  FROM (SELECT doc_id, th, unnest(range(1, len(th) - 6)) AS i FROM th)),
+         |dup AS (SELECT kh FROM kg GROUP BY kh
+         |        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 100),
+         |dp AS (SELECT kg.doc_id, kg.pos FROM kg JOIN dup USING (kh)),
+         |brks AS (SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |isl AS (SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                   ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM brks)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+         |  max(pos) + 7 - min(pos) + 1 AS span_tokens, count(*) AS n_grams
+         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    // identical bloom math: same fp·A_j+B_j mod P mod m probes, same
+    // 256-word bitmap build, same all-k membership test — so bloom hit
+    // counts (false positives included) match the Spark side bit-for-bit.
+    // Bit 63 is written as the Long.MIN_VALUE literal: Spark's shiftleft
+    // wraps 1<<63 silently, DuckDB raises an overflow error — the CASE
+    // produces the identical bit pattern without the checked shift
+    "dd_bloom_prefilter" -> {
+      val P = 1000000007L
+      def pos(j: Int, fp: String): String = {
+        val a = ((j + 1) * 2654435761L) % P
+        val b = (j * 40503L + 17L) % P
+        s"((($fp) * $a + $b) % $P) % 16384"
+      }
+      def posList(fp: String): String =
+        (0 until 3).map(pos(_, fp)).mkString("[", ", ", "]")
+      s"""$corpusCte,
+         |cf AS (SELECT doc_id, source, ${S.fingerprint(S.tokenHashes("text"))} AS fp FROM docs),
+         |bf AS (SELECT DISTINCT ${S.fingerprint(S.tokenHashes("text"))} AS fp
+         |       FROM documents WHERE doc_id % 37 = 0),
+         |bpos AS (SELECT unnest(${posList("fp")}) AS pos FROM bf),
+         |words AS (SELECT pos // 64 AS widx,
+         |    bit_or(CASE WHEN pos % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+         |                ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INTEGER) END) AS word
+         |  FROM bpos GROUP BY 1),
+         |cpos AS (SELECT doc_id, source, unnest(${posList("fp")}) AS pos FROM cf),
+         |bloom AS (SELECT doc_id, source FROM cpos JOIN words ON pos // 64 = widx
+         |  WHERE (word & (CASE WHEN pos % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+         |                      ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INTEGER) END)) != 0
+         |  GROUP BY doc_id, source HAVING count(*) = 3),
+         |ex AS (SELECT cf.doc_id, cf.source FROM cf JOIN bf ON cf.fp = bf.fp),
+         |nd AS (SELECT source, count(*) AS n_docs FROM cf GROUP BY source),
+         |nb AS (SELECT source, count(*) AS n_bloom_hits FROM bloom GROUP BY source),
+         |ne AS (SELECT source, count(*) AS n_exact_hits FROM ex GROUP BY source)
+         |SELECT nd.source AS source, n_docs,
+         |  coalesce(n_bloom_hits, CAST(0 AS BIGINT)) AS n_bloom_hits,
+         |  coalesce(n_exact_hits, CAST(0 AS BIGINT)) AS n_exact_hits
+         |FROM nd LEFT JOIN nb ON nd.source = nb.source
+         |LEFT JOIN ne ON nd.source = ne.source
+         |ORDER BY nd.source""".stripMargin
+    },
 
     "dd_contamination" ->
       s"""WITH spl AS (SELECT doc_id, text,

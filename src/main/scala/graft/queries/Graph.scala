@@ -82,6 +82,29 @@ object Graph {
         .orderBy("s_suppkey")
     }),
 
+    // ---- multi-source BFS layers: hop distance from nation 3's
+    // suppliers through the symmetric trading graph (engine.Bfs — the
+    // integer iterative closure beside CC and PageRank; frontier-
+    // proportional work per round, one count to the driver, lineage
+    // truncated per round). Ids are encoded disjoint (customers even,
+    // suppliers odd) per the engine caller contract. The output is the
+    // per-distance node census — bounded by the hop cap at any data scale,
+    // never a per-node frame. The 6-hop bound is shared with the oracle's
+    // bounded recursive CTE, so both sides truncate identically (at this
+    // graph's density everything reachable settles by hop ~3).
+    "graph_bfs_layers" -> ((s, d) => {
+      val base = edges(s, d)
+        .select((col("src") * 2).as("src"), (col("dst") * 2 + 1).as("dst"))
+      val sym = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, d, "supplier").filter(col("s_nationkey") === 3)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      graft.engine.Bfs.run(sym, seeds, maxRounds = 6)
+        .groupBy("dist")
+        .agg(count(when(col("node") % 2 === 0, 1)).as("n_customers"),
+             count(when(col("node") % 2 === 1, 1)).as("n_suppliers"))
+        .orderBy("dist")
+    }),
+
     // ---- triangle counting + global clustering coefficient over the
     // co-supply graph (two suppliers sharing a part), the third graph
     // staple after degrees and rank. The counting itself is
@@ -134,6 +157,24 @@ object Graph {
         |  round(3.0 * n_triangles /
         |    (SELECT CAST(sum(dg * (dg - 1)) / 2 AS BIGINT) FROM deg), 4) AS clustering
         |FROM tri""".stripMargin,
+
+    // bounded recursive CTE twin of engine.Bfs: UNION-dedup on (node, dist)
+    // pairs, growth cut by the same 6-hop cap the Spark loop uses, then
+    // min(dist) per node — identical truncation semantics on both sides
+    "graph_bfs_layers" ->
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |ed AS (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM e0
+        |       UNION ALL SELECT dst * 2 + 1, src * 2 FROM e0),
+        |r(node, dist) AS (
+        |  SELECT s_suppkey * 2 + 1, CAST(0 AS BIGINT) FROM supplier WHERE s_nationkey = 3
+        |  UNION
+        |  SELECT ed.dst, r.dist + 1 FROM r JOIN ed ON ed.src = r.node WHERE r.dist < 6),
+        |md AS (SELECT node, min(dist) AS dist FROM r GROUP BY node)
+        |SELECT dist,
+        |  count(CASE WHEN node % 2 = 0 THEN 1 END) AS n_customers,
+        |  count(CASE WHEN node % 2 = 1 THEN 1 END) AS n_suppliers
+        |FROM md GROUP BY dist ORDER BY dist""".stripMargin,
 
     "graph_rank_step" ->
       s"""WITH edges AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst

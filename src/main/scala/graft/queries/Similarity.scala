@@ -78,6 +78,37 @@ object Similarity {
         .orderBy("a", "b")
     }),
 
+    // ---- semantic dedup, SemDeDup-shaped (Abbas et al. 2023): block by
+    // k-means cluster assignment (nearest of the 8 deterministic seed
+    // centroids, same struct-min argmin + tie-break as emb_kmeans_step),
+    // then exact pairwise cosine ONLY within each cluster; pairs ≥ 0.9 are
+    // semantic duplicates (keep = lower id). Differs from sim_neardup_pairs
+    // in the blocking function: centroid assignment (data-adaptive, the
+    // published SemDeDup design) vs fixed LSH hyperplanes. Scale shape:
+    // centroids stay broadcast-sized; the quadratic work is confined to
+    // within-cluster pairs, and at 100 TB the cluster COUNT grows with the
+    // corpus (SemDeDup runs k ∝ N) so per-cluster size — and the per-key
+    // shuffle group — stays bounded; nothing all-pairs ever shuffles.
+    "emb_semantic_dedup" -> ((s, d) => {
+      val seeds = emb(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("v").as("c"))
+      val asn = embWithVariants(s, d).crossJoin(broadcast(seeds))
+        .withColumn("dist2",
+          aggregate(zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("seed_id"), col("v"))).as("m"))
+        .select(col("vec_id"), col("m.seed_id").as("cluster"), col("m.v").as("v"))
+        .cache()
+      asn.as("x").join(asn.as("y"),
+          col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+        .withColumn("cos", round(V.cosine(col("x.v"), col("y.v")), 6))
+        .filter(col("cos") >= 0.9)
+        .select(col("x.cluster").as("cluster"), col("x.vec_id").as("keep_id"),
+          col("y.vec_id").as("drop_id"), col("cos"))
+        .orderBy("keep_id", "drop_id")
+    }),
+
     // IVF-style ANN: coarse quantizer = per-label centroids (labels stand in
     // for the k-means assignment), query probes the nprobe=2 nearest
     // centroids, exact cosine only within probed partitions. At 100 TB this
@@ -383,6 +414,27 @@ object Similarity {
          |  SELECT x.vec_id AS a, y.vec_id AS b, round(${S.cosine("x.v", "y.v")}, 4) AS cos
          |  FROM b x JOIN b y ON x.label = y.label AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |WHERE cos >= 0.9 ORDER BY a, b""".stripMargin,
+
+    // same dist2 fold + (dist2, seed_id) tie-break as the emb_kmeans_step
+    // twin; seeds come from the RAW embeddings (e), members from the
+    // variants union (ev) — matching the Spark side exactly
+    "emb_semantic_dedup" ->
+      s"""$variantsCte,
+         |seeds AS (SELECT vec_id AS seed_id, v AS c FROM e WHERE vec_id < 8),
+         |a AS (SELECT ev.vec_id, ev.v, s.seed_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(ev.v, s.c), p -> (p[1]-p[2])*(p[1]-p[2]))),
+         |      (acc, x) -> acc + x) AS dist2
+         |  FROM ev CROSS JOIN seeds s),
+         |best AS (SELECT vec_id, v, seed_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist2, seed_id) AS rn FROM a)
+         |  WHERE rn = 1)
+         |SELECT cluster, keep_id, drop_id, cos FROM (
+         |  SELECT x.seed_id AS cluster, x.vec_id AS keep_id, y.vec_id AS drop_id,
+         |    round(${S.cosine("x.v", "y.v")}, 6) AS cos
+         |  FROM best x JOIN best y ON x.seed_id = y.seed_id AND x.vec_id < y.vec_id)
+         |WHERE cos >= 0.9 ORDER BY keep_id, drop_id""".stripMargin,
 
     "sim_ivf_topk" ->
       s"""$embCte,
