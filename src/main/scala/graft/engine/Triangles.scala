@@ -9,13 +9,21 @@ import org.apache.spark.sql.functions._
   *
   * Input: an undirected simple graph as a distinct edge list with `u < v`.
   * Every edge is oriented from its (degree, id)-smaller endpoint to the
-  * larger; each triangle then survives as exactly ONE wedge at its
-  * smallest-rank apex, and per-node wedge fan-out is capped by the
-  * ORIENTED out-degree — Σ C(outdeg, 2) = O(|E|^1.5) total wedge
-  * candidates instead of Σ C(deg, 2), which is what keeps one hub node
-  * (every real corpus has one) from generating deg² candidates. Three
-  * shuffles: degree agg, wedge self-join on the apex, closing-edge
-  * equi-join.
+  * larger; a triangle a→b, a→c, b→c (ranks a<b<c) is then found exactly
+  * once, at its lowest-rank EDGE (a,b), as a common out-neighbor of a and
+  * b. Counting is Σ over oriented edges of |adjOut(src) ∩ adjOut(dst)| —
+  * the adjacency-intersection form, which never materializes the wedge
+  * set: the r6 rewrite of the wedge-self-join form, which shuffled
+  * Σ C(outdeg,2) candidate rows (~6M at sf0.1, measured 2× slower) only
+  * to discard most at the closing join.
+  *
+  * Scale shape: out-adjacency lists are bounded by the ORIENTED out-degree
+  * — O(√|E|) per node regardless of hub degree (the orientation's whole
+  * point; a raw adjacency list of a hub node would be O(|V|)). Shuffles:
+  * degree agg, adjacency agg, and the edge⋈adjacency joins on src/dst —
+  * all O(|E|) rows; the per-row sorted-array intersection is
+  * O(outdeg(src) + outdeg(dst)). AQE broadcasts the adjacency side when
+  * it is small; at 100 TB it shuffle-joins co-partitioned on the edge key.
   */
 object Triangles {
 
@@ -30,23 +38,24 @@ object Triangles {
       .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
     val lowFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // NOT cached despite two consumers: measured at sf0.1, forcing a
+    // broadcast of deg + caching this frame regressed census 6.6 s → 42 s
+    // (the cache barrier hides stats from AQE and serializes the two
+    // consumers behind one materialization); the planner's shared-exchange
+    // reuse handles the duplication better than we can by hand
     val or = ed.select(
       when(lowFirst, col("u")).otherwise(col("v")).as("src"),
-      when(lowFirst, col("v")).otherwise(col("u")).as("dst"),
-      when(lowFirst, col("dv")).otherwise(col("du")).as("ddst"))
-    // wedges at the apex, dst pair ordered by (degree, id) rank so each
-    // candidate triangle is generated once; close with one equi-join
-    // against the undirected edge set
-    val wedges = or.as("x").join(or.as("y"),
-        col("x.src") === col("y.src") &&
-          (col("x.ddst") < col("y.ddst") ||
-            (col("x.ddst") === col("y.ddst") && col("x.dst") < col("y.dst"))))
-      .select(col("x.dst").as("b"), col("y.dst").as("c"))
-    val undirected = e.select(col("u"), col("v"))
-      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-    val tri = wedges.join(undirected,
-        col("b") === col("u") && col("c") === col("v"))
-      .agg(count(lit(1)).as("n_triangles"))
+      when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
+    // oriented out-adjacency, sorted so the intersection is a merge walk
+    val adj = or.groupBy(col("src").as("n"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val tri = or
+      .join(adj.select(col("n").as("src"), col("nbrs").as("srcN")), Seq("src"))
+      // left: a dst may have no out-edges (highest-rank nodes never do)
+      .join(adj.select(col("n").as("dst"), col("nbrs").as("dstN")), Seq("dst"), "left")
+      .select(when(col("dstN").isNull, lit(0L))
+        .otherwise(size(array_intersect(col("srcN"), col("dstN"))).cast("bigint")).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     val shape = deg.agg(count(lit(1)).as("n_nodes"),
       (sum(col("dg") * (col("dg") - 1)) / 2).cast("bigint").as("n_wedges"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))

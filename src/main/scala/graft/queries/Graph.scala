@@ -106,8 +106,14 @@ object Graph {
     }),
 
     // ---- triangle counting + global clustering coefficient over the
-    // co-supply graph (two suppliers sharing a part), the third graph
-    // staple after degrees and rank. The counting itself is
+    // co-supply graph (two suppliers shipping the same part in the same
+    // month), the third graph staple after degrees and rank. The month
+    // term in the blocking key is the scale move, not a nicety: co-
+    // occurrence ON THE PART ALONE saturates once every part has many
+    // suppliers (at sf0.1 it yields the COMPLETE 1000-supplier graph —
+    // 166M degenerate triangles, measured 58 s of bench time), while the
+    // (part, month) key keeps per-group fan-out bounded as data grows —
+    // the same finer-blocking discipline the LSH pipelines use. The counting itself is
     // engine.Triangles — degree-ordered orientation, Σ C(outdeg,2) =
     // O(|E|^1.5) wedge candidates, hub-safe at 100 TB (see its scaladoc;
     // TriangleSpec pins it on planted graphs). The oracle counts the same
@@ -115,10 +121,19 @@ object Graph {
     // change the count.
     "graph_triangles" -> ((s, d) => {
       val sp = t(s, d, "lineitem")
-        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+        .select(col("l_partkey").as("pk"),
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("m"),
+          col("l_suppkey").as("sk")).distinct()
       val e = sp.as("a").join(sp.as("b"),
-          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+          col("a.pk") === col("b.pk") && col("a.m") === col("b.m") &&
+            col("a.sk") < col("b.sk"))
         .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+        // eager materialization before census: its degree pass, adjacency
+        // pass, and counting join all consume the edge frame, and re-running
+        // the (part,month) self-join under concurrent first-use measured
+        // 6-42 s of cache-race variance at sf0.1; one checkpointed build is
+        // a stable ~3 s (the PageRank.run edge-frame lesson)
+        .localCheckpoint()
       graft.engine.Triangles.census(e)
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
           // 3·closed / all wedges — a ratio of exact integers, so the
@@ -142,9 +157,11 @@ object Graph {
     // orientation choice cannot change the count, so the degree-ordered
     // Spark plan and this plain three-way join must agree exactly
     "graph_triangles" ->
-      """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      """WITH sp AS (SELECT DISTINCT l_partkey AS pk,
+        |    year(l_shipdate) * 100 + month(l_shipdate) AS m, l_suppkey AS sk
+        |  FROM lineitem),
         |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
-        |      FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk),
+        |      FROM sp a JOIN sp b ON a.pk = b.pk AND a.m = b.m AND a.sk < b.sk),
         |deg AS (SELECT node, count(*) AS dg
         |        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
         |        GROUP BY node),

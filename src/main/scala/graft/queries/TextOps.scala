@@ -430,6 +430,41 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // token-budget curation: per source, keep the highest-priority prefix
+    // of documents whose cumulative token count fits a fixed budget — the
+    // "fill each source's token quota best-first" step of data-mixture
+    // construction (tx_source_mixture computes the weights; this enforces
+    // one). Priority = distinct-token count (info-content proxy) with
+    // doc_id tie-break, so ordering is integer-exact. Scale shape: a
+    // shard-local budget pass (window per (source, doc_id%32)) prunes
+    // first — a doc kept by the global prefix is always kept by its
+    // shard-local prefix (its shard cumsum sums a SUBSET of the docs
+    // ahead of it), so stage 1 keeps a superset while cutting the
+    // per-source global window to ~32·budget tokens of input, bounded
+    // regardless of corpus size. No global (unpartitioned) window at
+    // either stage.
+    "tx_budget_trim" -> ((s, d) => {
+      val budget = 800L
+      val staged = t(s, d, "documents")
+        .withColumn("__toks", T.tokens(col("text")))
+        .select(col("doc_id"), col("source"),
+          size(col("__toks")).cast("bigint").as("n_tokens"),
+          size(array_distinct(col("__toks"))).cast("bigint").as("n_uniq"))
+      val shardW = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(32)))
+        .orderBy(col("n_uniq").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val srcW = Window.partitionBy("source")
+        .orderBy(col("n_uniq").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      staged
+        .withColumn("shard_cum", sum("n_tokens").over(shardW))
+        .filter(col("shard_cum") <= budget)
+        .withColumn("cum_tokens", sum("n_tokens").over(srcW))
+        .filter(col("cum_tokens") <= budget)
+        .select("source", "doc_id", "n_tokens", "n_uniq", "cum_tokens")
+        .orderBy("source", "cum_tokens", "doc_id")
+    }),
+
     // sequence packing: assign docs to contiguous ≤256-token training
     // chunks by cumulative token offset — the "pack documents into
     // fixed-budget training examples" step. Packing is per SHARD
@@ -888,6 +923,20 @@ object TextOps {
          |           round(CAST(top_tok AS DOUBLE) / n_tokens, 4) > 0.3) AS is_repetitive
          |FROM tc LEFT JOIN bc ON tc.doc_id = bc.doc_id
          |ORDER BY tc.doc_id""".stripMargin,
+
+    // single-pass twin of the two-level Spark plan: the shard-local prune
+    // keeps a proven superset of the global budget prefix, so the oracle
+    // only needs the global pass (integer cumsum, unique tie-break)
+    "tx_budget_trim" ->
+      s"""WITH st AS (SELECT doc_id, source,
+         |    CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(${S.tokens("text")})) AS BIGINT) AS n_uniq
+         |  FROM documents),
+         |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY n_uniq DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM st)
+         |SELECT source, doc_id, n_tokens, n_uniq, cum_tokens FROM c
+         |WHERE cum_tokens <= 800 ORDER BY source, cum_tokens, doc_id""".stripMargin,
 
     "tx_pack_greedy" ->
       s"""WITH tc AS (SELECT doc_id, doc_id % 32 AS shard,
