@@ -7,6 +7,35 @@ import graft.engine.{TextFunctions => T, Vectors => V}
 /** Unit semantics for the text-hash and vector primitives. */
 class TextVectorSpec extends AnyFunSuite with SharedSparkSpec {
 
+  test("tx_budget_trim: shard-local prune equals the single-pass global prefix") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val kept = SparkEntry.queries("tx_budget_trim")(spark, d).collect()
+    assert(kept.nonEmpty)
+    // per source, cum_tokens is a positive strictly-increasing prefix ≤ 800
+    for ((_, rows) <- kept.groupBy(_.getString(0))) {
+      val cums = rows.map(_.getLong(4)).sorted
+      assert(cums.last <= 800L)
+      assert(cums.distinct.length == cums.length, "cumsum ties impossible with n_tokens >= 1")
+    }
+    // the two-level plan must select EXACTLY the one-level global prefix
+    // (the superset argument makes stage 1 lossless; this pins it)
+    val staged = graft.engine.Tables.load(spark, d, "documents")
+      .withColumn("__toks", graft.engine.TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        size(col("__toks")).cast("bigint").as("n_tokens"),
+        size(array_distinct(col("__toks"))).cast("bigint").as("n_uniq"))
+    val srcW = Window.partitionBy("source")
+      .orderBy(col("n_uniq").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val oneLevel = staged.withColumn("cum_tokens", sum("n_tokens").over(srcW))
+      .filter(col("cum_tokens") <= 800)
+      .select("source", "doc_id", "n_tokens", "n_uniq", "cum_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept.map(r => (r.getString(0), r.getLong(1))).toSet == oneLevel)
+  }
+
   test("tx_chunk_sliding: window geometry invariants at sf0.001") {
     val rows = SparkEntry.queries("tx_chunk_sliding")(spark, "/root/testdata/sf0.001")
       .collect()
