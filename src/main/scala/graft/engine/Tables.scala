@@ -20,20 +20,27 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-      // rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as LongType and floor-div
-      // to micros (integer `div` — a double division would lose precision at
-      // 1.7e18 ns). DuckDB's own reader truncates ns→µs identically, so oracle
-      // comparisons stay exact.
-      // The conf is set at session build in localSession; setting it here
-      // too covers externally built sessions (tests). Known tradeoff: it is
-      // session-wide and sticky, so any later TIMESTAMP(NANOS) parquet read
-      // in the same session also comes back as LongType — events is the
-      // only nanos table in this corpus.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some data drops
+      // (which Spark's vectorized reader rejects — [PARQUET_TYPE_ILLEGAL])
+      // and as plain TIMESTAMP(MICROS)/NTZ in others, so the loader branches
+      // on the materialized type rather than assuming either. With
+      // nanosAsLong=true a nanos column arrives as LongType: floor-div to
+      // micros (integer `div` — a double division would lose precision at
+      // 1.7e18 ns); DuckDB's reader truncates ns→µs identically, so oracle
+      // comparisons stay exact. A micros column arrives as TIMESTAMP_NTZ:
+      // cast to session-TZ TIMESTAMP (identity under the UTC session default,
+      // matching the instant DuckDB reads) so downstream window/unix_micros
+      // logic sees one type either way.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     case _ =>
       spark.read.parquet(s"$sfDir/$name.parquet")
   }
