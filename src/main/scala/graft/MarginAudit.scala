@@ -49,7 +49,10 @@ object MarginAudit {
     // recurrence is a SEQUENTIAL fold in both engines (flatMapGroups over a
     // sorted array ↔ list_reduce over list(value ORDER BY rn)) with literal
     // 0.2/0.8 coefficients — same op order every run, any partitioning
-    "ts_ewma")
+    "ts_ewma",
+    // sparse TF-IDF cosine: dots and norms fold through qsum; the cosine
+    // is one divide/multiply chain on those deterministic doubles
+    "tx_sparse_cosine")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact
@@ -63,7 +66,10 @@ object MarginAudit {
     "dd_jaccard_verify", "dd_containment", "tx_corpus_profile",
     "tx_dup_ngram_fraction",
     // clustering = 3·triangles/wedges — one divide on exact BIGINTs
-    "graph_triangles")
+    "graph_triangles",
+    // recall10 = n_hits/10.0 and jaccard = shared/(na+nb−shared): single
+    // divides on exact BIGINTs
+    "sim_recall_eval", "graph_bipartite_project")
 
   /** A query whose rounded doubles cannot move between runs. */
   def deterministic(name: String): Boolean =

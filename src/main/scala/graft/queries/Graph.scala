@@ -140,6 +140,34 @@ object Graph {
           // rounded double is the same on both engines at any merge order
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4)
             .as("clustering"))
+    }),
+
+    // ---- bipartite projection / co-occurrence: project the user↔event_type
+    // bipartite graph from `events` onto the TYPE side — edge (a,b) weighted
+    // by the number of distinct users who performed both, plus the Jaccard
+    // overlap (shared / (|a| ∪ |b|)). Projecting onto the SMALL side is the
+    // scale move: per-user type fan-out is bounded by the type vocabulary
+    // (≤ tens), so the self-join on user_id emits O(users · C(types,2))
+    // pairs — while the user-side projection would explode quadratically in
+    // users-per-type (every hot type links all its users pairwise). Same
+    // finer-side discipline as the LSH band join. One shuffle on user_id,
+    // one on the (a,b) pair key; Jaccard is a ratio of exact BIGINTs, so
+    // the rounded double is engine-identical at any merge order.
+    "graph_bipartite_project" -> ((s, d) => {
+      val ut = t(s, d, "events").select("user_id", "event_type").distinct().cache()
+      val typeDeg = ut.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      val pairs = ut.as("x").join(ut.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("a"), col("y.event_type").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(typeDeg.select(col("event_type").as("a"), col("n_users").as("na")), "a")
+        .join(typeDeg.select(col("event_type").as("b"), col("n_users").as("nb")), "b")
+        .select(col("a"), col("b"), col("n_shared"),
+          round(col("n_shared") / (col("na") + col("nb") - col("n_shared")).cast("double"), 4)
+            .as("jaccard"))
+        .orderBy("a", "b")
     })
   )
 
@@ -227,6 +255,18 @@ object Graph {
          |${(1 to 5).map(rnd).mkString(",\n")}
          |SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey, round(rank, 4) AS rank
          |FROM r5 WHERE node % 2 = 1 ORDER BY s_suppkey""".stripMargin
-    }
+    },
+
+    "graph_bipartite_project" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |deg AS (SELECT event_type, count(*) AS n_users FROM ut GROUP BY event_type),
+        |pairs AS (SELECT x.event_type AS a, y.event_type AS b, count(*) AS n_shared
+        |          FROM ut x JOIN ut y ON x.user_id = y.user_id
+        |                            AND x.event_type < y.event_type
+        |          GROUP BY 1, 2)
+        |SELECT a, b, n_shared,
+        |  round(n_shared / CAST(da.n_users + db.n_users - n_shared AS DOUBLE), 4) AS jaccard
+        |FROM pairs JOIN deg da ON da.event_type = a JOIN deg db ON db.event_type = b
+        |ORDER BY a, b""".stripMargin
   )
 }

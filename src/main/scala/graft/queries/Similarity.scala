@@ -66,6 +66,41 @@ object Similarity {
         .limit(5)
     }),
 
+    // ---- ANN recall@10 evaluation: the quality gate every approximate
+    // index needs — for a 20-query sample, compute exact top-10 (full-scan
+    // cosine, the ground truth) and bucket-probe ANN top-10, then
+    // recall = |ANN ∩ exact| / 10 per query. The query side is tiny and
+    // BROADCAST; the corpus is scanned once for both rankings — at 100 TB
+    // eval cost is one linear pass regardless of query count, which is how
+    // recall sweeps are actually run (sampled queries, never all-pairs).
+    // Ranking ties break on (rounded cos desc, vec_id) — a total order on
+    // engine-identical values — and recall is a ratio of exact integers.
+    "sim_recall_eval" -> ((s, d) => {
+      val e = emb(s, d).withColumn("bucket", V.lshBucket(col("v"))).cache()
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qb"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(V.cosine(col("v"), col("qv")), 6))
+      val rankW = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      val exact = scored.withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 10).select("qid", "vec_id")
+      val ann = scored.filter(col("bucket") === col("qb"))
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 10).select("qid", "vec_id")
+      val annN = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
+      val hits = exact.join(ann, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      q.select("qid")
+        .join(annN, Seq("qid"), "left")
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / 10.0, 4).as("recall10"))
+        .orderBy("qid")
+    }),
+
     // embedding near-dup pairs: block on (label, bucket), cosine ≥ 0.9.
     "sim_neardup_pairs" -> ((s, d) => {
       val e = embWithVariants(s, d).withColumn("bucket", V.lshBucket(col("v"))).cache()
@@ -406,6 +441,26 @@ object Similarity {
          |SELECT vec_id, bucket, round(${S.cosine("v", "qv")}, 6) AS cos
          |FROM b, q WHERE bucket = qbucket AND vec_id != 0
          |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "sim_recall_eval" ->
+      s"""$embCte,
+         |b AS (SELECT vec_id, v, ${S.lshBucket("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id < 20),
+         |scored AS (SELECT qid, qb, vec_id, bucket, round(${S.cosine("v", "qv")}, 6) AS cos
+         |           FROM b CROSS JOIN q WHERE vec_id != qid),
+         |ex AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |    FROM scored) WHERE rn <= 10),
+         |ann AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |    FROM scored WHERE bucket = qb) WHERE rn <= 10),
+         |ca AS (SELECT qid, count(*) AS n_ann FROM ann GROUP BY qid),
+         |h AS (SELECT ex.qid, count(*) AS n_hits FROM ex JOIN ann USING (qid, vec_id) GROUP BY ex.qid)
+         |SELECT q.qid AS qid, CAST(coalesce(n_ann, 0) AS BIGINT) AS n_ann,
+         |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(coalesce(n_hits, 0) / 10.0, 4) AS recall10
+         |FROM q LEFT JOIN ca ON ca.qid = q.qid LEFT JOIN h ON h.qid = q.qid
+         |ORDER BY q.qid""".stripMargin,
 
     "sim_neardup_pairs" ->
       s"""$variantsCte,

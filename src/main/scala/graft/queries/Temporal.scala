@@ -311,6 +311,37 @@ object Temporal {
         .groupBy("event_type")
         .agg(max("running").as("max_concurrent"))
         .orderBy("event_type")
+    }),
+
+    // ---- watermark late-event accounting, the batch twin of Structured
+    // Streaming's withWatermark drop rule: arrival order is event_id (the
+    // synthetic ingest sequence), the high-water mark is the per-user max
+    // event time over STRICTLY EARLIER arrivals, and an event is late when
+    // it arrives more than 10 minutes behind that mark — exactly the rows
+    // `withWatermark("ts", "10 minutes")` would discard. Per-KEY watermarks
+    // (not the global stream minimum) keep the window partitioned on
+    // user_id — one shuffle, no global ordering, scale-safe. Lateness
+    // seconds are exact integer micros arithmetic (`div`), so the output
+    // carries no float at all. The raw feed arrives perfectly time-ordered,
+    // so disorder is PLANTED on both engine sides (the Dedup-corpus move):
+    // every 7th event's time is pulled back 25 minutes, deterministically
+    // from its id.
+    "ts_late_events" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "events")
+        .withColumn("ts", when(col("event_id") % 7 === 3,
+          col("ts") - expr("interval 25 minutes")).otherwise(col("ts")))
+        .withColumn("hwm", max("ts").over(w))
+        .withColumn("late_s",
+          when(col("ts") < col("hwm") - expr("interval 10 minutes"),
+            expr("(unix_micros(hwm) - unix_micros(ts)) div 1000000 - 600")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+             count(col("late_s")).as("n_late"),
+             coalesce(max("late_s"), lit(0L)).as("max_late_s"))
+        .filter(col("n_late") > 0)
+        .orderBy("user_id")
     })
   )
 
@@ -494,6 +525,22 @@ object Temporal {
         |    PARTITION BY event_type ORDER BY t, delta
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
         |  FROM pts)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_late_events" ->
+      """WITH pe AS (SELECT event_id, user_id,
+        |    CASE WHEN event_id % 7 = 3 THEN ts - INTERVAL 25 MINUTE ELSE ts END AS ts
+        |  FROM events),
+        |hw AS (SELECT user_id, ts,
+        |    max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM pe),
+        |lt AS (SELECT user_id,
+        |    CASE WHEN ts < hwm - INTERVAL 10 MINUTE
+        |      THEN (epoch_us(hwm) - epoch_us(ts)) // 1000000 - 600 END AS late_s
+        |  FROM hw)
+        |SELECT user_id, count(*) AS n_events, count(late_s) AS n_late,
+        |  CAST(coalesce(max(late_s), 0) AS BIGINT) AS max_late_s
+        |FROM lt GROUP BY user_id HAVING count(late_s) > 0 ORDER BY user_id""".stripMargin
   )
 }

@@ -153,6 +153,44 @@ object TextOps {
         .select("doc_id", "n_bigrams", "n_uniq_bigrams", "n_shingles")
         .orderBy("doc_id")),
 
+    // ---- sparse TF-IDF cosine similarity join, term-partitioned: each doc
+    // becomes a sparse bigram→tfidf vector; pair dot products accumulate
+    // per shared term (shuffle key = term, never a doc×doc cross), norms
+    // are per-doc aggregates, and cosine = dot/(‖a‖·‖b‖) at the end. The
+    // (df ≥ 2 AND df·10 ≤ n_docs) band is the candidate bound: dropping
+    // corpus-frequent terms is what keeps per-term pair fan-out from
+    // saturating (this corpus has a fixed ~30-word vocab, so the cap must
+    // be relative; a Zipf-vocabulary corpus at 100 TB would use an absolute
+    // df cap + prefix filtering, same discipline as the LSH band join).
+    // Dots and norms fold through the fixed-point qsum, so the rounded
+    // cosine is engine-identical at any shuffle-merge order.
+    "tx_sparse_cosine" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tf = docs
+        .withColumn("__toks", T.tokens(col("text")))
+        .select(col("doc_id"), explode(T.bigramsFromTokens(col("__toks"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val total = docs.select(count(lit(1)).as("n_docs"))
+      val w = tf.join(dfreq, "term").crossJoin(broadcast(total))
+        .filter(col("df") >= 2 && col("df") * 10 <= col("n_docs"))
+        .select(col("doc_id"), col("term"),
+          (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+        .cache()
+      val norms = w.groupBy("doc_id").agg(sqrt(FP.qsum(col("w") * col("w"))).as("nn"))
+      val dots = w.as("x").join(w.as("y"),
+          col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("n_shared"), FP.qsum(col("x.w") * col("y.w")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("a"), col("nn").as("na")), "a")
+        .join(norms.select(col("doc_id").as("b"), col("nn").as("nb")), "b")
+        .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 4))
+        .filter(col("cos") >= 0.5)
+        .select("a", "b", "n_shared", "cos")
+        .orderBy("a", "b")
+    }),
+
     // edit distance between consecutive docs (bounded pair set — at scale
     // levenshtein runs only on candidate pairs from LSH, never all-pairs).
     "tx_edit_distance" -> ((s, d) => {
@@ -770,6 +808,24 @@ object TextOps {
          |  CAST(len(${S.shingles("th")}) AS BIGINT) AS n_shingles
          |FROM (SELECT doc_id, ${S.tokens("text")} AS toks, ${S.tokenHashes("text")} AS th FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "tx_sparse_cosine" ->
+      s"""WITH tk AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS term FROM tk),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM bg GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_docs FROM documents),
+         |w AS (SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+         |      FROM tf JOIN dfx USING (term) CROSS JOIN tot
+         |      WHERE df >= 2 AND df * 10 <= n_docs),
+         |nrm AS (SELECT doc_id, sqrt(${S.qsum("w * w")}) AS nn FROM w GROUP BY doc_id),
+         |dots AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared, ${S.qsum("x.w * y.w")} AS dot
+         |         FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT a, b, n_shared, cos FROM (
+         |  SELECT a, b, n_shared, round(dot / (na.nn * nb.nn), 4) AS cos
+         |  FROM dots JOIN nrm na ON na.doc_id = a JOIN nrm nb ON nb.doc_id = b)
+         |WHERE cos >= 0.5 ORDER BY a, b""".stripMargin,
 
     "tx_edit_distance" ->
       """SELECT a.doc_id, CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
