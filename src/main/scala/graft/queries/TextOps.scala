@@ -157,7 +157,7 @@ object TextOps {
     // becomes a sparse bigram→tfidf vector; pair dot products accumulate
     // per shared term (shuffle key = term, never a doc×doc cross), norms
     // are per-doc aggregates, and cosine = dot/(‖a‖·‖b‖) at the end. The
-    // (df ≥ 2 AND df·10 ≤ n_docs) band is the candidate bound: dropping
+    // (df ≥ 2 AND df·40 ≤ n_docs) band is the candidate bound: dropping
     // corpus-frequent terms is what keeps per-term pair fan-out from
     // saturating (this corpus has a fixed ~30-word vocab, so the cap must
     // be relative; a Zipf-vocabulary corpus at 100 TB would use an absolute
@@ -173,7 +173,7 @@ object TextOps {
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val total = docs.select(count(lit(1)).as("n_docs"))
       val w = tf.join(dfreq, "term").crossJoin(broadcast(total))
-        .filter(col("df") >= 2 && col("df") * 10 <= col("n_docs"))
+        .filter(col("df") >= 2 && col("df") * 40 <= col("n_docs"))
         .select(col("doc_id"), col("term"),
           (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
         .cache()
@@ -818,7 +818,7 @@ object TextOps {
          |tot AS (SELECT count(*) AS n_docs FROM documents),
          |w AS (SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
          |      FROM tf JOIN dfx USING (term) CROSS JOIN tot
-         |      WHERE df >= 2 AND df * 10 <= n_docs),
+         |      WHERE df >= 2 AND df * 40 <= n_docs),
          |nrm AS (SELECT doc_id, sqrt(${S.qsum("w * w")}) AS nn FROM w GROUP BY doc_id),
          |dots AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared, ${S.qsum("x.w * y.w")} AS dot
          |         FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id GROUP BY 1, 2)
