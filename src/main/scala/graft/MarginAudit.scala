@@ -52,7 +52,14 @@ object MarginAudit {
     "ts_ewma",
     // sparse TF-IDF cosine: dots and norms fold through qsum; the cosine
     // is one divide/multiply chain on those deterministic doubles
-    "tx_sparse_cosine")
+    "tx_sparse_cosine",
+    // dense-cosine faces: V.cosine is a SEQUENTIAL zip_with/aggregate fold
+    // over two scan-side vectors (same op order at any partitioning — the
+    // ts_ewma argument), and the DuckDB twin's list_reduce replays the
+    // identical chain; ranks/argmins tie-break on (cos, vec_id), a total
+    // order on those engine-identical doubles
+    "sim_topk_exact", "sim_ann_topk", "sim_neardup_pairs", "sim_knn_join",
+    "emb_semantic_dedup")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact

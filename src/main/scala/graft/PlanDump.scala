@@ -32,6 +32,9 @@ object PlanDump {
       "struct<meta:struct<etype,uid>> — the repeated attrs column and payload are never read."),
     "tx_tfidf" -> ("TF-IDF: cache-barriered token stage, one shuffle on term for tf⋈df, " +
       "corpus size as a broadcast 1-row aggregate (BroadcastNestedLoopJoin over a single row)."),
+    "tx_sparse_cosine" -> ("Sparse similarity join: weights cached once, pair dot products " +
+      "accumulate under a TERM-partitioned self-join (shuffle key = term, per-term fan-out " +
+      "bounded by the relative df band) — never a doc×doc cross; norms re-join at the end."),
     "dd_contamination" -> ("Contamination check: shingle df computed in one hash-agg pass, " +
       "df-cap filter before the test⋈train equi-join — bounded fan-out, no raw self-join."),
     "sketch_quantiles" -> ("Sketch bound check: per-group percentile_approx rows broadcast " +

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the r6 catalog faces — what the oracle hash
+  * cannot express: internal consistency between the output columns and the
+  * inputs they were derived from. (Determinism/hash parity is covered by
+  * DeterminismSpec + the DuckDB gate; these pin the MATH.) */
+class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  test("graph_bipartite_project: shared counts bounded by degrees, Jaccard consistent") {
+    val rows = SparkEntry.queries("graph_bipartite_project")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val deg = graft.engine.Tables.load(spark, d, "events")
+      .select("user_id", "event_type").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val (a, b, shared, jac) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(a < b, s"pair not ordered: ($a, $b)")
+      assert(shared <= math.min(deg(a), deg(b)), s"($a,$b) shared=$shared exceeds a degree")
+      val expect = shared.toDouble / (deg(a) + deg(b) - shared)
+      assert(math.abs(jac - expect) < 5e-5, s"($a,$b) jaccard=$jac, recomputed $expect")
+    }
+  }
+
+  test("ts_late_events: only planted-disorder events can be late, lateness positive") {
+    val rows = SparkEntry.queries("ts_late_events")(spark, d).collect()
+    assert(rows.nonEmpty, "the 25-minute plant must produce late arrivals")
+    // total late events ≤ number of planted (event_id % 7 == 3) events
+    val planted = graft.engine.Tables.load(spark, d, "events")
+      .filter("event_id % 7 = 3").count()
+    val totalLate = rows.map(_.getLong(2)).sum
+    assert(totalLate <= planted, s"$totalLate late > $planted planted shifts")
+    for (r <- rows) {
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1), "n_late out of range")
+      assert(r.getLong(3) > 0, "reported user must have positive max lateness")
+      // lateness beyond the 10-minute watermark can never exceed the
+      // 25-minute plant: the pre-shift feed is time-ordered, so hwm − ts
+      // ≤ 25 min ⇒ late_s ≤ 15 min
+      assert(r.getLong(3) <= 15 * 60, s"max_late_s ${r.getLong(3)} exceeds the plant bound")
+    }
+  }
+
+  test("tx_sparse_cosine: cosine within [threshold, 1], pairs ordered, shared-terms positive") {
+    val rows = SparkEntry.queries("tx_sparse_cosine")(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(0) < r.getLong(1), "pair not ordered a < b")
+      assert(r.getLong(2) >= 1, "a reported pair must share at least one banded term")
+      val cos = r.getDouble(3)
+      assert(cos >= 0.5 && cos <= 1.0 + 5e-5, s"cosine $cos outside [0.5, 1]")
+    }
+  }
+
+  test("sim_recall_eval: recall = n_hits/10, hits bounded by both rankings") {
+    val rows = SparkEntry.queries("sim_recall_eval")(spark, d).collect()
+    assert(rows.length == 20, "one row per query in the 20-query sample")
+    for (r <- rows) {
+      val (nAnn, nHits, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nAnn <= 10 && nHits <= nAnn,
+        s"qid ${r.getLong(0)}: hits $nHits / ann $nAnn out of range")
+      assert(math.abs(recall - nHits / 10.0) < 1e-12, "recall must be n_hits/10")
+    }
+    // the probe must be useful at all: some query finds some true neighbor
+    assert(rows.map(_.getLong(2)).sum > 0, "ANN recall is zero across every query")
+  }
+}
