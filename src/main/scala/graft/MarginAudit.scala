@@ -74,9 +74,9 @@ object MarginAudit {
     "tx_dup_ngram_fraction",
     // clustering = 3·triangles/wedges — one divide on exact BIGINTs
     "graph_triangles",
-    // recall10 = n_hits/10.0 and jaccard = shared/(na+nb−shared): single
-    // divides on exact BIGINTs
-    "sim_recall_eval", "graph_bipartite_project")
+    // recall10 = n_hits/10.0, jaccard = shared/(na+nb−shared), and LSH
+    // recall = found/planted: single divides on exact BIGINTs
+    "sim_recall_eval", "graph_bipartite_project", "dd_lsh_eval")
 
   /** A query whose rounded doubles cannot move between runs. */
   def deterministic(name: String): Boolean =

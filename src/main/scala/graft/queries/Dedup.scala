@@ -232,6 +232,33 @@ object Dedup {
     // LSH near-dup pairs: band bucket-join → signature-estimated Jaccard.
     "dd_lsh_pairs" -> ((s, d) => lshPairs(s, d).orderBy("a", "b")),
 
+    // ---- LSH recall evaluation against the planted ground truth — the
+    // quality gate a production dedup pipeline tunes its band/row geometry
+    // with (labeled pairs → recall per duplicate class), made a catalog
+    // face so the measurement itself is oracle-checked. The label set is
+    // DERIVED from id arithmetic (every 40th doc has an exact copy at
+    // +2M, every 25th a near-copy at +1M), so it needs no side file and
+    // stays O(|corpus|) at any scale; the left join onto confirmed pairs
+    // is on the (a,b) pair key. Recall is a ratio of exact BIGINTs.
+    "dd_lsh_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id")
+      val planted =
+        docs.filter(col("doc_id") % 40 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 2000000L).as("b"),
+            lit("exact").as("kind"))
+        .union(docs.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"),
+            lit("near").as("kind")))
+      planted
+        .join(lshPairs(s, d).select(col("a"), col("b"), lit(true).as("found")),
+          Seq("a", "b"), "left")
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_planted"),
+             count(col("found")).as("n_found"),
+             round(count(col("found")) / count(lit(1)).cast("double"), 4).as("recall"))
+        .orderBy("kind")
+    }),
+
     // dedup keep-list: connected components over the LSH pair graph.
     // (doc_id, canonical_id = min id in component, is_kept).
     "dd_clusters" -> ((s, d) =>
@@ -564,6 +591,20 @@ object Dedup {
          |    (x, y) -> x + y) / 16.0, 4) AS est_jaccard
          |  FROM cand JOIN sigs sa ON cand.a = sa.doc_id JOIN sigs sb ON cand.b = sb.doc_id)
          |WHERE est_jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    "dd_lsh_eval" ->
+      s"""${sigsCte.replaceFirst("WITH ", "WITH ")},
+         |$pairsCte,
+         |planted AS (
+         |  SELECT doc_id AS a, doc_id + 2000000 AS b, 'exact' AS kind
+         |  FROM documents WHERE doc_id % 40 = 0
+         |  UNION ALL
+         |  SELECT doc_id AS a, doc_id + 1000000 AS b, 'near' AS kind
+         |  FROM documents WHERE doc_id % 25 = 0)
+         |SELECT kind, count(*) AS n_planted, count(p.a) AS n_found,
+         |  round(count(p.a) / CAST(count(*) AS DOUBLE), 4) AS recall
+         |FROM planted pl LEFT JOIN pairs p ON p.a = pl.a AND p.b = pl.b
+         |GROUP BY kind ORDER BY kind""".stripMargin,
 
     // exact transitive closure via recursive CTE (small-scale oracle for the
     // iterative min-propagation the Spark side runs)
