@@ -45,6 +45,10 @@ object MarginAudit {
     // the 64·ulp band at sf0.1 (value ~7.5e9 → ulp ~1e-6, dist ~3e-6)
     "agg_cube", "agg_grouping_sets", "bj_colocated_join", "j6_join_nullsafe",
     "pp_dynamic_pruning", "src_csv_roundtrip", "src_orc_roundtrip",
+    // r6 audit follow-up: the two remaining order-sensitive price sums
+    // (j1 at 26× the sf0.01 bar, j5 at 2.4× the sf0.1 bar) migrated to
+    // the q*-family fixed-point so no revenue aggregate is margin-bound
+    "j1_join_broadcast", "j5_join_multiway",
     // not qsum-based but bit-deterministic by construction: the EWMA
     // recurrence is a SEQUENTIAL fold in both engines (flatMapGroups over a
     // sorted array ↔ list_reduce over list(value ORDER BY rn)) with literal

@@ -457,7 +457,10 @@ object Relational {
       val p = broadcast(t(s, d, "part"))
       l.join(p, l("l_partkey") === p("p_partkey"))
         .groupBy("p_brand")
-        .agg(r4(sum("l_extendedprice")).as("brand_revenue"),
+        // fixed-point (q*-family bits): tightest sf0.01 margin in the r6
+        // audit (26× bar) — migrated with j5 so no price sum is left on
+        // the order-sensitive path
+        .agg(r4(FP.qsum(col("l_extendedprice"), 20)).as("brand_revenue"),
              count(lit(1)).as("n_lines"))
         .orderBy("p_brand")
     }),
@@ -504,7 +507,10 @@ object Relational {
         .join(n, c("c_nationkey") === n("n_nationkey"))
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        // fixed-point revenue (same bits as the q* price sums): the r6
+        // sf0.1 margin audit measured this cell at only 2.4× the
+        // order-sensitive bar — close enough to drift under a data bump
+        .agg(r4(FP.qsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 20)).as("revenue"),
              count(lit(1)).as("n_lines"))
         .orderBy("r_name", "n_name")
     }),
@@ -1151,9 +1157,9 @@ object Relational {
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') ORDER BY o_orderkey""".stripMargin,
 
     "j1_join_broadcast" ->
-      """SELECT p_brand, round(sum(l_extendedprice), 4) AS brand_revenue, count(*) AS n_lines
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+      s"""SELECT p_brand, round(${SqlText.qsum("l_extendedprice", 20)}, 4) AS brand_revenue, count(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "j2_join_left" ->
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice
@@ -1173,15 +1179,15 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
 
     "j5_join_multiway" ->
-      """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-        |  count(*) AS n_lines
-        |FROM lineitem
-        |JOIN orders   ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation   ON c_nationkey = n_nationkey
-        |JOIN region   ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+      s"""SELECT r_name, n_name,
+         |  round(${SqlText.qsum("l_extendedprice * (1 - l_discount)", 20)}, 4) AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
     "sub_correlated" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
