@@ -80,7 +80,10 @@ object MarginAudit {
     "graph_triangles",
     // recall10 = n_hits/10.0, jaccard = shared/(na+nb−shared), and LSH
     // recall = found/planted: single divides on exact BIGINTs
-    "sim_recall_eval", "graph_bipartite_project", "dd_lsh_eval")
+    "sim_recall_eval", "graph_bipartite_project", "dd_lsh_eval",
+    // Kneser–Ney probability: a fixed chain of correctly-rounded IEEE ops
+    // on exact integer counts and the literal 0.75 discount
+    "tx_kneser_ney")
 
   /** A query whose rounded doubles cannot move between runs. */
   def deterministic(name: String): Boolean =

@@ -717,6 +717,41 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // ---- Kneser–Ney smoothed bigram LM (the standard n-gram smoothing,
+    // Kneser & Ney 1995): P(w2|w1) = max(c12−D,0)/c1 + λ(w1)·Pcont(w2),
+    // with absolute discount D=0.75, λ(w1) = D·N1+(w1,·)/c1 and the
+    // continuation probability Pcont(w2) = N1+(·,w2)/|bigram types|.
+    // Distinct from tx_bigram_lm (per-doc MLE logprob): this face builds
+    // the smoothed MODEL itself. Every input is an exact integer count
+    // (bigram counts, follower/predecessor type counts, type total), so
+    // the probability is a per-row chain of correctly-rounded IEEE ops on
+    // engine-identical operands — integer-exact deterministic. Scale
+    // shape: three hash-aggregates over the bigram-type frame + one
+    // broadcast 1-row total; the type frame is vocab², never corpus-sized.
+    "tx_kneser_ney" -> ((s, d) => {
+      val ab = t(s, d, "documents")
+        .select(T.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) >= 2)
+        .select(explode(zip_with(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val cab = ab.groupBy("a", "b").agg(count(lit(1)).as("cab")).cache()
+      val ca = cab.groupBy("a")
+        .agg(sum("cab").as("ca"), count(lit(1)).as("n_follow"))
+      val cb = cab.groupBy("b").agg(count(lit(1)).as("n_precede"))
+      val tot = cab.select(count(lit(1)).as("n_types"))
+      cab.join(ca, "a").join(cb, "b").crossJoin(broadcast(tot))
+        .filter(col("cab") >= 5)
+        .withColumn("pkn", round(
+          greatest(col("cab") - lit(0.75), lit(0.0)) / col("ca") +
+            (lit(0.75) * col("n_follow") / col("ca")) *
+              (col("n_precede") / col("n_types")), 6))
+        .select("a", "b", "cab", "pkn")
+        .orderBy("a", "b")
+    }),
+
     // content-defined chunking + chunk-level dedup profile: cdc_chunks (the
     // native Rabin-style boundary splitter — see graft.plans.CdcChunks)
     // hashes each content-defined chunk; per source the distinct/total
@@ -1095,6 +1130,21 @@ object TextOps {
          |  ${S.qround(S.qmean("ln(CAST(cab AS DOUBLE) / ca)"), 4)} AS avg_logprob
          |FROM ab JOIN cab USING (a, b) JOIN ca USING (a)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tx_kneser_ney" ->
+      s"""WITH tl AS (SELECT ${S.tokens("text")} AS toks FROM documents),
+         |bgs AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS bg FROM tl),
+         |ab AS (SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b FROM bgs),
+         |cab AS (SELECT a, b, count(*) AS cab FROM ab GROUP BY a, b),
+         |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca, count(*) AS n_follow FROM cab GROUP BY a),
+         |cb AS (SELECT b, count(*) AS n_precede FROM cab GROUP BY b),
+         |tot AS (SELECT count(*) AS n_types FROM cab)
+         |SELECT a, b, cab,
+         |  round(greatest(cab - 0.75, 0.0) / ca +
+         |    (0.75 * n_follow / ca) * (n_precede / n_types), 6) AS pkn
+         |FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
+         |WHERE cab >= 5 ORDER BY a, b""".stripMargin,
 
     // mirrors graft.plans.CdcChunks exactly: boundary after 1-based position
     // i (i in [4, n]) iff the raw 4-char window hash ≡ 0 (mod 64); chunk
