@@ -49,6 +49,20 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // Free every persistent RDD still registered after a run. This is where
+    // localCheckpoint() blocks live (local checkpointing IS persistence), and
+    // nothing else frees them: ContextCleaner only acts when a full GC
+    // collects the RDD reference, which a 128 GiB heap may not do across the
+    // whole bench. The iterative queries (dd_clusters, graph_rank_converged,
+    // graph_triangles, BFS) checkpoint 3-25 frames per run; across 216
+    // queries × 2-3 runs the dead blocks accumulate into storage-memory
+    // pressure whose eviction churn reads as inflated cold AND warm times on
+    // exactly those queries (r6: dd_clusters 7.7 s in-bench vs 3.2 s median
+    // isolated, graph_triangles 7.7 vs 3.8 — QProbe, 5 runs). Between
+    // queries nothing references the old blocks, so the drop is safe.
+    def freePersistentRdds(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
     // untimed warmup: JVM + parquet footer reads + codegen paths
     try run("q1_agg") catch { case _: Throwable => () }
 
@@ -79,9 +93,11 @@ object Bench {
       val gc0 = gcMillis()
       val cold = timed()
       spark.sharedState.cacheManager.clearCache() // warm run must not reuse the query's own caches
+      freePersistentRdds()
       val gc1 = gcMillis(); val cg1 = codegenCompiles()
       var warm = timed()
       spark.sharedState.cacheManager.clearCache()
+      freePersistentRdds()
       val gc2 = gcMillis(); val cg2 = codegenCompiles()
       // Inflation guard: a warm run reading far above the catalog median AND
       // above its OWN cold run is a JVM-state artifact (GC storm, codegen
@@ -90,12 +106,19 @@ object Bench {
       // (dd_clusters, warm ≈ cold ≈ 3.5 s) tripped the absolute 2 s bar on
       // EVERY bench, burning a pointless retry and reporting as instability
       // (13 "retried" vs the ≤5 target, none of them actual artifacts).
+      // The second clause (warm > 2× threshold) catches what r6 showed the
+      // first cannot: when the JVM-state artifact inflates cold AND warm
+      // together (dd_clusters cold 14.4 s / warm 7.7 s in-bench, vs 3.2 s
+      // median isolated — QProbe, 5 runs), warm stays below 1.3×cold and the
+      // guard never fired. A warm run at double the catalog-relative bar is
+      // artifact regardless of what its own cold run did.
       val threshold = math.max(2.0, 3.0 * runningMedian())
-      val retried = warm > threshold && warm > 1.3 * cold
+      val retried = (warm > threshold && warm > 1.3 * cold) || warm > 2.0 * threshold
       if (retried) {
         System.gc()
         val again = timed()
         spark.sharedState.cacheManager.clearCache()
+        freePersistentRdds()
         System.err.println(f"[bench] RETRY $name%-24s first=$warm%8.3fs retry=$again%8.3fs")
         warm = math.min(warm, again)
       }
@@ -127,6 +150,19 @@ object Bench {
       ).mkString(",\n")
       detail ++= "\n  ]\n}\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        detail.toString.getBytes("UTF-8"))
+      // Archive a per-round copy: bench_detail.json is overwritten every
+      // round, which left r6's regression adjudication without r5's
+      // per-query numbers (VERDICT r6 item 4). The round number is inferred
+      // as max(BENCH_r{NN}.json in cwd) + 1 — the driver writes BENCH_r{NN}
+      // AFTER this bench run, so the current round's file never exists yet.
+      val roundRe = "BENCH_r(\\d+)\\.json".r
+      val prior = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        .iterator().asScala
+        .flatMap(p => roundRe.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+        .foldLeft(0)(math.max)
+      val archive = f"bench_detail_r${prior + 1}%02d.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(archive),
         detail.toString.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
 

@@ -317,8 +317,10 @@ object Temporal {
     // Streaming's withWatermark drop rule: arrival order is event_id (the
     // synthetic ingest sequence), the high-water mark is the per-user max
     // event time over STRICTLY EARLIER arrivals, and an event is late when
-    // it arrives more than 10 minutes behind that mark — exactly the rows
-    // `withWatermark("ts", "10 minutes")` would discard. Per-KEY watermarks
+    // it arrives more than 10 minutes behind that mark — a per-key batch
+    // analogue of the `withWatermark("ts", "10 minutes")` drop rule (the
+    // real watermark is a single GLOBAL threshold advanced per batch, so
+    // the selected row sets differ in general). Per-KEY watermarks
     // (not the global stream minimum) keep the window partitioned on
     // user_id — one shuffle, no global ordering, scale-safe. Lateness
     // seconds are exact integer micros arithmetic (`div`), so the output
