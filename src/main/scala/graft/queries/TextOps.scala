@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.{FixedPoint => FP, Tables, TextFunctions => T}
@@ -378,6 +378,47 @@ object TextOps {
         .map { case ((a, b, n), i) => (i + 1L, a, b, n) }
         .toDF("merge_rank", "lhs", "rhs", "n")
         .orderBy("merge_rank")
+    }),
+
+    // ---- BPE ENCODE/APPLY — tokenize the corpus with the trained merge
+    // table, the highest-frequency operator of a real training pipeline
+    // (every document, every run; VERDICT r6 item 3). Encoding replays the
+    // merges in training order (the classic Sennrich sequential replay);
+    // each merge is applied leftmost-greedy via a declarative `aggregate`
+    // fold over the word's symbol array — merging when the accumulator's
+    // tail equals lhs and the incoming symbol equals rhs, which is exactly
+    // Bpe.applyMerge (a freshly merged token is strictly longer than lhs,
+    // so it can never re-match as lhs within the same pass). Scale shape:
+    // training runs on the word-frequency table (orders of magnitude
+    // smaller than the corpus); the apply pass is a single scan-side
+    // projection over documents — the merge table rides into the closure
+    // as literals (the driver-side analogue of broadcasting the merge
+    // ranks), per-word cost O(k·|word|), NO shuffle, NO join, NO UDF. At a
+    // vocab-scale k (tens of thousands) the same pass becomes a
+    // mapPartitions with a shared trie per executor; the catalog face
+    // keeps k small and fully declarative. ANSI note: element_at/slice on
+    // the empty accumulator are guarded by And/CaseWhen short-circuit.
+    "tx_bpe_encode" -> ((s, d) => {
+      val words = graft.engine.Bpe.wordTable(t(s, d, "documents"))
+      val (merges, _) = graft.engine.Bpe.train(s, words, k = 5)
+      def applyMergeCol(syms: Column, a: String, b: String): Column =
+        aggregate(
+          syms,
+          array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) > 0 &&
+                 element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+      def encode(w: Column): Column =
+        merges.foldLeft(split(w, "")) { case (cur, (a, b, _)) => applyMergeCol(cur, a, b) }
+      t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("__toks"))
+        .withColumn("__flat", flatten(transform(col("__toks"), w => encode(w))))
+        .select(col("doc_id"),
+          size(col("__flat")).cast("bigint").as("n_tokens"),
+          array_join(col("__flat"), " ").as("tokens"))
+        .orderBy("doc_id")
     }),
 
     // unigram negative-log-likelihood per doc — the cheap stand-in for the
@@ -966,6 +1007,43 @@ object TextOps {
              s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, CAST(n AS BIGINT) AS n FROM win$i")
            .mkString("\nUNION ALL ")}
          |ORDER BY merge_rank""".stripMargin
+    },
+
+    // encode = the same five training CTEs (win1..win5 joined in as
+    // scalars) + per-word sequential replay: each round's fold is the
+    // list_reduce-with-prepended-init trick from tx_bpe_merges, nested so
+    // round i consumes round i-1's output; lambda vars are suffixed per
+    // level (a1/x1..a5/x5) so no binder is ever shadowed
+    "tx_bpe_encode" -> {
+      def rnd(i: Int) =
+        s"""pairs$i AS (SELECT pair, sum(freq) AS n FROM (
+           |    SELECT unnest(CASE WHEN len(syms) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+           |      list_transform(range(1, len(syms)), j -> syms[j] || ' ' || syms[j+1]) END) AS pair, freq
+           |    FROM words${i - 1}) GROUP BY pair),
+           |win$i AS (SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, n
+           |  FROM pairs$i ORDER BY n DESC, pair ASC LIMIT 1),
+           |words$i AS (SELECT list_reduce(
+           |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+           |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = w.a AND x[1] = w.b
+           |                THEN list_concat(acc[1:len(acc)-1], [w.a || w.b])
+           |                ELSE list_concat(acc, x) END) AS syms, freq
+           |  FROM words${i - 1} CROSS JOIN win$i w)"""
+      def fold(i: Int, inner: String) =
+        s"""list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform($inner, s$i -> [s$i])),
+           |      (a$i, x$i) -> CASE WHEN len(a$i) > 0 AND a$i[len(a$i)] = w$i.a AND x$i[1] = w$i.b
+           |                THEN list_concat(a$i[1:len(a$i)-1], [w$i.a || w$i.b])
+           |                ELSE list_concat(a$i, x$i) END)""".stripMargin
+      val enc = (1 to 5).foldLeft("string_split(w, '')")((inner, i) => fold(i, inner))
+      s"""WITH words0 AS (SELECT string_split(word, '') AS syms, count(*) AS freq
+         |  FROM (SELECT unnest(${S.tokens("text")}) AS word FROM documents) GROUP BY word),
+         |${(1 to 5).map(rnd).mkString(",\n")},
+         |tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |encd AS (SELECT doc_id, flatten(list_transform(toks, w -> $enc)) AS flat
+         |  FROM tl CROSS JOIN win1 w1 CROSS JOIN win2 w2 CROSS JOIN win3 w3
+         |          CROSS JOIN win4 w4 CROSS JOIN win5 w5)
+         |SELECT doc_id, CAST(len(flat) AS BIGINT) AS n_tokens,
+         |  array_to_string(flat, ' ') AS tokens
+         |FROM encd ORDER BY doc_id""".stripMargin
     },
 
     "tx_unigram_logprob" ->
