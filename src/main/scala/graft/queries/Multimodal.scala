@@ -191,6 +191,35 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // REAL byte-level JPEG dimension parse — the dominant web-crawl image
+    // format, and the genuinely new parsing shape vs PNG/BMP: dims live at
+    // a VARIABLE offset behind a marker-segment walk (SOI → APPn/COM/DQT →
+    // SOF0/SOF2), so the decoder must hop untrusted big-endian segment
+    // lengths to find the frame header. Synth: per-doc dims/filler from
+    // doc_id, every 3rd doc progressive (SOF2), every 17th doc TRUNCATED to
+    // 6 bytes — a corrupt payload the walker must drop (its segment length
+    // points past the buffer), proving the hostile-length validation; those
+    // doc_ids are absent from the output on both sides.
+    "mm_jpeg_meta" -> ((s, d) => {
+      import s.implicits._
+      import graft.engine.{JpegHeaders => JH, Multimodal => M}
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = (id % 1017 + 8).toInt
+        val h = (id * 5 % 1017 + 8).toInt
+        val full = JH.jpegBytes(w, h, (id % 32).toInt, progressive = id % 3 == 0)
+        M.MediaRecord(id, if (id % 17 == 0) full.take(6) else full, "image/jpeg")
+      }
+      media.mapPartitions { it =>
+        // codec init would sit here, once per partition
+        it.flatMap { r =>
+          JH.decode(r.payload).map { case (prog, w, h) =>
+            (r.doc_id, prog, r.payload.length.toLong, w.toLong, h.toLong)
+          }
+        }
+      }.toDF("doc_id", "progressive", "n_bytes", "width", "height")
+        .orderBy("doc_id")
+    }),
+
     // per-source media-batch profile: the batch-shape check for feeding
     // mapInPandas/mapPartitions decoders (bytes per batch, rows per batch).
     "mm_batch_profile" -> ((s, d) =>
@@ -287,6 +316,18 @@ object Multimodal {
         |        CAST((doc_id * 7) % 1017 + 8 AS BIGINT) AS height
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // synthesis formulas independently re-derived (header 39 bytes + filler;
+    // dims from the doc_id formulas; SOF2 flag = doc_id % 3 = 0); the
+    // truncated every-17th docs are EXCLUDED — the byte walker must drop
+    // them, so their presence on either side breaks the match
+    "mm_jpeg_meta" ->
+      """SELECT doc_id,
+        |  doc_id % 3 = 0 AS progressive,
+        |  CAST(39 + doc_id % 32 AS BIGINT) AS n_bytes,
+        |  CAST(doc_id % 1017 + 8 AS BIGINT) AS width,
+        |  CAST((doc_id * 5) % 1017 + 8 AS BIGINT) AS height
+        |FROM documents WHERE doc_id % 17 != 0 ORDER BY doc_id""".stripMargin,
 
     "mm_batch_profile" ->
       """SELECT source, count(*) AS n_docs,

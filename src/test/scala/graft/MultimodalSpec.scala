@@ -107,6 +107,41 @@ class MultimodalSpec extends AnyFunSuite with SharedSparkSpec {
     assert(AudioHeaders.samples16("not a wav".getBytes("UTF-8")).isEmpty)
   }
 
+  test("jpeg header codec: segment walk recovers dims; hostile/corrupt drop") {
+    import graft.engine.{ImageHeaders, JpegHeaders}
+    val base = JpegHeaders.jpegBytes(640, 480, 5, progressive = false)
+    assert(base.length == JpegHeaders.JpegHeaderLen + 5)
+    assert(JpegHeaders.decode(base) == Some((false, 640, 480)))
+    assert(JpegHeaders.decode(JpegHeaders.jpegBytes(31, 4095, 0, progressive = true)) ==
+      Some((true, 31, 4095)))
+    // ImageHeaders integration: jpeg recognized alongside png/bmp
+    assert(ImageHeaders.decode(base) == Some(("jpeg", 640, 480)))
+    // truncated mid-APP0: the walker's bounds check must reject it
+    assert(JpegHeaders.decode(base.take(6)).isEmpty)
+    // hostile segment length pointing past the buffer
+    val lied = base.clone()
+    lied(4) = 0x7f.toByte; lied(5) = 0xff.toByte
+    assert(JpegHeaders.decode(lied).isEmpty)
+    // SOS before any SOF (scan data with no frame header): corrupt
+    val sos = base.clone()
+    sos(21) = 0xda.toByte
+    assert(JpegHeaders.decode(sos).isEmpty)
+    // not a JPEG at all
+    assert(JpegHeaders.decode("definitely not jpeg bytes".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("jpeg header codec: property round-trip, dims up to 16 bits") {
+    import graft.engine.JpegHeaders
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val w = rnd.nextInt(65535) + 1
+      val h = rnd.nextInt(65535) + 1
+      val prog = rnd.nextBoolean()
+      assert(JpegHeaders.decode(JpegHeaders.jpegBytes(w, h, rnd.nextInt(64), prog)) ==
+        Some((prog, w, h)), s"round-trip failed for w=$w h=$h prog=$prog")
+    }
+  }
+
   test("repartition by byte budget keeps batches balanced") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.asMedia(spark, docs).repartition(8)
