@@ -188,9 +188,17 @@ object Streams extends Serializable {
     * leans on: only the LAST early session can still be unflushed at batch
     * end, and the open start can never shrink past an early event (an
     * event between early.end and start − gap lands in the open branch, not
-    * early). Remaining approximation: a multi-session early CHAIN whose
-    * non-final links would transitively bridge — those flushed eagerly and
-    * cannot be recalled. */
+    * early). Within one batch this is EXACT, chains included: separate
+    * early sessions are separated by > gap by construction, so the batch
+    * sort splits exactly where the eager flush does, and the only link that
+    * can bridge into the open session is the last one — which the batch-end
+    * re-check merges (both pinned in StreamingSpec's chain test). The
+    * remaining approximation is CROSS-batch and inherent to append-mode
+    * emission: a session flushed in an earlier micro-batch is immutable, so
+    * a later batch's in-gap late event gets its own session where a batch
+    * sort would have merged them — one under-merged pair per such ordering,
+    * never a wrong interval (pinned by the "cross-batch early flush is
+    * FINAL" spec so the divergence cannot silently widen). */
   private def foldSessions(userId: Long, sorted: Seq[Event],
                            init: Option[SessionState],
                            gapMs: Long): (List[SessionOut], Option[SessionState]) = {

@@ -344,6 +344,77 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
       s"expected the fully merged [20,100] session: ${sessions.toSeq}")
   }
 
+  test("a multi-link early chain: non-final links flush eagerly AND agree with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30).writeStream
+      .format("memory").queryName("chain_sess").outputMode("append").start()
+    mem.addData(Event(1, ts(200), 1, "click", 1.0)) // state: open at t+200
+    q.processAllAvailable()
+    // batch 2, sorted: [20,45] is early link 1 (flushed when link 2 starts);
+    // [115,142] is early link 2; t+171 shrinks the open start to 171, and
+    // 171−142 ≤ gap so the batch-end re-check merges link 2 into the open
+    // session. Link 1 CANNOT transitively bridge: 115−45 > gap, and the
+    // batch sort splits there too — separate early sessions are separated
+    // by > gap by construction, so an eagerly flushed non-final link always
+    // agrees with the batch twin. (The genuinely unfixable case is
+    // CROSS-batch — next test.)
+    mem.addData(Event(2, ts(20), 1, "view", 2.0), Event(3, ts(45), 1, "view", 4.0),
+      Event(4, ts(115), 1, "view", 8.0), Event(5, ts(142), 1, "view", 16.0),
+      Event(6, ts(171), 1, "click", 32.0))
+    q.processAllAvailable()
+    mem.addData(Event(7, ts(300), 1, "click", 64.0)) // closes the merged session
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("chain_sess").orderBy("session_start").collect()
+    // batch twin over {20,45,115,142,171,200,300}: gaps 25 | 70 | 27,29,29 | 100
+    // → [20,45], [115,200], open [300]
+    assert(sessions.length == 2, s"got ${sessions.toSeq}")
+    assert(sessions(0).getAs[Timestamp]("session_start") == ts(20) &&
+           sessions(0).getAs[Timestamp]("session_end") == ts(45) &&
+           sessions(0).getAs[Long]("n_events") == 2, s"link 1: ${sessions.toSeq}")
+    assert(sessions(1).getAs[Timestamp]("session_start") == ts(115) &&
+           sessions(1).getAs[Timestamp]("session_end") == ts(200) &&
+           sessions(1).getAs[Long]("n_events") == 4 &&
+           sessions(1).getAs[Double]("total_value") == 57.0,
+      s"link 2 must bridge-merge into the open session: ${sessions.toSeq}")
+  }
+
+  test("cross-batch early flush is FINAL: the documented append-mode divergence from batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30).writeStream
+      .format("memory").queryName("final_sess").outputMode("append").start()
+    mem.addData(Event(1, ts(200), 1, "click", 1.0)) // state: open at t+200
+    q.processAllAvailable()
+    mem.addData(Event(2, ts(100), 1, "view", 2.0)) // early, flushed: emits [100,100]
+    q.processAllAvailable()
+    // batch 3: t+125 is within gap of the ALREADY-EMITTED [100,100] — a
+    // batch sort would merge them into [100,125], but append-mode output is
+    // immutable, so it becomes its own session. This pins the one
+    // adversarial ordering where the stream diverges from the batch twin
+    // (Streams.foldSessions scaladoc): the divergence is exactly one
+    // under-merged session pair per such ordering, never a wrong interval.
+    mem.addData(Event(3, ts(125), 1, "view", 4.0))
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(172), 1, "click", 8.0)) // open shrinks to [172,200]
+    q.processAllAvailable()
+    mem.addData(Event(5, ts(300), 1, "click", 16.0)) // closes [172,200]
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("final_sess").orderBy("session_start").collect()
+    // stream: [100,100], [125,125], [172,200] — batch twin would give
+    // [100,125], [172,200]; assert the divergence stays exactly this shape
+    assert(sessions.length == 3, s"got ${sessions.toSeq}")
+    assert(sessions(0).getAs[Timestamp]("session_end") == ts(100) &&
+           sessions(1).getAs[Timestamp]("session_start") == ts(125) &&
+           sessions(1).getAs[Timestamp]("session_end") == ts(125),
+      s"the flushed early session must stay final (append mode): ${sessions.toSeq}")
+    assert(sessions(2).getAs[Timestamp]("session_start") == ts(172) &&
+           sessions(2).getAs[Timestamp]("session_end") == ts(200) &&
+           sessions(2).getAs[Long]("n_events") == 2, s"${sessions.toSeq}")
+  }
+
   test("sessionizeTimeout closes idle sessions when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
