@@ -22,37 +22,64 @@ import org.apache.spark.sql.SparkSession
   * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ShuffleAudit [sfDir [query ...]]"
   */
 object ShuffleAudit {
-  private val inputBytes = new AtomicLong(0L)
-  private val shuffleWrite = new AtomicLong(0L)
-  private val shuffleRead = new AtomicLong(0L)
-  private val spilled = new AtomicLong(0L)
 
-  private class Acc extends SparkListener {
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      val m = sc.stageInfo.taskMetrics
-      if (m != null) {
-        inputBytes.addAndGet(m.inputMetrics.bytesRead)
-        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        spilled.addAndGet(m.diskBytesSpilled)
-      }
-    }
+  /** Byte volumes one measured run moved, in MB. */
+  final case class Volumes(inputMB: Double, shuffleWriteMB: Double,
+                           shuffleReadMB: Double, spilledMB: Double) {
+    /** shuffle-write : input — the fabric-pressure number SHUFFLE.md tracks;
+      * 0 when nothing was scanned (generated-data queries). */
+    def ratio: Double = if (inputMB > 0) shuffleWriteMB / inputMB else 0.0
   }
 
-  private def snapshot(): (Long, Long, Long, Long) =
-    (inputBytes.get, shuffleWrite.get, shuffleRead.get, spilled.get)
+  /** Reusable measurement core: a stage-metrics listener + delta snapshots
+    * around a thunk. Register ONE Meter per session (each registration adds
+    * a listener). Also the instrument behind ShuffleGateSpec's pinned
+    * ratio bounds — the regression gate that catches an un-broadcast join
+    * before it surfaces as silent bench drift. */
+  final class Meter(spark: SparkSession) {
+    private val inputBytes = new AtomicLong(0L)
+    private val shuffleWrite = new AtomicLong(0L)
+    private val shuffleRead = new AtomicLong(0L)
+    private val spilled = new AtomicLong(0L)
 
-  /** Poll until the async listener counters stop moving (≤ 3 s). */
-  private def quiesce(): (Long, Long, Long, Long) = {
-    var prev = snapshot()
-    var stable = 0
-    var waited = 0
-    while (stable < 2 && waited < 30) {
-      Thread.sleep(100); waited += 1
-      val cur = snapshot()
-      if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          inputBytes.addAndGet(m.inputMetrics.bytesRead)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          spilled.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+
+    private def snapshot(): (Long, Long, Long, Long) =
+      (inputBytes.get, shuffleWrite.get, shuffleRead.get, spilled.get)
+
+    /** Poll until the async listener counters stop moving (≤ 3 s). */
+    def quiesce(): (Long, Long, Long, Long) = {
+      var prev = snapshot()
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 30) {
+        Thread.sleep(100); waited += 1
+        val cur = snapshot()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
     }
-    prev
+
+    /** Measure the byte volumes `run` moves (listener delivery is async, so
+      * both ends quiesce first). */
+    def measure(run: => Unit): Volumes = {
+      quiesce()
+      val (i0, w0, r0, s0) = snapshot()
+      run
+      val (i1, w1, r1, s1) = quiesce()
+      val mb = 1024.0 * 1024.0
+      Volumes((i1 - i0) / mb, (w1 - w0) / mb, (r1 - r0) / mb, (s1 - s0) / mb)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -67,25 +94,21 @@ object ShuffleAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.sparkContext.addSparkListener(new Acc)
+    val meter = new Meter(spark)
 
-    val mb = 1024.0 * 1024.0
     val rows = Seq.newBuilder[(String, Double, Double, Double, Double)]
     var spilledAny = false
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if only.isEmpty || only(name)) {
       try {
-        quiesce()
-        val (i0, w0, r0, s0) = snapshot()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val (i1, w1, r1, s1) = quiesce()
+        val v = meter.measure(
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         val (in, wr, rd, sp) =
-          ((i1 - i0) / mb, (w1 - w0) / mb, (r1 - r0) / mb, (s1 - s0) / mb)
-        val ratio = if (in > 0) wr / in else 0.0
-        rows += ((name, in, wr, rd, ratio))
+          (v.inputMB, v.shuffleWriteMB, v.shuffleReadMB, v.spilledMB)
+        rows += ((name, in, wr, rd, v.ratio))
         if (sp > 0) { spilledAny = true
           println(f"[shuffle-audit] SPILL $name%-24s ${sp}%.1f MB spilled to disk") }
-        println(f"[shuffle-audit] $name%-24s in=$in%8.1f MB shuffleW=$wr%8.1f MB ratio=$ratio%6.3f")
+        println(f"[shuffle-audit] $name%-24s in=$in%8.1f MB shuffleW=$wr%8.1f MB ratio=${v.ratio}%6.3f")
       } catch {
         case e: Throwable => println(s"[shuffle-audit] FAIL $name: ${e.getMessage}")
       }
