@@ -83,7 +83,13 @@ object MarginAudit {
     "sim_recall_eval", "graph_bipartite_project", "dd_lsh_eval",
     // Kneser–Ney probability: a fixed chain of correctly-rounded IEEE ops
     // on exact integer counts and the literal 0.75 discount
-    "tx_kneser_ney")
+    "tx_kneser_ney",
+    // recall ratios are n_hits/10.0 on exact BIGINTs (sim_recall_eval's
+    // argument); the ranking cos is the sequential cosine fold class.
+    // (tx_quality_model / tx_mixture_resample are NOT listed: after the
+    // r7 RDIV failure they round in INTEGER arithmetic and emit no float
+    // round() at all — nothing for this audit to classify.)
+    "sim_ivfpq_recall")
 
   /** A query whose rounded doubles cannot move between runs. */
   def deterministic(name: String): Boolean =
@@ -137,6 +143,17 @@ object MarginAudit {
               val live = if (cell.negZeroLive) "LIVE -0 cell at this sf" else "negative cells; -0 possible at another sf"
               println(f"NEGZ $name%-24s $colName%-16s $live — migrate to qround on both sides")
             }
+            // ROUND-DIVERGENCE class (r7 live failure, tx_quality_model):
+            // Spark rounds the double's SHORTEST decimal repr, DuckDB the
+            // EXACT binary value — a non-dyadic half-boundary value rounds
+            // differently on the two engines DETERMINISTICALLY, so the
+            // integer-exact ("TIE-safe") exemption does not cover it. Fix =
+            // round in integer arithmetic on both sides (no float round at
+            // all) or move the value off the boundary.
+            if (cell.engineRoundMismatch) {
+              flagged += 1
+              println(f"RDIV $name%-24s $colName%-16s value=${cell.value}%.10g rounds differently on the two engines (non-dyadic half boundary)")
+            }
             if (!det) {
               val b = bar(cell.ulp)
               if (cell.dist < b) {
@@ -145,8 +162,8 @@ object MarginAudit {
               }
               if (cell.dist > 0 && globalWorst.forall(_._3 > cell.dist / b))
                 globalWorst = Some((name, colName, cell.dist / b))
-            } else if (cell.dist == 0.0) {
-              println(f"TIE  $name%-24s $colName%-16s value=${cell.value}%.10g sits exactly on a boundary (deterministic; engines agree on the half-tie)")
+            } else if (cell.dist == 0.0 && !cell.engineRoundMismatch) {
+              println(f"TIE  $name%-24s $colName%-16s value=${cell.value}%.10g sits exactly on a dyadic boundary (deterministic; engines agree on the half-tie)")
             }
           }
           val m = worst.values.map(_.dist).min

@@ -45,10 +45,33 @@ object RoundStrip {
     * some cell's pre-round value is negative (or -0.0), so at SOME scale
     * factor a cell can round to a signed zero; `negZeroLive`: a cell at
     * THIS sf actually rounds to zero magnitude from a negative value — a
-    * live cross-engine bit divergence unless canonicalized. */
+    * live cross-engine bit divergence unless canonicalized.
+    * `engineRoundMismatch`: some cell at THIS sf rounds DIFFERENTLY under
+    * the two engines' round() algorithms — Spark's BigDecimal.valueOf
+    * rounds the double's SHORTEST decimal representation while DuckDB
+    * rounds the EXACT binary value, and the two disagree when a value's
+    * shortest repr terminates exactly on a 10^-(k+1) half boundary that
+    * the binary value sits just below (r7 live failure: 0.31475 → Spark
+    * 0.3148, DuckDB 0.3147). Being integer-exact does NOT protect against
+    * this class — only dyadic boundary values (exactly representable, e.g.
+    * 23/32) are safe ties. */
   final case class Cell(dist: Double, value: Double, ulp: Double,
                         canonicalized: Boolean, negExposed: Boolean,
-                        negZeroLive: Boolean)
+                        negZeroLive: Boolean, engineRoundMismatch: Boolean)
+
+  /** True when Spark's round-of-shortest-repr and DuckDB's
+    * round-of-exact-binary disagree at scale k for this double — a
+    * deterministic cross-engine red row, independent of merge order. */
+  def enginesDisagree(v: Double, k: Int): Boolean = {
+    if (v.isNaN || v.isInfinite) return false
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // Spark: BigDecimal.valueOf(v) == shortest decimal repr; HALF_UP.
+    // DuckDB: exact binary expansion; half-away-from-zero == HALF_UP on
+    // the absolute value (both engines round halves away from zero).
+    val spark = JBD.valueOf(v).setScale(k, RoundingMode.HALF_UP)
+    val duck = new JBD(v).setScale(k, RoundingMode.HALF_UP)
+    spark.compareTo(duck) != 0
+  }
 
   /** The stripped frame plus per-column [[RoundInfo]] for every
     * final-projection double column that had a `round`. Alias exprIds are
@@ -146,7 +169,12 @@ object RoundStrip {
       else {
         val (dist, v, u) = cells.iterator
           .map(v => (boundaryDistance(v, k), v, math.ulp(v))).minBy(_._1)
-        Some(name -> Cell(dist, v, u, canon, negExposed, negLive))
+        // the disagreement test is only non-trivial within a hair of a
+        // boundary — restrict the BigDecimal work to that sliver
+        val mismatch = cells.iterator
+          .filter(c => boundaryDistance(c, k) < 1e-9)
+          .exists(c => enginesDisagree(c, k))
+        Some(name -> Cell(dist, v, u, canon, negExposed, negLive, mismatch))
       }
     }.toMap
   }

@@ -618,6 +618,109 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // ---- mixture RESAMPLING — tx_source_mixture computes target weights;
+    // this face enforces them: per-source keep probability
+    // p = min(1, target_share · N_total / n_source), applied per doc with a
+    // deterministic id-hash (the tx_split_assign family, different
+    // multiplier so the two hashes don't correlate) — the data-mixing step
+    // every training run executes after deciding its domain weights.
+    // Target shares derive from the source index (∝ idx+1) so the face
+    // exercises both the fractional-keep and the capped-at-1 branches.
+    // Scale shape: two tiny aggs (source cardinality) broadcast back onto
+    // the scan; the keep decision is scan-side integer hashing — no
+    // rand(), so the sample is reproducible at any partitioning, and the
+    // same doc survives on every engine (p is IEEE-exact arithmetic on
+    // exact counts, bit-identical both sides).
+    "tx_mixture_resample" -> ((s, d) => {
+      val P = 1000000007L
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        (substring(col("source"), 4, 10).cast("long") + 1L).as("tw"))
+      val per = docs.groupBy("source").agg(count(lit(1)).as("n_docs"), max("tw").as("tw"))
+      val tot = per.agg(sum("n_docs").as("n_total"), sum("tw").as("z"))
+      // the keep cutoff is the EXACT rational floor(min(1, tw·N/(z·n))·10^4)
+      // computed entirely in Long arithmetic — no float ever touches the
+      // sampling decision, so the kept set is bit-free and engine-identical
+      val withP = per.crossJoin(broadcast(tot))
+        .withColumn("cut", least(lit(10000L),
+          expr("(tw * n_total * 10000) div (z * n_docs)")))
+      // quadratic-mix id hash: a LINEAR (m·A mod P) hash steps arithmetically
+      // over consecutive ids, and per-source id patterns alias it badly
+      // (measured: 15/25 kept at p=0.095 on one source, 0/25 at p=0.19 on
+      // another); the m² term breaks the lattice — binomial-level deviation
+      // per source. m is reduced mod P FIRST so m·A and (m² mod P)·B stay
+      // under 2^63 for ANY doc_id (100 TB ids exceed 2^31, m² would not).
+      val m = pmod(col("doc_id"), lit(P))
+      val kept = docs
+        .withColumn("bucket", (m * 2654435761L + (m * m % P) * 2246822519L) % P % 10000)
+        .join(broadcast(withP.select(col("source"), col("cut"))), "source")
+        .filter(col("bucket") < col("cut"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      val keptTot = kept.agg(sum("n_kept").as("k_total"))
+      // reported ratios round in INTEGER arithmetic (the RDIV lesson —
+      // see tx_quality_model): p4/rs4 are exact Longs, the /1e4 division
+      // is one exact IEEE op, and no float round() exists to diverge
+      withP.join(kept, Seq("source"), "left")
+        .crossJoin(broadcast(keptTot))
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .withColumn("p4", least(lit(10000L), expr(
+          "(tw * n_total * 20000 + z * n_docs) div (z * n_docs * 2)")))
+        .withColumn("rs4", expr("(n_kept * 20000 + k_total) div (k_total * 2)"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          (col("p4").cast("double") / 10000.0).as("p_keep"),
+          (col("rs4").cast("double") / 10000.0).as("realized_share"))
+        .orderBy("source")
+    }),
+
+    // ---- model-based quality filter: tx_quality's interpretable features
+    // scored by a LEARNED linear model whose weights live in a broadcast
+    // one-row TABLE (the "apply classifier at scale" shape — swap the
+    // literal row for a real fitted-weights table and nothing else
+    // changes). Weights are CENTI-SCALED INTEGERS and the whole logit is
+    // assembled as one exact Long numerator over the common denominator
+    // 100000·n_tokens — so the score is a SINGLE correctly-rounded IEEE
+    // divide of exact integers (MarginAudit's integer-exact class; the
+    // sum-of-double-products form was FLAGged sitting exactly on a round-4
+    // half boundary) and the keep decision is a pure integer compare,
+    // no float anywhere. No sigmoid either: exp() is a libm call whose
+    // ulp differs between engines; the linear logit orders identically.
+    // Scan-side codegen, one broadcast, no shuffle beyond the final sort.
+    "tx_quality_model" -> ((s, d) => {
+      import s.implicits._
+      // (w0, w_len, w_stop, w_uniq, w_atl) in centi-units:
+      // score = -1.5 + 2.0*min(nt,1000)/1000 - 3.0*stop_ratio
+      //         + 2.5*uniq_ratio + 0.15*avg_token_len
+      val w = Seq((-150L, 200L, -300L, 250L, 15L))
+        .toDF("w0c", "w_lenc", "w_stopc", "w_uniqc", "w_atlc")
+      val toks = col("__toks")
+      t(s, d, "documents")
+        .withColumn("__toks", T.tokens(col("text")))
+        .withColumn("n_tokens", size(toks).cast("bigint"))
+        .withColumn("n_uniq", size(array_distinct(toks)).cast("bigint"))
+        .withColumn("sum_len", aggregate(toks, lit(0L), (a, wd) => a + length(wd)))
+        .withColumn("n_stop", T.stopwordHitsFromTokens(toks, T.langStopwords.head._2))
+        .crossJoin(broadcast(w))
+        .withColumn("num",
+          lit(1000L) * col("n_tokens") * col("w0c")
+            + col("w_lenc") * least(col("n_tokens"), lit(1000L)) * col("n_tokens")
+            + lit(1000L) * (col("w_stopc") * col("n_stop")
+              + col("w_uniqc") * col("n_uniq") + col("w_atlc") * col("sum_len")))
+        // 4-decimal score via INTEGER half-away-from-zero rounding: s4 =
+        // round(num·10^4 / den) computed entirely in Long arithmetic, then
+        // one exact double division by 10^4. No float round() anywhere —
+        // the r7 MarginAudit RDIV lesson: Spark rounds the shortest repr,
+        // DuckDB the exact binary, and a non-dyadic half-boundary quotient
+        // (0.31475 here) deterministically differs. Integer rounding is
+        // identical on both engines by construction.
+        .withColumn("den", col("n_tokens") * lit(100000L))
+        .withColumn("s4", expr(
+          """CASE WHEN num >= 0 THEN (num * 20000 + den) div (den * 2)
+            |     ELSE -((-num * 20000 + den) div (den * 2)) END""".stripMargin))
+        .withColumn("keep", col("num") > lit(50000L) * col("n_tokens"))
+        .select(col("doc_id"),
+          (col("s4").cast("double") / 10000.0).as("score"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // cross-document duplicated-n-gram fraction — the Gopher/Dolma corpus
     // quality signal tx_repetition can't see: what share of a doc's word
     // 5-grams also appear in at least one OTHER document (boilerplate,
@@ -1143,6 +1246,57 @@ object TextOps {
         |SELECT source, n_docs, total_chars,
         |  round(pow(CAST(total_chars AS DOUBLE), 0.7) / z, 4) AS weight
         |FROM per CROSS JOIN z ORDER BY source""".stripMargin,
+
+    // quadratic-mix id hash (m·A + m²·B mod P — see the query comment for
+    // why linear aliases per-source id patterns); the keep cutoff and both
+    // reported ratios round in INTEGER arithmetic (// on positive BIGINTs
+    // == Spark's div here), so no float round() exists to diverge
+    "tx_mixture_resample" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |    CAST(substr(source, 4) AS BIGINT) + 1 AS tw FROM documents),
+        |per AS (SELECT source, count(*) AS n_docs, max(tw) AS tw FROM docs GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |        CAST(sum(tw) AS BIGINT) AS z FROM per),
+        |wp AS (SELECT source, n_docs, tw, n_total, z,
+        |    least(10000, (tw * n_total * 10000) // (z * n_docs)) AS cut
+        |  FROM per CROSS JOIN tot),
+        |kept AS (SELECT d.source, count(*) AS n_kept
+        |  FROM docs d JOIN wp ON d.source = wp.source
+        |  WHERE ((d.doc_id % 1000000007) * 2654435761
+        |         + ((d.doc_id % 1000000007) * (d.doc_id % 1000000007) % 1000000007) * 2246822519)
+        |        % 1000000007 % 10000 < cut
+        |  GROUP BY d.source),
+        |kt AS (SELECT CAST(sum(n_kept) AS BIGINT) AS k_total FROM kept)
+        |SELECT wp.source AS source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(least(10000, (tw * n_total * 20000 + z * n_docs) // (z * n_docs * 2)) AS DOUBLE) / 10000.0 AS p_keep,
+        |  CAST((coalesce(n_kept, 0) * 20000 + k_total) // (k_total * 2) AS DOUBLE) / 10000.0 AS realized_share
+        |FROM wp LEFT JOIN kept ON kept.source = wp.source CROSS JOIN kt
+        |ORDER BY source""".stripMargin,
+
+    // identical feature subquery to tx_quality; the logit is the same exact
+    // Long numerator over 100000*n_tokens — one integer-exact divide, and
+    // keep is a pure integer compare (no float in the decision)
+    "tx_quality_model" ->
+      s"""WITH w AS (SELECT CAST(-150 AS BIGINT) AS w0c, CAST(200 AS BIGINT) AS w_lenc,
+         |            CAST(-300 AS BIGINT) AS w_stopc, CAST(250 AS BIGINT) AS w_uniqc,
+         |            CAST(15 AS BIGINT) AS w_atlc),
+         |f AS (SELECT doc_id,
+         |        CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(${S.tokens("text")})) AS BIGINT) AS n_uniq,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(${S.tokens("text")}, w -> CAST(length(w) AS BIGINT))), (a, x) -> a + x) AS sum_len,
+         |        ${S.stopHits("text", graft.engine.TextFunctions.langStopwords.head._2)} AS n_stop
+         |      FROM documents),
+         |sc AS (SELECT doc_id, n_tokens, 100000 * n_tokens AS den,
+         |    1000 * n_tokens * w0c
+         |      + w_lenc * least(n_tokens, 1000) * n_tokens
+         |      + 1000 * (w_stopc * n_stop + w_uniqc * n_uniq + w_atlc * sum_len) AS num
+         |  FROM f CROSS JOIN w)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN num >= 0 THEN (num * 20000 + den) // (den * 2)
+         |       ELSE -((-num * 20000 + den) // (den * 2)) END AS DOUBLE) / 10000.0 AS score,
+         |  num > 50000 * n_tokens AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "tx_dup_ngram_fraction" ->
       s"""WITH g AS (

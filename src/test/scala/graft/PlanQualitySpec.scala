@@ -170,6 +170,19 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     assert(!p.contains("Window"), s"no window operator in the PQ assignment path:\n$p")
   }
 
+  test("sim_ivfpq_topk: codebook/LUT/probe broadcast; code argmin is windowless partial-min") {
+    val p = planOf("sim_ivfpq_topk")
+    assert(p.contains("BroadcastExchange"),
+      s"the codebook, query LUT, and probed-label frames must broadcast:\n$p")
+    assert(p.contains("partial_min(struct(dist2"),
+      s"per-subvector code assignment must collapse in partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"no window operator in the serving funnel:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"every cross join must have a broadcast one-row/tiny side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the ADC shortlist cut and final top-5 must be TakeOrdered, not global sorts:\n$p")
+  }
+
   test("agg_hist_equidepth: global decile ranks without any Window operator") {
     val p = planOf("agg_hist_equidepth")
     assert(!p.contains("Window"),

@@ -64,6 +64,14 @@ class RoundingMarginSpec extends AnyFunSuite with SharedSparkSpec {
               "through qround (round(x,k) + 0.0) — Spark +0.0 vs DuckDB " +
               "-0.0 on a tiny negative fails the driver's bit hash" +
               (if (cell.negZeroLive) " (LIVE -0 cell at sf0.01)" else ""))
+          // RDIV rule (r7 tx_quality_model failure) applies to every query,
+          // deterministic included: Spark rounds the shortest decimal repr,
+          // DuckDB the exact binary — a non-dyadic half-boundary value
+          // rounds differently on the two engines every single run
+          assert(!cell.engineRoundMismatch,
+            s"$name.$colName: a cell sits on a NON-DYADIC half boundary — " +
+              "Spark and DuckDB round() disagree deterministically; round " +
+              "in integer arithmetic on both sides instead")
           // margin bar: order-sensitive only; a deterministic value is the
           // same double every run on both engines, so any distance —
           // including an exact boundary tie — is safe (ADVICE r5)
