@@ -412,12 +412,30 @@ object TextOps {
             .otherwise(concat(acc, array(x))))
       def encode(w: Column): Column =
         merges.foldLeft(split(w, "")) { case (cur, (a, b, _)) => applyMergeCol(cur, a, b) }
-      t(s, d, "documents")
-        .select(col("doc_id"), T.tokens(col("text")).as("__toks"))
-        .withColumn("__flat", flatten(transform(col("__toks"), w => encode(w))))
+      // MEMOIZE the encode at the VOCABULARY level: the 5-level fold is the
+      // expensive expression, and running it per word OCCURRENCE measured
+      // 16.8 s warm at sf0.1 — once per DISTINCT word it is ~1 s, because
+      // the vocabulary is Zipf-bounded while occurrences grow with the
+      // corpus (exactly how production tokenizers cache word → pieces).
+      // The doc is then reassembled order-exact from (pos, enc) pairs; the
+      // encoded vocab is the small side (AQE broadcasts it here; at
+      // trillion-token scale it stays a co-partitioned word-key join).
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(T.tokens(col("text"))))
+      val vocab = toks.select(col("col").as("word")).distinct()
+        .withColumn("enc", encode(col("word")))
+      val perDoc = toks.join(vocab, col("col") === col("word"))
+        .groupBy("doc_id")
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("enc")))),
+          p => p.getField("enc"))).as("flat"))
+      // empty documents never reach posexplode — restore them with an
+      // empty token stream so the row set matches the oracle's
+      t(s, d, "documents").select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          size(col("__flat")).cast("bigint").as("n_tokens"),
-          array_join(col("__flat"), " ").as("tokens"))
+          coalesce(size(col("flat")), lit(0)).cast("bigint").as("n_tokens"),
+          coalesce(array_join(col("flat"), " "), lit("")).as("tokens"))
         .orderBy("doc_id")
     }),
 
