@@ -116,10 +116,23 @@ object PlanDump {
       "carries RuntimeFilters: [dynamicpruningexpression(doc_id IN ...)] — the " +
       "broadcast build side's key set returns to the scan before partition planning " +
       "and collapses the generated interval to the joinable slice."),
-    "graph_triangles" -> ("Degree-ordered triangle counting: edge distinct, wedge " +
-      "self-join on the apex (fan-out capped by ORIENTED out-degree — O(E^1.5) " +
-      "candidates, hub-safe), one closing-edge equi-join; shape census rides the " +
-      "same cached edge frame."),
+    "graph_triangles" -> ("Degree-ordered triangle counting: oriented out-adjacency " +
+      "lists (per-node size bounded O(√E) by the orientation, hub-safe), count = " +
+      "Σ|adj(src) ∩ adj(dst)| via two edge⋈adjacency joins — the wedge set is never " +
+      "materialized; shape census rides the same checkpointed edge frame."),
+    "sim_ivfpq_topk" -> ("IVF-PQ serving funnel: the nprobe=2 probe frame and the " +
+      "128-row codebook/LUT broadcast; PQ codes collapse via struct-min PARTIAL " +
+      "aggregation; the ADC shortlist cut and the final top-5 are both " +
+      "TakeOrderedAndProject — raw vectors are touched only for the ≤100 survivors."),
+    "tx_bpe_encode" -> ("BPE apply with vocabulary memoization: the 5-merge fold " +
+      "expression runs once per DISTINCT word, the encoded vocab joins back to the " +
+      "(doc, pos, word) stream (AQE broadcasts it at this size), and documents " +
+      "reassemble order-exact from an in-aggregate struct sort — measured 7× over " +
+      "encoding per occurrence."),
+    "tx_mixture_resample" -> ("Mixture resampling: per-source keep cutoffs are exact " +
+      "integer rationals in two tiny broadcast aggregates; the keep decision is " +
+      "scan-side quadratic-mix integer hashing — no rand(), reproducible at any " +
+      "partitioning."),
     "sketch_hll_union" -> ("Mergeable HLL sketch table: per-group hll_sketch_agg " +
       "partials collapse map-side; the union estimate re-aggregates the sketch " +
       "COLUMN (hll_union_agg), not the fact — O(groups) merge, one fact scan per " +
