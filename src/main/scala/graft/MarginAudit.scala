@@ -84,6 +84,10 @@ object MarginAudit {
     // Kneser–Ney probability: a fixed chain of correctly-rounded IEEE ops
     // on exact integer counts and the literal 0.75 discount
     "tx_kneser_ney",
+    // outlier z-scores: a fixed chain of correctly-rounded IEEE ops
+    // (sub/div/sqrt) over fixed-point qmean moments and the sequential l2
+    // fold — the same deterministic-chain class as tx_kneser_ney
+    "emb_outlier",
     // recall ratios are n_hits/10.0 on exact BIGINTs (sim_recall_eval's
     // argument); the ranking cos is the sequential cosine fold class.
     // (tx_quality_model / tx_mixture_resample are NOT listed: after the

@@ -329,6 +329,39 @@ object Similarity {
         .orderBy("qid")
     }),
 
+    // ---- embedding OUTLIER detection — the noise-pruning pass a curation
+    // pipeline runs before training on retrieval data: each vector's
+    // squared distance to its label centroid, per-label z-scores from
+    // fixed-point moments, outlier = dist2 > mu + 2σ. Scale shape: the
+    // centroid table is label-cardinality-sized and BROADCASTS back onto
+    // the scan twice (assign, then score) — the vectors shuffle only into
+    // the final per-label aggregate. Determinism: mu/ex2 are FP.qmean
+    // (order-independent), dist2 is the sequential l2 fold, and sqrt/div
+    // are correctly-rounded IEEE ops — every z is bit-identical on both
+    // engines; the worst-z argmax tie-breaks on vec_id.
+    "emb_outlier" -> ((s, d) => {
+      val e = emb(s, d).cache()
+      val dists = e
+        .join(broadcast(ivfCentroids(e)), col("label") === col("c_label"))
+        .withColumn("dist2", l2sq(col("v"), col("cvec")))
+        .select("vec_id", "label", "dist2")
+      val stats = dists.groupBy(col("label").as("s_label"))
+        .agg(FP.qmean(col("dist2")).as("mu"),
+             FP.qmean(col("dist2") * col("dist2")).as("ex2"))
+        .withColumn("sigma", sqrt(greatest(col("ex2") - col("mu") * col("mu"), lit(0.0))))
+      dists.join(broadcast(stats), col("label") === col("s_label"))
+        .withColumn("z",
+          when(col("sigma") === 0.0, lit(0.0))
+            .otherwise((col("dist2") - col("mu")) / col("sigma")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+             sum(when(col("z") > 2.0, 1L).otherwise(0L)).as("n_outliers"),
+             max(struct(col("z"), col("vec_id"))).as("m"))
+        .select(col("label"), col("n_vecs"), col("n_outliers"),
+          round(col("m.z"), 4).as("worst_z"), col("m.vec_id").as("worst_vec_id"))
+        .orderBy("label")
+    }),
+
     // element-wise label centroids via explode → (label, dim) aggregation.
     "emb_centroids" -> ((s, d) =>
       emb(s, d)
@@ -766,6 +799,37 @@ object Similarity {
          |  round(coalesce(n_hits_ivfpq, 0) / 10.0, 4) AS recall_ivfpq
          |FROM q20 LEFT JOIN hi ON hi.qid = q20.qid LEFT JOIN hp ON hp.qid = q20.qid
          |ORDER BY qid""".stripMargin
+    },
+
+    // same centroid CTEs as sim_ivf_topk; dist2 replays the sequential l2
+    // fold; mu/ex2 are the qmean twins; the worst-z argmax tie-breaks
+    // (z desc, vec_id desc) to match Spark's struct-max exactly
+    "emb_outlier" -> {
+      def l2(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))),
+           |      (acc, x) -> acc + x)""".stripMargin
+      s"""$embCte,
+         |cd AS (SELECT label, dim, round(${S.qmean("v[CAST(dim AS INTEGER)]")}, 6) AS cval
+         |       FROM e, generate_series(1, 64) t(dim) GROUP BY label, dim),
+         |cent AS (SELECT label AS c_label, list(cval ORDER BY dim) AS cvec FROM cd GROUP BY label),
+         |dists AS (SELECT vec_id, label, ${l2("e.v", "cent.cvec")} AS dist2
+         |  FROM e JOIN cent ON e.label = cent.c_label),
+         |stats AS (SELECT label, mu, sqrt(greatest(ex2 - mu*mu, 0.0)) AS sigma FROM (
+         |    SELECT label, ${S.qmean("dist2")} AS mu, ${S.qmean("dist2*dist2")} AS ex2
+         |    FROM dists GROUP BY label)),
+         |zs AS (SELECT vec_id, d.label AS label,
+         |    CASE WHEN sigma = 0 THEN 0.0 ELSE (dist2 - mu) / sigma END AS z
+         |  FROM dists d JOIN stats s ON d.label = s.label),
+         |r AS (SELECT label, z, vec_id, row_number() OVER (PARTITION BY label
+         |        ORDER BY z DESC, vec_id DESC) AS rn FROM zs),
+         |agg AS (SELECT label, count(*) AS n_vecs,
+         |    CAST(sum(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |  FROM zs GROUP BY label)
+         |SELECT a.label AS label, n_vecs, n_outliers,
+         |  round(r.z, 4) AS worst_z, r.vec_id AS worst_vec_id
+         |FROM agg a JOIN r ON r.label = a.label AND r.rn = 1
+         |ORDER BY label""".stripMargin
     },
 
     "emb_centroids" ->
