@@ -302,6 +302,102 @@ object JpegHeaders {
     b
   }
 
+  /** SOI + APP1/EXIF (TIFF block with ImageWidth/ImageLength/Orientation in
+    * IFD0) + SOF0 + filler. `bigEndian` selects the TIFF byte order ('MM'
+    * vs 'II') — real EXIF ships both, so the parser must branch on the
+    * DECLARED order. The SOF carries `sofW`×`sofH` while the EXIF tags
+    * carry `exifW`×`exifH`: different on purpose, so a parser that lazily
+    * reads SOF dims cannot pass for one that walks the IFD. */
+  def jpegExifBytes(sofW: Int, sofH: Int, exifW: Int, exifH: Int,
+                    orientation: Int, bigEndian: Boolean, filler: Int): Array[Byte] = {
+    val tiff = new Array[Byte](50)
+    def put16(off: Int, v: Int): Unit =
+      if (bigEndian) { tiff(off) = (v >>> 8).toByte; tiff(off + 1) = v.toByte }
+      else { tiff(off) = v.toByte; tiff(off + 1) = (v >>> 8).toByte }
+    def put32(off: Int, v: Int): Unit =
+      if (bigEndian) for (i <- 0 until 4) tiff(off + i) = (v >>> (24 - 8 * i)).toByte
+      else for (i <- 0 until 4) tiff(off + i) = (v >>> (8 * i)).toByte
+    val bo: Byte = if (bigEndian) 'M' else 'I'
+    tiff(0) = bo; tiff(1) = bo
+    put16(2, 42); put32(4, 8) // magic + IFD0 offset
+    put16(8, 3)               // 3 directory entries
+    def entry(off: Int, tag: Int, typ: Int, value: Int, short: Boolean): Unit = {
+      put16(off, tag); put16(off + 2, typ); put32(off + 4, 1)
+      // SHORT values are LEFT-JUSTIFIED in the 4-byte field (TIFF spec):
+      // they occupy bytes 0-1 in the declared order, not the low half
+      if (short) put16(off + 8, value) else put32(off + 8, value)
+    }
+    entry(10, 0x0100, 4, exifW, short = false)       // ImageWidth, LONG
+    entry(22, 0x0101, 4, exifH, short = false)       // ImageLength, LONG
+    entry(34, 0x0112, 3, orientation, short = true)  // Orientation, SHORT
+    put32(46, 0)              // next-IFD offset: none
+    val app1Len = 2 + 6 + tiff.length // len field + "Exif\0\0" + TIFF
+    val b = new Array[Byte](2 + 2 + app1Len + 19 + filler)
+    b(0) = 0xff.toByte; b(1) = 0xd8.toByte
+    b(2) = 0xff.toByte; b(3) = 0xe1.toByte
+    b(4) = (app1Len >>> 8).toByte; b(5) = app1Len.toByte
+    b(6) = 'E'; b(7) = 'x'; b(8) = 'i'; b(9) = 'f'; b(10) = 0; b(11) = 0
+    System.arraycopy(tiff, 0, b, 12, tiff.length)
+    val sof = jpegBytes(sofW, sofH, 0, progressive = false) // SOI+APP0+SOF
+    System.arraycopy(sof, 20, b, 12 + tiff.length, 19)      // the SOF segment only
+    b
+  }
+
+  /** (bigEndian, orientation, exifWidth, exifHeight) from the APP1/EXIF
+    * IFD0, or None when there is no well-formed EXIF block. Every offset
+    * and count is UNTRUSTED: the segment walk, the TIFF magic, the IFD
+    * offset, and the entry count are all bounds-checked in Long arithmetic
+    * (a hostile IFD offset must drop the record, not throw). */
+  def exifMeta(p: Array[Byte]): Option[(Boolean, Int, Long, Long)] = {
+    if (p.length < 4 || u(p(0)) != 0xff || u(p(1)) != 0xd8) return None
+    var i = 2
+    while (i + 3 < p.length && u(p(i)) == 0xff) {
+      val marker = u(p(i + 1))
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
+      else if (marker == 0xd9 || marker == 0xda) return None
+      else {
+        val len = (u(p(i + 2)) << 8) | u(p(i + 3))
+        if (len < 2 || i.toLong + 2 + len > p.length) return None
+        if (marker == 0xe1 && len >= 2 + 6 + 14 &&
+            p(i + 4) == 'E' && p(i + 5) == 'x' && p(i + 6) == 'i' && p(i + 7) == 'f' &&
+            p(i + 8) == 0 && p(i + 9) == 0) {
+          val t0 = i + 10                 // TIFF block start
+          val tEnd = i + 2 + len          // segment end bounds every read
+          val big = p(t0) == 'M' && p(t0 + 1) == 'M'
+          val little = p(t0) == 'I' && p(t0 + 1) == 'I'
+          if (!big && !little) return None
+          def r16(o: Int): Int =
+            if (big) (u(p(o)) << 8) | u(p(o + 1)) else u(p(o)) | (u(p(o + 1)) << 8)
+          def r32(o: Int): Long =
+            if (big) (u(p(o)).toLong << 24) | (u(p(o + 1)).toLong << 16) |
+                     (u(p(o + 2)).toLong << 8) | u(p(o + 3)).toLong
+            else u(p(o)).toLong | (u(p(o + 1)).toLong << 8) |
+                 (u(p(o + 2)).toLong << 16) | (u(p(o + 3)).toLong << 24)
+          if (r16(t0 + 2) != 42) return None
+          val ifd = r32(t0 + 4) // untrusted
+          if (t0 + ifd + 2 > tEnd) return None
+          val d0 = (t0 + ifd).toInt
+          val n = r16(d0)       // untrusted entry count
+          if (d0 + 2 + n.toLong * 12 > tEnd) return None
+          var orient = -1; var w = -1L; var h = -1L
+          for (e <- 0 until n) {
+            val off = d0 + 2 + e * 12
+            r16(off) match {
+              case 0x0100 => w = r32(off + 8)
+              case 0x0101 => h = r32(off + 8)
+              case 0x0112 => orient = r16(off + 8) // SHORT: left-justified
+              case _ => ()
+            }
+          }
+          if (orient < 1 || orient > 8 || w < 0 || h < 0) return None
+          return Some((big, orient, w, h))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
   /** (progressive, width, height) or None for anything that is not a
     * well-formed JPEG with an SOF before the scan data. */
   def decode(p: Array[Byte]): Option[(Boolean, Int, Int)] = {

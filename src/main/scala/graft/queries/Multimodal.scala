@@ -220,6 +220,43 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // EXIF orientation + dimensions via a real TIFF IFD walk inside the
+    // JPEG APP1 segment — the metadata a crawl pipeline MUST read before
+    // decoding (orientation 5-8 swap the axes). Two genuinely new parsing
+    // obligations vs the SOF walk: the byte order is DECLARED in the data
+    // ('II' vs 'MM', alternated per doc here, so a single-endian parser
+    // fails half the corpus), and SHORT values are LEFT-JUSTIFIED in the
+    // 4-byte IFD value field. EXIF dims deliberately differ from the SOF
+    // dims so a parser reading the frame header cannot pass for one
+    // walking the IFD. Every 13th doc's IFD offset is stomped to point
+    // past the segment — the untrusted-offset drop path, absent from the
+    // output on both sides.
+    "mm_exif_meta" -> ((s, d) => {
+      import s.implicits._
+      import graft.engine.{JpegHeaders => JH, Multimodal => M}
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val b = JH.jpegExifBytes(
+          sofW = (id % 1017 + 8).toInt, sofH = (id * 5 % 1017 + 8).toInt,
+          exifW = (id * 3 % 2017 + 16).toInt, exifH = (id * 11 % 2017 + 16).toInt,
+          orientation = (id % 8 + 1).toInt, bigEndian = id % 2 == 1,
+          filler = (id % 16).toInt)
+        val payload = if (id % 13 == 0) {
+          val c = b.clone() // IFD offset (TIFF start + 4 = byte 16): huge
+          c(16) = 0x7f; c(17) = 0x7f; c(18) = 0x7f; c(19) = 0x7f; c
+        } else b
+        M.MediaRecord(id, payload, "image/jpeg")
+      }
+      media.mapPartitions { it =>
+        // codec init would sit here, once per partition
+        it.flatMap { r =>
+          JH.exifMeta(r.payload).map { case (big, orient, w, h) =>
+            (r.doc_id, if (big) "MM" else "II", orient.toLong, w, h)
+          }
+        }
+      }.toDF("doc_id", "endian", "orientation", "exif_w", "exif_h")
+        .orderBy("doc_id")
+    }),
+
     // per-source media-batch profile: the batch-shape check for feeding
     // mapInPandas/mapPartitions decoders (bytes per batch, rows per batch).
     "mm_batch_profile" -> ((s, d) =>
@@ -328,6 +365,16 @@ object Multimodal {
         |  CAST(doc_id % 1017 + 8 AS BIGINT) AS width,
         |  CAST((doc_id * 5) % 1017 + 8 AS BIGINT) AS height
         |FROM documents WHERE doc_id % 17 != 0 ORDER BY doc_id""".stripMargin,
+
+    // synthesis formulas re-derived; the 13th-doc IFD-offset stomp must
+    // drop on the Spark side for the row sets to match
+    "mm_exif_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS endian,
+        |  CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+        |  CAST((doc_id * 3) % 2017 + 16 AS BIGINT) AS exif_w,
+        |  CAST((doc_id * 11) % 2017 + 16 AS BIGINT) AS exif_h
+        |FROM documents WHERE doc_id % 13 != 0 ORDER BY doc_id""".stripMargin,
 
     "mm_batch_profile" ->
       """SELECT source, count(*) AS n_docs,

@@ -142,6 +142,33 @@ class MultimodalSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("exif codec: IFD walk in both byte orders; hostile offsets/counts drop") {
+    import graft.engine.JpegHeaders
+    for (big <- Seq(false, true)) {
+      val b = JpegHeaders.jpegExifBytes(640, 480, 1920, 1080, 6, big, 7)
+      assert(JpegHeaders.exifMeta(b) == Some((big, 6, 1920L, 1080L)),
+        s"round-trip failed for bigEndian=$big")
+      // the SOF dims must still come from the frame header, not EXIF
+      assert(JpegHeaders.decode(b) == Some((false, 640, 480)))
+    }
+    // orientation SHORT is left-justified: all 8 values survive both orders
+    for (o <- 1 to 8; big <- Seq(false, true))
+      assert(JpegHeaders.exifMeta(
+        JpegHeaders.jpegExifBytes(8, 8, 16, 16, o, big, 0)).get._2 == o)
+    // hostile IFD offset pointing past the segment: drop, don't throw
+    val base = JpegHeaders.jpegExifBytes(640, 480, 1920, 1080, 1, false, 0)
+    val badIfd = base.clone()
+    badIfd(16) = 0x7f; badIfd(17) = 0x7f; badIfd(18) = 0x7f; badIfd(19) = 0x7f
+    assert(JpegHeaders.exifMeta(badIfd).isEmpty)
+    // hostile entry count claiming more entries than the segment holds
+    val badCount = base.clone()
+    badCount(20) = 0xff.toByte; badCount(21) = 0x7f
+    assert(JpegHeaders.exifMeta(badCount).isEmpty)
+    // plain EXIF-less JPEG and non-JPEG bytes: no EXIF to report
+    assert(JpegHeaders.exifMeta(JpegHeaders.jpegBytes(64, 64, 4, progressive = false)).isEmpty)
+    assert(JpegHeaders.exifMeta("not a jpeg at all".getBytes("UTF-8")).isEmpty)
+  }
+
   test("repartition by byte budget keeps batches balanced") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.asMedia(spark, docs).repartition(8)
