@@ -285,9 +285,12 @@ object Similarity {
           Window.partitionBy("qid").orderBy(col("dist").asc, col("c_label").asc)))
         .filter(col("rn") <= 2)
         .select(col("qid").as("p_qid"), col("c_label"))
+      // cache: truth, ivf, and the pq10 re-rank all consume this 20×corpus
+      // scored frame — uncached, the cosine cross-join runs three times
       val scored = e.crossJoin(broadcast(q20))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cos", round(V.cosine(col("v"), col("qv")), 6))
+        .cache()
       val rankW = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
       val truth = scored.withColumn("rn", row_number().over(rankW))
         .filter(col("rn") <= 10).select("qid", "vec_id")
