@@ -63,7 +63,14 @@ object MarginAudit {
     // identical chain; ranks/argmins tie-break on (cos, vec_id), a total
     // order on those engine-identical doubles
     "sim_topk_exact", "sim_ann_topk", "sim_neardup_pairs", "sim_knn_join",
-    "emb_semantic_dedup")
+    "emb_semantic_dedup",
+    // r7 faces: per-doc scores are integer micro-nat sums divided by exact
+    // counts then qround'd; the bucket mean folds through qmean — every
+    // float on the path is a fixed chain over exact integers
+    "tx_perplexity_bucket",
+    // Adamic–Adar weight: 1/ln(wdeg) is a fixed IEEE chain on an exact
+    // integer, and the per-pair sum folds through qsum
+    "graph_adamic_adar")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact
@@ -93,7 +100,9 @@ object MarginAudit {
     // (tx_quality_model / tx_mixture_resample are NOT listed: after the
     // r7 RDIV failure they round in INTEGER arithmetic and emit no float
     // round() at all — nothing for this audit to classify.)
-    "sim_ivfpq_recall")
+    "sim_ivfpq_recall",
+    // rel_err = one sub + one divide on exact BIGINT pair counts
+    "opt_join_cardinality")
 
   /** A query whose rounded doubles cannot move between runs. */
   def deterministic(name: String): Boolean =

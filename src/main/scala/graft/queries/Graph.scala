@@ -168,6 +168,36 @@ object Graph {
           round(col("n_shared") / (col("na") + col("nb") - col("n_shared")).cast("double"), 4)
             .as("jaccard"))
         .orderBy("a", "b")
+    }),
+
+    // ---- Adamic–Adar link prediction: score supplier pairs by their
+    // shared customers, weighting each witness by 1/ln(degree) so a
+    // customer who buys from everyone certifies nothing while a two-
+    // supplier loyalist certifies a lot — the classic common-neighbors
+    // refinement (Adamic & Adar '03) recommenders run over bipartite
+    // activity graphs. Scale shape: the wedge join fans out per WITNESS as
+    // degree², and the witness side here is customers, whose degree is
+    // bounded by per-customer activity (orders × lines are per-entity
+    // constants as the corpus grows) — the same finer-side discipline as
+    // graph_bipartite_project; adversarial hub witnesses would take the
+    // dd_substring_spans df-cap. The witness-degree join lands on src, the
+    // key the edge distinct just shuffled on (exchange reuse); the weight
+    // sum folds through fixed-point qsum so shuffle-merge order cannot
+    // flake the rounded score; top-100 has a total-order tie-break.
+    "graph_adamic_adar" -> ((s, d) => {
+      val e = edges(s, d).cache()
+      val wdeg = e.groupBy("src").agg(count(lit(1)).as("wdeg"))
+      val ew = e.join(wdeg, "src")
+      ew.as("x").join(ew.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.dst").as("s1"), col("y.dst").as("s2"),
+          col("x.wdeg").as("wdeg"))
+        .groupBy("s1", "s2")
+        .agg(count(lit(1)).as("common"),
+          round(FP.qsum(lit(1.0) / log(col("wdeg"))), 4).as("aa"))
+        .filter(col("common") >= 3)
+        .orderBy(desc("aa"), col("s1"), col("s2"))
+        .limit(100)
     })
   )
 
@@ -267,6 +297,18 @@ object Graph {
         |SELECT a, b, n_shared,
         |  round(n_shared / CAST(da.n_users + db.n_users - n_shared AS DOUBLE), 4) AS jaccard
         |FROM pairs JOIN deg da ON da.event_type = a JOIN deg db ON db.event_type = b
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    "graph_adamic_adar" ->
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |wdeg AS (SELECT src, count(*) AS wdeg FROM e GROUP BY src),
+         |ew AS (SELECT src, dst, wdeg FROM e JOIN wdeg USING (src)),
+         |pairs AS (SELECT x.dst AS s1, y.dst AS s2, count(*) AS common,
+         |    round(${S.qsum("CAST(1.0 AS DOUBLE) / ln(x.wdeg)")}, 4) AS aa
+         |  FROM ew x JOIN ew y ON x.src = y.src AND x.dst < y.dst
+         |  GROUP BY x.dst, y.dst HAVING count(*) >= 3)
+         |SELECT s1, s2, common, aa FROM pairs
+         |ORDER BY aa DESC, s1, s2 LIMIT 100""".stripMargin
   )
 }

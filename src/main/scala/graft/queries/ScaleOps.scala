@@ -801,6 +801,32 @@ object ScaleOps {
              // boundary margin (1.6× the 64-ulp band, r5 audit)
              round(FP.qsum(col("o_totalprice"), 20), 4).as("rev"))
         .orderBy("gen")
+    }),
+
+    // ---- join-cardinality estimation, the optimizer-statistics face: how
+    // big would lineitem⋈lineitem on l_partkey be? The planner's answer is
+    // a bucketed count-histogram — Σ_b C(b)² over 8192 hash buckets — an
+    // upper bound whose bias IS the hash-collision term; the face computes
+    // the sketch estimate AND the exact Σ_k c(k)² ground truth and reports
+    // the relative error. Scale shape: one hash-agg to per-key counts
+    // (key-cardinality-sized, not row-sized), then an 8192-row re-bucket —
+    // the sketch an engine would persist as table stats and evaluate at
+    // PLAN time, never running the join. The multiplier stays below 2^63
+    // for any key < 3.4e9; beyond that swap the product for a 64-bit
+    // mix hash (xxhash64) on both sides.
+    "opt_join_cardinality" -> ((s, d) => {
+      val keys = t(s, d, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("c")).cache()
+      val exact = keys.agg(count(lit(1)).as("n_keys"),
+        sum(col("c") * col("c")).as("exact_pairs"))
+      val est = keys
+        .withColumn("bucket", pmod(col("l_partkey") * lit(2654435761L), lit(8192L)))
+        .groupBy("bucket").agg(sum("c").as("bc"))
+        .agg(sum(col("bc") * col("bc")).as("est_pairs"))
+      exact.crossJoin(est)
+        .select(col("n_keys"), col("exact_pairs"), col("est_pairs"),
+          round((col("est_pairs") - col("exact_pairs")).cast("double") /
+            col("exact_pairs"), 6).as("rel_err"))
     })
   )
 
@@ -1090,6 +1116,16 @@ object ScaleOps {
         |FROM (SELECT CAST(CASE WHEN year(o_orderdate) < 1995 THEN 1 ELSE 2 END AS BIGINT) AS gen,
         |        o_orderstatus, o_totalprice
         |      FROM orders)
-        |GROUP BY gen ORDER BY gen""".stripMargin
+        |GROUP BY gen ORDER BY gen""".stripMargin,
+
+    "opt_join_cardinality" ->
+      """WITH keys AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey),
+        |ex AS (SELECT count(*) AS n_keys, CAST(sum(c * c) AS BIGINT) AS exact_pairs FROM keys),
+        |est AS (SELECT CAST(sum(bc * bc) AS BIGINT) AS est_pairs FROM (
+        |  SELECT (l_partkey * 2654435761) % 8192 AS bucket, CAST(sum(c) AS BIGINT) AS bc
+        |  FROM keys GROUP BY bucket))
+        |SELECT n_keys, exact_pairs, est_pairs,
+        |  round(CAST(est_pairs - exact_pairs AS DOUBLE) / exact_pairs, 6) AS rel_err
+        |FROM ex CROSS JOIN est""".stripMargin
   )
 }

@@ -931,7 +931,63 @@ object TextOps {
              countDistinct("ch").as("uniq_chunks"))
         .withColumn("dedup_ratio",
           round(col("uniq_chunks").cast("double") / col("total_chunks"), 4))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ---- CCNet-style perplexity partition: score every doc under the
+    // corpus-trained Kneser-Ney bigram LM (same arithmetic as
+    // tx_kneser_ney, UNfiltered — the model, not the report), then split
+    // each source into head/middle/tail at the 30th/70th per-source score
+    // percentiles — the exact curation move CCNet (Wenzek et al. '20) uses
+    // to keep the fluent third of a crawl. Determinism: each bigram's
+    // -ln(pkn) is identical double arithmetic over exact integer counts on
+    // both engines, quantized to integer MICRO-NATS before the per-doc sum
+    // (long addition commutes — shuffle order can't flake the hash), and
+    // the per-bucket mean folds through fixed-point qmean. Scale shape:
+    // bigram explode → vocab²-bounded model hash-agg, doc⋈model shuffle
+    // join on the bigram key (fact⋈dimension, never doc×doc), per-doc
+    // re-agg, then a 20-row cutoff frame broadcast back. The exact
+    // per-source `percentile` buffers one score per doc — at 100 TB swap
+    // to approx_percentile (mergeable sketch; the agg_mad/sketch_quantiles
+    // precedent), which shifts cut points, not semantics.
+    "tx_perplexity_bucket" -> ((s, d) => {
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), T.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) >= 2).cache()
+      val bg = staged.select(col("doc_id"), col("source"),
+        explode(T.bigramsFromTokens(col("__toks"))).as("bg"))
+      val cab = bg
+        .withColumn("a", split(col("bg"), " ").getItem(0))
+        .withColumn("b", split(col("bg"), " ").getItem(1))
+        .groupBy("a", "b").agg(count(lit(1)).as("cab")).cache()
+      val ca = cab.groupBy("a")
+        .agg(sum("cab").as("ca"), count(lit(1)).as("n_follow"))
+      val cb = cab.groupBy("b").agg(count(lit(1)).as("n_precede"))
+      val tot = cab.select(count(lit(1)).as("n_types"))
+      val model = cab.join(ca, "a").join(cb, "b").crossJoin(broadcast(tot))
+        .withColumn("lpu", round(-log(
+          greatest(col("cab") - lit(0.75), lit(0.0)) / col("ca") +
+            (lit(0.75) * col("n_follow") / col("ca")) *
+              (col("n_precede") / col("n_types"))) * lit(1e6)).cast("long"))
+        .select(concat_ws(" ", col("a"), col("b")).as("bg"), col("lpu"))
+      val scored = bg.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(first(col("source")).as("source"),
+          FP.qround(sum(col("lpu")).cast("double") /
+            (count(lit(1)).cast("double") * lit(1e6)), 4).as("score"))
+        .cache()
+      val cuts = scored.groupBy("source").agg(
+        expr("percentile(score, 0.3)").as("c30"),
+        expr("percentile(score, 0.7)").as("c70"))
+      scored.join(broadcast(cuts), "source")
+        .withColumn("bucket",
+          when(col("score") <= col("c30"), "head")
+            .when(col("score") <= col("c70"), "middle")
+            .otherwise("tail"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          FP.qround(FP.qmean(col("score")), 4).as("mean_nll"))
+        .orderBy("source", "bucket")
+    })
   )
 
   private val S = SqlText
@@ -1395,6 +1451,37 @@ object TextOps {
          |    (0.75 * n_follow / ca) * (n_precede / n_types), 6) AS pkn
          |FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
          |WHERE cab >= 5 ORDER BY a, b""".stripMargin,
+
+    // the KN model CTEs verbatim (unfiltered), quantized to micro-nats
+    // before the per-doc sum so long addition keeps both engines exact;
+    // quantile_cont is DuckDB's interpolating twin of Spark `percentile`
+    "tx_perplexity_bucket" ->
+      s"""WITH tl AS (SELECT doc_id, source, ${S.tokens("text")} AS toks FROM documents),
+         |tl2 AS (SELECT * FROM tl WHERE len(toks) >= 2),
+         |bgs AS (SELECT doc_id, source,
+         |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |  FROM tl2),
+         |ab AS (SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b FROM bgs),
+         |cab AS (SELECT a, b, count(*) AS cab FROM ab GROUP BY a, b),
+         |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca, count(*) AS n_follow FROM cab GROUP BY a),
+         |cb AS (SELECT b, count(*) AS n_precede FROM cab GROUP BY b),
+         |tot AS (SELECT count(*) AS n_types FROM cab),
+         |model AS (SELECT a || ' ' || b AS bg,
+         |    CAST(round(-ln(greatest(cab - 0.75, 0.0) / ca +
+         |      (0.75 * n_follow / ca) * (n_precede / n_types)) * 1e6) AS BIGINT) AS lpu
+         |  FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot),
+         |scored AS (SELECT doc_id, any_value(source) AS source,
+         |    (round(CAST(sum(lpu) AS DOUBLE) / (count(*) * 1e6), 4) + 0.0) AS score
+         |  FROM bgs JOIN model USING (bg) GROUP BY doc_id),
+         |cuts AS (SELECT source, quantile_cont(score, 0.3) AS c30,
+         |    quantile_cont(score, 0.7) AS c70 FROM scored GROUP BY source)
+         |SELECT source,
+         |  CASE WHEN score <= c30 THEN 'head'
+         |       WHEN score <= c70 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs,
+         |  ${S.qround(S.qmean("score"), 4)} AS mean_nll
+         |FROM scored JOIN cuts USING (source)
+         |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
     // mirrors graft.plans.CdcChunks exactly: boundary after 1-based position
     // i (i in [4, n]) iff the raw 4-char window hash ≡ 0 (mod 64); chunk

@@ -66,4 +66,54 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     // the probe must be useful at all: some query finds some true neighbor
     assert(rows.map(_.getLong(2)).sum > 0, "ANN recall is zero across every query")
   }
+
+  test("tx_perplexity_bucket: buckets partition each source, head reads more fluent than tail") {
+    val rows = SparkEntry.queries("tx_perplexity_bucket")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(0))
+    val eligible = graft.engine.Tables.load(spark, d, "documents")
+      .selectExpr("source", "size(filter(split(text, ' '), w -> w != '')) AS n")
+      .filter("n >= 2").groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, rs) <- bySource) {
+      val buckets = rs.map(_.getString(1)).toSet
+      assert(buckets.subsetOf(Set("head", "middle", "tail")), s"$src: $buckets")
+      assert(rs.map(_.getLong(2)).sum == eligible(src),
+        s"$src: bucket counts must partition the >=2-token docs")
+      // the 30/70 percentile cut: head can never exceed the cut count + ties,
+      // and head's mean NLL must be strictly below tail's (fluency ordering)
+      val byB = rs.map(r => r.getString(1) -> r).toMap
+      for (h <- byB.get("head"); t <- byB.get("tail"))
+        assert(h.getDouble(3) < t.getDouble(3),
+          s"$src: head mean_nll ${h.getDouble(3)} !< tail ${t.getDouble(3)}")
+    }
+  }
+
+  test("opt_join_cardinality: sketch estimate bounds the exact self-join size from above") {
+    val r = SparkEntry.queries("opt_join_cardinality")(spark, d).collect().head
+    val (nKeys, exact, est, relErr) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nKeys > 0 && exact >= nKeys, "every key contributes at least c=1 pair mass")
+    assert(est >= exact, "bucket-collision bias is non-negative: Σ C(b)² >= Σ c(k)²")
+    assert(relErr >= 0.0, "relative error of an upper bound is non-negative")
+    // with 8192 buckets the collision inflation at this SF should stay mild
+    assert(relErr < 1.0, s"sketch over-estimates by ${relErr}x — bucket count too small")
+  }
+
+  test("graph_adamic_adar: ordered pairs, support floor, AA bounded by common/ln(2)") {
+    val rows = SparkEntry.queries("graph_adamic_adar")(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    for (r <- rows) {
+      val (s1, s2, common, aa) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(s1 < s2, s"pair not ordered: ($s1, $s2)")
+      assert(common >= 3, "support floor")
+      // every witness has degree >= 2 (it closed a wedge), so each term is
+      // at most 1/ln(2) and positive: 0 < aa <= common / ln 2
+      assert(aa > 0.0 && aa <= common / math.log(2.0) + 5e-5,
+        s"($s1,$s2) aa=$aa outside (0, common/ln2] for common=$common")
+    }
+    // ranking is by aa descending
+    val aas = rows.map(_.getDouble(3))
+    assert(aas.zip(aas.tail).forall { case (x, y) => x >= y }, "not sorted by aa desc")
+  }
 }
