@@ -102,7 +102,9 @@ object MarginAudit {
     // round() at all — nothing for this audit to classify.)
     "sim_ivfpq_recall",
     // rel_err = one sub + one divide on exact BIGINT pair counts
-    "opt_join_cardinality")
+    "opt_join_cardinality",
+    // purity/recall = single divides on exact BIGINT pair counts
+    "mm_image_dedup")
 
   /** A query whose rounded doubles cannot move between runs. */
   def deterministic(name: String): Boolean =

@@ -236,6 +236,59 @@ object ImageHeaders {
     b
   }
 
+  /** A COMPLETE 24bpp BMP: header + real pixel payload. BMP stores rows
+    * BOTTOM-UP with each row's byte length padded to a 4-byte stride —
+    * both spec details are honored here and must be independently undone
+    * by [[bmpGray]] for a round-trip to succeed (the synth writes
+    * top-down row r at file row h-1-r; it shares no traversal code with
+    * the reader). `gray(x, y)` is written to all three BGR channels. */
+  def bmpPixelBytes(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val stride = ((3 * width + 3) / 4) * 4
+    val n = BmpHeaderLen + stride * height
+    val b = bmpBytes(width, height, stride * height)
+    // bmpBytes wrote file size for its own filler layout; size matches here
+    for (y <- 0 until height; x <- 0 until width) {
+      val g = (gray(x, y) & 0xff).toByte
+      val off = BmpHeaderLen + (height - 1 - y) * stride + 3 * x
+      b(off) = g; b(off + 1) = g; b(off + 2) = g
+    }
+    b
+  }
+
+  /** REAL pixel decoder for 24bpp BMPs: reads the pixel-data offset,
+    * dimensions and bpp from the declared header fields (never assuming
+    * the synth layout), walks the bottom-up padded rows, and returns the
+    * TOP-DOWN row-major grayscale (blue channel; the synth writes equal
+    * channels). None for non-BMP payloads, bpp ≠ 24, or a payload too
+    * short for its declared dimensions (hostile-length rule). */
+  def bmpGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 30 || p(0) != 'B' || p(1) != 'M' || u(p(14)) != 40) return None
+    val off = u(p(10)) | (u(p(11)) << 8) | (u(p(12)) << 16) | (u(p(13)) << 24)
+    val w = u(p(18)) | (u(p(19)) << 8) | (u(p(20)) << 16) | (u(p(21)) << 24)
+    val h = u(p(22)) | (u(p(23)) << 8) | (u(p(24)) << 16) | (u(p(25)) << 24)
+    val bpp = u(p(28)) | (u(p(29)) << 8)
+    if (bpp != 24 || w <= 0 || h <= 0) return None
+    val stride = ((3 * w + 3) / 4) * 4
+    if (off + stride.toLong * h > p.length) return None
+    val out = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      out(y * w + x) = u(p(off + (h - 1 - y) * stride + 3 * x))
+    Some((w, h, out))
+  }
+
+  /** 56-bit difference hash over an 8×8 grayscale: bit r·7+c is set iff
+    * pixel (c+1, r) is strictly brighter than (c, r) — 7 comparisons × 8
+    * rows, small enough to stay positive in a signed 64-bit lane on both
+    * engines. The standard perceptual near-dup signature (one changed
+    * pixel flips at most 2 bits). */
+  def dHash56(w: Int, h: Int, gray: Array[Int]): Long = {
+    require(w == 8 && h == 8, s"dHash56 expects 8x8, got ${w}x$h")
+    var bits = 0L
+    for (r <- 0 until 8; c <- 0 until 7)
+      if (gray(r * 8 + c + 1) > gray(r * 8 + c)) bits |= 1L << (r * 7 + c)
+    bits
+  }
+
   /** Parse a recognized image container's (format, width, height) from raw
     * bytes; None for anything else. BMP requires the DIB-size field to read
     * exactly 40 so ASCII text starting with "BM" can never false-positive

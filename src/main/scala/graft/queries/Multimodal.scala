@@ -15,7 +15,7 @@ object Multimodal {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     // binary payload + metadata extraction: documents.text stands in for
     // media bytes (UTF-8 encode on both engines).
     "mm_binary_meta" -> ((s, d) => {
@@ -268,7 +268,7 @@ object Multimodal {
              max("n_bytes").as("max_bytes"),
              round(avg("n_bytes"), 4).as("avg_bytes"))
         .orderBy("source"))
-  )
+  ) ++ ImageDedup.queries
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -382,5 +382,5 @@ object Multimodal {
         |  max(n_bytes) AS max_bytes, round(avg(n_bytes), 4) AS avg_bytes
         |FROM (SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin
-  )
+  ) ++ ImageDedup.oracles
 }

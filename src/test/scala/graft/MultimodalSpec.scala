@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.engine.{Multimodal, Tables}
+import graft.engine.{ImageHeaders, Multimodal, Tables}
 
 /** Pins the multimodal plumbing: typed Dataset schema, per-partition feature
   * extraction, stub-decode determinism. */
@@ -175,5 +175,48 @@ class MultimodalSpec extends AnyFunSuite with SharedSparkSpec {
     val perPart = media.rdd.mapPartitions(it => Iterator(it.map(_.payload.length).sum)).collect()
     assert(perPart.length == 8)
     assert(perPart.sum > 0)
+  }
+
+  test("bmp pixel codec: synth→decode round-trip undoes bottom-up rows and stride") {
+    def pix(x: Int, y: Int): Int = (x * 40 + y * 3 + 11) % 256
+    // 8x8 (stride 24, no pad) and 5x3 (row 15 bytes → stride 16, 1 pad byte)
+    for ((w, h) <- Seq((8, 8), (5, 3))) {
+      val bytes = ImageHeaders.bmpPixelBytes(w, h, pix)
+      val Some((dw, dh, gray)) = ImageHeaders.bmpGray(bytes)
+      assert(dw == w && dh == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(gray(y * w + x) == pix(x, y), s"pixel ($x,$y) in ${w}x$h")
+    }
+    // hostile: declared dims larger than the payload must drop, not read OOB
+    val short = ImageHeaders.bmpPixelBytes(8, 8, pix).take(60)
+    assert(ImageHeaders.bmpGray(short).isEmpty)
+    // non-24bpp declared must drop
+    val b = ImageHeaders.bmpPixelBytes(8, 8, pix); b(28) = 8
+    assert(ImageHeaders.bmpGray(b).isEmpty)
+  }
+
+  test("dHash56: one-pixel perturbation flips at most 2 bits, shift-invariance holds") {
+    def base(x: Int, y: Int): Int = ((x * 13 + y * 31) * (x + 8 * y + 3)) % 251
+    val Some((_, _, g0)) = ImageHeaders.bmpGray(ImageHeaders.bmpPixelBytes(8, 8, base))
+    val h0 = ImageHeaders.dHash56(8, 8, g0)
+    assert(h0 >= 0L, "56-bit hash stays positive in a signed lane")
+    // perturb one pixel → Hamming ≤ 2 (the two comparisons it touches)
+    val Some((_, _, g1)) = ImageHeaders.bmpGray(ImageHeaders.bmpPixelBytes(8, 8,
+      (x, y) => if (x == 3 && y == 4) (base(x, y) + 97) % 251 else base(x, y)))
+    val h1 = ImageHeaders.dHash56(8, 8, g1)
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 2)
+    // uniform brightness shift → identical hash (why the planted groups
+    // must vary their GRADIENT, not their level)
+    val Some((_, _, g2)) = ImageHeaders.bmpGray(ImageHeaders.bmpPixelBytes(8, 8,
+      (x, y) => (base(x, y) + 40) % 256 min 255))
+    assert(ImageHeaders.dHash56(8, 8, g0.map(v => (v + 10) min 255)) == h0)
+  }
+
+  test("mm_image_dedup: banded pipeline finds every planted pair at full purity (sf0.001)") {
+    val r = SparkEntry.queries("mm_image_dedup")(spark, "/root/testdata/sf0.001").collect().head
+    assert(r.getLong(0) == 500, "one image per document")
+    assert(r.getLong(3) == r.getLong(4), "every planted pair recovered (n_true == n_planted)")
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 1.0, "purity and recall 1.0 at this SF")
+    assert(r.getLong(1) < 10000, "banding keeps candidates near the planted count, not all-pairs")
   }
 }
