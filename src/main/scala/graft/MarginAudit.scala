@@ -104,7 +104,9 @@ object MarginAudit {
     // rel_err = one sub + one divide on exact BIGINT pair counts
     "opt_join_cardinality",
     // purity/recall = single divides on exact BIGINT pair counts
-    "mm_image_dedup")
+    "mm_image_dedup",
+    // fertility = one divide on exact BIGINT piece/word counts
+    "tx_bpe_fertility")
 
   /** A query whose rounded doubles cannot move between runs. */
   def deterministic(name: String): Boolean =

@@ -36,6 +36,29 @@ object Bpe {
     buf.toSeq
   }
 
+  /** Declarative leftmost-greedy application of ONE merge to a symbol
+    * array column — the Column twin of [[applyMerge]] (one `aggregate`
+    * fold, O(|word|) per row, codegen-side; ANSI note: element_at/slice
+    * on the empty accumulator are guarded by And/CaseWhen short-circuit). */
+  def applyMergeCol(syms: org.apache.spark.sql.Column, a: String, b: String): org.apache.spark.sql.Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+             element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Encode one word column with a trained merge table: char split, then
+    * each merge replayed in training order — per-word cost O(k·|word|),
+    * no shuffle, no join, no UDF. Memoize at the VOCABULARY level (run
+    * over distinct words, join back) — the fold per occurrence measured
+    * 16.8 s vs ~1 s per distinct word at sf0.1. */
+  def encodeCol(word: org.apache.spark.sql.Column,
+                merges: Seq[(String, String, Long)]): org.apache.spark.sql.Column =
+    merges.foldLeft(split(word, "")) { case (cur, (a, b, _)) => applyMergeCol(cur, a, b) }
+
   /** The word-frequency working set for a document frame with a `text`
     * column: distinct words, each split into single-character symbols. */
   def wordTable(docs: DataFrame): DataFrame = {

@@ -401,17 +401,7 @@ object TextOps {
     "tx_bpe_encode" -> ((s, d) => {
       val words = graft.engine.Bpe.wordTable(t(s, d, "documents"))
       val (merges, _) = graft.engine.Bpe.train(s, words, k = 5)
-      def applyMergeCol(syms: Column, a: String, b: String): Column =
-        aggregate(
-          syms,
-          array().cast("array<string>"),
-          (acc, x) =>
-            when(size(acc) > 0 &&
-                 element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(x))))
-      def encode(w: Column): Column =
-        merges.foldLeft(split(w, "")) { case (cur, (a, b, _)) => applyMergeCol(cur, a, b) }
+      def encode(w: Column): Column = graft.engine.Bpe.encodeCol(w, merges)
       // MEMOIZE the encode at the VOCABULARY level: the 5-level fold is the
       // expensive expression, and running it per word OCCURRENCE measured
       // 16.8 s warm at sf0.1 — once per DISTINCT word it is ~1 s, because
@@ -933,6 +923,29 @@ object TextOps {
           round(col("uniq_chunks").cast("double") / col("total_chunks"), 4))
         .orderBy("source")),
 
+    // ---- tokenizer fertility: pieces-per-word under the trained BPE
+    // vocabulary, per source — THE metric tokenizer evaluations report
+    // (a vocabulary that fragments a domain's words inflates its training
+    // cost and shrinks its effective context). Same vocabulary-memoized
+    // encode as tx_bpe_encode (fold once per DISTINCT word, join back to
+    // occurrences); the per-source roll-up shuffles (source, counts)
+    // only, and fertility is one divide on exact BIGINTs.
+    "tx_bpe_fertility" -> ((s, d) => {
+      val words = graft.engine.Bpe.wordTable(t(s, d, "documents"))
+      val (merges, _) = graft.engine.Bpe.train(s, words, k = 5)
+      val toks = t(s, d, "documents")
+        .select(col("source"), explode(T.tokens(col("text"))).as("word"))
+      val vocab = toks.select("word").distinct()
+        .withColumn("np",
+          size(graft.engine.Bpe.encodeCol(col("word"), merges)).cast("bigint"))
+      toks.join(vocab, "word")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"))
+        .withColumn("fertility",
+          round(col("n_pieces").cast("double") / col("n_words"), 4))
+        .orderBy("source")
+    }),
+
     // ---- CCNet-style perplexity partition: score every doc under the
     // corpus-trained Kneser-Ney bigram LM (same arithmetic as
     // tx_kneser_ney, UNfiltered — the model, not the report), then split
@@ -991,6 +1004,37 @@ object TextOps {
   )
 
   private val S = SqlText
+
+  /** tx_bpe_encode / tx_bpe_fertility shared oracle machinery: the five
+    * BPE training rounds as CTEs (win1..win5 joined in as scalars) and the
+    * per-word sequential replay — each round's fold is the
+    * list_reduce-with-prepended-init trick from tx_bpe_merges, nested so
+    * round i consumes round i−1's output; lambda vars are suffixed per
+    * level (a1/x1..a5/x5) so no binder is ever shadowed. */
+  private def bpeRnd(i: Int) =
+    s"""pairs$i AS (SELECT pair, sum(freq) AS n FROM (
+       |    SELECT unnest(CASE WHEN len(syms) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+       |      list_transform(range(1, len(syms)), j -> syms[j] || ' ' || syms[j+1]) END) AS pair, freq
+       |    FROM words${i - 1}) GROUP BY pair),
+       |win$i AS (SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, n
+       |  FROM pairs$i ORDER BY n DESC, pair ASC LIMIT 1),
+       |words$i AS (SELECT list_reduce(
+       |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+       |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = w.a AND x[1] = w.b
+       |                THEN list_concat(acc[1:len(acc)-1], [w.a || w.b])
+       |                ELSE list_concat(acc, x) END) AS syms, freq
+       |  FROM words${i - 1} CROSS JOIN win$i w)"""
+  private def bpeFold(i: Int, inner: String) =
+    s"""list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform($inner, s$i -> [s$i])),
+       |      (a$i, x$i) -> CASE WHEN len(a$i) > 0 AND a$i[len(a$i)] = w$i.a AND x$i[1] = w$i.b
+       |                THEN list_concat(a$i[1:len(a$i)-1], [w$i.a || w$i.b])
+       |                ELSE list_concat(a$i, x$i) END)""".stripMargin
+  private lazy val bpeEnc =
+    (1 to 5).foldLeft("string_split(w, '')")((inner, i) => bpeFold(i, inner))
+  private lazy val bpeTrainCtes =
+    s"""words0 AS (SELECT string_split(word, '') AS syms, count(*) AS freq
+       |  FROM (SELECT unnest(${S.tokens("text")}) AS word FROM documents) GROUP BY word),
+       |${(1 to 5).map(bpeRnd).mkString(",\n")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "tx_token_count" ->
@@ -1191,37 +1235,26 @@ object TextOps {
     // list_reduce-with-prepended-init trick from tx_bpe_merges, nested so
     // round i consumes round i-1's output; lambda vars are suffixed per
     // level (a1/x1..a5/x5) so no binder is ever shadowed
-    "tx_bpe_encode" -> {
-      def rnd(i: Int) =
-        s"""pairs$i AS (SELECT pair, sum(freq) AS n FROM (
-           |    SELECT unnest(CASE WHEN len(syms) < 2 THEN CAST([] AS VARCHAR[]) ELSE
-           |      list_transform(range(1, len(syms)), j -> syms[j] || ' ' || syms[j+1]) END) AS pair, freq
-           |    FROM words${i - 1}) GROUP BY pair),
-           |win$i AS (SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, n
-           |  FROM pairs$i ORDER BY n DESC, pair ASC LIMIT 1),
-           |words$i AS (SELECT list_reduce(
-           |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
-           |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = w.a AND x[1] = w.b
-           |                THEN list_concat(acc[1:len(acc)-1], [w.a || w.b])
-           |                ELSE list_concat(acc, x) END) AS syms, freq
-           |  FROM words${i - 1} CROSS JOIN win$i w)"""
-      def fold(i: Int, inner: String) =
-        s"""list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform($inner, s$i -> [s$i])),
-           |      (a$i, x$i) -> CASE WHEN len(a$i) > 0 AND a$i[len(a$i)] = w$i.a AND x$i[1] = w$i.b
-           |                THEN list_concat(a$i[1:len(a$i)-1], [w$i.a || w$i.b])
-           |                ELSE list_concat(a$i, x$i) END)""".stripMargin
-      val enc = (1 to 5).foldLeft("string_split(w, '')")((inner, i) => fold(i, inner))
-      s"""WITH words0 AS (SELECT string_split(word, '') AS syms, count(*) AS freq
-         |  FROM (SELECT unnest(${S.tokens("text")}) AS word FROM documents) GROUP BY word),
-         |${(1 to 5).map(rnd).mkString(",\n")},
+    "tx_bpe_encode" ->
+      s"""WITH $bpeTrainCtes,
          |tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
-         |encd AS (SELECT doc_id, flatten(list_transform(toks, w -> $enc)) AS flat
+         |encd AS (SELECT doc_id, flatten(list_transform(toks, w -> $bpeEnc)) AS flat
          |  FROM tl CROSS JOIN win1 w1 CROSS JOIN win2 w2 CROSS JOIN win3 w3
          |          CROSS JOIN win4 w4 CROSS JOIN win5 w5)
          |SELECT doc_id, CAST(len(flat) AS BIGINT) AS n_tokens,
          |  array_to_string(flat, ' ') AS tokens
-         |FROM encd ORDER BY doc_id""".stripMargin
-    },
+         |FROM encd ORDER BY doc_id""".stripMargin,
+
+    // same training CTEs + per-occurrence replay, rolled up per source
+    "tx_bpe_fertility" ->
+      s"""WITH $bpeTrainCtes,
+         |tl AS (SELECT source, unnest(${S.tokens("text")}) AS w FROM documents),
+         |encd AS (SELECT source, CAST(len($bpeEnc) AS BIGINT) AS np
+         |  FROM tl CROSS JOIN win1 w1 CROSS JOIN win2 w2 CROSS JOIN win3 w3
+         |          CROSS JOIN win4 w4 CROSS JOIN win5 w5)
+         |SELECT source, count(*) AS n_words, CAST(sum(np) AS BIGINT) AS n_pieces,
+         |  round(CAST(sum(np) AS DOUBLE) / count(*), 4) AS fertility
+         |FROM encd GROUP BY source ORDER BY source""".stripMargin,
 
     "tx_unigram_logprob" ->
       s"""WITH tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),

@@ -54,4 +54,30 @@ class BpeSpec extends AnyFunSuite with SharedSparkSpec {
     assert(Bpe.applyMerge(Seq("x"), "a", "a") == Seq("x"))
     assert(Bpe.applyMerge(Nil, "a", "b") == Nil)
   }
+
+  test("encodeCol replays the typed applyMerge exactly over a vocabulary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val words = Seq("banana", "bandana", "ana", "x", "nn").toDF("word")
+    val merges = Seq(("a", "n", 9L), ("an", "a", 5L), ("b", "an", 2L))
+    val got = words.withColumn("enc", Bpe.encodeCol(col("word"), merges))
+      .as[(String, Seq[String])].collect().toMap
+    for ((w, enc) <- got) {
+      val expect = merges.foldLeft(w.split("").toSeq.filter(_.nonEmpty)) {
+        case (syms, (a, b, _)) => Bpe.applyMerge(syms, a, b)
+      }
+      assert(enc == expect, s"word '$w': $enc vs typed $expect")
+    }
+  }
+
+  test("tx_bpe_fertility: pieces never fewer than words, never more than chars") {
+    val rows = SparkEntry.queries("tx_bpe_fertility")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (words, pieces, fert) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(pieces >= words, "every word is at least one piece")
+      assert(fert >= 1.0, s"fertility $fert < 1")
+      assert(math.abs(fert - pieces.toDouble / words) < 5e-5)
+    }
+  }
 }
