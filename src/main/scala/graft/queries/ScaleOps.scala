@@ -711,6 +711,37 @@ object ScaleOps {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- HLL set INTERSECTION via inclusion–exclusion: |A∩B| ≈ est(A) +
+    // est(B) − est(A∪B) — the audience-overlap / dataset-contamination
+    // estimate a 100 TB pipeline answers WITHOUT the A⋈B join (two sketch
+    // scans + a register merge; the exact twin needs a distinct-join).
+    // The I-E error compounds the three estimates' RSE and scales with
+    // the UNION (not the intersection), so the asserted bound is written
+    // against exact_union; registers are max-merged, order-independent —
+    // deterministic-safe to hash. Exact intersection falls out of exact
+    // I-E arithmetic (no third aggregation).
+    "sketch_hll_intersect" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val byPri = (p: String) => o.filter(col("o_orderpriority") === p)
+      val ska = byPri("1-URGENT").agg(
+        hll_sketch_agg(col("o_custkey"), lit(12)).as("ska"),
+        countDistinct(col("o_custkey")).as("exact_a"))
+      val skb = byPri("2-HIGH").agg(
+        hll_sketch_agg(col("o_custkey"), lit(12)).as("skb"),
+        countDistinct(col("o_custkey")).as("exact_b"))
+      val exactU = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .agg(countDistinct(col("o_custkey")).as("exact_union"))
+      ska.crossJoin(skb).crossJoin(broadcast(exactU))
+        .withColumn("est_inter",
+          hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb")) -
+            hll_sketch_estimate(hll_union(col("ska"), col("skb"))))
+        .withColumn("exact_inter",
+          (col("exact_a") + col("exact_b") - col("exact_union")).cast("bigint"))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
+          (abs(col("est_inter") - col("exact_inter")) <=
+            greatest(lit(20.0), col("exact_union") * 0.1)).as("inter_ok"))
+    }),
+
     // Quantile sketch bound check: percentile_approx(accuracy=10000) promises
     // the returned value's RANK is within eps*n (eps = 1/accuracy) of the
     // target rank q*n. We join the (tiny, broadcast) per-group quantile rows
@@ -1094,6 +1125,18 @@ object ScaleOps {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_custs,
         |  TRUE AS group_ok, TRUE AS union_ok
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "sketch_hll_intersect" ->
+      """WITH u AS (SELECT count(DISTINCT o_custkey) AS exact_union FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |a AS (SELECT count(DISTINCT o_custkey) AS exact_a FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT count(DISTINCT o_custkey) AS exact_b FROM orders
+        |  WHERE o_orderpriority = '2-HIGH')
+        |SELECT exact_a, exact_b, exact_union,
+        |  CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_inter,
+        |  TRUE AS inter_ok
+        |FROM a CROSS JOIN b CROSS JOIN u""".stripMargin,
 
     "sketch_quantiles" ->
       """SELECT o_orderstatus, q, n, TRUE AS rank_ok

@@ -122,4 +122,14 @@ class SketchSpec extends AnyFunSuite with SharedSparkSpec {
       assert(est >= exact(k) - n / 17)
     }
   }
+
+  test("sketch_hll_intersect: inclusion-exclusion consistent, bound holds") {
+    val r = SparkEntry.queries("sketch_hll_intersect")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (a, b, u, inter) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(u <= a + b && u >= math.max(a, b), "union bracketed by the parts")
+    assert(inter == a + b - u, "exact intersection is exact inclusion-exclusion")
+    assert(inter >= 0 && inter <= math.min(a, b), "intersection bracketed")
+    assert(r.getBoolean(4), "sketch I-E estimate within the union-scaled bound")
+  }
 }
