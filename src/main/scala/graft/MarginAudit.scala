@@ -106,7 +106,9 @@ object MarginAudit {
     // purity/recall = single divides on exact BIGINT pair counts
     "mm_image_dedup",
     // fertility = one divide on exact BIGINT piece/word counts
-    "tx_bpe_fertility")
+    "tx_bpe_fertility",
+    // abandon_rate = one divide on exact BIGINT view counts
+    "st_view_abandonment")
 
   /** A query whose rounded doubles cannot move between runs. */
   def deterministic(name: String): Boolean =

@@ -92,8 +92,44 @@ object Nested {
           size(col("arr")).cast("bigint").as("n_even"),
           concat_ws(",", transform(col("arr"), (x: Column) => x.getField("k"))).as("ks"),
           aggregate(col("arr"), lit(0L), (acc: Column, x: Column) => acc + x.getField("v")).as("v_sum"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // ---- PROGRAMMATIC recursive flatten: [[flattenColumns]] walks any
+    // StructType — structs become dotted-path columns, arrays surface as
+    // their size — the generic "arbitrary nested schema → feature row"
+    // utility an ingestion layer applies to schemas it has never seen.
+    // Derivation is schema-driven (no column named by hand), then rolled
+    // up per etype so the output is group-sized. Same pruning story as
+    // the hand-written faces: every derived column is a leaf path or an
+    // array size, so ReadSchema carries only referenced leaves.
+    "nested_flatten_auto" -> ((s, d) => {
+      val df = s.read.parquet(nestedPath(s, d))
+      val flat = df.select(flattenColumns(df.schema): _*)
+      flat.groupBy("meta_etype")
+        .agg(count(lit(1)).as("n"),
+          sum("meta_uid").as("sum_uid"),
+          sum("n_attrs").as("sum_attrs"),
+          sum(length(col("payload"))).as("sum_payload_chars"))
+        .orderBy("meta_etype")
+    })
   )
+
+  /** Recursive schema walk: structs → dotted-path leaf columns (aliased
+    * with underscores), arrays → `n_<path>` sizes, scalars pass through.
+    * Deterministic output order = schema field order, depth-first. */
+  def flattenColumns(schema: org.apache.spark.sql.types.StructType,
+                     prefix: String = ""): Seq[Column] = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    schema.fields.toSeq.flatMap { f =>
+      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      val alias = path.replace('.', '_')
+      f.dataType match {
+        case st: StructType => flattenColumns(st, path)
+        case _: ArrayType   => Seq(size(col(path)).cast("bigint").as(s"n_$alias"))
+        case _              => Seq(col(path).as(alias))
+      }
+    }
+  }
 
   // Oracles recompute the deterministic shred from the FLAT events table —
   // DuckDB never needs to read the nested file, only to agree on the values.
@@ -123,6 +159,17 @@ object Nested {
          |  CAST(sum(v) AS BIGINT) AS v_sum
          |FROM ($shredSql)
          |WHERE v IS NOT NULL AND v % 2 = 0
-         |GROUP BY event_id ORDER BY event_id""".stripMargin
+         |GROUP BY event_id ORDER BY event_id""".stripMargin,
+
+    // the flat twin of the schema walk: n_attrs = uid (always) + cents
+    // (value >= 0) + jk (json key parses numeric); payload = props
+    "nested_flatten_auto" ->
+      """SELECT event_type AS meta_etype, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(sum(1 + CASE WHEN value >= 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS sum_attrs,
+        |  CAST(sum(length(props)) AS BIGINT) AS sum_payload_chars
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

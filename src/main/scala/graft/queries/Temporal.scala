@@ -148,6 +148,33 @@ object Temporal {
         .orderBy("user_id")
     }),
 
+    // ---- the LEFT-OUTER attribution twin (streaming face:
+    // Streams.viewToPurchaseOuter): views that never converted inside the
+    // 1-hour window — the abandonment metric ad pipelines emit when the
+    // watermark closes a view's window with no matching purchase. Same
+    // join bound as st_view_purchase (state/pair blowup capped by the
+    // window); the null-preserved side is counted per view first so a
+    // view matching k purchases still counts once.
+    "st_view_abandonment" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      v.join(p, col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          unix_micros(col("purchase_ts")) < unix_micros(col("view_ts")) + 3600L * 1000000L,
+        "left")
+        .groupBy(col("user_id"), col("view_id"))
+        .agg(count(col("purchase_ts")).as("n_conv"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_views"),
+          sum(when(col("n_conv") === 0, 1L).otherwise(0L)).as("n_abandoned"))
+        .withColumn("abandon_rate",
+          round(col("n_abandoned").cast("double") / col("n_views"), 4))
+        .orderBy("user_id")
+    }),
+
     "funnel_conversion" -> ((s, d) => {
       val ev = t(s, d, "events").select("user_id", "event_type", "ts")
       val t1 = ev.filter(col("event_type") === "view")
@@ -392,6 +419,20 @@ object Temporal {
         |        PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 30*60*1000000, true) AS is_new
         |    FROM events))
         |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "st_view_abandonment" ->
+      """WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'),
+        |per AS (SELECT v.user_id, view_id, count(purchase_ts) AS n_conv
+        |  FROM v LEFT JOIN p ON v.user_id = p.user_id AND purchase_ts >= view_ts
+        |    AND epoch_us(purchase_ts) < epoch_us(view_ts) + 3600000000
+        |  GROUP BY v.user_id, view_id)
+        |SELECT user_id, count(*) AS n_views,
+        |  CAST(sum(CASE WHEN n_conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+        |  round(CAST(sum(CASE WHEN n_conv = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+        |    AS abandon_rate
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "st_view_purchase" ->
       s"""WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id

@@ -89,6 +89,21 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("st_view_abandonment complements st_view_purchase: abandoned = views - converted") {
+    val ab = SparkEntry.queries("st_view_abandonment")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val conv = SparkEntry.queries("st_view_purchase")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // n_views_converted
+    assert(ab.nonEmpty)
+    for ((user, (nViews, nAbandoned)) <- ab) {
+      val converted = conv.getOrElse(user, 0L)
+      assert(nAbandoned == nViews - converted,
+        s"user $user: $nAbandoned abandoned != $nViews views - $converted converted")
+    }
+    // every converting user appears in the abandonment frame too (left side)
+    assert(conv.keySet.subsetOf(ab.keySet))
+  }
+
   test("opt_join_cardinality: sketch estimate bounds the exact self-join size from above") {
     val r = SparkEntry.queries("opt_join_cardinality")(spark, d).collect().head
     val (nKeys, exact, est, relErr) =
