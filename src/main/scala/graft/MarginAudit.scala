@@ -70,7 +70,10 @@ object MarginAudit {
     "tx_perplexity_bucket",
     // Adamic–Adar weight: 1/ln(wdeg) is a fixed IEEE chain on an exact
     // integer, and the per-pair sum folds through qsum
-    "graph_adamic_adar")
+    "graph_adamic_adar",
+    // held-out NLL: micro-nat longs summed then one divide; oov_rate is
+    // a BIGINT ratio
+    "tx_lm_heldout")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact

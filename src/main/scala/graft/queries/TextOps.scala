@@ -946,6 +946,54 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // ---- held-out LM evaluation — the train/test hygiene face
+    // tx_perplexity_bucket deliberately lacks (it scores the corpus under
+    // itself): train an interpolated bigram LM on the 80% split
+    // ((doc_id/20) % 5 != 0 — the block split decorrelates from the
+    // round-robin doc_id%20 source assignment), score the disjoint 20%, report per-source
+    // held-out NLL and bigram OOV rate. Unseen bigrams back off to the
+    // Laplace-smoothed unigram (p > 0 even for OOV words), so the score
+    // is total. Determinism: every probability is a fixed IEEE chain
+    // over exact train-split counts, quantized to micro-nats before the
+    // order-free sum; OOV rate is one divide on BIGINTs. Scale shape:
+    // two model hash-aggs on the train split, both vocab-bounded and
+    // broadcast; the held-out stream never shuffles for the joins.
+    "tx_lm_heldout" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), T.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) >= 2).cache()
+      val trainBg = docs.filter(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(5)) =!= 0)
+        .select(explode(T.bigramsFromTokens(col("__toks"))).as("bg"))
+      val cab = trainBg.groupBy("bg").agg(count(lit(1)).as("cab"))
+        .withColumn("a", split(col("bg"), " ").getItem(0)).cache()
+      val ca = cab.groupBy("a").agg(sum("cab").as("ca"))
+      val bgModel = cab.join(ca, "a").select(col("bg"), col("cab"), col("ca"))
+      val uni = docs.filter(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(5)) =!= 0)
+        .select(explode(col("__toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("uc")).cache()
+      val tot = uni.agg(sum("uc").as("t_uni"), count(lit(1)).as("v"))
+      val held = docs.filter(pmod(floor(col("doc_id") / lit(20)).cast("long"), lit(5)) === 0)
+        .select(col("source"),
+          explode(T.bigramsFromTokens(col("__toks"))).as("bg"))
+        .withColumn("b", split(col("bg"), " ").getItem(1))
+      held
+        .join(broadcast(bgModel), Seq("bg"), "left")
+        .join(broadcast(uni.select(col("tok").as("b"), col("uc"))), Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("p",
+          lit(0.8) * coalesce(col("cab") / col("ca"), lit(0.0)) +
+            lit(0.2) * ((coalesce(col("uc"), lit(0L)) + lit(1.0)) / (col("t_uni") + col("v"))))
+        .withColumn("lpu", round(-log(col("p")) * lit(1e6)).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cab").isNull, 1L).otherwise(0L)).as("n_oov_bigrams"),
+          FP.qround(sum(col("lpu")).cast("double") /
+            (count(lit(1)).cast("double") * lit(1e6)), 4).as("mean_nll"))
+        .withColumn("oov_rate",
+          round(col("n_oov_bigrams").cast("double") / col("n_bigrams"), 4))
+        .orderBy("source")
+    }),
+
     // ---- CCNet-style perplexity partition: score every doc under the
     // corpus-trained Kneser-Ney bigram LM (same arithmetic as
     // tx_kneser_ney, UNfiltered — the model, not the report), then split
@@ -1489,6 +1537,35 @@ object TextOps {
          |    (0.75 * n_follow / ca) * (n_precede / n_types), 6) AS pkn
          |FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
          |WHERE cab >= 5 ORDER BY a, b""".stripMargin,
+
+    "tx_lm_heldout" ->
+      s"""WITH tl AS (SELECT doc_id, source, ${S.tokens("text")} AS toks FROM documents),
+         |tl2 AS (SELECT * FROM tl WHERE len(toks) >= 2),
+         |trainbg AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |  FROM tl2 WHERE (doc_id // 20) % 5 != 0),
+         |cab AS (SELECT bg, string_split(bg, ' ')[1] AS a, count(*) AS cab
+         |  FROM trainbg GROUP BY bg),
+         |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY a),
+         |model AS (SELECT bg, cab, ca FROM cab JOIN ca USING (a)),
+         |uni AS (SELECT tok, count(*) AS uc FROM (
+         |    SELECT unnest(toks) AS tok FROM tl2 WHERE (doc_id // 20) % 5 != 0) GROUP BY tok),
+         |tot AS (SELECT CAST(sum(uc) AS BIGINT) AS t_uni, count(*) AS v FROM uni),
+         |held AS (SELECT source,
+         |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |  FROM tl2 WHERE (doc_id // 20) % 5 = 0),
+         |scored AS (SELECT source, cab,
+         |    CAST(round(-ln(0.8 * coalesce(cab / ca, 0.0) +
+         |      0.2 * ((coalesce(uc, 0) + 1.0) / (t_uni + v))) * 1e6) AS BIGINT) AS lpu
+         |  FROM held LEFT JOIN model USING (bg)
+         |  LEFT JOIN uni ON uni.tok = string_split(held.bg, ' ')[2]
+         |  CROSS JOIN tot)
+         |SELECT source, count(*) AS n_bigrams,
+         |  CAST(sum(CASE WHEN cab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_bigrams,
+         |  (round(CAST(sum(lpu) AS DOUBLE) / (count(*) * 1e6), 4) + 0.0) AS mean_nll,
+         |  round(CAST(sum(CASE WHEN cab IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         |    AS oov_rate
+         |FROM scored GROUP BY source ORDER BY source""".stripMargin,
 
     // the KN model CTEs verbatim (unfiltered), quantized to micro-nats
     // before the per-doc sum so long addition keeps both engines exact;

@@ -115,6 +115,23 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(relErr < 1.0, s"sketch over-estimates by ${relErr}x — bucket count too small")
   }
 
+  test("tx_lm_heldout: scores total (backoff covers OOV), every source evaluated") {
+    val rows = SparkEntry.queries("tx_lm_heldout")(spark, d).collect()
+    assert(rows.length == 20, "the block split must leave held-out docs in every source")
+    var oovTotal = 0L
+    for (r <- rows) {
+      val (n, oov, nll, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(n > 0 && oov >= 0 && oov <= n)
+      assert(!nll.isNaN && !nll.isInfinite && nll > 0,
+        s"${r.getString(0)}: backoff must keep every bigram scoreable, got $nll")
+      assert(math.abs(rate - oov.toDouble / n) < 5e-5)
+      oovTotal += oov
+    }
+    // sf0.001's smaller train split leaves genuinely unseen bigrams — the
+    // Laplace-unigram backoff path is exercised by real data, not just types
+    assert(oovTotal > 0, "expected at least one OOV bigram at sf0.001")
+  }
+
   test("graph_adamic_adar: ordered pairs, support floor, AA bounded by common/ln(2)") {
     val rows = SparkEntry.queries("graph_adamic_adar")(spark, d).collect()
     assert(rows.nonEmpty && rows.length <= 100)
