@@ -111,7 +111,9 @@ object MarginAudit {
     // fertility = one divide on exact BIGINT piece/word counts
     "tx_bpe_fertility",
     // abandon_rate = one divide on exact BIGINT view counts
-    "st_view_abandonment")
+    "st_view_abandonment",
+    // recall = BIGINT ratio; the S-curve threshold is a shared literal
+    "dd_lsh_tuning")
 
   /** A query whose rounded doubles cannot move between runs. */
   def deterministic(name: String): Boolean =

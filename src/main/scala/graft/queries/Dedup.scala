@@ -259,6 +259,47 @@ object Dedup {
         .orderBy("kind")
     }),
 
+    // ---- LSH band-geometry sweep — the knob-tuning table an engineer
+    // reads before fixing (bands × rows): the SAME 16-element signature
+    // banded three ways, each geometry's candidate volume and
+    // planted-truth recall side by side with its S-curve threshold
+    // (1/b)^(1/r). More bands × fewer rows → lower threshold → more
+    // candidates and higher recall; the face puts numbers on that trade
+    // at this corpus. The threshold is computed ONCE in Scala and
+    // interpolated as the same literal into both engines, so no pow()
+    // ULP can split them. Scale: each geometry is one explode + one
+    // equi-join over the cached signature table — cost scales with
+    // bucket occupancy per geometry, never all-pairs.
+    "dd_lsh_tuning" -> ((s, d) => {
+      val sg = sigs(s, d)
+      val docs = t(s, d, "documents").select("doc_id")
+      val planted =
+        docs.filter(col("doc_id") % 40 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 2000000L).as("b"))
+        .union(docs.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b")))
+        .cache()
+      lshGeometries.map { case (nb, r) =>
+        val bd = sg.select(col("doc_id"), explode(array((0 until nb).map(b =>
+            struct(lit(b).as("band"),
+              array_join(transform(slice(col("sig"), b * r + 1, r),
+                x => x.cast("string")), ":").as("bkey"))): _*)).as("bd"))
+          .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+        val cand = bd.as("x").join(bd.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct().cache()
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(planted.join(cand, Seq("a", "b")).agg(count(lit(1)).as("n_found")))
+          .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+          .select(lit(nb.toLong).as("n_bands"), lit(r.toLong).as("n_rows"),
+            lit(sCurveT(nb, r)).as("s_curve_t"),
+            col("n_candidates"), col("n_found"), col("n_planted"),
+            round(col("n_found").cast("double") / col("n_planted"), 4).as("recall"))
+      }.reduce(_.unionByName(_)).orderBy("n_bands")
+    }),
+
     // dedup keep-list: connected components over the LSH pair graph.
     // (doc_id, canonical_id = min id in component, is_kept).
     "dd_clusters" -> ((s, d) =>
@@ -542,12 +583,23 @@ object Dedup {
 
   private val S = SqlText
 
+  /** the three band geometries swept by dd_lsh_tuning over the 16-element
+    * signature, and the shared S-curve threshold literal (rounded once in
+    * Scala, interpolated into BOTH engines). */
+  private val lshGeometries = Seq((2, 8), (4, 4), (8, 2))
+  private def sCurveT(nb: Int, r: Int): Double =
+    BigDecimal(math.pow(1.0 / nb, 1.0 / r))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private val corpusCte = s"WITH docs AS (\n${S.docsWithVariants})"
-  private val sigsCte =
+  private val sigsOnlyCte =
     s"""$corpusCte,
        |th AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM docs),
        |sh AS (SELECT doc_id, ${S.shingles("th")} AS sh FROM th),
-       |sigs AS (SELECT doc_id, ${S.minhashSig("sh")} AS sig FROM sh),
+       |sigs AS (SELECT doc_id, ${S.minhashSig("sh")} AS sig FROM sh)""".stripMargin
+
+  private val sigsCte =
+    s"""$sigsOnlyCte,
        |bands AS (SELECT doc_id, b, array_to_string(list_slice(sig, b*4+1, b*4+4), ':') AS bkey
        |          FROM sigs, range(0, 4) t(b)),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
@@ -591,6 +643,35 @@ object Dedup {
          |    (x, y) -> x + y) / 16.0, 4) AS est_jaccard
          |  FROM cand JOIN sigs sa ON cand.a = sa.doc_id JOIN sigs sb ON cand.b = sb.doc_id)
          |WHERE est_jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    // same sigs CTEs, three band geometries side by side; threshold
+    // literals interpolated from the same Scala computation as the
+    // Spark side
+    "dd_lsh_tuning" -> {
+      val bandCtes = lshGeometries.map { case (nb, r) =>
+        s"""b_$nb AS (SELECT doc_id, b, array_to_string(list_slice(sig, b*$r+1, b*$r+$r), ':') AS bkey
+           |  FROM sigs, range(0, $nb) t(b)),
+           |cand_$nb AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM b_$nb x
+           |  JOIN b_$nb y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+      }
+      val rows = lshGeometries.map { case (nb, r) =>
+        s"""SELECT CAST($nb AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS n_rows,
+           |  ${sCurveT(nb, r)} AS s_curve_t,
+           |  (SELECT count(*) FROM cand_$nb) AS n_candidates,
+           |  (SELECT count(*) FROM planted p JOIN cand_$nb c ON p.a = c.a AND p.b = c.b) AS n_found,
+           |  (SELECT count(*) FROM planted) AS n_planted,
+           |  round((SELECT count(*) FROM planted p JOIN cand_$nb c ON p.a = c.a AND p.b = c.b)
+           |    / CAST((SELECT count(*) FROM planted) AS DOUBLE), 4) AS recall""".stripMargin
+      }
+      s"""$sigsOnlyCte,
+         |${bandCtes.mkString(",\n")},
+         |planted AS (
+         |  SELECT doc_id AS a, doc_id + 2000000 AS b FROM documents WHERE doc_id % 40 = 0
+         |  UNION ALL
+         |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents WHERE doc_id % 25 = 0)
+         |${rows.mkString("\nUNION ALL\n")}
+         |ORDER BY n_bands""".stripMargin
+    },
 
     "dd_lsh_eval" ->
       s"""${sigsCte.replaceFirst("WITH ", "WITH ")},

@@ -115,6 +115,22 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(relErr < 1.0, s"sketch over-estimates by ${relErr}x — bucket count too small")
   }
 
+  test("dd_lsh_tuning: candidates and recall grow with band count (the S-curve trade)") {
+    val rows = SparkEntry.queries("dd_lsh_tuning")(spark, d).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 3)
+    val cands = rows.map(_.getLong(3))
+    val recalls = rows.map(_.getDouble(6))
+    val thresholds = rows.map(_.getDouble(2))
+    assert(cands.zip(cands.tail).forall { case (x, y) => x <= y },
+      s"more bands must not shrink the candidate set: ${cands.toSeq}")
+    assert(recalls.zip(recalls.tail).forall { case (x, y) => x <= y },
+      s"more bands must not lose planted pairs: ${recalls.toSeq}")
+    assert(thresholds.zip(thresholds.tail).forall { case (x, y) => x > y },
+      "the S-curve threshold falls as bands multiply")
+    for (r <- rows) assert(r.getLong(4) <= r.getLong(5), "found bounded by planted")
+  }
+
   test("tx_lm_heldout: scores total (backoff covers OOV), every source evaluated") {
     val rows = SparkEntry.queries("tx_lm_heldout")(spark, d).collect()
     assert(rows.length == 20, "the block split must leave held-out docs in every source")
