@@ -574,6 +574,45 @@ object ScaleOps {
         .orderBy("c_mktsegment")
     }),
 
+    // ---- binaryFile source: the RAW-media ingest path a multimodal
+    // pipeline starts from — a directory of image FILES (not rows), read
+    // with Spark's binaryFile source (path/length/modtime/content schema),
+    // headers parsed by the REAL byte codec. Layout: one spec-layout BMP
+    // per doc_id < 64, written once per sf; the filename carries the id
+    // and the oracle recomputes every column closed-form, so the match
+    // certifies file naming, the source's length metadata, AND the pixel
+    // codec round-trip. At 100 TB this is the pattern for crawl dumps:
+    // binaryFile splits by FILE (no partial reads of opaque formats) and
+    // pushes a pathGlobFilter/maxBytes prune to the listing, not the scan.
+    "src_binaryfile" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/tmp/graft_binfiles/img_$tag"
+      graft.engine.Layouts.ensure(s, base)(
+        new java.io.File(s"$base/.written").exists()) {
+        val dir = new java.io.File(base); dir.mkdirs()
+        for (id <- 0L until 64L) {
+          val w = (id % 13 + 2).toInt; val h = (id % 7 + 2).toInt
+          val bytes = graft.engine.ImageHeaders.bmpPixelBytes(w, h,
+            (x, y) => ((id * 31 + x * 7 + y * 11) % 256).toInt)
+          val f = new java.io.FileOutputStream(s"$base/img_$id.bmp")
+          try f.write(bytes) finally f.close()
+        }
+        new java.io.FileOutputStream(s"$base/.written").close()
+      }
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp").load(base)
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.bmp$", 1)
+            .cast("bigint").as("img_id"),
+          col("length"), col("content"))
+      files.as[(Long, Long, Array[Byte])].map { case (id, len, bytes) =>
+        val meta = graft.engine.ImageHeaders.decode(bytes)
+        (id, len, meta.map(_._1).getOrElse("?"),
+          meta.map(_._2.toLong).getOrElse(-1L), meta.map(_._3.toLong).getOrElse(-1L))
+      }.toDF("img_id", "n_bytes", "fmt", "width", "height")
+        .orderBy("img_id")
+    }),
+
     // ---- bitmap exact-distinct: count(DISTINCT user) re-expressed as
     // bucketed bitmap words — bit b of word w is set iff user 64·w+b
     // appeared — OR-merged per group. The shuffle carries (group, word)
@@ -797,6 +836,36 @@ object ScaleOps {
           (col("est") <= col("exact_cnt") &&
            col("est") >= col("exact_cnt") - col("n_total") / 17.0).as("within_bound"))
         .orderBy("tok")
+    }),
+
+    // ---- Count–Min point queries — the OTHER frequency sketch (Misra–
+    // Gries above UNDERcounts and keeps only survivors; CMS OVERcounts
+    // and answers any item): one mergeable agg over the token stream,
+    // then the top-10 exact counts are point-queried against the
+    // deserialized sketch and checked against the one-sided guarantee
+    // exact ≤ est ≤ exact + ε·N. The sketch rides to the driver as ONE
+    // binary cell (KBs at any corpus size — the point of sketches); seed
+    // fixed so the counters are reproducible, and counter sums commute so
+    // merge order cannot move them.
+    "sketch_count_min" -> ((s, d) => {
+      val staged = t(s, d, "documents")
+        .select(graft.engine.TextFunctions.tokens(col("text")).as("__toks")).cache()
+      val toks = staged.select(explode(col("__toks")).as("tok")).cache()
+      val skBytes = toks
+        .agg(count_min_sketch(col("tok"), lit(0.001d), lit(0.99d), lit(42)).as("sk"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val nTotal = toks.count()
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok").asc).limit(10).collect()
+      val rows = top.toSeq.map { r =>
+        val tok = r.getString(0); val exact = r.getLong(1)
+        val est = cms.estimateCount(tok)
+        (tok, exact, est >= exact && est <= exact + math.ceil(0.001 * nTotal).toLong)
+      }
+      import s.implicits._
+      rows.toDF("tok", "exact_cnt", "within_bound").orderBy("tok")
     }),
 
     // ---- schema-evolution merge read: two parquet generations written
@@ -1126,6 +1195,17 @@ object ScaleOps {
         |  TRUE AS group_ok, TRUE AS union_ok
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // every column re-derived closed-form from the synthesis formulas:
+    // n_bytes = header + 4-byte-padded stride × rows
+    "src_binaryfile" ->
+      """SELECT doc_id AS img_id,
+        |  CAST(54 + ((3 * (doc_id % 13 + 2) + 3) // 4) * 4 * (doc_id % 7 + 2) AS BIGINT)
+        |    AS n_bytes,
+        |  'bmp' AS fmt,
+        |  CAST(doc_id % 13 + 2 AS BIGINT) AS width,
+        |  CAST(doc_id % 7 + 2 AS BIGINT) AS height
+        |FROM documents WHERE doc_id < 64 ORDER BY img_id""".stripMargin,
+
     "sketch_hll_intersect" ->
       """WITH u AS (SELECT count(DISTINCT o_custkey) AS exact_union FROM orders
         |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
@@ -1143,6 +1223,13 @@ object ScaleOps {
         |FROM (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1)
         |CROSS JOIN (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q)
         |ORDER BY o_orderstatus, q""".stripMargin,
+
+    "sketch_count_min" ->
+      s"""SELECT tok, exact_cnt, TRUE AS within_bound FROM (
+         |  SELECT tok, count(*) AS exact_cnt
+         |  FROM (SELECT unnest(${SqlText.tokens("text")}) AS tok FROM documents)
+         |  GROUP BY tok ORDER BY exact_cnt DESC, tok ASC LIMIT 10)
+         |ORDER BY tok""".stripMargin,
 
     "sketch_heavy_hitters" ->
       s"""SELECT tok, exact_cnt, TRUE AS within_bound FROM (
