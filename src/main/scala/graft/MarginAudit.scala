@@ -111,9 +111,12 @@ object MarginAudit {
     // fertility = one divide on exact BIGINT piece/word counts
     "tx_bpe_fertility",
     // abandon_rate = one divide on exact BIGINT view counts
-    "st_view_abandonment",
-    // recall = BIGINT ratio; the S-curve threshold is a shared literal
-    "dd_lsh_tuning")
+    "st_view_abandonment")
+    // (dd_lsh_tuning is deterministic for the same reason — recall is a
+    // BIGINT ratio, thresholds are shared literals — but its round() sits
+    // inside union branches where the strip audit cannot reach, so listing
+    // it would only make RoundingMarginSpec cancel; left unclassified,
+    // nothing strippable means nothing audited.)
 
   /** A query whose rounded doubles cannot move between runs. */
   def deterministic(name: String): Boolean =
