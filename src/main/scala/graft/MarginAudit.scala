@@ -73,7 +73,10 @@ object MarginAudit {
     "graph_adamic_adar",
     // held-out NLL: micro-nat longs summed then one divide; oov_rate is
     // a BIGINT ratio
-    "tx_lm_heldout")
+    "tx_lm_heldout",
+    // JSD: per-token fixed IEEE chain over exact counts, vocabulary sum
+    // through qsum
+    "tx_jsd_drift")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact

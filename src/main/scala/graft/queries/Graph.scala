@@ -170,6 +170,40 @@ object Graph {
         .orderBy("a", "b")
     }),
 
+    // ---- k-core peeling (k=30), five rounds: repeatedly drop nodes
+    // with degree < 30 from the symmetric trading graph and restrict
+    // edges to the survivors — the standard graph-cleaning pass (leaf/
+    // spam pruning before community detection) and the catalog's third
+    // iterative-closure SHAPE after pointer-jumping CC and Pregel BFS:
+    // here the loop's carried state is the EDGE SET itself. On THIS
+    // graph the core is shallow by construction — bipartite with
+    // per-customer degree bounded (~3-67) and supplier degree in the
+    // hundreds, so round 1 peels the sub-30 customers, round 2 proves
+    // no supplier fell below k, and rounds 3-5 certify the fixpoint
+    // (the spec asserts convergence IS reached — the termination
+    // semantics, measured rather than assumed; denser social graphs
+    // peel for many rounds under the identical loop). Per round: one
+    // degree hash-agg + two semi-restricting joins on the keys the
+    // previous round just shuffled, localCheckpoint() truncating
+    // lineage; only two counters cross to the driver per round. The
+    // oracle unrolls the same five rounds as CTEs.
+    "graph_kcore" -> ((s, d) => {
+      import s.implicits._
+      val base = edges(s, d)
+        .select((col("src") * 2).as("src"), (col("dst") * 2 + 1).as("dst"))
+      var e = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val rows = (1 to 5).map { round =>
+        val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 30).select(col("src").as("node"))
+        e = e.join(keep.select(col("node").as("src")), "src")
+          .join(keep.select(col("node").as("dst")), "dst")
+          .select("src", "dst").localCheckpoint()
+        (round.toLong, keep.count(), e.count() / 2)
+      }
+      rows.toDF("round", "n_nodes", "n_edges").orderBy("round")
+    }),
+
     // ---- Adamic–Adar link prediction: score supplier pairs by their
     // shared customers, weighting each witness by 1/ln(degree) so a
     // customer who buys from everyone certifies nothing while a two-
@@ -306,6 +340,27 @@ object Graph {
         |  round(n_shared / CAST(da.n_users + db.n_users - n_shared AS DOUBLE), 4) AS jaccard
         |FROM pairs JOIN deg da ON da.event_type = a JOIN deg db ON db.event_type = b
         |ORDER BY a, b""".stripMargin,
+
+    // five unrolled peels: keep_i from e_{i-1} degrees, e_i restricted to
+    // keep_i on both endpoints; integer // so the undirected edge count
+    // cannot drift through float division
+    "graph_kcore" -> {
+      def rnd(i: Int) =
+        s"""k$i AS (SELECT src AS node FROM e${i - 1} GROUP BY src HAVING count(*) >= 30),
+           |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN k$i a ON e.src = a.node JOIN k$i b ON e.dst = b.node)""".stripMargin
+      def row(i: Int) =
+        s"""SELECT CAST($i AS BIGINT) AS round,
+           |  (SELECT count(*) FROM k$i) AS n_nodes,
+           |  (SELECT count(*) // 2 FROM e$i) AS n_edges""".stripMargin
+      s"""WITH e00 AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e0 AS (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM e00
+         |       UNION ALL SELECT dst * 2 + 1, src * 2 FROM e00),
+         |${(1 to 5).map(rnd).mkString(",\n")}
+         |${(1 to 5).map(row).mkString("\nUNION ALL\n")}
+         |ORDER BY round""".stripMargin
+    },
 
     "graph_adamic_adar" ->
       s"""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst

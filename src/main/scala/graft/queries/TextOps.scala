@@ -946,6 +946,46 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // ---- distribution drift between two corpus snapshots: Jensen–
+    // Shannon divergence of the unigram distributions of the first and
+    // second halves (doc_id < 250 as "yesterday's crawl") — the drift
+    // monitor a production pipeline alarms on before a shifted source
+    // poisons a training mix. JSD (not KL) because it is finite even for
+    // tokens one side has never seen — exactly the case drift detection
+    // exists for. Determinism: each token's term is a fixed IEEE chain
+    // over exact counts; the vocabulary sum folds through fixed-point
+    // qsum. Scale: two vocab-sized hash-aggs, one vocab-sized full-outer
+    // join, a 1-row broadcast of the totals — the corpus is scanned once
+    // and nothing doc-sized ever shuffles twice.
+    "tx_jsd_drift" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select((col("doc_id") < 250).as("old_half"),
+          explode(T.tokens(col("text"))).as("tok"))
+      val ca = toks.filter(col("old_half")).groupBy("tok").agg(count(lit(1)).as("ca"))
+      val cb = toks.filter(!col("old_half")).groupBy("tok").agg(count(lit(1)).as("cb"))
+      val joined = ca.join(cb, Seq("tok"), "full_outer")
+        .select(coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+        .cache()
+      val tots = joined.agg(sum("ca").as("na"), sum("cb").as("nb"),
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("vocab_old"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_new"),
+        count(lit(1)).as("vocab_union"))
+      joined.crossJoin(broadcast(tots))
+        .withColumn("pa", col("ca").cast("double") / col("na"))
+        .withColumn("pb", col("cb").cast("double") / col("nb"))
+        .withColumn("m", (col("pa") + col("pb")) / 2)
+        .withColumn("term",
+          when(col("pa") > 0, lit(0.5) * col("pa") * log(col("pa") / col("m")))
+            .otherwise(lit(0.0)) +
+          when(col("pb") > 0, lit(0.5) * col("pb") * log(col("pb") / col("m")))
+            .otherwise(lit(0.0)))
+        .groupBy("na", "nb", "vocab_old", "vocab_new", "vocab_union")
+        .agg(FP.qround(FP.qsum(col("term")), 6).as("jsd"))
+        .select(col("na").as("n_tokens_old"), col("nb").as("n_tokens_new"),
+          col("vocab_old"), col("vocab_new"), col("vocab_union"), col("jsd"))
+    }),
+
     // ---- held-out LM evaluation — the train/test hygiene face
     // tx_perplexity_bucket deliberately lacks (it scores the corpus under
     // itself): train an interpolated bigram LM on the 80% split
@@ -1537,6 +1577,31 @@ object TextOps {
          |    (0.75 * n_follow / ca) * (n_precede / n_types), 6) AS pkn
          |FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
          |WHERE cab >= 5 ORDER BY a, b""".stripMargin,
+
+    "tx_jsd_drift" ->
+      s"""WITH toks AS (SELECT doc_id < 250 AS old_half, unnest(${S.tokens("text")}) AS tok
+         |  FROM documents),
+         |ca AS (SELECT tok, count(*) AS ca FROM toks WHERE old_half GROUP BY tok),
+         |cb AS (SELECT tok, count(*) AS cb FROM toks WHERE NOT old_half GROUP BY tok),
+         |j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         |  FROM ca FULL OUTER JOIN cb USING (tok)),
+         |tots AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         |    CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_old,
+         |    CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_new,
+         |    count(*) AS vocab_union
+         |  FROM j),
+         |terms AS (SELECT na, nb, vocab_old, vocab_new, vocab_union,
+         |    (CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / m) ELSE 0.0 END) +
+         |    (CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / m) ELSE 0.0 END) AS term
+         |  FROM (SELECT na, nb, vocab_old, vocab_new, vocab_union,
+         |      pa, pb, (pa + pb) / 2 AS m
+         |    FROM (SELECT na, nb, vocab_old, vocab_new, vocab_union,
+         |        CAST(ca AS DOUBLE) / na AS pa, CAST(cb AS DOUBLE) / nb AS pb
+         |      FROM j CROSS JOIN tots)))
+         |SELECT na AS n_tokens_old, nb AS n_tokens_new,
+         |  vocab_old, vocab_new, vocab_union,
+         |  ${S.qround(S.qsum("term"), 6)} AS jsd
+         |FROM terms GROUP BY na, nb, vocab_old, vocab_new, vocab_union""".stripMargin,
 
     "tx_lm_heldout" ->
       s"""WITH tl AS (SELECT doc_id, source, ${S.tokens("text")} AS toks FROM documents),

@@ -115,6 +115,30 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(relErr < 1.0, s"sketch over-estimates by ${relErr}x — bucket count too small")
   }
 
+  test("graph_kcore: round 1 peels, the loop certifies a fixpoint, counts only shrink") {
+    val rows = SparkEntry.queries("graph_kcore")(spark, d).collect().sortBy(_.getLong(0))
+    assert(rows.length == 5)
+    val nodes = rows.map(_.getLong(1)); val edges = rows.map(_.getLong(2))
+    assert(nodes.zip(nodes.tail).forall { case (a, b) => b <= a }, "peeling cannot add nodes")
+    assert(edges.zip(edges.tail).forall { case (a, b) => b <= a }, "peeling cannot add edges")
+    // the shallow bipartite core: round 1 does real work, later rounds
+    // certify the fixpoint rather than silently looping
+    assert(nodes.last == nodes(1) && edges.last == edges(1),
+      "rounds 2-5 must agree: the 30-core of this graph settles within two peels")
+    assert(nodes.head > 0, "round 1 must retain the high-degree side")
+    // edges can legitimately hit zero at tiny SFs (every customer peels;
+    // bipartite edges need both endpoints) — monotonicity above is the
+    // invariant, not non-emptiness
+  }
+
+  test("tx_jsd_drift: JSD within [0, ln 2], vocab accounting consistent") {
+    val r = SparkEntry.queries("tx_jsd_drift")(spark, d).collect().head
+    val (va, vb, vu, jsd) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+    assert(vu >= math.max(va, vb) && vu <= va + vb, "union bracketed by the parts")
+    assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-9, s"JSD $jsd outside [0, ln 2]")
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+  }
+
   test("dd_lsh_tuning: candidates and recall grow with band count (the S-curve trade)") {
     val rows = SparkEntry.queries("dd_lsh_tuning")(spark, d).collect()
       .sortBy(_.getLong(0))
