@@ -148,6 +148,31 @@ object Temporal {
         .orderBy("user_id")
     }),
 
+    // ---- gaps-and-islands activity streaks: per user, the longest run
+    // of CONSECUTIVE active hours — the engagement metric behind "streak"
+    // features and churn models, and the canonical islands idiom (hour −
+    // row_number is constant within a run). Hour grain, not day: this
+    // feed is dense enough that day-streaks saturate at the window
+    // length. One shuffle on user_id; islands are derived inside the
+    // partition; integer `div` on epoch micros so the bucket boundary
+    // cannot drift through a double quotient. Output is per-user (node-
+    // count-sized, never event-sized).
+    "ts_activity_streak" -> ((s, d) => {
+      val hrs = t(s, d, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("hr"))
+        .distinct()
+      hrs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("hr")))
+        .withColumn("island", col("hr") - col("rn"))
+        .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest_streak_hours"),
+          sum("len").as("n_active_hours"),
+          count(lit(1)).as("n_islands"))
+        .orderBy("user_id")
+    }),
+
     // ---- the LEFT-OUTER attribution twin (streaming face:
     // Streams.viewToPurchaseOuter): views that never converted inside the
     // 1-hour window — the abandonment metric ad pipelines emit when the
@@ -419,6 +444,16 @@ object Temporal {
         |        PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 30*60*1000000, true) AS is_new
         |    FROM events))
         |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "ts_activity_streak" ->
+      """WITH hrs AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr FROM events),
+        |g AS (SELECT user_id, hr,
+        |    hr - row_number() OVER (PARTITION BY user_id ORDER BY hr) AS island
+        |  FROM hrs),
+        |isl AS (SELECT user_id, island, count(*) AS len FROM g GROUP BY user_id, island)
+        |SELECT user_id, max(len) AS longest_streak_hours,
+        |  CAST(sum(len) AS BIGINT) AS n_active_hours, count(*) AS n_islands
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "st_view_abandonment" ->
       """WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id

@@ -946,6 +946,36 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // ---- reproducible per-epoch training order: every epoch permutes
+    // the corpus differently, yet any worker can recompute any doc's
+    // position — order = an arithmetic hash of (doc_id, epoch), the
+    // shuffle-free determinism trick production data loaders use instead
+    // of materializing a permutation (beats rand(): resumable mid-epoch,
+    // engine-reproducible, seedable by epoch). The face emits each
+    // epoch's first 10 docs via the typed mergeable TopK heap — partials
+    // merge map-side, no per-epoch global sort/window. The multiplier
+    // product stays under 2^63 for doc_id < 3.4e9; beyond that swap in a
+    // 64-bit mix with modmul. Oracle ranks the same keys with
+    // row_number.
+    "tx_epoch_shuffle" -> ((s, d) => {
+      val topk = udaf(new graft.engine.Aggregators.TopK(10),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      t(s, d, "documents").select(col("doc_id"))
+        .select(col("doc_id"),
+          explode(array((0 until 3).map(e => lit(e.toLong)): _*)).as("epoch"))
+        .withColumn("p",
+          pmod(col("doc_id") * lit(2654435761L) + col("epoch") * lit(40503L) + lit(17L),
+            lit(1000000007L)))
+        .groupBy("epoch")
+        .agg(topk(col("doc_id"), -col("p").cast("double")).as("ids"))
+        .select(col("epoch"), posexplode(col("ids")))
+        .select(col("epoch"), (col("pos") + 1).cast("bigint").as("rnk"),
+          col("col").as("doc_id"))
+        .orderBy("epoch", "rnk")
+    }),
+
     // ---- distribution drift between two corpus snapshots: Jensen–
     // Shannon divergence of the unigram distributions of the first and
     // second halves (doc_id < 250 as "yesterday's crawl") — the drift
@@ -1577,6 +1607,15 @@ object TextOps {
          |    (0.75 * n_follow / ca) * (n_precede / n_types), 6) AS pkn
          |FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
          |WHERE cab >= 5 ORDER BY a, b""".stripMargin,
+
+    "tx_epoch_shuffle" ->
+      """SELECT epoch, rnk, doc_id FROM (
+        |  SELECT epoch, doc_id,
+        |    row_number() OVER (PARTITION BY epoch ORDER BY p, doc_id) AS rnk
+        |  FROM (SELECT doc_id, CAST(e AS BIGINT) AS epoch,
+        |      (doc_id * 2654435761 + e * 40503 + 17) % 1000000007 AS p
+        |    FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS e)))
+        |WHERE rnk <= 10 ORDER BY epoch, rnk""".stripMargin,
 
     "tx_jsd_drift" ->
       s"""WITH toks AS (SELECT doc_id < 250 AS old_half, unnest(${S.tokens("text")}) AS tok

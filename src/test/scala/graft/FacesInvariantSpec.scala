@@ -115,6 +115,38 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(relErr < 1.0, s"sketch over-estimates by ${relErr}x — bucket count too small")
   }
 
+  test("ts_activity_streak: islands partition active hours, streak bracketed") {
+    val rows = SparkEntry.queries("ts_activity_streak")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val totalActive = rows.map(_.getLong(2)).sum
+    val distinctUserHours = graft.engine.Tables.load(spark, d, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 3600000000 AS hr").distinct().count()
+    assert(totalActive == distinctUserHours,
+      "island lengths must partition the distinct (user, hour) set")
+    for (r <- rows) {
+      val (longest, active, islands) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(longest >= 1 && longest <= active)
+      assert(islands >= 1 && islands <= active)
+      assert(longest + (islands - 1) <= active, "each extra island needs at least one hour")
+    }
+  }
+
+  test("tx_epoch_shuffle: epochs permute differently, rank 1 is the arithmetic minimum") {
+    val rows = SparkEntry.queries("tx_epoch_shuffle")(spark, d).collect()
+    assert(rows.length == 30, "3 epochs x top-10")
+    val byEpoch = rows.groupBy(_.getLong(0)).map { case (e, rs) =>
+      e -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    }
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    assert(byEpoch.values.toSet.size == 3, "every epoch must order the corpus differently")
+    def pos(id: Long, e: Long) = (id * 2654435761L + e * 40503L + 17L) % 1000000007L
+    val ids = (0L until 500L)
+    for ((e, top) <- byEpoch) {
+      val expect = ids.sortBy(id => (pos(id, e), id)).take(10)
+      assert(top == expect, s"epoch $e: $top != recomputed $expect")
+    }
+  }
+
   test("graph_kcore: round 1 peels, the loop certifies a fixpoint, counts only shrink") {
     val rows = SparkEntry.queries("graph_kcore")(spark, d).collect().sortBy(_.getLong(0))
     assert(rows.length == 5)
