@@ -965,9 +965,13 @@ object TextOps {
       t(s, d, "documents").select(col("doc_id"))
         .select(col("doc_id"),
           explode(array((0 until 3).map(e => lit(e.toLong)): _*)).as("epoch"))
+        // the epoch term sits INSIDE the multiplication: an additive
+        // seed only shifts every position equally (same order modulo the
+        // rare wrap — measured: all three epochs' top-10 identical);
+        // multiplying the mixed key genuinely permutes
         .withColumn("p",
-          pmod(col("doc_id") * lit(2654435761L) + col("epoch") * lit(40503L) + lit(17L),
-            lit(1000000007L)))
+          pmod((col("doc_id") + lit(1L) + col("epoch") * lit(1000003L)) * lit(2654435761L)
+            + lit(17L), lit(1000000007L)))
         .groupBy("epoch")
         .agg(topk(col("doc_id"), -col("p").cast("double")).as("ids"))
         .select(col("epoch"), posexplode(col("ids")))
@@ -1613,7 +1617,7 @@ object TextOps {
         |  SELECT epoch, doc_id,
         |    row_number() OVER (PARTITION BY epoch ORDER BY p, doc_id) AS rnk
         |  FROM (SELECT doc_id, CAST(e AS BIGINT) AS epoch,
-        |      (doc_id * 2654435761 + e * 40503 + 17) % 1000000007 AS p
+        |      ((doc_id + 1 + e * 1000003) * 2654435761 + 17) % 1000000007 AS p
         |    FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS e)))
         |WHERE rnk <= 10 ORDER BY epoch, rnk""".stripMargin,
 

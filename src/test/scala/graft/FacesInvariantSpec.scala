@@ -139,7 +139,7 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     }
     assert(byEpoch.keySet == Set(0L, 1L, 2L))
     assert(byEpoch.values.toSet.size == 3, "every epoch must order the corpus differently")
-    def pos(id: Long, e: Long) = (id * 2654435761L + e * 40503L + 17L) % 1000000007L
+    def pos(id: Long, e: Long) = ((id + 1L + e * 1000003L) * 2654435761L + 17L) % 1000000007L
     val ids = (0L until 500L)
     for ((e, top) <- byEpoch) {
       val expect = ids.sortBy(id => (pos(id, e), id)).take(10)
