@@ -54,6 +54,9 @@ object MarginAudit {
     // sorted array ↔ list_reduce over list(value ORDER BY rn)) with literal
     // 0.2/0.8 coefficients — same op order every run, any partitioning
     "ts_ewma",
+    // same sequential-fold class: max(0, acc + (x − target − slack)) with
+    // a qround'd broadcast target and literal slack/threshold
+    "ts_cusum",
     // sparse TF-IDF cosine: dots and norms fold through qsum; the cosine
     // is one divide/multiply chain on those deterministic doubles
     "tx_sparse_cosine",

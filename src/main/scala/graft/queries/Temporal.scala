@@ -344,6 +344,44 @@ object Temporal {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- one-sided CUSUM changepoint detection per user: s_i = max(0,
+    // s_{i−1} + (x_i − target − slack)) — the classic sequential drift
+    // alarm (Page '54): a run of above-target values accumulates, noise
+    // resets to the floor. Target is the corpus mean through the
+    // fixed-point qmean rounded ONCE (a single broadcast double both
+    // engines agree on bit-for-bit); slack 25 ≈ 0.5σ and threshold 200
+    // are shared literals. The per-user fold is the ts_ewma shape —
+    // sequential flatMapGroups over the (ts, event_id)-ordered array,
+    // identical op order to the oracle's list_reduce — one shuffle on
+    // user_id, per-user output rows.
+    "ts_cusum" -> ((s, d) => {
+      import s.implicits._
+      val target = t(s, d, "events")
+        .agg(FP.qround(FP.qmean(col("value")), 4)).head.getDouble(0)
+      t(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val evs = it.toArray.sortBy(e => (e._2, e._3))
+          var cus = 0.0; var mx = 0.0
+          var alarms = 0L; var firstAlarm: java.lang.Long = null
+          evs.foreach { case (_, _, eid, v) =>
+            cus = math.max(0.0, cus + (v - target - 25.0))
+            if (cus > mx) mx = cus
+            if (cus > 200.0) {
+              alarms += 1
+              if (firstAlarm == null) firstAlarm = eid
+            }
+          }
+          (uid, mx, alarms, Option(firstAlarm).map(_.toLong))
+        }
+        .toDF("user_id", "max_cusum", "n_alarms", "first_alarm_event")
+        .withColumn("max_cusum", FP.qround(col("max_cusum"), 4))
+        .orderBy("user_id")
+    }),
+
     // sweep-line max concurrency: how many 5-minute event intervals overlap
     // at the peak, per event type. Each interval contributes a +1 at its
     // start and a -1 at its end; the running sum over (t, delta) is the
@@ -577,6 +615,25 @@ object Temporal {
          |  FROM st)
          |SELECT user_id, event_id, (round(z, 4) + 0.0) AS z, value
          |FROM zz WHERE abs(z) > 2.5 ORDER BY user_id, event_id""".stripMargin,
+
+    // identical FP op order as the Scala recurrence: the prepended-zero
+    // list_reduce replays max(0, acc + (x − target − slack)) left-to-right
+    "ts_cusum" ->
+      s"""WITH tot AS (SELECT ${S.qround(S.qmean("value"), 4)} AS target FROM events),
+         |ord AS (SELECT user_id, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |ag AS (SELECT user_id, list(value ORDER BY rn) AS vs,
+         |    list(event_id ORDER BY rn) AS ids FROM ord GROUP BY user_id),
+         |ser AS (SELECT user_id, ids, list_transform(range(1, len(vs) + 1),
+         |    t -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs[1:t]),
+         |      (acc, x) -> greatest(0.0, acc + (x - target - 25.0)))) AS ss
+         |  FROM ag CROSS JOIN tot),
+         |ex AS (SELECT user_id, unnest(ids) AS event_id, unnest(ss) AS s FROM ser)
+         |SELECT user_id, ${S.qround("max(s)", 4)} AS max_cusum,
+         |  CAST(sum(CASE WHEN s > 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+         |  min(CASE WHEN s > 200.0 THEN event_id END) AS first_alarm_event
+         |FROM ex GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // identical FP op order as the Scala recurrence: list_reduce seeds with
     // the first element and folds 0.2·x + 0.8·acc left-to-right

@@ -131,6 +131,20 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("ts_cusum: alarms imply the max crossed the threshold, counts bracketed") {
+    val rows = SparkEntry.queries("ts_cusum")(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (mx, alarms) = (r.getDouble(1), r.getLong(2))
+      assert(mx >= 0.0, "one-sided CUSUM never goes negative")
+      if (alarms > 0) {
+        assert(mx > 200.0, s"alarms=$alarms but max_cusum=$mx <= threshold")
+        assert(!r.isNullAt(3), "first alarm event must be recorded")
+      } else assert(r.isNullAt(3), "no alarms -> no first event")
+    }
+    assert(rows.exists(_.getLong(2) > 0), "this feed plants genuine high-value runs")
+  }
+
   test("tx_epoch_shuffle: epochs permute differently, rank 1 is the arithmetic minimum") {
     val rows = SparkEntry.queries("tx_epoch_shuffle")(spark, d).collect()
     assert(rows.length == 30, "3 epochs x top-10")
