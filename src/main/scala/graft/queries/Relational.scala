@@ -235,6 +235,57 @@ object Relational {
         .agg(r4(FP.qsum(rev, 20)).as("revenue"), count(lit(1)).as("n"))
     }),
 
+    // ---- TPC-H Q21 shape ("suppliers who kept waiting"), adapted to
+    // this schema's dates: for finished multi-supplier orders, blame the
+    // supplier who was the ONLY late shipper (> 90 days after the order
+    // date). Written in the DECORRELATED form — per-order distinct/
+    // conditional-distinct aggregates replace Q21's EXISTS + NOT EXISTS
+    // self-join pair, turning two correlated probes of the fact table
+    // into ONE extra aggregation over a join both engines already do:
+    // exactly how an optimizer wants this query, and at 100 TB the
+    // difference between one fact-pass and three. (`q4_priority_exists`
+    // keeps the subquery-planning face; this one is the rewrite.)
+    "q21_single_blame" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late", col("l_shipdate") > date_add(col("o_orderdate"), 90))
+      l.groupBy("l_orderkey")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+          max(when(col("late"), col("l_suppkey"))).as("blame"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+        .groupBy(col("blame").as("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_suppkey"))
+        .limit(20)
+    }),
+
+    // ---- TPC-H Q22 shape ("global sales opportunity"): customers with
+    // above-average positive balance and no URGENT orders, per segment
+    // (every customer in this feed has SOME order, so Q22's "no orders"
+    // probe is narrowed to the priority class to keep the anti-join
+    // doing real work). The
+    // scalar average rides through fixed-point qmean + qround so the
+    // comparison threshold is the same double on both engines; the
+    // no-orders probe is a left-anti join against the distinct customer
+    // keys (key-cardinality-sized build side, never the orders fact).
+    "q22_idle_rich" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg(FP.qround(FP.qmean(col("c_acctbal")), 4).as("thr"))
+      cust
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey")).distinct(),
+          Seq("c_custkey"), "left_anti")
+        .crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          r4(FP.qsum(col("c_acctbal"), 20)).as("totbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- the NOT IN null trap, solved both ways: one NULL in a NOT IN
     // subquery makes EVERY row's membership test UNKNOWN → zero rows, while
     // NOT EXISTS ignores the NULL and anti-joins normally. Spark plans the
@@ -1039,6 +1090,30 @@ object Relational {
         |        AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q21_single_blame" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |po AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp,
+        |    max(CASE WHEN late THEN l_suppkey END) AS blame
+        |  FROM l GROUP BY l_orderkey)
+        |SELECT blame AS s_suppkey, count(*) AS numwait FROM po
+        |WHERE n_supp > 1 AND n_late_supp = 1
+        |GROUP BY blame ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+
+    "q22_idle_rich" ->
+      s"""WITH thr AS (SELECT ${SqlText.qround(SqlText.qmean("c_acctbal"), 4)} AS thr
+         |  FROM customer WHERE c_acctbal > 0),
+         |idle AS (SELECT c_mktsegment, c_acctbal FROM customer
+         |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+         |SELECT c_mktsegment, count(*) AS numcust,
+         |  round(${SqlText.qsum("c_acctbal", 20)}, 4) AS totbal
+         |FROM idle CROSS JOIN thr
+         |WHERE c_acctbal > thr
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "sub_not_in_null_trap" ->
       """WITH v_subkeys AS (SELECT CASE WHEN c_acctbal < 0 THEN c_custkey END AS nullable_key
