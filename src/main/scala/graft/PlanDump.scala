@@ -140,7 +140,22 @@ object PlanDump {
     "tx_chunk_sliding" -> ("Sliding token windows: tokenize → integer chunk " +
       "geometry → explode → slice, all scan-side codegen in ONE stage before the " +
       "output sort — no shuffle touches the corpus, and no chunk string longer " +
-      "than one window materializes.")
+      "than one window materializes."),
+    "tx_perplexity_bucket" -> ("CCNet perplexity split: the vocab²-bounded KN " +
+      "model broadcasts into the corpus bigram stream (no shuffle for the score " +
+      "join); per-source cutoffs come back as a 20-row broadcast — the corpus is " +
+      "shuffled once, for the per-doc score aggregation."),
+    "mm_image_dedup" -> ("Perceptual image dedup: hashing at the typed binary " +
+      "boundary, then a declarative 4×14-bit band explode and (band, bkey) " +
+      "equi-join — candidate fan-out bounded by bucket occupancy, never " +
+      "all-pairs; Hamming verify is a codegen'd bit_count."),
+    "q21_single_blame" -> ("TPC-H Q21 decorrelated: per-order conditional-" +
+      "distinct aggregates replace the EXISTS + NOT EXISTS correlated pair — " +
+      "one fact⋈orders join and two hash aggregations, no repeated fact probes."),
+    "dd_lsh_tuning" -> ("LSH geometry sweep: the cached signature table is " +
+      "banded three ways; each geometry is one explode + equi-join, and the " +
+      "planted-truth joins run against the (a, b) pair key — per-geometry cost " +
+      "scales with bucket occupancy.")
   )
 
   def main(args: Array[String]): Unit = {
