@@ -151,6 +151,48 @@ object Similarity {
         .orderBy("qid")
     }),
 
+    // ---- the IVF nprobe→recall curve — the ANN serving knob an operator
+    // actually sets: for nprobe ∈ {1, 2, 4}, pooled recall@10 over the
+    // 20-query sample AND the fraction of the corpus each setting scans.
+    // One linear corpus pass scores every (query, vector) pair once
+    // (broadcast query side, the sim_recall_eval shape); each nprobe row
+    // is then a filter over the probed labels — the sweep costs one scan,
+    // not three. Probe ranking, cosine ranking, and both ratios are
+    // integer-deterministic (total-order tie-breaks, count ratios).
+    "sim_nprobe_sweep" -> ((s, d) => {
+      val e = emb(s, d).cache()
+      val nCorpus = e.count()
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val pw = Window.partitionBy("qid").orderBy(col("dist").asc, col("c_label").asc)
+      val ranked = ivfCentroids(e).crossJoin(broadcast(q))
+        .withColumn("dist",
+          V.dot(col("cvec"), col("cvec")) - lit(2.0) * V.dot(col("cvec"), col("qv")))
+        .withColumn("prnk", row_number().over(pw))
+        .select(col("qid"), col("c_label"), col("prnk")).cache()
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(V.cosine(col("v"), col("qv")), 6))
+        .select("qid", "vec_id", "label", "cos").cache()
+      val rankW = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      val exact = scored.withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 10).select("qid", "vec_id").cache()
+      Seq(1, 2, 4).map { np =>
+        val probed = ranked.filter(col("prnk") <= np)
+          .select(col("qid").as("pqid"), col("c_label"))
+        val cand = scored.join(probed,
+          scored("qid") === col("pqid") && scored("label") === col("c_label"))
+        val ann = cand.withColumn("rn", row_number().over(rankW))
+          .filter(col("rn") <= 10).select("qid", "vec_id")
+        exact.join(ann, Seq("qid", "vec_id")).agg(count(lit(1)).as("n_hits"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_scanned")))
+          .select(lit(np.toLong).as("nprobe"), col("n_hits"),
+            round(col("n_hits") / lit(200.0), 4).as("recall10"),
+            col("n_scanned"),
+            round(col("n_scanned") / lit(20.0 * (nCorpus - 1)), 4).as("scan_frac"))
+      }.reduce(_.unionByName(_)).orderBy("nprobe")
+    }),
+
     // embedding near-dup pairs: block on (label, bucket), cosine ≥ 0.9.
     "sim_neardup_pairs" -> ((s, d) => {
       val e = embWithVariants(s, d).withColumn("bucket", V.lshBucket(col("v"))).cache()
@@ -694,6 +736,36 @@ object Similarity {
          |FROM e JOIN probed ON e.label = probed.c_label CROSS JOIN q
          |WHERE vec_id != 0
          |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "sim_nprobe_sweep" ->
+      s"""$embCte,
+         |cd AS (SELECT label, dim, round(${S.qmean("v[CAST(dim AS INTEGER)]")}, 6) AS cval
+         |       FROM e, generate_series(1, 64) t(dim) GROUP BY label, dim),
+         |cent AS (SELECT label AS c_label, list(cval ORDER BY dim) AS cvec FROM cd GROUP BY label),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+         |ranked AS (SELECT qid, c_label, row_number() OVER (PARTITION BY qid
+         |    ORDER BY (${S.dot("cvec", "cvec")} - 2.0 * ${S.dot("cvec", "qv")}) ASC, c_label ASC) AS prnk
+         |  FROM cent CROSS JOIN q),
+         |scored AS (SELECT qid, vec_id, label, round(${S.cosine("v", "qv")}, 6) AS cos
+         |  FROM e CROSS JOIN q WHERE vec_id != qid),
+         |exact AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id ASC) AS rn FROM scored) WHERE rn <= 10),
+         |nn AS (SELECT unnest([1, 2, 4]) AS np),
+         |cand AS (SELECT nn.np, s.qid, s.vec_id, s.cos
+         |  FROM nn, scored s, ranked r
+         |  WHERE s.qid = r.qid AND s.label = r.c_label AND r.prnk <= nn.np),
+         |ann AS (SELECT np, qid, vec_id FROM (
+         |    SELECT np, qid, vec_id, row_number() OVER (PARTITION BY np, qid
+         |      ORDER BY cos DESC, vec_id ASC) AS rn FROM cand) WHERE rn <= 10),
+         |hits AS (SELECT np, count(*) AS n_hits FROM ann JOIN exact USING (qid, vec_id) GROUP BY np),
+         |sc AS (SELECT np, count(*) AS n_scanned FROM cand GROUP BY np),
+         |tot AS (SELECT count(*) AS n FROM e)
+         |SELECT CAST(h.np AS BIGINT) AS nprobe, h.n_hits,
+         |  round(h.n_hits / 200.0, 4) AS recall10,
+         |  sc.n_scanned,
+         |  round(sc.n_scanned / (20.0 * (n - 1)), 4) AS scan_frac
+         |FROM hits h JOIN sc USING (np) CROSS JOIN tot ORDER BY nprobe""".stripMargin,
 
     // IVF-PQ serving funnel: same centroid/probe CTEs as sim_ivf_topk, the
     // emb_pq_error subvector/codebook/argmin chain for codes, a query-side

@@ -131,6 +131,21 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("sim_nprobe_sweep: recall and scan fraction are monotone in nprobe") {
+    val rows = SparkEntry.queries("sim_nprobe_sweep")(spark, d).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    val hits = rows.map(_.getLong(1)); val scanned = rows.map(_.getLong(3))
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      "probing more lists can only find more true neighbors")
+    assert(scanned.zip(scanned.tail).forall { case (a, b) => a < b },
+      "probing more lists strictly widens the scan")
+    for (r <- rows) {
+      assert(r.getLong(1) <= 200, "hits bounded by 20 queries x top-10")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0, "probe must scan a strict subset")
+      assert(math.abs(r.getDouble(2) - r.getLong(1) / 200.0) < 5e-5)
+    }
+  }
+
   test("ts_cusum: alarms imply the max crossed the threshold, counts bracketed") {
     val rows = SparkEntry.queries("ts_cusum")(spark, d).collect()
     assert(rows.nonEmpty)
