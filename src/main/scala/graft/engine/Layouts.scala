@@ -25,6 +25,31 @@ import org.apache.spark.sql.SparkSession
 object Layouts {
   private[this] val lock = new Object
 
+  /** Bump when ANY /tmp layout's derivation pipeline changes shape (new
+    * signature scheme, different edge rule, schema change…). The version
+    * is folded into every layout path, so a stale materialization from an
+    * older pipeline is abandoned, never silently consumed. */
+  val LayoutVersion = 8
+
+  /** Cache tag for dataset dir `d`: sanitized path + a staleness
+    * fingerprint of (LayoutVersion, newest top-level mtime under `d`).
+    * Regenerating the dataset in place moves every derived /tmp layout to
+    * a fresh path — the oracles always recompute from the live parquet,
+    * so a layout keyed only on the PATH could silently diverge from them
+    * (ADVICE r7). Old paths are abandoned; /tmp is the cleanup boundary.
+    * Memoized: the fingerprint must be stable for the JVM's lifetime even
+    * if the dataset dir is touched mid-run, or two faces could resolve
+    * the same layout to different paths within one session. */
+  private[this] val tagCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def tag(d: String): String = tagCache.computeIfAbsent(d, { dir0 =>
+    val dir = new java.io.File(dir0)
+    val mt = Option(dir.listFiles())
+      .map(_.foldLeft(dir.lastModified())((m, f) => math.max(m, f.lastModified())))
+      .getOrElse(dir.lastModified())
+    dir0.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_v${LayoutVersion}_${java.lang.Long.toHexString(mt)}"
+  })
+
   /** Run `write` iff `exists` is false, atomically JVM-wide, then drop any
     * cached listings under `path`. `exists` must itself be cheap: it is
     * evaluated under the lock (that's the double-check). */

@@ -244,7 +244,6 @@ object ImageHeaders {
     * the reader). `gray(x, y)` is written to all three BGR channels. */
   def bmpPixelBytes(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
     val stride = ((3 * width + 3) / 4) * 4
-    val n = BmpHeaderLen + stride * height
     val b = bmpBytes(width, height, stride * height)
     // bmpBytes wrote file size for its own filler layout; size matches here
     for (y <- 0 until height; x <- 0 until width) {

@@ -85,7 +85,7 @@ object Dedup {
     * it in SQL ([[sigsCte]]). */
   private def candidates(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val sg = sigs(s, d)
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = graft.engine.Layouts.tag(d)
     val path = s"/tmp/graft_dedup/cand_$tag"
     graft.engine.Layouts.ensureCommitted(s, path) {
       val bd = bands(sg)

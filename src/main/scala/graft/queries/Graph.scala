@@ -33,7 +33,7 @@ object Graph {
     * not something each query rebuilds from the raw facts. Derivation is
     * deterministic, so the DuckDB oracles keep recomputing it from SQL. */
   private def edges(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = graft.engine.Layouts.tag(d)
     val path = s"/tmp/graft_graph/edges_$tag"
     graft.engine.Layouts.ensureCommitted(s, path) {
       t(s, d, "orders")
@@ -141,7 +141,7 @@ object Graph {
       // earlier localCheckpoint answer to the 6-42 s cache-race variance
       // is subsumed: a committed parquet layout is race-free by
       // construction and also survives across sessions.
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = graft.engine.Layouts.tag(d)
       val path = s"/tmp/graft_graph/cosupply_$tag"
       graft.engine.Layouts.ensureCommitted(s, path) {
         val sp = t(s, d, "lineitem")

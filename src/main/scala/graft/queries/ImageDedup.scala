@@ -87,8 +87,14 @@ object ImageDedup {
         .crossJoin(broadcast(planted))
         .select(col("n_images"), col("n_candidates"), col("n_near"),
           col("n_true"), col("n_planted"),
-          round(col("n_true").cast("double") / col("n_near"), 4).as("purity"),
-          round(col("n_true").cast("double") / col("n_planted"), 4).as("recall"))
+          // zero-denominator guards: Spark double x/0 is NaN while DuckDB's
+          // is an error (or NULL via NULLIF) — both engines must emit NULL
+          // on degenerate corpora (no surviving near pairs / no planted
+          // groups of ≥2), not diverge.
+          when(col("n_near") > 0,
+            round(col("n_true").cast("double") / col("n_near"), 4)).as("purity"),
+          when(col("n_planted") > 0,
+            round(col("n_true").cast("double") / col("n_planted"), 4)).as("recall"))
     })
   )
 
@@ -125,8 +131,8 @@ object ImageDedup {
          |SELECT (SELECT count(*) FROM hx) AS n_images,
          |  (SELECT count(*) FROM cand) AS n_candidates,
          |  n_near, n_true, n_planted,
-         |  round(CAST(n_true AS DOUBLE) / n_near, 4) AS purity,
-         |  round(CAST(n_true AS DOUBLE) / n_planted, 4) AS recall
+         |  round(CAST(n_true AS DOUBLE) / NULLIF(n_near, 0), 4) AS purity,
+         |  round(CAST(n_true AS DOUBLE) / NULLIF(n_planted, 0), 4) AS recall
          |FROM ag CROSS JOIN planted""".stripMargin
     }
   )

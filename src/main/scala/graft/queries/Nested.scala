@@ -36,7 +36,7 @@ object Nested {
 
   /** Per-sf nested events table, created on first use (idempotent). */
   def nestedPath(s: SparkSession, d: String): String = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = graft.engine.Layouts.tag(d)
     val path = s"/tmp/graft_nested/events_$tag"
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
       val attrs = filter(

@@ -223,7 +223,7 @@ object ScaleOps {
     // bucketed scan and the absence of join-key exchanges; BucketingSpec
     // covers the layout in depth.
     "bj_colocated_join" -> ((s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = graft.engine.Layouts.tag(d)
       def ensure(base: String, df: => DataFrame, key: String): String = {
         val tbl = s"${base}_$tag"
         graft.engine.Layouts.ensure(s, s"/tmp/graft_bucketed/$tbl")(
@@ -267,7 +267,7 @@ object ScaleOps {
     // is how "join orders to the current catalog snapshot" avoids scanning
     // a decade of partitions.
     "pp_dynamic_pruning" -> ((s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = graft.engine.Layouts.tag(d)
       val fact = s"/tmp/graft_partitioned/orders_$tag"
       graft.engine.Layouts.ensureCommitted(s, fact) {
         t(s, d, "orders")
@@ -459,7 +459,7 @@ object ScaleOps {
     // partition with target-size binpacking; the written layouts are
     // first-use-cached like the other /tmp layouts.
     "etl_compact_files" -> ((s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = graft.engine.Layouts.tag(d)
       val base = s"/tmp/graft_compact/orders_$tag"
       val slice = t(s, d, "orders").filter(col("o_orderkey") % 4 === 0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -519,7 +519,7 @@ object ScaleOps {
     // round-trippable decimal text. The oracle reads the original parquet,
     // so the hash match certifies the whole text round-trip.
     "src_csv_roundtrip" -> ((s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = graft.engine.Layouts.tag(d)
       val path = s"/tmp/graft_formats/orders_csv_$tag"
       graft.engine.Layouts.ensureCommitted(s, path) {
         t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -537,7 +537,7 @@ object ScaleOps {
     // ---- ORC source round-trip: the other columnar format Spark ships
     // natively — same first-use layout, filter pushed to the ORC scan.
     "src_orc_roundtrip" -> ((s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = graft.engine.Layouts.tag(d)
       val path = s"/tmp/graft_formats/lineitem_orc_$tag"
       graft.engine.Layouts.ensureCommitted(s, path) {
         t(s, d, "lineitem")
@@ -559,7 +559,7 @@ object ScaleOps {
     // JSON text round-trip of every value, doubles included (both writers
     // emit shortest round-trippable decimal text).
     "src_json_roundtrip" -> ((s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = graft.engine.Layouts.tag(d)
       val path = s"/tmp/graft_formats/customer_json_$tag"
       graft.engine.Layouts.ensureCommitted(s, path) {
         t(s, d, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
@@ -586,7 +586,7 @@ object ScaleOps {
     // pushes a pathGlobFilter/maxBytes prune to the listing, not the scan.
     "src_binaryfile" -> ((s, d) => {
       import s.implicits._
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = graft.engine.Layouts.tag(d)
       val base = s"/tmp/graft_binfiles/img_$tag"
       graft.engine.Layouts.ensure(s, base)(
         new java.io.File(s"$base/.written").exists()) {
@@ -636,7 +636,7 @@ object ScaleOps {
         .orderBy("event_type")),
 
     "pp_partition_pruned" -> ((s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = graft.engine.Layouts.tag(d)
       val path = s"/tmp/graft_partitioned/orders_$tag"
       graft.engine.Layouts.ensureCommitted(s, path) {
         t(s, d, "orders")
@@ -661,7 +661,7 @@ object ScaleOps {
     // file list is a metadata-sized driver decision, like reading a
     // transaction log; the data path stays distributed.
     "layout_file_skipping" -> ((s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = graft.engine.Layouts.tag(d)
       val path = s"/tmp/graft_filestats/lineitem_$tag"
       graft.engine.Layouts.ensureCommitted(s, path) {
         graft.engine.FileSkipping.writeRangedWithStats(
@@ -877,7 +877,7 @@ object ScaleOps {
     // operation (one scan over file metadata at planning), not a data
     // rewrite.
     "etl_schema_merge" -> ((s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = graft.engine.Layouts.tag(d)
       val base = s"/tmp/graft_evolve/orders_$tag"
       // gate on BOTH generations' commit markers: a crash between the two
       // writes must not leave a half-built layout that later runs accept

@@ -629,10 +629,11 @@ object Temporal {
          |    t -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs[1:t]),
          |      (acc, x) -> greatest(0.0, acc + (x - target - 25.0)))) AS ss
          |  FROM ag CROSS JOIN tot),
-         |ex AS (SELECT user_id, unnest(ids) AS event_id, unnest(ss) AS s FROM ser)
+         |ex AS (SELECT user_id, unnest(ids) AS event_id, unnest(ss) AS s,
+         |    unnest(range(1, len(ids) + 1)) AS p FROM ser)
          |SELECT user_id, ${S.qround("max(s)", 4)} AS max_cusum,
          |  CAST(sum(CASE WHEN s > 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
-         |  min(CASE WHEN s > 200.0 THEN event_id END) AS first_alarm_event
+         |  arg_min(event_id, p) FILTER (WHERE s > 200.0) AS first_alarm_event
          |FROM ex GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // identical FP op order as the Scala recurrence: list_reduce seeds with

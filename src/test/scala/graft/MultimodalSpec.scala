@@ -206,10 +206,10 @@ class MultimodalSpec extends AnyFunSuite with SharedSparkSpec {
     val h1 = ImageHeaders.dHash56(8, 8, g1)
     assert(java.lang.Long.bitCount(h0 ^ h1) <= 2)
     // uniform brightness shift → identical hash (why the planted groups
-    // must vary their GRADIENT, not their level)
-    val Some((_, _, g2)) = ImageHeaders.bmpGray(ImageHeaders.bmpPixelBytes(8, 8,
-      (x, y) => (base(x, y) + 40) % 256 min 255))
-    assert(ImageHeaders.dHash56(8, 8, g0.map(v => (v + 10) min 255)) == h0)
+    // must vary their GRADIENT, not their level). base() is % 251, so a +5
+    // shift never needs clamping — a clamp could equalize two unequal
+    // adjacent pixels and flip a strict-greater bit, voiding the claim.
+    assert(ImageHeaders.dHash56(8, 8, g0.map(_ + 5)) == h0)
   }
 
   test("mm_image_dedup: banded pipeline finds every planted pair at full purity (sf0.001)") {
