@@ -60,8 +60,14 @@ object Bench {
     // exactly those queries (r6: dd_clusters 7.7 s in-bench vs 3.2 s median
     // isolated, graph_triangles 7.7 vs 3.8 — QProbe, 5 runs). Between
     // queries nothing references the old blocks, so the drop is safe.
+    // blocking=true: the r7 driver run showed 2-5× spikes on exactly the
+    // cache-heavy queries (st_*, emb_*) that the builder's runs don't have —
+    // with non-blocking unpersist the block removal is async, so under a
+    // loaded machine the NEXT query's timed run races the previous query's
+    // block eviction (memory pressure + eviction churn read as query time).
+    // Blocking the free moves that cost into the untimed gap between runs.
     def freePersistentRdds(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
 
     // untimed warmup: JVM + parquet footer reads + codegen paths
     try run("q1_agg") catch { case _: Throwable => () }
@@ -84,7 +90,17 @@ object Bench {
       if (warmTimes.isEmpty) Double.MaxValue
       else { val s = warmTimes.sorted; s(s.length / 2) }
 
+    var sinceGc = 0
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      // Periodic untimed full GC: across ~250 queries the heap accumulates
+      // dead broadcast/codegen/block-manager tenured garbage faster than
+      // G1's concurrent cycle retires it on a busy machine; the resulting
+      // mid-query mixed collections land on whichever query is running
+      // (the r6/r7 in-bench inflation class). Collecting every 16 queries
+      // BETWEEN timed runs bounds that drift without touching any
+      // measurement window.
+      sinceGc += 1
+      if (sinceGc >= 16) { System.gc(); sinceGc = 0 }
       def timed(): Double = {
         val t0 = System.nanoTime()
         try run(name) catch { case e: Throwable => System.err.println(s"BENCH FAIL $name: $e") }

@@ -27,8 +27,10 @@ object Verify {
       }
       // queries cache staging frames for their own lifetime; drop them so a
       // 186-query run's storage footprint stays one query deep (Bench does
-      // the same between timings)
+      // the same between timings). The blocking persistent-RDD sweep also
+      // frees localCheckpoint blocks, which clearCache never touches.
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
