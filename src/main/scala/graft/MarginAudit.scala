@@ -79,7 +79,12 @@ object MarginAudit {
     "tx_lm_heldout",
     // JSD: per-token fixed IEEE chain over exact counts, vocabulary sum
     // through qsum
-    "tx_jsd_drift")
+    "tx_jsd_drift",
+    // r8: rev folds through qsum(20) — the q*-family fixed-point class
+    "opt_cbo_reorder",
+    // r8: session_value stays in quantized LONGs across both stages
+    // (fragment sums, island sums) and divides once — st_sessionize's class
+    "st_session_repair")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact
@@ -117,7 +122,17 @@ object MarginAudit {
     // fertility = one divide on exact BIGINT piece/word counts
     "tx_bpe_fertility",
     // abandon_rate = one divide on exact BIGINT view counts
-    "st_view_abandonment")
+    "st_view_abandonment",
+    // r8: every estimate/error is a ratio/difference of exact integer
+    // agreement counts, qround-canonicalized where negative-capable
+    "dd_minhash_1bit",
+    // r8: speech_ratio = one divide on exact BIGINT frame counts
+    "mm_audio_segments",
+    // r8: rrf = two IEEE divides + one add over exact INTEGER ranks (rank
+    // stability itself rides on the rounded bm25/cos orderings with doc_id
+    // tie-breaks — the same exposure tx_bm25 carries, which the audit
+    // measures directly on that face)
+    "sim_hybrid_rrf")
     // (dd_lsh_tuning is deterministic for the same reason — recall is a
     // BIGINT ratio, thresholds are shared literals — but its round() sits
     // inside union branches where the strip audit cannot reach, so listing

@@ -59,6 +59,86 @@ object Bpe {
                 merges: Seq[(String, String, Long)]): org.apache.spark.sql.Column =
     merges.foldLeft(split(word, "")) { case (cur, (a, b, _)) => applyMergeCol(cur, a, b) }
 
+  /** Driver-side trainer over a COLLECTED word-frequency table — the
+    * production split of labor: the word-count table is vocabulary-bounded
+    * (Zipf: it grows ~log-linearly while the corpus grows linearly), so real
+    * tokenizer training is a single-node pass over collected counts even for
+    * trillion-token corpora; only the counting (wordTable) and the encode
+    * are distributed. Semantics are EXACTLY [[train]]'s — max weighted pair
+    * count, tie broken lexicographically on the "a b" pair string
+    * (ASCII-only corpus: JVM UTF-16 and engine UTF-8 binary orders agree),
+    * leftmost-greedy rewrite — and BpeTrieSpec pins the agreement, which the
+    * tx_bpe_encode_trie oracle (5 unrolled SQL training rounds) re-gates
+    * every round. Cost: O(k · Σ|word|) over the vocab, milliseconds at any
+    * realistic k. */
+  def trainLocal(wordFreqs: Seq[(String, Long)], k: Int): Seq[(String, String, Long)] = {
+    require(k >= 1, s"need k >= 1, got $k")
+    var tbl: Seq[(Seq[String], Long)] =
+      wordFreqs.map { case (w, f) => (w.split("").toSeq, f) }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to k if !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- tbl; i <- 0 until syms.length - 1) {
+        val key = (syms(i), syms(i + 1))
+        counts.update(key, counts.getOrElse(key, 0L) + f)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x + " " + y) }
+        merges += ((a, b, n))
+        tbl = tbl.map { case (syms, f) => (applyMerge(syms, a, b), f) }
+      }
+    }
+    merges.result()
+  }
+
+  /** Rank-priority encode of one word against a trained merge-rank map —
+    * the production tokenizer's inner loop (the GPT-2 `bpe()` shape):
+    * repeatedly select the present adjacent pair with the LOWEST merge rank
+    * and merge ALL its occurrences leftmost-greedy, until no ranked pair
+    * remains. Equivalent to replaying every merge in training order
+    * ([[encodeCol]] / sequential [[applyMerge]]): a merge only ever creates
+    * pairs involving its strictly-longer output token, so an exhausted rank
+    * can never reappear — once the lowest present rank is processed, the
+    * replay prefix up to that rank is a no-op. BpeTrieSpec asserts the
+    * equivalence over the real vocabulary at k=500. Cost O(|word|·k_hit),
+    * independent of total k — the property the sequential replay (O(k) per
+    * word regardless of relevance) loses at vocab-scale k. */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = word.split("")
+    var continue = syms.length >= 2
+    while (continue) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        syms = mergeAll(syms, best, ranks)
+        if (syms.length < 2) continue = false
+      }
+    }
+    syms
+  }
+
+  /** One leftmost-greedy pass merging every occurrence of the pair whose
+    * rank is `rank` (unique per map construction). */
+  private def mergeAll(syms: Array[String], rank: Int,
+                       ranks: Map[(String, String), Int]): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && ranks.getOrElse((syms(i), syms(i + 1)), -1) == rank) {
+        buf += (syms(i) + syms(i + 1)); i += 2
+      } else { buf += syms(i); i += 1 }
+    }
+    buf.toArray
+  }
+
   /** The word-frequency working set for a document frame with a `text`
     * column: distinct words, each split into single-character symbols. */
   def wordTable(docs: DataFrame): DataFrame = {

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.engine.{Tables, TextFunctions => T}
+import graft.engine.{FixedPoint => FP, Tables, TextFunctions => T}
 
 /** Deduplication catalog over `documents` (builder-prompt first-class
   * component): exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
@@ -267,6 +267,38 @@ object Dedup {
 
     // LSH near-dup pairs: band bucket-join → signature-estimated Jaccard.
     "dd_lsh_pairs" -> ((s, d) => lshPairs(s, d).orderBy("a", "b")),
+
+    // ---- b-bit (b=1) minhash: keep only the LOWEST BIT of each of the 16
+    // signature components — 2 bytes per doc instead of 128 — and estimate
+    // Jaccard from the bit-agreement rate. Under the minwise model a
+    // component's bits agree with probability J + (1−J)/2 = (1+J)/2
+    // ("b-Bit Minwise Hashing", Li & König 2010), so Ĵ = 2·agree/16 − 1 =
+    // (agree − 8)/8. The face puts the 1-bit estimate NEXT to the full-
+    // signature estimate with the signed error, per LSH candidate pair —
+    // the measurement an engineer reads before shrinking a 100 TB
+    // signature store 64×: the variance cost of the compression is in the
+    // err column, on real candidates, not in a paper. Scale shape: rides
+    // the materialized candidate set; every estimate is a ratio of exact
+    // integers (the negative-capable ones through the qround signed-zero
+    // canonicalization).
+    "dd_minhash_1bit" -> ((s, d) => {
+      val (cand, sg) = candidates(s, d)
+      cand
+        .join(sg.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+        .join(sg.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+        .withColumn("n_eq", aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("n_bit_agree", aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(pmod(x, lit(2)) === pmod(y, lit(2)), 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("est_full", round(col("n_eq") / 16.0, 4))
+        .withColumn("est_1bit", FP.qround((col("n_bit_agree") - 8) / 8.0, 4))
+        .withColumn("err_1bit", FP.qround(col("est_1bit") - col("est_full"), 4))
+        .select("a", "b", "n_eq", "n_bit_agree", "est_full", "est_1bit", "err_1bit")
+        .orderBy("a", "b")
+    }),
 
     // ---- LSH recall evaluation against the planted ground truth — the
     // quality gate a production dedup pipeline tunes its band/row geometry
@@ -683,6 +715,24 @@ object Dedup {
     // same sigs CTEs, three band geometries side by side; threshold
     // literals interpolated from the same Scala computation as the
     // Spark side
+    "dd_minhash_1bit" ->
+      s"""$sigsCte,
+         |px AS (SELECT a, b,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(sa.sig, sb.sig),
+         |      p -> CASE WHEN p[1] = p[2] THEN CAST(1 AS BIGINT) ELSE 0 END)),
+         |      (x, y) -> x + y) AS n_eq,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(sa.sig, sb.sig),
+         |      p -> CASE WHEN p[1] % 2 = p[2] % 2 THEN CAST(1 AS BIGINT) ELSE 0 END)),
+         |      (x, y) -> x + y) AS n_bit_agree
+         |  FROM cand JOIN sigs sa ON cand.a = sa.doc_id JOIN sigs sb ON cand.b = sb.doc_id),
+         |est AS (SELECT a, b, n_eq, n_bit_agree,
+         |    round(n_eq / 16.0, 4) AS est_full,
+         |    ${S.qround("(n_bit_agree - 8) / 8.0", 4)} AS est_1bit
+         |  FROM px)
+         |SELECT a, b, n_eq, n_bit_agree, est_full, est_1bit,
+         |  ${S.qround("est_1bit - est_full", 4)} AS err_1bit
+         |FROM est ORDER BY a, b""".stripMargin,
+
     "dd_lsh_tuning" -> {
       val bandCtes = lshGeometries.map { case (nb, r) =>
         s"""b_$nb AS (SELECT doc_id, b, array_to_string(list_slice(sig, b*$r+1, b*$r+$r), ':') AS bkey

@@ -170,6 +170,65 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // ---- audio SEGMENTATION (VAD shape) over real sample bytes — the
+    // preprocessing step every speech/ASR data pipeline runs before
+    // transcription: decode PCM, frame it, classify frames silent/speech
+    // by energy, island-merge adjacent speech frames into segments. The
+    // synth writes mono 16-bit clips whose silence pattern derives from
+    // doc_id (frame f silent iff (f² + id) % 5 == 0 — all 16 samples zero;
+    // the quadratic makes run lengths vary, so the island merge is
+    // non-trivial), so the oracle recomputes the
+    // whole segmentation closed-form from doc_id without seeing a byte —
+    // only an exact synth→RIFF→decode→frame→classify round-trip matches
+    // (the mm_image_dedup contract, audio edition). Scale shape: decode +
+    // segmentation are a single mapPartitions pass (codec-init-once) with
+    // per-clip state only — frames never leave their executor; the output
+    // is one row per clip. At 100 TB the segment table IS the next
+    // stage's work-list (cut points for chunked transcription).
+    "mm_audio_segments" -> ((s, d) => {
+      import s.implicits._
+      import graft.engine.{AudioHeaders => AH, Multimodal => M}
+      val FrameLen = 16
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val nf = (id % 20 + 5).toInt
+        val n = nf * FrameLen
+        val b = AH.wavBytes(1, 8000, 16, n)
+        var j = 0
+        while (j < n) {
+          val f = j / FrameLen
+          val v = if ((f.toLong * f + id) % 5 == 0) 0 else ((id * 13 + j * 7) % 200 + 1).toInt
+          b(AH.WavHeaderLen + 2 * j) = (v & 0xff).toByte
+          b(AH.WavHeaderLen + 2 * j + 1) = ((v >> 8) & 0xff).toByte
+          j += 1
+        }
+        M.MediaRecord(id, b, "audio/wav")
+      }
+      media.mapPartitions { it =>
+        // codec init would sit here, once per partition
+        it.flatMap { r =>
+          AH.samples16(r.payload).map { ss =>
+            val nf = ss.length / FrameLen
+            // frame energy > 0 ⇔ any nonzero sample — the threshold stays
+            // an exact integer compare, nothing to flake
+            val speech = (0 until nf).map { f =>
+              var e = 0L; var k = 0
+              while (k < FrameLen) { val v = ss(f * FrameLen + k); e += v.toLong * v; k += 1 }
+              e > 0L
+            }
+            var nSeg = 0L; var longest = 0L; var run = 0L
+            speech.foreach { sp =>
+              if (sp) { if (run == 0) nSeg += 1; run += 1; if (run > longest) longest = run }
+              else run = 0
+            }
+            (r.doc_id, nf.toLong, speech.count(identity).toLong, nSeg, longest)
+          }
+        }
+      }.toDF("doc_id", "n_frames", "n_speech_frames", "n_segments", "longest_segment")
+        .withColumn("speech_ratio",
+          round(col("n_speech_frames") / col("n_frames").cast("double"), 4))
+        .orderBy("doc_id")
+    }),
+
     "mm_wav_meta" -> ((s, d) => {
       import s.implicits._
       import graft.engine.{AudioHeaders => AH, Multimodal => M}
@@ -304,6 +363,31 @@ object Multimodal {
         |  round(sqrt(sum(CAST(val AS DOUBLE) * val) / any_value(total)), 4) AS rms,
         |  CAST(max(abs(val)) AS BIGINT) AS peak
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // pure doc_id arithmetic: the silence rule (f² + id) % 5 == 0 replayed
+    // per frame, speech runs island-merged with the cumulative-silence
+    // trick — agreement proves the synth→RIFF→decode→frame round-trip
+    "mm_audio_segments" ->
+      """WITH fr AS (SELECT doc_id, unnest(range(0, doc_id % 20 + 5)) AS f
+        |  FROM documents),
+        |sp AS (SELECT doc_id, f, ((f*f + doc_id) % 5 != 0) AS speech FROM fr),
+        |g AS (SELECT doc_id, f, speech,
+        |    sum(CASE WHEN speech THEN 0 ELSE 1 END) OVER (
+        |      PARTITION BY doc_id ORDER BY f ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM sp),
+        |segs AS (SELECT doc_id, grp, count(*) AS len
+        |  FROM g WHERE speech GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, count(*) AS n_segments,
+        |    CAST(max(len) AS BIGINT) AS longest_segment,
+        |    CAST(sum(len) AS BIGINT) AS n_speech FROM segs GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(doc_id % 20 + 5 AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT b.doc_id, n_frames,
+        |  coalesce(n_speech, CAST(0 AS BIGINT)) AS n_speech_frames,
+        |  coalesce(n_segments, CAST(0 AS BIGINT)) AS n_segments,
+        |  coalesce(longest_segment, CAST(0 AS BIGINT)) AS longest_segment,
+        |  round(coalesce(n_speech, 0) / CAST(n_frames AS DOUBLE), 4) AS speech_ratio
+        |FROM base b LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "mm_wav_meta" ->
       """SELECT doc_id,

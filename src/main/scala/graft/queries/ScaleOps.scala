@@ -927,10 +927,77 @@ object ScaleOps {
         .select(col("n_keys"), col("exact_pairs"), col("est_pairs"),
           round((col("est_pairs") - col("exact_pairs")).cast("double") /
             col("exact_pairs"), 6).as("rel_err"))
+    }),
+
+    // ---- cost-based join REORDER under real table statistics (VERDICT r7
+    // #7): opt_join_cardinality sketches cardinality; this face ACTS on
+    // statistics. The three join sides are first-use catalog tables
+    // ANALYZEd FOR ALL COLUMNS (distinct counts + min/max — what CBO's
+    // selectivity model consumes), and the query runs in a CLONED session
+    // (same SparkContext and catalog, its OWN SQLConf) with
+    // spark.sql.cbo.enabled + joinReorder.enabled — so the cost-based plan
+    // is scoped to this face and cannot perturb the rest of the catalog.
+    // Written join order is deliberately the worst one — the fact table
+    // (orders) first — and the selective n_name filter makes
+    // customer⋈nation the provably cheaper start; CostBasedJoinReorder
+    // flips to it (PlanQualitySpec asserts the reordered tree and the
+    // written-order tree under cbo=off). At 100 TB this is THE optimizer
+    // lever the layout faces document but never demonstrated: with stats,
+    // a 3-table star query starts from the selective dimension instead of
+    // shuffling the fact table twice. The RESULT is order-independent, so
+    // the oracle gates that reordering never changes the answer. ANALYZE
+    // cost is one scan per table per corpus version — the write-time stats
+    // pass every warehouse already runs.
+    "opt_cbo_reorder" -> ((s, d) => {
+      val tag = graft.engine.Layouts.tag(d)
+      def ensure(base: String, df: => DataFrame): String = {
+        val tbl = s"${base}_$tag"
+        // stats live in the (in-memory) session catalog, so the table must
+        // be registered + ANALYZEd once per JVM even when the parquet
+        // layout already exists on disk
+        graft.engine.Layouts.ensure(s, s"/tmp/graft_cbo/$tbl")(
+          s.catalog.tableExists(tbl)) {
+          df.write.mode("overwrite")
+            .option("path", s"/tmp/graft_cbo/$tbl")
+            .format("parquet").saveAsTable(tbl)
+          s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+        }
+        tbl
+      }
+      val to = ensure("cbo_orders",
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"))
+      val tc = ensure("cbo_customer",
+        t(s, d, "customer").select("c_custkey", "c_nationkey"))
+      val tn = ensure("cbo_nation",
+        t(s, d, "nation").select("n_nationkey", "n_name"))
+      val s2 = s.newSession() // shares context + catalog, isolates the conf
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      s2.sql(
+        s"""SELECT n_name, count(*) AS n_orders,
+           |  round(CAST(sum(CAST(floor(o_totalprice * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           |    / 1048576.0, 4) AS rev
+           |FROM $to o
+           |JOIN $tc c ON o.o_custkey = c.c_custkey
+           |JOIN $tn n ON c.c_nationkey = n.n_nationkey
+           |WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_21')
+           |GROUP BY n_name ORDER BY n_name""".stripMargin)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // plan order is CBO's business; the ANSWER must be the plain 3-table
+    // join's — the same qsum(20) quantization chain as the Spark side
+    "opt_cbo_reorder" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(floor(o_totalprice * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1048576.0, 4) AS rev
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_21')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     // the salted plan must produce exactly the naive aggregation's result
     "skew_salted_agg" ->
       """SELECT skey, count(*) AS n, round(sum(value), 4) AS sum_value

@@ -374,6 +374,67 @@ object Similarity {
         .orderBy("qid")
     }),
 
+    // ---- HYBRID RETRIEVAL (VERDICT r7 #4): reciprocal-rank fusion of the
+    // catalog's two ranked retrievers — BM25 over documents (tx_bm25's
+    // exact formula, per-query term sets) and dense cosine over embeddings
+    // (sim_recall_eval's ranking) — the operator every RAG/retrieval
+    // pipeline actually ships. The corpus shares one id space (doc_id ≡
+    // vec_id, both 0-based over the same synthetic corpus), so fusion is a
+    // FULL OUTER join of the two top-20 rank lists on (qid, doc_id);
+    // RRF = Σ 1/(60 + rank), a doc missing from a list contributing 0.
+    // Determinism: both input rankings order by their ROUNDED score with a
+    // doc_id tie-break (the established pattern), ranks are then exact
+    // integers, and the fused score is two IEEE divisions + one add —
+    // bit-identical on both engines — ranked again on the rounded value.
+    // Scale shape: each retriever keeps its own optimal plan (BM25 =
+    // explode→hash-agg + broadcast stats; dense = one corpus scan with the
+    // broadcast query side); fusion touches only 2 × 20 × |queries| rank
+    // rows — at 100 TB the fusion stage is free, the retrievers dominate.
+    "sim_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      val qterms = Seq(
+        (0L, "spark"), (0L, "data"), (0L, "join"),
+        (1L, "stream"), (1L, "window"), (1L, "batch"),
+        (2L, "hash"), (2L, "merge"), (2L, "sort")).toDF("qid", "tok")
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), graft.engine.TextFunctions.tokens(col("text")).as("__toks"))
+        .cache()
+      val dl = staged.select(col("doc_id"), size(col("__toks")).cast("double").as("dl"))
+      val tf = staged.select(col("doc_id"), explode(col("__toks")).as("tok"))
+        .join(broadcast(qterms.select("tok").distinct()), "tok")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfx = tf.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      val bm = tf.join(broadcast(qterms), "tok").join(dfx, "tok").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("score",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+            col("tf") * 2.2 /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("qid", "doc_id").agg(round(sum("score"), 4).as("bm25"))
+      val sw = Window.partitionBy("qid").orderBy(col("bm25").desc, col("doc_id").asc)
+      val sparse = bm.withColumn("r_sparse", row_number().over(sw).cast("bigint"))
+        .filter(col("r_sparse") <= 20).select("qid", "doc_id", "r_sparse")
+      val e = emb(s, d)
+      val qv = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("v").as("qv"))
+      val dw = Window.partitionBy("qid").orderBy(col("cos").desc, col("doc_id").asc)
+      val dense = e.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(V.cosine(col("v"), col("qv")), 6))
+        .select(col("qid"), col("vec_id").as("doc_id"), col("cos"))
+        .withColumn("r_dense", row_number().over(dw).cast("bigint"))
+        .filter(col("r_dense") <= 20).select("qid", "doc_id", "r_dense")
+      val rw = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id").asc)
+      sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("r_sparse")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)), 6))
+        .withColumn("rank", row_number().over(rw).cast("bigint"))
+        .filter(col("rank") <= 10)
+        .select("qid", "doc_id", "r_sparse", "r_dense", "rrf", "rank")
+        .orderBy("qid", "rank")
+    }),
+
     // ---- embedding OUTLIER detection — the noise-pruning pass a curation
     // pipeline runs before training on retrieval data: each vector's
     // squared distance to its label centroid, per-label z-scores from
@@ -657,6 +718,50 @@ object Similarity {
        |       FROM e WHERE vec_id % 20 = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // both retrievers rebuilt verbatim (tx_bm25's formula with per-query
+    // terms; the sim_recall_eval dense ranking), fused with the same
+    // 1/(60+rank) arithmetic; ranks are BIGINT row_numbers on the rounded
+    // scores with doc_id tie-breaks, so the fusion is integer-deterministic
+    "sim_hybrid_rrf" ->
+      s"""$embCte,
+         |qt AS (SELECT CAST(q AS BIGINT) AS qid, tok FROM (VALUES
+         |  (0, 'spark'), (0, 'data'), (0, 'join'),
+         |  (1, 'stream'), (1, 'window'), (1, 'batch'),
+         |  (2, 'hash'), (2, 'merge'), (2, 'sort')) t(q, tok)),
+         |tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tl),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM tl)
+         |       WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+         |dfx AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+         |bm AS (SELECT qt.qid, tf.doc_id,
+         |    round(sum(ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + 1) *
+         |      tf * CAST(2.2 AS DOUBLE) /
+         |      (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))), 4) AS bm25
+         |  FROM tf JOIN qt USING (tok) JOIN dfx USING (tok) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats GROUP BY qt.qid, tf.doc_id),
+         |sr AS (SELECT qid, doc_id, r_sparse FROM (
+         |    SELECT qid, doc_id, row_number() OVER
+         |      (PARTITION BY qid ORDER BY bm25 DESC, doc_id ASC) AS r_sparse FROM bm)
+         |  WHERE r_sparse <= 20),
+         |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         |dn AS (SELECT qid, doc_id, r_dense FROM (
+         |    SELECT qid, doc_id, row_number() OVER
+         |      (PARTITION BY qid ORDER BY cos DESC, doc_id ASC) AS r_dense
+         |    FROM (SELECT qid, vec_id AS doc_id, round(${S.cosine("v", "qv")}, 6) AS cos
+         |          FROM e CROSS JOIN qv WHERE vec_id != qid))
+         |  WHERE r_dense <= 20),
+         |fused AS (SELECT coalesce(sr.qid, dn.qid) AS qid,
+         |    coalesce(sr.doc_id, dn.doc_id) AS doc_id, r_sparse, r_dense,
+         |    round(coalesce(CAST(1 AS DOUBLE) / (60 + r_sparse), CAST(0 AS DOUBLE)) +
+         |          coalesce(CAST(1 AS DOUBLE) / (60 + r_dense), CAST(0 AS DOUBLE)), 6) AS rrf
+         |  FROM sr FULL OUTER JOIN dn ON sr.qid = dn.qid AND sr.doc_id = dn.doc_id)
+         |SELECT qid, doc_id, r_sparse, r_dense, rrf, rank FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS rank FROM fused)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
     "sim_topk_exact" ->
       s"""$embCte, q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
          |SELECT vec_id, round(${S.cosine("v", "qv")}, 6) AS cos

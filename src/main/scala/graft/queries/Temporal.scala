@@ -53,6 +53,66 @@ object Temporal {
         .orderBy("user_id", "session_idx")
     }),
 
+    // ---- session REPAIR COMPACTION (VERDICT r7 #5), the batch stage that
+    // closes append-mode streaming's one documented sessionizer gap: a
+    // session fragment flushed in an early micro-batch is immutable, so a
+    // later batch's in-gap event under-merges. This face reproduces that
+    // fragmentation deterministically IN BATCH — every event is assigned
+    // an arrival micro-batch by id-hash (out-of-order arrival included),
+    // sessions are computed WITHIN (user, batch) (exactly what an
+    // append-mode sessionizer can guarantee), then the repair pass
+    // gap-chains the fragment intervals per user. The chain key is a
+    // RUNNING-MAX of fragment ends (lag(end) breaks on time-nested
+    // fragments from interleaved arrival). Repair is EXACT: a fragment's
+    // internal gaps are ≤ gap by construction and any two events ≤ gap
+    // apart share a direct session, so the merged output equals
+    // st_sessionize's sessions event-for-event — FacesInvariantSpec
+    // asserts that equality, the oracle replays the same two stages, and
+    // StreamingSpec proves the same operator on real streamed fragments.
+    // session_value stays in the quantized-LONG domain (FP.q) across BOTH
+    // stages and divides once at the end, so the two-level sum is
+    // bit-deterministic at any partitioning. Scale: stage 1 is the
+    // st_sessionize shuffle on (user, batch); stage 2 shuffles FRAGMENT
+    // counts on user_id — compaction cost tracks sessions, not events.
+    "st_session_repair" -> ((s, d) => {
+      val P = 1000000007L
+      val gapUs = 30L * 60L * 1000000L
+      val byUB = Window.partitionBy("user_id", "batch")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val frag = t(s, d, "events")
+        .withColumn("batch", pmod(col("event_id"), lit(P)) * 2654435761L % P % 3)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUB))
+        .withColumn("is_new",
+          coalesce(unix_micros(col("ts")) - col("prev_us") > gapUs, lit(true)))
+        .withColumn("fidx",
+          sum(when(col("is_new"), 1L).otherwise(0L))
+            .over(byUB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "batch", "fidx")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+             count(lit(1)).as("n_events"), sum(FP.q(col("value"), 20)).as("qv"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("session_start").asc, col("session_end").asc,
+          col("batch").asc, col("fidx").asc)
+      frag
+        .withColumn("prev_reach_us",
+          max(unix_micros(col("session_end")))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("is_new", coalesce(
+          unix_micros(col("session_start")) - col("prev_reach_us") > gapUs, lit(true)))
+        .withColumn("island",
+          sum(when(col("is_new"), 1L).otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "island")
+        .agg(min("session_start").as("session_start"),
+             max("session_end").as("session_end"),
+             sum("n_events").as("n_events"),
+             round(sum(col("qv")).cast("double") / 1048576.0, 4).as("session_value"),
+             count(lit(1)).as("n_fragments"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("session_value"), col("n_fragments"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // keyed dedup-keep-earliest (streaming twin: dropDuplicates within
     // watermark). Key = (user_id, event_type); keep the first-by-event-time.
     "st_dedup_first" -> ((s, d) => {
@@ -461,6 +521,50 @@ object Temporal {
         |        PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 30*60*1000000, true) AS is_new
         |    FROM events))
         |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    // same two stages replayed: within-(user,batch) sessionization, then
+    // the running-max interval chain; session_value stays in quantized
+    // LONGs across both stages (one divide at the end), so the two-level
+    // sum is bit-identical to the Spark side at any merge order
+    "st_session_repair" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, value,
+        |    (event_id % 1000000007) * 2654435761 % 1000000007 % 3 AS batch FROM events),
+        |fr AS (SELECT user_id, batch, fidx,
+        |    min(ts) AS session_start, max(ts) AS session_end,
+        |    count(*) AS n_events,
+        |    sum(CAST(floor(value * 1048576.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM (
+        |    SELECT user_id, batch, event_id, ts, value,
+        |      CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) OVER (
+        |        PARTITION BY user_id, batch ORDER BY ts ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fidx
+        |    FROM (
+        |      SELECT user_id, batch, event_id, ts, value,
+        |        coalesce(epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |          PARTITION BY user_id, batch ORDER BY ts ASC, event_id ASC)
+        |          > 30*60*1000000, true) AS is_new
+        |      FROM ev))
+        |  GROUP BY user_id, batch, fidx),
+        |ch AS (SELECT *,
+        |    coalesce(epoch_us(session_start) - max(epoch_us(session_end)) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY session_start ASC, session_end ASC, batch ASC, fidx ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 30*60*1000000,
+        |      true) AS is_new
+        |  FROM fr),
+        |isl AS (SELECT user_id, session_start, session_end, n_events, qv,
+        |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY session_start ASC, session_end ASC, batch ASC, fidx ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM ch)
+        |SELECT user_id, min(session_start) AS session_start,
+        |  max(session_end) AS session_end,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  round(CAST(sum(qv) AS DOUBLE) / 1048576.0, 4) AS session_value,
+        |  count(*) AS n_fragments
+        |FROM isl GROUP BY user_id, island
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "st_dedup_first" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (

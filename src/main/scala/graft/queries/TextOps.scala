@@ -429,6 +429,48 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // ---- the VOCAB-SCALE BPE encode path (VERDICT r7 #3): tx_bpe_encode's
+    // declarative fold replays every merge as one expression level, so its
+    // depth grows with k — fine at the catalog's k=5, impossible at a real
+    // tokenizer's k=32k–100k. This face is the production shape: (1) the
+    // word-frequency table (vocabulary-bounded — Zipf — so it fits one node
+    // at ANY corpus scale; the one justified collect) trains driver-side
+    // (Bpe.trainLocal ≡ the distributed Bpe.train, spec-pinned), (2) the
+    // merge-RANK map broadcasts into a mapPartitions encode whose cost is
+    // O(|word| · merges-hit) per DISTINCT word — independent of k — with a
+    // per-partition word→pieces memo (the executor-local trie/cache every
+    // real tokenizer ships). Tokenization itself stays the codegen'd
+    // expression; only the merge recursion (inexpressible declaratively at
+    // large k) is typed Scala. Trained at the same k=5 here so the SAME
+    // 5-round DuckDB training+replay oracle as tx_bpe_encode gates this
+    // implementation end-to-end; BpeTrieSpec runs the identical code at
+    // k=500 against the sequential-replay ground truth. Measured sf0.1:
+    // comparable to tx_bpe_encode at k=5 (both ~1-2 s); at k=500 the fold
+    // could not even be compiled, while this path is unchanged.
+    "tx_bpe_encode_trie" -> ((s, d) => {
+      import s.implicits._
+      val wordFreqs = t(s, d, "documents")
+        .select(explode(T.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .as[(String, Long)].collect().toSeq
+      val merges = graft.engine.Bpe.trainLocal(wordFreqs, k = 5)
+      val ranks = merges.zipWithIndex.map { case ((a, b, _), i) => ((a, b), i) }.toMap
+      t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+        .as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          // executor-local memo: encode once per distinct word per partition
+          val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+          it.map { case (id, ws) =>
+            val pieces = ws.iterator.flatMap(w =>
+              memo.getOrElseUpdate(w, graft.engine.Bpe.encodeWord(w, ranks))).toArray
+            (id, pieces.length.toLong, pieces.mkString(" "))
+          }
+        }
+        .toDF("doc_id", "n_tokens", "tokens")
+        .orderBy("doc_id")
+    }),
+
     // unigram negative-log-likelihood per doc — the cheap stand-in for the
     // LM-perplexity quality filter every corpus pipeline runs (docs whose
     // tokens are corpus-typical score low; gibberish and boilerplate-with-
@@ -1363,6 +1405,20 @@ object TextOps {
     // round i consumes round i-1's output; lambda vars are suffixed per
     // level (a1/x1..a5/x5) so no binder is ever shadowed
     "tx_bpe_encode" ->
+      s"""WITH $bpeTrainCtes,
+         |tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |encd AS (SELECT doc_id, flatten(list_transform(toks, w -> $bpeEnc)) AS flat
+         |  FROM tl CROSS JOIN win1 w1 CROSS JOIN win2 w2 CROSS JOIN win3 w3
+         |          CROSS JOIN win4 w4 CROSS JOIN win5 w5)
+         |SELECT doc_id, CAST(len(flat) AS BIGINT) AS n_tokens,
+         |  array_to_string(flat, ' ') AS tokens
+         |FROM encd ORDER BY doc_id""".stripMargin,
+
+    // the IDENTICAL 5-round training+replay oracle gates the trie encode:
+    // the mapPartitions rank-priority path must agree with DuckDB's
+    // sequential merge replay byte-for-byte, or training (trainLocal) or
+    // encode (encodeWord) drifted from the declarative semantics
+    "tx_bpe_encode_trie" ->
       s"""WITH $bpeTrainCtes,
          |tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
          |encd AS (SELECT doc_id, flatten(list_transform(toks, w -> $bpeEnc)) AS flat

@@ -193,12 +193,10 @@ object Streams extends Serializable {
     * sort splits exactly where the eager flush does, and the only link that
     * can bridge into the open session is the last one — which the batch-end
     * re-check merges (both pinned in StreamingSpec's chain test). The
-    * remaining approximation is CROSS-batch and inherent to append-mode
-    * emission: a session flushed in an earlier micro-batch is immutable, so
-    * a later batch's in-gap late event gets its own session where a batch
-    * sort would have merged them — one under-merged pair per such ordering,
-    * never a wrong interval (pinned by the "cross-batch early flush is
-    * FINAL" spec so the divergence cannot silently widen). */
+    * remaining cross-batch under-merge (append-mode output is immutable) is
+    * repaired downstream by [[repairSessions]]; the "cross-batch early
+    * flush is FINAL" spec pins the raw divergence shape, and the repair
+    * spec proves repair(streamed) ≡ single-batch on the same orderings. */
   private def foldSessions(userId: Long, sorted: Seq[Event],
                            init: Option[SessionState],
                            gapMs: Long): (List[SessionOut], Option[SessionState]) = {
@@ -251,6 +249,51 @@ object Streams extends Serializable {
     }
     flushEarly()
     (out.reverse, cur)
+  }
+
+  /** Batch REPAIR COMPACTION for append-mode session output (VERDICT r7
+    * #5): merges cross-batch under-merged session fragments under the same
+    * gap rule, closing the one approximation [[foldSessions]] documents —
+    * a session flushed in an earlier micro-batch is immutable, so a later
+    * batch's in-gap late event gets its own fragment where a batch sort
+    * would have merged them. This is the production pattern: the stream
+    * emits fragments with low latency, a downstream batch job compacts
+    * them per corpus window. Correctness: a fragment's internal event gaps
+    * are ≤ gap by construction (the sessionizer built it), and two events
+    * with gap ≤ gap always belong to one batch session — so gap-chaining
+    * the fragment INTERVALS reproduces exactly the sessions a single batch
+    * sort would emit (StreamingSpec proves repair(streamed) ≡ single-batch
+    * on the adversarial orderings, including the pinned cross-batch
+    * divergence case). The chain uses a RUNNING-MAX end, not lag(end):
+    * out-of-order fragments can be time-nested, and a nested fragment's
+    * small end must not mask its container's reach. Scale shape: one
+    * shuffle on user_id over FRAGMENT counts (≪ event counts), two window
+    * passes + one aggregate. */
+  def repairSessions(fragments: Dataset[SessionOut],
+                     gapMinutes: Long = 30): Dataset[SessionOut] = {
+    import fragments.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("session_start").asc, col("session_end").asc,
+        col("n_events").asc, col("total_value").asc)
+    fragments.toDF()
+      .withColumn("prev_reach_us",
+        max(unix_micros(col("session_end")))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new", coalesce(
+        unix_micros(col("session_start")) - col("prev_reach_us") > gapUs, lit(true)))
+      .withColumn("island",
+        sum(when(col("is_new"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min("session_start").as("session_start"),
+           max("session_end").as("session_end"),
+           sum("n_events").as("n_events"),
+           sum("total_value").as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .as[SessionOut]
   }
 
   def sessionize(events: Dataset[Event], gapMinutes: Long = 30): Dataset[SessionOut] = {

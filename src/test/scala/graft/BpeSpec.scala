@@ -70,6 +70,69 @@ class BpeSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("trainLocal reproduces the distributed trainer exactly (toy + corpus k=8)") {
+    val toy = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L), ("hugs", 5L))
+    assert(Bpe.trainLocal(toy, k = 3) ==
+      Seq(("u", "g", 20L), ("u", "n", 16L), ("h", "ug", 15L)))
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, d, "documents")
+    val wf = docs.select(explode(graft.engine.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect().toSeq
+    val local = Bpe.trainLocal(wf, k = 8)
+    val (dist, _) = Bpe.train(spark, Bpe.wordTable(docs), k = 8)
+    assert(local == dist,
+      "driver-side trainer must be merge-for-merge identical to the distributed loop")
+  }
+
+  test("encodeWord (rank-priority) ≡ sequential merge replay at k=500 over the real vocab") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val wf = Tables.load(spark, d, "documents")
+      .select(explode(graft.engine.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect().toSeq
+    // the synthetic corpus' vocabulary is ~40 words — training exhausts all
+    // pairs well before 500 (every word fully merged); that exhaustion path
+    // is itself worth pinning (encode over a fully-collapsed vocab)
+    val realMerges = Bpe.trainLocal(wf, k = 500)
+    assert(realMerges.length >= 50 && realMerges.length < 500,
+      s"expected early exhaustion on the tiny real vocab; got ${realMerges.length}")
+    // vocab-scale run: a 2000-word synthetic vocabulary (seeded, so the
+    // test is deterministic) sustains the full 500 merge rounds
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghijklmnop"
+    val synth = (1 to 2000).map { _ =>
+      val len = 4 + rnd.nextInt(9)
+      (Array.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString, 1L + rnd.nextInt(100))
+    }.distinct
+    val merges = Bpe.trainLocal(synth, k = 500)
+    assert(merges.length == 500, s"synthetic vocab must sustain 500 rounds; got ${merges.length}")
+    for ((label, table, vocab) <- Seq(
+        ("real", realMerges, wf.map(_._1)),
+        ("synthetic", merges, synth.map(_._1) ++ Seq("aaaa", "banana", "nnnn", "xyzzy", "hughug")))) {
+      val ranks = table.zipWithIndex.map { case ((a, b, _), i) => ((a, b), i) }.toMap
+      for (w <- vocab) {
+        val sequential = table.foldLeft(w.split("").toSeq) {
+          case (syms, (a, b, _)) => Bpe.applyMerge(syms, a, b)
+        }
+        assert(Bpe.encodeWord(w, ranks).toSeq == sequential,
+          s"$label word '$w' diverged between rank-priority and sequential replay")
+      }
+    }
+  }
+
+  test("tx_bpe_encode_trie ≡ tx_bpe_encode (declarative fold) at k=5 on sf0.001") {
+    val trie = SparkEntry.queries("tx_bpe_encode_trie")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val fold = SparkEntry.queries("tx_bpe_encode")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(trie.length == fold.length && trie.nonEmpty)
+    assert(trie.sameElements(fold),
+      "the mapPartitions trie encode must agree with the declarative fold")
+  }
+
   test("tx_bpe_fertility: pieces never fewer than words, never more than chars") {
     val rows = SparkEntry.queries("tx_bpe_fertility")(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)

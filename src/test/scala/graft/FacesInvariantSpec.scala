@@ -249,4 +249,26 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     val aas = rows.map(_.getDouble(3))
     assert(aas.zip(aas.tail).forall { case (x, y) => x >= y }, "not sorted by aa desc")
   }
+
+  test("st_session_repair: repaired fragments ≡ st_sessionize, session-for-session") {
+    // the repair face fragments events by a simulated arrival batch and
+    // gap-merges the fragment intervals; the whole point is that the result
+    // equals direct sessionization EXACTLY (intervals, counts, values) —
+    // the append-mode under-merge is fully closed
+    val repaired = SparkEntry.queries("st_session_repair")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+    val direct = SparkEntry.queries("st_sessionize")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3), r.getTimestamp(4),
+        r.getLong(2), r.getDouble(5)))
+    assert(repaired.nonEmpty)
+    assert(repaired.sortBy(x => (x._1, x._2.getTime)).toSeq ==
+           direct.sortBy(x => (x._1, x._2.getTime)).toSeq,
+      "repair(fragments) must equal direct sessionization")
+    // and the fragmentation was real: at least one session was stitched
+    // from >1 fragment, or the face demonstrates nothing
+    val nFrags = SparkEntry.queries("st_session_repair")(spark, d).collect()
+      .map(_.getLong(5))
+    assert(nFrags.exists(_ > 1), "expected at least one multi-fragment session")
+  }
 }

@@ -374,4 +374,38 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     val betw = p.substring(genIdx, scanIdx)
     assert(!betw.contains("Exchange"), s"chunking must be scan-side:\n$p")
   }
+
+  test("opt_cbo_reorder: column stats flip the join tree (fact table joins LAST)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // running the face ensures the ANALYZEd catalog tables exist and returns
+    // the CBO-session DataFrame
+    val dfOn = SparkEntry.queries("opt_cbo_reorder")(spark, d)
+    val topOn = dfOn.queryExecution.optimizedPlan.collectFirst { case j: Join => j }.get
+    def rels(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = p.toString
+    val (lOn, rOn) = (rels(topOn.left), rels(topOn.right))
+    val reordered =
+      (lOn.contains("cbo_orders") && !lOn.contains("cbo_customer") &&
+        rOn.contains("cbo_customer") && rOn.contains("cbo_nation")) ||
+      (rOn.contains("cbo_orders") && !rOn.contains("cbo_customer") &&
+        lOn.contains("cbo_customer") && lOn.contains("cbo_nation"))
+    assert(reordered,
+      s"CBO must start from the selective customer⋈nation side, orders joining last:\nleft=$lOn\nright=$rOn")
+    // control: the same SQL WITHOUT CBO keeps the written (worst) order —
+    // orders⋈customer first, nation last — proving the flip is the stats'
+    // doing, not the parser's
+    val tag = graft.engine.Layouts.tag(d)
+    val s3 = spark.newSession()
+    val dfOff = s3.sql(
+      s"""SELECT n_name, count(*) AS n_orders
+         |FROM cbo_orders_$tag o
+         |JOIN cbo_customer_$tag c ON o.o_custkey = c.c_custkey
+         |JOIN cbo_nation_$tag n ON c.c_nationkey = n.n_nationkey
+         |WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_21')
+         |GROUP BY n_name""".stripMargin)
+    val topOff = dfOff.queryExecution.optimizedPlan.collectFirst { case j: Join => j }.get
+    val (lOff, rOff) = (rels(topOff.left), rels(topOff.right))
+    assert(lOff.contains("cbo_orders") && lOff.contains("cbo_customer") &&
+           rOff.contains("cbo_nation") && !rOff.contains("cbo_orders"),
+      s"without CBO the written order must survive:\nleft=$lOff\nright=$rOff")
+  }
 }

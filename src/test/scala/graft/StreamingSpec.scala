@@ -415,6 +415,62 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
            sessions(2).getAs[Long]("n_events") == 2, s"${sessions.toSeq}")
   }
 
+  test("repairSessions: repair(streamed fragments) ≡ single-batch sessionize on adversarial orderings") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    var n = 0
+    def runSessions(batches: Seq[Seq[Event]]): Seq[Streams.SessionOut] = {
+      n += 1
+      val name = s"repair_run_$n"
+      val mem = MemoryStream[Event]
+      val q = Streams.sessionize(mem.toDS(), gapMinutes = 30).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[Streams.SessionOut].collect().toSeq
+    }
+    def canon(s: Seq[Streams.SessionOut]) =
+      s.sortBy(x => (x.user_id, x.session_start.getTime, x.session_end.getTime))
+    // the pinned divergence ordering (cross-batch early flush is FINAL),
+    // the bridge chain, the multi-link chain, and a 2-user interleave —
+    // every adversarial ordering StreamingSpec constructs
+    val orderings: Seq[Seq[Seq[Event]]] = Seq(
+      // cross-batch under-merge: stream emits [100,100],[125,125],[172,200];
+      // batch gives [100,125],[172,200] — repair must close exactly that gap
+      Seq(Seq(Event(1, ts(200), 1, "click", 1.0)),
+          Seq(Event(2, ts(100), 1, "view", 2.0)),
+          Seq(Event(3, ts(125), 1, "view", 4.0)),
+          Seq(Event(4, ts(172), 1, "click", 8.0)),
+          Seq(Event(5, ts(300), 1, "click", 16.0))),
+      // bridge chain split across batches
+      Seq(Seq(Event(1, ts(100), 1, "click", 1.0)),
+          Seq(Event(2, ts(20), 1, "view", 2.0), Event(3, ts(45), 1, "view", 4.0)),
+          Seq(Event(4, ts(75), 1, "click", 8.0)),
+          Seq(Event(5, ts(200), 1, "click", 16.0))),
+      // multi-link early chain, each link its own batch + nested intervals
+      Seq(Seq(Event(1, ts(200), 1, "click", 1.0)),
+          Seq(Event(2, ts(20), 1, "view", 2.0), Event(3, ts(45), 1, "view", 4.0)),
+          Seq(Event(4, ts(115), 1, "view", 8.0), Event(5, ts(142), 1, "view", 16.0)),
+          Seq(Event(6, ts(171), 1, "click", 32.0), Event(7, ts(130), 1, "view", 64.0)),
+          Seq(Event(8, ts(400), 1, "click", 128.0))),
+      // two users interleaved, fragments arriving out of order per user
+      Seq(Seq(Event(1, ts(90), 1, "click", 1.0), Event(2, ts(10), 2, "view", 2.0)),
+          Seq(Event(3, ts(50), 1, "view", 4.0), Event(4, ts(95), 2, "click", 8.0)),
+          Seq(Event(5, ts(70), 1, "view", 16.0), Event(6, ts(40), 2, "view", 32.0)),
+          Seq(Event(7, ts(500), 1, "click", 64.0), Event(8, ts(500), 2, "click", 64.0))))
+    for (batches <- orderings) {
+      val fragmented = runSessions(batches)
+      val single = runSessions(Seq(batches.flatten))
+      val repaired = Streams.repairSessions(fragmented.toDS()).collect().toSeq
+      assert(canon(repaired) == canon(single),
+        s"repair must reproduce the single-batch sessions:\n" +
+          s"fragments=${canon(fragmented)}\nrepaired=${canon(repaired)}\nsingle=${canon(single)}")
+      // and repair of an already-clean output is the identity
+      val again = Streams.repairSessions(single.toDS()).collect().toSeq
+      assert(canon(again) == canon(single), "repair must be idempotent on clean sessions")
+    }
+  }
+
   test("sessionizeTimeout closes idle sessions when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
