@@ -212,6 +212,24 @@ class MultimodalSpec extends AnyFunSuite with SharedSparkSpec {
     assert(ImageHeaders.dHash56(8, 8, g0.map(_ + 5)) == h0)
   }
 
+  test("mm_audio_segments: island merge is non-trivial and internally consistent") {
+    val rows = SparkEntry.queries("mm_audio_segments")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 500)
+    for (r <- rows) {
+      val (nf, sp, seg, lng) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sp <= nf && lng <= sp, s"bounds: $r")
+      assert(seg >= 1 && sp >= 1, "the quadratic silence rule never silences a whole clip")
+      assert(lng * seg >= sp / seg || seg * lng >= sp - seg + 1 || lng <= sp,
+        s"longest run must cover its share: $r")
+      assert(seg <= (nf + 1) / 2 + 1, s"segments bounded by alternation: $r")
+    }
+    // the quadratic silence pattern must produce VARIABLE run lengths —
+    // a periodic rule (the first draft) made every segment length 2 and
+    // the island merge untestable
+    assert(rows.map(_.getLong(4)).distinct.length >= 3,
+      "expected at least 3 distinct longest-run lengths across clips")
+  }
+
   test("mm_image_dedup: banded pipeline finds every planted pair at full purity (sf0.001)") {
     val r = SparkEntry.queries("mm_image_dedup")(spark, "/root/testdata/sf0.001").collect().head
     assert(r.getLong(0) == 500, "one image per document")
