@@ -57,6 +57,9 @@ object MarginAudit {
     // same sequential-fold class: max(0, acc + (x − target − slack)) with
     // a qround'd broadcast target and literal slack/threshold
     "ts_cusum",
+    // same sequential-fold class: the (level, trend) Holt recurrence with
+    // literal α/β, replayed as a struct-accumulator list_reduce
+    "ts_holt",
     // sparse TF-IDF cosine: dots and norms fold through qsum; the cosine
     // is one divide/multiply chain on those deterministic doubles
     "tx_sparse_cosine",

@@ -414,6 +414,45 @@ object Temporal {
     // sequential flatMapGroups over the (ts, event_id)-ordered array,
     // identical op order to the oracle's list_reduce — one shuffle on
     // user_id, per-user output rows.
+    // ---- Holt double exponential smoothing (level + trend), the
+    // forecasting step a capacity-planning pipeline runs over per-user
+    // activity: l' = α·x + (1−α)(l+b), b' = β(l'−l) + (1−β)b with α=0.5,
+    // β=0.3, seeded (l=x₁, b=0); output is the final state and the
+    // one-step forecast l+b. Like ts_ewma this is a TRUE per-key
+    // recurrence (each step needs the previous state), so the per-group
+    // sequential fold is the honest plan — state is 2 doubles per user,
+    // the shuffle is one hash exchange on user_id, and the DuckDB twin
+    // replays the identical op order via a struct-accumulator list_reduce,
+    // making every output bit-identical (trend is negative-capable →
+    // qround signed-zero canonicalization).
+    "ts_holt" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val evs = it.toArray.sortBy(e => (e._2, e._3))
+          var l = evs.head._4
+          var b = 0.0
+          var i = 1
+          while (i < evs.length) {
+            val x = evs(i)._4
+            val l1 = 0.5 * x + 0.5 * (l + b)
+            b = 0.3 * (l1 - l) + 0.7 * b
+            l = l1
+            i += 1
+          }
+          (uid, evs.length.toLong, l, b, l + b)
+        }
+        .toDF("user_id", "n_events", "level", "trend", "forecast_next")
+        .withColumn("level", FP.qround(col("level"), 4))
+        .withColumn("trend", FP.qround(col("trend"), 4))
+        .withColumn("forecast_next", FP.qround(col("forecast_next"), 4))
+        .orderBy("user_id")
+    }),
+
     "ts_cusum" -> ((s, d) => {
       import s.implicits._
       val target = t(s, d, "events")
@@ -719,6 +758,37 @@ object Temporal {
          |  FROM st)
          |SELECT user_id, event_id, (round(z, 4) + 0.0) AS z, value
          |FROM zz WHERE abs(z) > 2.5 ORDER BY user_id, event_id""".stripMargin,
+
+    // identical FP op order as the Scala recurrence: the accumulator is a
+    // DOUBLE[2] = [level, trend] and the b' expression recomputes l'
+    // textually — the same IEEE chain yields the same double, so both
+    // components replay bit-identically; a single-event user reduces over
+    // the seed alone (list_reduce([x]) = x, no lambda call). The
+    // accumulator is deliberately a LIST, not a STRUCT: DuckDB 1.0's
+    // list_reduce aliases a struct accumulator into the result struct
+    // field-by-field, so a 'b' field referencing acc.l reads the NEW
+    // level (measured: trend 0.3787 vs the correct 0.6525 on [10,11,14]);
+    // list construction evaluates all elements against the OLD accumulator
+    "ts_holt" ->
+      s"""WITH ord AS (SELECT user_id, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |ag AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*) AS n
+         |  FROM ord GROUP BY user_id),
+         |st AS (SELECT user_id, n,
+         |    list_reduce(
+         |      list_prepend([CAST(vs[1] AS DOUBLE), CAST(0 AS DOUBLE)],
+         |        list_transform(vs[2:len(vs)],
+         |          x -> [CAST(x AS DOUBLE), CAST(0 AS DOUBLE)])),
+         |      (acc, x) -> [
+         |        0.5*x[1] + 0.5*(acc[1] + acc[2]),
+         |        0.3*(0.5*x[1] + 0.5*(acc[1] + acc[2]) - acc[1]) + 0.7*acc[2]]) AS s
+         |  FROM ag)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+         |  ${S.qround("s[1]", 4)} AS level,
+         |  ${S.qround("s[2]", 4)} AS trend,
+         |  ${S.qround("s[1] + s[2]", 4)} AS forecast_next
+         |FROM st ORDER BY user_id""".stripMargin,
 
     // identical FP op order as the Scala recurrence: the prepended-zero
     // list_reduce replays max(0, acc + (x − target − slack)) left-to-right
