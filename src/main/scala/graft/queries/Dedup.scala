@@ -376,6 +376,17 @@ object Dedup {
         .select(col("doc_id"), col("cid").as("canonical_id"), col("is_kept"))
         .orderBy("doc_id")),
 
+    // ---- duplicate-cluster size census — the first report a dedup owner
+    // reads off a cluster snapshot (how much mass sits in big clusters
+    // decides whether keep-best or aggressive trimming is right). Rides
+    // the MATERIALIZED cc labels; two tiny hash-aggs, exact integers.
+    "dd_cluster_sizes" -> ((s, d) =>
+      ccLabels(s, d)
+        .groupBy("cid").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")),
+
     // ---- the whole curation pipeline in ONE manifest: every corpus doc is
     // classified by the first stage that rejects it — exact dup (dd_exact's
     // keep-min rule), transitive near-dup (LSH pairs → connected
@@ -786,6 +797,19 @@ object Dedup {
          |SELECT id AS doc_id, CAST(min(tgt) AS BIGINT) AS canonical_id,
          |  (id = min(tgt)) AS is_kept
          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dd_cluster_sizes" ->
+      s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$pairsCte,
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |r(id, tgt) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN edges e ON e.a = r.tgt),
+         |cc AS (SELECT id AS doc_id, min(tgt) AS cid FROM r GROUP BY id)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters
+         |FROM (SELECT cid, count(*) AS sz FROM cc GROUP BY cid)
+         |GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     "pipe_corpus_manifest" ->
       s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -468,6 +468,24 @@ object Similarity {
         .orderBy("label")
     }),
 
+    // ---- IVF list-balance census — the index-health metric an ANN
+    // operator watches: probe latency is governed by the LARGEST lists a
+    // query touches, so per-list occupancy relative to uniform (balance =
+    // n·L/N, 1.0 = perfectly even) and to the max list decides when to
+    // re-train the coarse quantizer. One label-keyed hash-agg + a
+    // broadcast 1-row totals frame; all ratios of exact integers.
+    "sim_ivf_balance" -> ((s, d) => {
+      val per = emb(s, d).groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      val tot = per.agg(count(lit(1)).as("n_lists"),
+        sum("n_vecs").as("n_total"), max("n_vecs").as("mx"))
+      per.crossJoin(broadcast(tot))
+        .select(col("label"), col("n_vecs"),
+          round((col("n_vecs") * col("n_lists")) / col("n_total").cast("double"), 4)
+            .as("balance"),
+          round(col("n_vecs") / col("mx").cast("double"), 4).as("rel_to_max"))
+        .orderBy("label")
+    }),
+
     // element-wise label centroids via explode → (label, dim) aggregation.
     "emb_centroids" -> ((s, d) =>
       emb(s, d)
@@ -761,6 +779,15 @@ object Similarity {
          |  SELECT *, row_number() OVER
          |    (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS rank FROM fused)
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "sim_ivf_balance" ->
+      """WITH per AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label),
+        |tot AS (SELECT count(*) AS n_lists, CAST(sum(n_vecs) AS BIGINT) AS n_total,
+        |        max(n_vecs) AS mx FROM per)
+        |SELECT label, n_vecs,
+        |  round((n_vecs * n_lists) / CAST(n_total AS DOUBLE), 4) AS balance,
+        |  round(n_vecs / CAST(mx AS DOUBLE), 4) AS rel_to_max
+        |FROM per CROSS JOIN tot ORDER BY label""".stripMargin,
 
     "sim_topk_exact" ->
       s"""$embCte, q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

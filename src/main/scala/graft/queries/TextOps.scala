@@ -471,6 +471,38 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // ---- tokenizer SIZING sweep: corpus fertility and emergent piece
+    // vocabulary at merge counts k ∈ {1, 3, 5} — the curve a tokenizer
+    // owner reads to pick vocab size (fertility falls, piece vocabulary
+    // grows; the knee is the budget). One training run at the max k;
+    // each sweep row encodes the DISTINCT-word table with a merge-table
+    // PREFIX (merges are ordered, so prefix-k equals training at k) and
+    // weights by occurrence count — the whole sweep is vocabulary-sized
+    // work after one corpus pass for the counts. All reported ratios are
+    // exact-integer divides.
+    "tx_bpe_sweep" -> ((s, d) => {
+      val words = graft.engine.Bpe.wordTable(t(s, d, "documents"))
+      val (merges, _) = graft.engine.Bpe.train(s, words, k = 5)
+      val vocab = t(s, d, "documents")
+        .select(explode(T.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("occ"))
+        .cache()
+      Seq(1, 3, 5).map { k =>
+        val enc = vocab
+          .withColumn("enc", graft.engine.Bpe.encodeCol(col("w"), merges.take(k)))
+          .cache()
+        val st = enc.agg(
+          sum(col("occ")).as("n_words"),
+          sum(col("occ") * size(col("enc"))).as("n_pieces"))
+        val dv = enc.select(explode(col("enc")).as("p"))
+          .agg(countDistinct("p").as("n_distinct_pieces"))
+        st.crossJoin(dv).select(
+          lit(k.toLong).as("n_merges"), col("n_words"), col("n_pieces"),
+          col("n_distinct_pieces"),
+          round(col("n_pieces").cast("double") / col("n_words"), 4).as("fertility"))
+      }.reduce(_.unionByName(_)).orderBy("n_merges")
+    }),
+
     // unigram negative-log-likelihood per doc — the cheap stand-in for the
     // LM-perplexity quality filter every corpus pipeline runs (docs whose
     // tokens are corpus-typical score low; gibberish and boilerplate-with-
@@ -1413,6 +1445,33 @@ object TextOps {
          |SELECT doc_id, CAST(len(flat) AS BIGINT) AS n_tokens,
          |  array_to_string(flat, ' ') AS tokens
          |FROM encd ORDER BY doc_id""".stripMargin,
+
+    // the same training CTEs; each sweep row re-encodes the distinct-word
+    // table with the first k win scalars only (prefix-k ≡ training at k)
+    "tx_bpe_sweep" -> {
+      def encK(k: Int) =
+        (1 to k).foldLeft("string_split(w, '')")((inner, i) => bpeFold(i, inner))
+      def wins(k: Int) =
+        (1 to k).map(i => s"CROSS JOIN win$i w$i").mkString(" ")
+      val rows = Seq(1, 3, 5).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS n_merges,
+           |  (SELECT CAST(sum(occ) AS BIGINT) FROM ek$k) AS n_words,
+           |  (SELECT CAST(sum(occ * len(enc)) AS BIGINT) FROM ek$k) AS n_pieces,
+           |  (SELECT CAST(count(DISTINCT p) AS BIGINT)
+           |     FROM (SELECT unnest(enc) AS p FROM ek$k)) AS n_distinct_pieces,
+           |  round((SELECT CAST(sum(occ * len(enc)) AS DOUBLE) FROM ek$k)
+           |    / (SELECT sum(occ) FROM ek$k), 4) AS fertility""".stripMargin
+      }
+      val eks = Seq(1, 3, 5).map { k =>
+        s"ek$k AS (SELECT occ, ${encK(k)} AS enc FROM vocab ${wins(k)})"
+      }
+      s"""WITH $bpeTrainCtes,
+         |vocab AS (SELECT w, count(*) AS occ
+         |  FROM (SELECT unnest(${S.tokens("text")}) AS w FROM documents) GROUP BY w),
+         |${eks.mkString(",\n")}
+         |${rows.mkString("\nUNION ALL\n")}
+         |ORDER BY n_merges""".stripMargin
+    },
 
     // the IDENTICAL 5-round training+replay oracle gates the trie encode:
     // the mapPartitions rank-priority path must agree with DuckDB's
