@@ -131,9 +131,14 @@ object MarginAudit {
     "dd_minhash_1bit",
     // r8: speech_ratio = one divide on exact BIGINT frame counts
     "mm_audio_segments",
-    // r8: fertility / balance ratios = single divides on exact BIGINTs
-    // (dd_cluster_sizes emits no floats at all but rides the same class)
-    "tx_bpe_sweep", "sim_ivf_balance", "dd_cluster_sizes",
+    // r8: balance ratios = single divides on exact BIGINTs.
+    // (tx_bpe_sweep is deterministic for the same reason but its round()
+    // sits inside union branches the strip audit cannot reach, and
+    // dd_cluster_sizes emits no floats at all — both follow the
+    // dd_lsh_tuning precedent: left unclassified, nothing strippable
+    // means nothing audited, and listing them would only make
+    // RoundingMarginSpec cancel.)
+    "sim_ivf_balance",
     // r8: rrf = two IEEE divides + one add over exact INTEGER ranks (rank
     // stability itself rides on the rounded bm25/cos orderings with doc_id
     // tie-breaks — the same exposure tx_bm25 carries, which the audit
