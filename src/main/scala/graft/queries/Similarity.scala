@@ -205,6 +205,37 @@ object Similarity {
         .orderBy("a", "b")
     }),
 
+    // ---- cosine-threshold SWEEP for semantic dedup — the dd_lsh_tuning
+    // move applied to embeddings: the SAME blocked candidate set scored
+    // once, then each threshold row is a filter over the scored frame
+    // (the sweep costs one block-join, not three), reporting pair volume
+    // and planted-variant recall side by side. This is the table an
+    // engineer reads before fixing the dedup threshold: too low deletes
+    // distinct content (pair volume explodes), too high misses the
+    // planted near-dups (recall falls). All ratios are exact-integer
+    // divides; the cut compares the ROUNDED cosine (round-6) so the
+    // threshold boundary is engine-identical.
+    "sim_threshold_sweep" -> ((s, d) => {
+      val e = embWithVariants(s, d).withColumn("bucket", V.lshBucket(col("v"))).cache()
+      val scored = e.as("x").join(e.as("y"),
+          col("x.label") === col("y.label") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .withColumn("cos", round(V.cosine(col("x.v"), col("y.v")), 6))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("cos"))
+        .cache()
+      val planted = emb(s, d).filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("a"), (col("vec_id") + 1000000).as("b")).cache()
+      Seq(0.999, 0.99, 0.9).map { th =>
+        scored.filter(col("cos") >= th).agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(planted.join(scored.filter(col("cos") >= th), Seq("a", "b"))
+            .agg(count(lit(1)).as("n_found")))
+          .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+          .select(lit(th).as("threshold"), col("n_pairs"), col("n_found"),
+            col("n_planted"),
+            round(col("n_found").cast("double") / col("n_planted"), 4).as("recall"))
+      }.reduce(_.unionByName(_)).orderBy(col("threshold").desc)
+    }),
+
     // ---- semantic dedup, SemDeDup-shaped (Abbas et al. 2023): block by
     // k-means cluster assignment (nearest of the 8 deterministic seed
     // centroids, same struct-min argmin + tie-break as emb_kmeans_step),
@@ -833,6 +864,29 @@ object Similarity {
          |  SELECT x.vec_id AS a, y.vec_id AS b, round(${S.cosine("x.v", "y.v")}, 4) AS cos
          |  FROM b x JOIN b y ON x.label = y.label AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |WHERE cos >= 0.9 ORDER BY a, b""".stripMargin,
+
+    // same blocked candidate frame scored once at round-6; threshold
+    // literals interpolated identically into both engines
+    "sim_threshold_sweep" -> {
+      val rows = Seq(0.999, 0.99, 0.9).map { th =>
+        s"""SELECT $th AS threshold,
+           |  (SELECT count(*) FROM sc WHERE cos >= $th) AS n_pairs,
+           |  (SELECT count(*) FROM planted p JOIN sc ON p.a = sc.a AND p.b = sc.b
+           |     WHERE sc.cos >= $th) AS n_found,
+           |  (SELECT count(*) FROM planted) AS n_planted,
+           |  round((SELECT count(*) FROM planted p JOIN sc ON p.a = sc.a AND p.b = sc.b
+           |     WHERE sc.cos >= $th)
+           |    / CAST((SELECT count(*) FROM planted) AS DOUBLE), 4) AS recall""".stripMargin
+      }
+      s"""$variantsCte,
+         |b AS (SELECT vec_id, label, v, ${S.lshBucket("v")} AS bucket FROM ev),
+         |sc AS (SELECT x.vec_id AS a, y.vec_id AS b, round(${S.cosine("x.v", "y.v")}, 6) AS cos
+         |  FROM b x JOIN b y ON x.label = y.label AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |planted AS (SELECT vec_id AS a, vec_id + 1000000 AS b FROM embeddings
+         |  WHERE vec_id % 20 = 0)
+         |${rows.mkString("\nUNION ALL\n")}
+         |ORDER BY threshold DESC""".stripMargin
+    },
 
     // same dist2 fold + (dist2, seed_id) tie-break as the emb_kmeans_step
     // twin; seeds come from the RAW embeddings (e), members from the

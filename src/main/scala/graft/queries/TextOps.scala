@@ -943,6 +943,47 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // ---- greedy argmax GENERATION from the bigram LM — the decode loop
+    // every n-gram LM demo runs, as a relational plan: the argmax-next
+    // table (one row per vocabulary token: its most frequent successor,
+    // count-desc/token-asc tie-break via the struct-min trick) is built
+    // once and BROADCAST; each of the 8 decode steps is one broadcast
+    // join extending (cur, seq). Greedy decoding's loop degeneracy (the
+    // chain enters a 2-cycle fast) shows up honestly in the output. A
+    // dead-end token (never seen as a bigram head) emits </s> and stays
+    // terminal. Scale shape: the corpus is touched twice (bigram counts,
+    // seed counts); decoding itself is vocab-sized work — 8 joins against
+    // a broadcast table, rows = |seeds|, never corpus-sized.
+    "tx_lm_generate" -> ((s, d) => {
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("__toks")).cache()
+      val ab = staged.filter(size(col("__toks")) >= 2)
+        .select(explode(zip_with(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val cab = ab.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      // struct-min on (−count, successor) = argmax count, lexicographic
+      // tie-break — the emb_kmeans_step argmin pattern
+      val nxt = cab.groupBy("a")
+        .agg(min(struct((-col("cab")).as("nc"), col("b").as("nb"))).as("m"))
+        .select(col("a").as("cur"), col("m.nb").as("nxt"))
+      val seeds = staged.select(explode(col("__toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(5)
+        .select(col("tok").as("seed"))
+      var g = seeds.select(col("seed"), col("seed").as("cur"), col("seed").as("seq"))
+      for (_ <- 1 to 8) {
+        g = g.join(broadcast(nxt), Seq("cur"), "left")
+          .select(col("seed"),
+            coalesce(col("nxt"), lit("</s>")).as("cur"),
+            concat(col("seq"), lit(" "), coalesce(col("nxt"), lit("</s>"))).as("seq"))
+      }
+      g.select(col("seed"), col("seq").as("generated"), lit(8L).as("n_steps"))
+        .orderBy("seed")
+    }),
+
     // ---- Kneser–Ney smoothed bigram LM (the standard n-gram smoothing,
     // Kneser & Ney 1995): P(w2|w1) = max(c12−D,0)/c1 + λ(w1)·Pcont(w2),
     // with absolute discount D=0.75, λ(w1) = D·N1+(w1,·)/c1 and the
@@ -1699,6 +1740,30 @@ object TextOps {
         |FROM k x JOIN k y ON x.blk = y.blk AND x.doc_id < y.doc_id
         |WHERE levenshtein(x.pfx, y.pfx) <= 6
         |ORDER BY a, b""".stripMargin,
+
+    // same bigram counts; the 8 decode steps unroll as chained left joins
+    // against the row_number-argmax successor table
+    "tx_lm_generate" -> {
+      val steps = (1 to 8).map { i =>
+        s"""g$i AS (SELECT g.seed, coalesce(n.nxt, '</s>') AS cur,
+           |  g.seq || ' ' || coalesce(n.nxt, '</s>') AS seq
+           |  FROM g${i - 1} g LEFT JOIN nxt n ON g.cur = n.cur)""".stripMargin
+      }
+      s"""WITH tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |bgs AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS bg FROM tl),
+         |ab AS (SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b FROM bgs),
+         |cab AS (SELECT a, b, count(*) AS cab FROM ab GROUP BY a, b),
+         |nxt AS (SELECT a AS cur, b AS nxt FROM (
+         |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY cab DESC, b ASC) AS rn
+         |    FROM cab) WHERE rn = 1),
+         |seeds AS (SELECT tok AS seed FROM (SELECT unnest(toks) AS tok FROM tl)
+         |  GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 5),
+         |g0 AS (SELECT seed, seed AS cur, seed AS seq FROM seeds),
+         |${steps.mkString(",\n")}
+         |SELECT seed, seq AS generated, CAST(8 AS BIGINT) AS n_steps
+         |FROM g8 ORDER BY seed""".stripMargin
+    },
 
     "tx_bigram_lm" ->
       s"""WITH tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
