@@ -87,7 +87,9 @@ object MarginAudit {
     "opt_cbo_reorder",
     // r8: session_value stays in quantized LONGs across both stages
     // (fragment sums, island sums) and divides once — st_sessionize's class
-    "st_session_repair")
+    "st_session_repair",
+    // r8: rev_mass folds through qsum(20); the census counts are exact
+    "etl_vacuum_plan")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact
@@ -134,6 +136,9 @@ object MarginAudit {
     // r8: recall = one divide on exact BIGINT pair counts (the threshold
     // literal and the round-6 cosine cut are engine-identical)
     "sim_threshold_sweep",
+    // r8: ip is the sequential dot fold (the sim_topk_exact class); ranks
+    // are integers on engine-identical doubles
+    "sim_mips_topk",
     // r8: balance ratios = single divides on exact BIGINTs.
     // (tx_bpe_sweep is deterministic for the same reason but its round()
     // sits inside union branches the strip audit cannot reach, and

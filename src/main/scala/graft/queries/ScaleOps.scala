@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.{FixedPoint => FP, Tables}
@@ -212,6 +212,36 @@ object ScaleOps {
           (col("eff_to").isNull || col("eff_to") > asof))
         .select("custkey", "eff_from", "eff_to", "day_rev")
         .orderBy("custkey")
+    }),
+
+    // ---- VACUUM planning — the retention pass every versioned lakehouse
+    // table needs: which expired row versions are safe to physically
+    // delete? A version survives iff it is CURRENT, or VISIBLE to a pinned
+    // snapshot (time travel must keep working for the pins), or expired
+    // after the retention watermark (short-horizon time travel). Everything
+    // else is reclaimable. This face classifies every SCD2 version against
+    // two pins (1997-01-01, 1998-01-01) and a 1997-06-01 watermark and
+    // emits the per-class census — the report a table owner reads before
+    // running VACUUM, and the exact predicate a Delta/Iceberg VACUUM
+    // evaluates against its snapshot log. Scale shape: one scan of the
+    // version history with a scan-side CASE — no join, no shuffle beyond
+    // the final tiny census agg.
+    "etl_vacuum_plan" -> ((s, d) => {
+      val pins = Seq("1997-01-01", "1998-01-01").map(p => lit(p).cast("date"))
+      val wm = lit("1997-06-01").cast("date")
+      def visibleAt(p: Column): Column =
+        col("eff_from") <= p && (col("eff_to").isNull || col("eff_to") > p)
+      scd2Hist(s, d)
+        .withColumn("status",
+          when(col("eff_to").isNull, "current")
+            .when(pins.map(visibleAt).reduce(_ || _), "pinned")
+            .when(col("eff_to") > wm, "retained")
+            .otherwise("vacuum"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_versions"),
+             countDistinct("custkey").as("n_keys"),
+             round(FP.qsum(col("day_rev"), 20), 4).as("rev_mass"))
+        .orderBy("status")
     }),
 
     // ---- bucketed co-located join: both sides bucketBy(8) on the join key
@@ -1051,6 +1081,30 @@ object ScaleOps {
       s"""SELECT o_orderstatus, count(*) AS n, round(${SqlText.qsum("l_extendedprice", 20)}, 4) AS rev
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // same version history as etl_scd2; the vacuum predicate is pure date
+    // arithmetic over validity windows, so the census is exact
+    "etl_vacuum_plan" ->
+      s"""WITH statez AS (
+         |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS eff_from,
+         |    round(${SqlText.qsum("o_totalprice", 20)}, 4) AS day_rev
+         |  FROM orders GROUP BY 1, 2),
+         |hist AS (SELECT custkey, eff_from,
+         |    lead(eff_from, 1) OVER (PARTITION BY custkey ORDER BY eff_from) AS eff_to,
+         |    day_rev
+         |  FROM statez),
+         |cls AS (SELECT *, CASE
+         |    WHEN eff_to IS NULL THEN 'current'
+         |    WHEN (eff_from <= DATE '1997-01-01' AND eff_to > DATE '1997-01-01')
+         |      OR (eff_from <= DATE '1998-01-01' AND eff_to > DATE '1998-01-01')
+         |      THEN 'pinned'
+         |    WHEN eff_to > DATE '1997-06-01' THEN 'retained'
+         |    ELSE 'vacuum' END AS status
+         |  FROM hist)
+         |SELECT status, count(*) AS n_versions,
+         |  count(DISTINCT custkey) AS n_keys,
+         |  round(${SqlText.qsum("day_rev", 20)}, 4) AS rev_mass
+         |FROM cls GROUP BY status ORDER BY status""".stripMargin,
 
     "etl_upsert" ->
       """WITH source AS (

@@ -205,6 +205,53 @@ object Similarity {
         .orderBy("a", "b")
     }),
 
+    // ---- maximum-inner-product search via the cosine reduction
+    // (Shrivastava & Li 2014): MIPS has no locality-sensitive hash of its
+    // own, but augmenting every corpus vector with one extra component
+    // x' = [x/M, √(1 − ‖x‖²/M²)] (M = max corpus norm, so ‖x'‖ = 1) and
+    // the query with q' = [q/‖q‖, 0] makes cos(x', q') = ⟨x,q⟩/(M‖q‖) —
+    // monotone in the inner product — so the engine's existing cosine-ANN
+    // machinery (LSH buckets, IVF) serves MIPS unchanged. The face builds
+    // the augmentation FOR REAL (65-dim arrays, both folds) and reports
+    // the direct-MIPS top-10 with both ranks side by side; rank agreement
+    // is the proof the reduction preserves order (ranks compare the raw
+    // engine-identical doubles with a vec_id tie-break — a correctly
+    // rounded monotone divide cannot reorder them). Scale shape: M is a
+    // broadcast 1-row agg; both rankings are one corpus scan + TakeOrdered.
+    "sim_mips_topk" -> ((s, d) => {
+      val e = emb(s, d).cache()
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val m = e.select(sqrt(V.dot(col("v"), col("v"))).as("nx"))
+        .agg(max("nx").as("m"))
+      val scored = e.crossJoin(broadcast(q)).crossJoin(broadcast(m))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("ip", V.dot(col("v"), col("qv")))
+        .withColumn("aug_x", concat(
+          transform(col("v"), x => x / col("m")),
+          array(sqrt(greatest(lit(0.0),
+            lit(1.0) - V.dot(col("v"), col("v")) / (col("m") * col("m")))))))
+        .withColumn("aug_q", concat(
+          transform(col("qv"), x => x / sqrt(V.dot(col("qv"), col("qv")))),
+          array(lit(0.0))))
+        .withColumn("aug_cos", V.dot(col("aug_x"), col("aug_q")))
+        .cache()
+      // each ranking is TakeOrdered (top-10 cut), then ranks are assigned
+      // by a window over the surviving TEN rows — bounded, never the
+      // global single-partition window the w3 rule forbids
+      def top10(score: String, rank: String) = scored
+        .orderBy(col(score).desc, col("vec_id").asc).limit(10)
+        .withColumn(rank, row_number().over(
+          Window.orderBy(col(score).desc, col("vec_id").asc)).cast("bigint"))
+        .select(col("vec_id"), col("ip"), col(rank))
+      top10("ip", "rank_direct")
+        .join(top10("aug_cos", "rank_reduced").select("vec_id", "rank_reduced"),
+          Seq("vec_id"), "full_outer")
+        .select(col("vec_id"), round(col("ip"), 4).as("ip"),
+          col("rank_direct"), col("rank_reduced"),
+          (col("rank_direct") <=> col("rank_reduced")).as("agree"))
+        .orderBy(coalesce(col("rank_direct"), lit(999L)), col("vec_id"))
+    }),
+
     // ---- cosine-threshold SWEEP for semantic dedup — the dd_lsh_tuning
     // move applied to embeddings: the SAME blocked candidate set scored
     // once, then each threshold row is a filter over the scored frame
@@ -864,6 +911,33 @@ object Similarity {
          |  SELECT x.vec_id AS a, y.vec_id AS b, round(${S.cosine("x.v", "y.v")}, 4) AS cos
          |  FROM b x JOIN b y ON x.label = y.label AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |WHERE cos >= 0.9 ORDER BY a, b""".stripMargin,
+
+    // identical augmentation folds (65-element zip dots) and the same
+    // TakeOrdered-then-rank shape; agree via IS NOT DISTINCT FROM = <=>
+    "sim_mips_topk" ->
+      s"""$embCte,
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |mx AS (SELECT max(sqrt(${S.dot("v", "v")})) AS m FROM e),
+         |sc AS (SELECT vec_id, ${S.dot("v", "qv")} AS ip,
+         |    list_concat(list_transform(v, e2 -> e2 / m),
+         |      [sqrt(greatest(CAST(0.0 AS DOUBLE), 1.0 - ${S.dot("v", "v")} / (m*m)))]) AS ax,
+         |    list_concat(list_transform(qv, e2 -> e2 / sqrt(${S.dot("qv", "qv")})),
+         |      [CAST(0.0 AS DOUBLE)]) AS aq
+         |  FROM e CROSS JOIN q CROSS JOIN mx WHERE vec_id != 0),
+         |sc2 AS (SELECT vec_id, ip, ${S.dot("ax", "aq")} AS aug_cos FROM sc),
+         |td AS (SELECT vec_id, ip, rank_direct FROM (
+         |    SELECT vec_id, ip, CAST(row_number() OVER
+         |      (ORDER BY ip DESC, vec_id ASC) AS BIGINT) AS rank_direct FROM sc2)
+         |  WHERE rank_direct <= 10),
+         |tr AS (SELECT vec_id, rank_reduced FROM (
+         |    SELECT vec_id, CAST(row_number() OVER
+         |      (ORDER BY aug_cos DESC, vec_id ASC) AS BIGINT) AS rank_reduced FROM sc2)
+         |  WHERE rank_reduced <= 10)
+         |SELECT coalesce(td.vec_id, tr.vec_id) AS vec_id, round(td.ip, 4) AS ip,
+         |  rank_direct, rank_reduced,
+         |  (rank_direct IS NOT DISTINCT FROM rank_reduced) AS agree
+         |FROM td FULL OUTER JOIN tr ON td.vec_id = tr.vec_id
+         |ORDER BY coalesce(rank_direct, 999), coalesce(td.vec_id, tr.vec_id)""".stripMargin,
 
     // same blocked candidate frame scored once at round-6; threshold
     // literals interpolated identically into both engines
