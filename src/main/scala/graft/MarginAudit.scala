@@ -133,12 +133,13 @@ object MarginAudit {
     "dd_minhash_1bit",
     // r8: speech_ratio = one divide on exact BIGINT frame counts
     "mm_audio_segments",
-    // r8: recall = one divide on exact BIGINT pair counts (the threshold
-    // literal and the round-6 cosine cut are engine-identical)
-    "sim_threshold_sweep",
     // r8: ip is the sequential dot fold (the sim_topk_exact class); ranks
     // are integers on engine-identical doubles
     "sim_mips_topk",
+    // (sim_threshold_sweep is deterministic — recall is a BIGINT ratio on
+    // an engine-identical round-6 cut — but its round() sits inside union
+    // branches the strip audit cannot reach: the dd_lsh_tuning precedent,
+    // left unclassified so RoundingMarginSpec does not cancel.)
     // r8: balance ratios = single divides on exact BIGINTs.
     // (tx_bpe_sweep is deterministic for the same reason but its round()
     // sits inside union branches the strip audit cannot reach, and

@@ -208,7 +208,10 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
   test("layout_file_skipping: the band scan touches fewer data files than the layout holds") {
     // force the first-use layout write, then inspect the pruned read's scan
     SparkEntry.queries("layout_file_skipping")(spark, d).collect()
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    // the layout path carries Layouts.tag's staleness fingerprint — the
+    // ad-hoc sanitized tag this test originally used silently passed while
+    // a stale r7-tagged layout lingered on /tmp and failed once it was gone
+    val tag = graft.engine.Layouts.tag(d)
     val pruned = graft.engine.FileSkipping
       .survivors(spark, s"/tmp/graft_filestats/lineitem_$tag", 2000.0, 15000.0)
     assert(pruned.nonEmpty && pruned.length < 8,
