@@ -89,7 +89,10 @@ object MarginAudit {
     // (fragment sums, island sums) and divides once — st_sessionize's class
     "st_session_repair",
     // r8: rev_mass folds through qsum(20); the census counts are exact
-    "etl_vacuum_plan")
+    "etl_vacuum_plan",
+    // r8: per-dim centroids are round-6 qmeans; every cross-dim reduction
+    // (drift, dot, norms) folds through qsum — nothing order-sensitive
+    "emb_centroid_drift")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact
@@ -136,6 +139,9 @@ object MarginAudit {
     // r8: ip is the sequential dot fold (the sim_topk_exact class); ranks
     // are integers on engine-identical doubles
     "sim_mips_topk",
+    // r8: masked_share = one divide on exact BIGINT token masses (buckets
+    // compare in integer arithmetic)
+    "dd_span_mask",
     // (sim_threshold_sweep is deterministic — recall is a BIGINT ratio on
     // an engine-identical round-6 cut — but its round() sits inside union
     // branches the strip audit cannot reach: the dd_lsh_tuning precedent,

@@ -229,6 +229,35 @@ object Dedup {
     s.read.parquet(path)
   }
 
+  /** Maximal duplicated 8-token spans per doc (the Lee et al. 2022
+    * passage-dedup primitive) — shared by dd_substring_spans (the span
+    * report) and dd_span_mask (the per-doc mask census); one definition so
+    * the rolling hash / df-cap / island rules cannot drift. */
+  private def substringSpans(s: SparkSession, d: String): DataFrame = {
+    val kg = corpus(s, d)
+      .withColumn("__th", T.tokenHashes(col("text")))
+      .filter(size(col("__th")) >= 8)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("__th")) - 7),
+          i => aggregate(slice(col("__th"), i, lit(8)), lit(0L),
+            (a, h) => (a * 131L + h) % 1000000007L))))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"), col("col").as("kh"))
+    val dup = kg.groupBy("kh")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= 2 && col("ndocs") <= 100)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    kg.join(dup, "kh")
+      .withColumn("brk", when(lag("pos", 1).over(w).isNull ||
+        col("pos") - lag("pos", 1).over(w) > 8, 1).otherwise(0))
+      .withColumn("island",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"), (max("pos") + 7).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"), col("n_grams"))
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup: md5 of normalized text, keep min doc_id per group.
     "dd_exact" -> ((s, d) =>
@@ -540,30 +569,37 @@ object Dedup {
     // PARTITIONED window, never global). Scale shape: one shuffle keyed on
     // the gram hash for the df count, one join back, one doc-partitioned
     // window — gram fan-out is |tokens| per doc, linear in corpus size.
-    "dd_substring_spans" -> ((s, d) => {
-      val kg = corpus(s, d)
-        .withColumn("__th", T.tokenHashes(col("text")))
-        .filter(size(col("__th")) >= 8)
-        .select(col("doc_id"), posexplode(
-          transform(sequence(lit(1), size(col("__th")) - 7),
-            i => aggregate(slice(col("__th"), i, lit(8)), lit(0L),
-              (a, h) => (a * 131L + h) % 1000000007L))))
-        .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"), col("col").as("kh"))
-      val dup = kg.groupBy("kh")
-        .agg(countDistinct("doc_id").as("ndocs"))
-        .filter(col("ndocs") >= 2 && col("ndocs") <= 100)
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      kg.join(dup, "kh")
-        .withColumn("brk", when(lag("pos", 1).over(w).isNull ||
-          col("pos") - lag("pos", 1).over(w) > 8, 1).otherwise(0))
-        .withColumn("island",
-          sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("doc_id", "island")
-        .agg(min("pos").as("span_start"), (max("pos") + 7).as("span_end"),
-          count(lit(1)).as("n_grams"))
-        .select(col("doc_id"), col("span_start"), col("span_end"),
-          (col("span_end") - col("span_start") + 1).as("span_tokens"), col("n_grams"))
-        .orderBy("doc_id", "span_start")
+    "dd_substring_spans" -> ((s, d) =>
+      substringSpans(s, d).orderBy("doc_id", "span_start")),
+
+    // ---- passage-mask CENSUS over the duplicated spans — the decision
+    // table behind "remove duplicated passages, keep the doc": per doc,
+    // the token mass inside maximal duplicated spans vs its total tokens,
+    // bucketed (none / ≤10% / ≤30% / >30%) — the >30% bucket is what a
+    // Lee-et-al-style passage dedup would rewrite, the none bucket ships
+    // untouched. Thresholds compare in INTEGER arithmetic (masked·10 ≤
+    // n_tokens) so no float exists to diverge; masked_share per bucket is
+    // one BIGINT ratio. Scale shape: rides the span pipeline's
+    // (gram-hash shuffle + doc-partitioned window), then one broadcast-light
+    // left join on doc_id and a 4-row census.
+    "dd_span_mask" -> ((s, d) => {
+      val spanMass = substringSpans(s, d)
+        .groupBy("doc_id").agg(sum("span_tokens").as("masked"))
+      corpus(s, d)
+        .select(col("doc_id"), size(T.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        .join(spanMass, Seq("doc_id"), "left")
+        .withColumn("masked", coalesce(col("masked"), lit(0L)))
+        .withColumn("bucket",
+          when(col("masked") === 0, "0_none")
+            .when(col("masked") * 10 <= col("n_tokens"), "1_le_10pct")
+            .when(col("masked") * 10 <= col("n_tokens") * 3, "2_le_30pct")
+            .otherwise("3_gt_30pct"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("masked").as("masked_tokens"),
+             sum("n_tokens").as("total_tokens"),
+             round(sum("masked").cast("double") / sum("n_tokens"), 4).as("masked_share"))
+        .orderBy("bucket")
     }),
 
     // bloom-prefilter contamination screen — the two-stage membership
@@ -929,6 +965,43 @@ object Dedup {
          |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
          |  max(pos) + 7 - min(pos) + 1 AS span_tokens, count(*) AS n_grams
          |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    // same span CTE chain; buckets compare in integer arithmetic
+    "dd_span_mask" ->
+      s"""$corpusCte,
+         |th AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM docs),
+         |kg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + 7)),
+         |      (a, h) -> (a*131 + h) % ${S.P}) AS kh
+         |  FROM (SELECT doc_id, th, unnest(range(1, len(th) - 6)) AS i FROM th)),
+         |dup AS (SELECT kh FROM kg GROUP BY kh
+         |        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 100),
+         |dp AS (SELECT kg.doc_id, kg.pos FROM kg JOIN dup USING (kh)),
+         |brks AS (SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |isl AS (SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                   ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM brks),
+         |spans AS (SELECT doc_id, max(pos) + 7 - min(pos) + 1 AS span_tokens
+         |  FROM isl GROUP BY doc_id, island),
+         |mass AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS masked
+         |  FROM spans GROUP BY doc_id),
+         |tok AS (SELECT doc_id, CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tokens
+         |  FROM docs),
+         |cls AS (SELECT t.doc_id, t.n_tokens, coalesce(m.masked, 0) AS masked,
+         |    CASE WHEN coalesce(m.masked, 0) = 0 THEN '0_none'
+         |         WHEN coalesce(m.masked, 0) * 10 <= t.n_tokens THEN '1_le_10pct'
+         |         WHEN coalesce(m.masked, 0) * 10 <= t.n_tokens * 3 THEN '2_le_30pct'
+         |         ELSE '3_gt_30pct' END AS bucket
+         |  FROM tok t LEFT JOIN mass m USING (doc_id))
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(sum(masked) AS BIGINT) AS masked_tokens,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(masked) AS DOUBLE) / sum(n_tokens), 4) AS masked_share
+         |FROM cls GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // identical bloom math: same fp·A_j+B_j mod P mod m probes, same
     // 256-word bitmap build, same all-k membership test — so bloom hit

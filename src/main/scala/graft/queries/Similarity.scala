@@ -573,6 +573,38 @@ object Similarity {
         .agg(FP.qround(FP.qmean(col("val")), 4).as("centroid_val"), count(lit(1)).as("n"))
         .orderBy("label", "dim")),
 
+    // ---- embedding DRIFT monitor between two corpus epochs — the
+    // distribution-shift check an embedding-serving pipeline runs before
+    // trusting a refreshed index: per label, the L2 distance and cosine
+    // between the epoch-A and epoch-B centroids (epochs simulated by the
+    // deterministic vec_id parity split). A drifting label means the
+    // upstream encoder or corpus mix changed and the IVF/PQ codebooks
+    // trained on epoch A are stale. Determinism: per-dim centroids are
+    // round-6 fixed-point qmeans (bit-identical), and every cross-dim
+    // reduction (Σd², dot, norms) folds through qsum — no float sum ever
+    // depends on dim arrival order. Scale shape: two (label, dim)
+    // hash-aggs (partial agg absorbs the explode) joined on a
+    // label×64-sized frame — centroid work never touches vector count.
+    "emb_centroid_drift" -> ((s, d) => {
+      val e = emb(s, d).withColumn("epoch", pmod(col("vec_id"), lit(2))).cache()
+      def cents(ep: Int) = e.filter(col("epoch") === ep)
+        .select(col("label"), posexplode(col("v")))
+        .groupBy("label", "pos")
+        .agg(round(FP.qmean(col("col")), 6).as(s"c$ep"), count(lit(1)).as(s"n$ep"))
+      cents(0).join(cents(1), Seq("label", "pos"))
+        .groupBy("label")
+        .agg(max("n0").as("n_epoch0"), max("n1").as("n_epoch1"),
+          FP.qsum((col("c0") - col("c1")) * (col("c0") - col("c1"))).as("d2"),
+          FP.qsum(col("c0") * col("c1")).as("dot01"),
+          FP.qsum(col("c0") * col("c0")).as("d00"),
+          FP.qsum(col("c1") * col("c1")).as("d11"))
+        .select(col("label"), col("n_epoch0"), col("n_epoch1"),
+          round(sqrt(col("d2")), 6).as("drift_l2"),
+          FP.qround(col("dot01") / (sqrt(col("d00")) * sqrt(col("d11"))), 6)
+            .as("centroid_cos"))
+        .orderBy("label")
+    }),
+
     // per-label norm statistics.
     "emb_norm_stats" -> ((s, d) =>
       emb(s, d)
@@ -1173,6 +1205,23 @@ object Similarity {
          |  count(*) AS n
          |FROM e, generate_series(1, 64) t(dim)
          |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // per-epoch qmeans via the null-skipping CASE trick (sum/count see
+    // only that epoch's values); every cross-dim reduction through qsum
+    "emb_centroid_drift" ->
+      s"""$embCte,
+         |ee AS (SELECT vec_id, label, v, vec_id % 2 AS epoch FROM e),
+         |cd AS (SELECT label, dim,
+         |    round(${S.qmean("CASE WHEN epoch = 0 THEN v[CAST(dim AS INTEGER)] END")}, 6) AS c0,
+         |    round(${S.qmean("CASE WHEN epoch = 1 THEN v[CAST(dim AS INTEGER)] END")}, 6) AS c1,
+         |    count(CASE WHEN epoch = 0 THEN 1 END) AS n0,
+         |    count(CASE WHEN epoch = 1 THEN 1 END) AS n1
+         |  FROM ee, generate_series(1, 64) t(dim) GROUP BY label, dim)
+         |SELECT label, CAST(max(n0) AS BIGINT) AS n_epoch0,
+         |  CAST(max(n1) AS BIGINT) AS n_epoch1,
+         |  round(sqrt(${S.qsum("(c0 - c1) * (c0 - c1)")}), 6) AS drift_l2,
+         |  ${S.qround(s"${S.qsum("c0 * c1")} / (sqrt(${S.qsum("c0 * c0")}) * sqrt(${S.qsum("c1 * c1")}))", 6)} AS centroid_cos
+         |FROM cd GROUP BY label ORDER BY label""".stripMargin,
 
     "emb_norm_stats" ->
       s"""$embCte
