@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming surface (SURVEY.md §2.9: batch-first engine with the
@@ -346,6 +347,62 @@ object Streams extends Serializable {
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Gap sessionizer on the transformWithState API (the
+    * flatMapGroupsWithState successor) with EVENT-TIME TIMERS: the open
+    * session lives in a typed ValueState, every batch re-registers a timer
+    * at session_end + gap, and [[handleExpiredTimer]] emits the session
+    * when the watermark passes that instant — so idle users drain exactly
+    * like [[sessionizeTimeout]], but through the new API's explicit
+    * timer/state handles (RocksDB-backed, TTL-capable). Within a batch the
+    * shared [[foldSessions]] runs unchanged, so every within-batch
+    * semantics pinned by StreamingSpec (bridge merges, early chains)
+    * carries over verbatim; the spec asserts agreement with sessionize on
+    * closed sessions AND the timer-driven emission of the idle tail. */
+  class SessionizeProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var st: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("open_session",
+        Encoders.tuple(Encoders.TIMESTAMP, Encoders.TIMESTAMP,
+          Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val prev = if (st.exists()) Some(st.get()) else None
+      val (out, cur) = foldSessions(key, sorted, prev, gapMs)
+      // one live timer per key: re-arm at the (possibly extended) gap edge
+      prev.foreach(p => getHandle.deleteTimer(p._2.getTime + gapMs))
+      cur.foreach { c =>
+        st.update(c)
+        getHandle.registerTimer(c._2.getTime + gapMs)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (st.exists()) {
+        val (s0, e0, n, v) = st.get()
+        // a stale timer (re-armed later for an extended session) must not
+        // flush the still-open state early
+        if (e0.getTime + gapMs == info.getExpiryTimeInMs) {
+          st.clear()
+          Iterator.single(SessionOut(key, s0, e0, n, v))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** Sessionization over transformWithState with event-time timers.
+    * Requires the RocksDB state store provider (spec sets it). */
+  def sessionizeTws(events: Dataset[Event], gapMinutes: Long = 30,
+                    watermark: String = "0 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapMinutes * 60 * 1000),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   case class UserRunning(user_id: Long, event_id: Long, n_so_far: Long, ewma: Double)

@@ -496,6 +496,106 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
     assert(u1.head.session_start == ts(0) && u1.head.session_end == ts(5))
   }
 
+  test("repairSessions property: repair(per-batch sessions of ANY event partition) ≡ direct sessions") {
+    import spark.implicits._
+    // independent reference sessionizer: gap-chain a set of events directly
+    def direct(evs: Seq[Event], gapMs: Long): Seq[(Long, Long, Long, Long, Double)] =
+      evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+        var cur: Option[(Long, Long, Long, Double)] = None
+        for (e <- sorted) cur match {
+          case Some((s0, e0, n, v)) if e.ts.getTime - e0 <= gapMs =>
+            cur = Some((s0, e.ts.getTime, n + 1, v + e.value))
+          case Some((s0, e0, n, v)) =>
+            out += ((u, s0, e0, n, v)); cur = Some((e.ts.getTime, e.ts.getTime, 1L, e.value))
+          case None => cur = Some((e.ts.getTime, e.ts.getTime, 1L, e.value))
+        }
+        cur.foreach { case (s0, e0, n, v) => out += ((u, s0, e0, n, v)) }
+        out.toSeq
+      }.sortBy(x => (x._1, x._2))
+    val gapMs = 30L * 60000
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 12) {
+      // random per-user event sets with gaps straddling the threshold,
+      // values = powers of two so float sums are exact in any order
+      val evs = (1 to 2 + rnd.nextInt(3)).flatMap { u =>
+        var tMin = 0L
+        (1 to 5 + rnd.nextInt(20)).map { i =>
+          tMin += rnd.nextInt(70) // minutes: gaps 0..69, threshold at 30
+          Event(u * 1000L + i, ts(tMin), u.toLong, "e", math.pow(2.0, (i % 10) - 3))
+        }
+      }
+      // random partition into 1..5 "arrival batches", sessionized per batch
+      val nb = 1 + rnd.nextInt(5)
+      val frags = evs.groupBy(_ => rnd.nextInt(nb)).values.toSeq.flatMap { b =>
+        direct(b, gapMs).map { case (u, s0, e0, n, v) =>
+          Streams.SessionOut(u, new Timestamp(s0), new Timestamp(e0), n, v)
+        }
+      }
+      val repaired = Streams.repairSessions(frags.toDS()).collect()
+        .map(o => (o.user_id, o.session_start.getTime, o.session_end.getTime,
+          o.n_events, o.total_value)).sortBy(x => (x._1, x._2)).toSeq
+      assert(repaired == direct(evs, gapMs),
+        s"trial $trial (nb=$nb): repair diverged from direct sessionization")
+    }
+  }
+
+  test("sessionizeTws: timer-driven session close on the transformWithState API") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = Streams.sessionizeTws(mem.toDS(), gapMinutes = 30).writeStream
+        .format("memory").queryName("tws_sess").outputMode("append").start()
+      // batch 1: user 1 at t0,t5; user 2 at t2 — all sessions open
+      mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(2), 2, "view", 4.0))
+      q.processAllAvailable()
+      // batch 2: user 1 events extend then gap-close within the batch;
+      // user 2 stays idle — its timer (t2+30) fires once the watermark
+      // (max event time seen) passes it, WITHOUT any user-2 event arriving
+      mem.addData(Event(4, ts(20), 1, "click", 8.0), Event(5, ts(120), 1, "view", 16.0))
+      q.processAllAvailable()
+      // one more batch to advance the watermark past user 1's open tail
+      mem.addData(Event(6, ts(300), 3, "click", 32.0))
+      q.processAllAvailable(); q.stop()
+      val out = spark.table("tws_sess").as[Streams.SessionOut].collect()
+        .sortBy(x => (x.user_id, x.session_start.getTime))
+      // user 1: [0,20] closed by the in-batch gap; [120,120] closed by its
+      // timer when the watermark reached 300. user 2: [2,2] closed by the
+      // timer when the watermark passed t2+30 — the idle-key drain.
+      assert(out.map(o => (o.user_id, o.session_start, o.session_end, o.n_events,
+        o.total_value)).toSeq == Seq(
+        (1L, ts(0), ts(20), 3L, 11.0),
+        (1L, ts(120), ts(120), 1L, 16.0),
+        (2L, ts(2), ts(2), 1L, 4.0)),
+        s"got ${out.toSeq}")
+      // and the closed sessions agree with the flatMapGroupsWithState twin
+      // on the same event set (which cannot emit the idle tails at all)
+      val mem2 = MemoryStream[Event]
+      val q2 = Streams.sessionize(mem2.toDS(), gapMinutes = 30).writeStream
+        .format("memory").queryName("tws_sess_twin").outputMode("append").start()
+      mem2.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(2), 2, "view", 4.0))
+      q2.processAllAvailable()
+      mem2.addData(Event(4, ts(20), 1, "click", 8.0), Event(5, ts(120), 1, "view", 16.0))
+      q2.processAllAvailable()
+      mem2.addData(Event(6, ts(300), 3, "click", 32.0))
+      q2.processAllAvailable(); q2.stop()
+      val twin = spark.table("tws_sess_twin").as[Streams.SessionOut].collect()
+        .sortBy(x => (x.user_id, x.session_start.getTime)).toSeq
+      assert(twin.toSet.subsetOf(out.toSet),
+        s"every gap-closed session must match the fMGWS twin: $twin vs ${out.toSeq}")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("transformWithState carries typed per-key state across micro-batches (RocksDB store)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
