@@ -85,6 +85,9 @@ object MarginAudit {
     "tx_jsd_drift",
     // r8: rev folds through qsum(20) — the q*-family fixed-point class
     "opt_cbo_reorder",
+    // r8: avg_yearly folds through qsum(20) / literal 7.0; the threshold
+    // avg is a fixed-point qmean (q13 emits no floats at all)
+    "q17_small_qty",
     // r8: session_value stays in quantized LONGs across both stages
     // (fragment sums, island sums) and divides once — st_sessionize's class
     "st_session_repair",

@@ -245,6 +245,47 @@ object Relational {
     // exactly how an optimizer wants this query, and at 100 TB the
     // difference between one fact-pass and three. (`q4_priority_exists`
     // keeps the subquery-planning face; this one is the rewrite.)
+    // ---- TPC-H Q13 shape ("customer distribution"): orders per customer
+    // INCLUDING the zero-order customers — the classic LEFT-join-then-
+    // double-aggregate whose whole point is that an inner join would
+    // silently drop the zeros. The comment-filter analogue here is the
+    // priority class (this schema has no o_comment). Scale shape: one
+    // shuffle on custkey for the per-customer count (customer side is the
+    // small one, but the left join must preserve it — AQE picks the
+    // broadcast), then a tiny count-of-counts hash-agg.
+    "q13_cust_distribution" -> ((s, d) => {
+      val ords = t(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey")
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(ords, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // ---- TPC-H Q17 shape ("small-quantity-order revenue"): lineitems of
+    // one brand whose quantity sits below 20% of that PART's average
+    // quantity — the canonical correlated scalar subquery. Declaratively
+    // the correlation decorrelates to a per-part aggregate joined back on
+    // partkey (the only scalable plan at any size: the naive form re-scans
+    // lineitem per row). The threshold avg rides fixed-point qmean so the
+    // 0.2·avg cut is the same double on both engines.
+    "q17_small_qty" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val perPart = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(FP.qmean(col("l_quantity")).as("avg_qty"))
+      li.join(t(s, d, "part").filter(col("p_brand") === "Brand#11"),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(count(lit(1)).as("n_lines"),
+             round(FP.qsum(col("l_extendedprice"), 20).cast("double") / 7.0, 4)
+               .as("avg_yearly"))
+    }),
+
     "q21_single_blame" -> ((s, d) => {
       val l = t(s, d, "lineitem")
         .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
@@ -1090,6 +1131,26 @@ object Relational {
         |        AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority != '1-URGENT') o
+        |  ON c_custkey = o_custkey GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // same decorrelated per-part qmean; the 0.2 cut and the /7.0 are
+    // literal IEEE ops on the fixed-point aggregates
+    "q17_small_qty" ->
+      s"""WITH pp AS (SELECT l_partkey, ${SqlText.qmean("l_quantity")} AS avg_qty
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT count(*) AS n_lines,
+         |  round(${SqlText.qsum("l_extendedprice", 20)} / 7.0, 4) AS avg_yearly
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#11'
+         |JOIN pp USING (l_partkey)
+         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
 
     "q21_single_blame" ->
       """WITH l AS (SELECT l_orderkey, l_suppkey,
