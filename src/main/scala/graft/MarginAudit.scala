@@ -88,6 +88,8 @@ object MarginAudit {
     // r8: avg_yearly folds through qsum(20) / literal 7.0; the threshold
     // avg is a fixed-point qmean (q13 emits no floats at all)
     "q17_small_qty",
+    // r8: revenue / both share sums ride the 2^20 quantization
+    "q7_volume_shipping", "q8_market_share",
     // r8: session_value stays in quantized LONGs across both stages
     // (fragment sums, island sums) and divides once — st_sessionize's class
     "st_session_repair",

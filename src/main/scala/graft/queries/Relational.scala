@@ -245,6 +245,68 @@ object Relational {
     // exactly how an optimizer wants this query, and at 100 TB the
     // difference between one fact-pass and three. (`q4_priority_exists`
     // keeps the subquery-planning face; this one is the rewrite.)
+    // ---- TPC-H Q7 shape ("volume shipping"): bilateral trade — revenue
+    // between two specific (supplier-nation, customer-nation) pairs per
+    // ship year. The two nation lookups are independent broadcast dims
+    // (supplier side and customer side resolve separately); the fact
+    // traverses lineitem⋈orders⋈customer once and lineitem⋈supplier once —
+    // the star pattern where every dimension broadcasts and the only big
+    // shuffle is the final (n1, n2, year) rollup. The nation-pair
+    // disjunction filters BEFORE the rollup, scan-side.
+    "q7_volume_shipping" -> ((s, d) => {
+      val n1 = t(s, d, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+                (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(count(lit(1)).as("n_lines"),
+             round(FP.qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 20), 4)
+               .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // ---- TPC-H Q8 shape ("national market share"): one nation's share of
+    // a region's revenue in one part type, by order year. The share is a
+    // conditional-sum ratio inside one aggregate pass (sum(if)/sum) —
+    // never two scans; both sums ride the SAME fixed-point quantization so
+    // the ratio is a single divide on engine-identical doubles. Dims
+    // (part-type filter, supplier→nation, customer→nation→region)
+    // broadcast; the fact is traversed once.
+    "q8_market_share" -> ((s, d) => {
+      val suppNation = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("sk"), col("n_name").as("supp_nation"))
+      val custRegion = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey").as("ck"), col("r_name"))
+      val qv = FP.q(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 20)
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(custRegion, col("o_custkey") === col("ck"))
+        .filter(col("r_name") === "AMERICA")
+        .join(broadcast(suppNation), col("l_suppkey") === col("sk"))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_3", qv).otherwise(lit(0L))).cast("double") /
+            lit(1048576.0)).as("nation_rev"),
+          (sum(qv).cast("double") / lit(1048576.0)).as("total_rev"))
+        .select(col("o_year"),
+          round(col("nation_rev"), 4).as("nation_rev"),
+          round(col("total_rev"), 4).as("total_rev"),
+          round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
     // ---- TPC-H Q13 shape ("customer distribution"): orders per customer
     // INCLUDING the zero-order customers — the classic LEFT-join-then-
     // double-aggregate whose whole point is that an inner join would
@@ -1131,6 +1193,46 @@ object Relational {
         |        AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  count(*) AS n_lines,
+         |  round(${SqlText.qsum("l_extendedprice * (1.0 - l_discount)", 20)}, 4) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // both sums ride the same 2^20 quantization; the share is one divide
+    // on the two unrounded fixed-point doubles
+    "q8_market_share" ->
+      """WITH sn AS (SELECT s_suppkey AS sk, n_name AS supp_nation
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |cr AS (SELECT c_custkey AS ck, r_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |f AS (SELECT o_orderdate, supp_nation,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 1048576.0 + 0.5) AS BIGINT) AS q
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN cr ON o_custkey = ck
+        |  JOIN sn ON l_suppkey = sk
+        |  WHERE r_name = 'AMERICA')
+        |SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN q ELSE 0 END) AS DOUBLE)
+        |    / 1048576.0, 4) AS nation_rev,
+        |  round(CAST(sum(q) AS DOUBLE) / 1048576.0, 4) AS total_rev,
+        |  round((CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN q ELSE 0 END) AS DOUBLE)
+        |      / 1048576.0)
+        |    / (CAST(sum(q) AS DOUBLE) / 1048576.0), 6) AS mkt_share
+        |FROM f GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "q13_cust_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (

@@ -378,6 +378,20 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     assert(!betw.contains("Exchange"), s"chunking must be scan-side:\n$p")
   }
 
+  test("q7_volume_shipping: bilateral-trade star joins without a cartesian; nation dims broadcast") {
+    val p = planOf("q7_volume_shipping")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the nation-pair disjunction must ride equi-joins, never a cross product:\n$p")
+    val bc = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bc >= 2, s"both nation dims must broadcast, got $bc:\n$p")
+  }
+
+  test("q13_cust_distribution: zero-order customers survive (left join, not inner)") {
+    val p = planOf("q13_cust_distribution")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"),
+      s"the customer-preserving join must be outer:\n$p")
+  }
+
   test("opt_cbo_reorder: column stats flip the join tree (fact table joins LAST)") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     // running the face ensures the ANALYZEd catalog tables exist and returns
