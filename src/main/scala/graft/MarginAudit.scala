@@ -97,7 +97,15 @@ object MarginAudit {
     "etl_vacuum_plan",
     // r8: per-dim centroids are round-6 qmeans; every cross-dim reduction
     // (drift, dot, norms) folds through qsum — nothing order-sensitive
-    "emb_centroid_drift")
+    "emb_centroid_drift",
+    // r8 TPC-H completion: every rounded double is a display divide of an
+    // exact fixed-point BIGINT (offer min, stock value, quarter revenue,
+    // signed profit) — bit-deterministic at any partitioning
+    "q2_min_cost_supp", "q9_product_profit", "q11_important_stock",
+    "q15_top_supplier",
+    // r8: mean_doc_ttr is a qround'd qmean; corpus_ttr is an integer
+    // ratio (types/tokens) — both bit-deterministic
+    "tx_ttr")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact

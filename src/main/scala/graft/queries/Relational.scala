@@ -389,6 +389,182 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // ---- TPC-H Q2 shape ("minimum-cost supplier"): for each qualifying
+    // part, the supplier(s) in one region offering the MINIMUM unit cost —
+    // the canonical correlated-MIN subquery. The schema has no partsupp,
+    // so the offer book is derived: per (partkey, suppkey) the minimum
+    // observed unit price in lineitem, quantized to a 2^20 fixed-point
+    // BIGINT so the min and the equality join back ride exact integer
+    // compares on both engines (a double-equality join is a flake
+    // factory). Decorrelated plan: per-part min over the region's offers,
+    // joined back on (part, cost_q = min_q) — never a per-row rescan. At
+    // 100 TB the offer aggregation is the one big shuffle; region/nation/
+    // part dims all broadcast.
+    "q2_min_cost_supp" -> ((s, d) => {
+      val offers = t(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("o_pk"), col("l_suppkey").as("o_sk"))
+        .agg(min(FP.q(col("l_extendedprice") / col("l_quantity"), 20))
+          .cast("bigint").as("cost_q"))
+      val eligSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val regOffers = offers.join(eligSupp, col("o_sk") === col("s_suppkey"))
+      val minPer = regOffers.groupBy(col("o_pk").as("m_pk"))
+        .agg(min(col("cost_q")).as("min_q"))
+      regOffers
+        .join(minPer, col("o_pk") === col("m_pk") && col("cost_q") === col("min_q"))
+        .join(broadcast(t(s, d, "part")
+            .filter(col("p_size").between(10, 20) && col("p_type") === "SMALL")),
+          col("o_pk") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          r4(col("cost_q").cast("double") / lit(1048576.0)).as("unit_cost"))
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    }),
+
+    // ---- TPC-H Q9 shape ("product-type profit"): profit by supplier
+    // nation and order year over one part family. No ps_supplycost in
+    // this schema, so cost is the deterministic proxy 0.6·p_retailprice
+    // per unit — the SHAPE (4-way fact join, name-LIKE dim filter,
+    // two-key rollup) is what's exercised. Profit can go negative →
+    // qround canonicalizes the signed zero on both engines. Part/
+    // supplier/nation broadcast; lineitem⋈orders is the one big join.
+    "q9_product_profit" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_name").like("%red%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          FP.qround(FP.qsum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+              lit(0.6) * col("p_retailprice") * col("l_quantity"), 20), 4)
+            .as("profit"))
+        .orderBy(col("nation"), desc("o_year"))
+    }),
+
+    // ---- TPC-H Q11 shape ("important stock"): per-part value held by one
+    // nation's suppliers, keeping parts above a FRACTION of the global
+    // total — the global-scalar-threshold pattern. Both the per-part
+    // values and the grand total stay in fixed-point BIGINT; the
+    // 0.001·total cut compares exact integers against one IEEE multiply,
+    // identical on both engines. The global total re-aggregates the
+    // per-part frame (group-count-sized, tiny) and broadcasts — the fact
+    // is scanned once.
+    "q11_important_stock" -> ((s, d) => {
+      val natSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("ns_sk"))
+      val perPart = t(s, d, "lineitem")
+        .join(broadcast(natSupp), col("l_suppkey") === col("ns_sk"), "left_semi")
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(FP.q(col("l_extendedprice"), 20)).cast("bigint").as("vq"))
+      val total = perPart.agg(sum(col("vq")).as("tq"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("vq").cast("double") > lit(0.001) * col("tq").cast("double"))
+        .select(col("p_partkey"),
+          r4(col("vq").cast("double") / lit(1048576.0)).as("part_value"))
+        .orderBy(desc("part_value"), col("p_partkey"))
+    }),
+
+    // ---- TPC-H Q12 shape ("shipping modes & priority"): late lineitems
+    // (shipped >90 days after order date) classified by line status, with
+    // critical- vs non-critical-priority order counts as conditional sums
+    // in ONE aggregate pass over the fact join. No l_shipmode column in
+    // this schema — l_linestatus carries the grouping role; the shape
+    // (fact join + date arithmetic + CASE-bucketed counts) is identical.
+    "q12_late_shipments" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > date_add(col("o_orderdate"), 90))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1L))
+            .otherwise(lit(0L))).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(0L))
+            .otherwise(lit(1L))).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // ---- TPC-H Q15 shape ("top supplier"): supplier(s) achieving the
+    // maximum quarterly revenue — the scalar-MAX-subquery-over-a-view
+    // pattern. Revenue stays a fixed-point BIGINT end-to-end so the
+    // max-equality probe is an exact integer compare (Q15's notorious
+    // double-equality flake cannot happen); the max re-aggregates the
+    // supplier-count-sized revenue frame and broadcasts.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(FP.q(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 20))
+          .cast("bigint").as("rev_q"))
+      val maxRev = rev.agg(max(col("rev_q")).as("max_q"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("rev_q") === col("max_q"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          r4(col("rev_q").cast("double") / lit(1048576.0)).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- TPC-H Q16 shape ("supplier census"): distinct suppliers per
+    // (brand, type, size) bucket over an attribute-filtered part family,
+    // EXCLUDING a blocked supplier set — the distinct-count + anti-join
+    // pattern. The partsupp stand-in is the distinct (partkey, suppkey)
+    // pair set from lineitem; "complaint" suppliers are the negative-
+    // balance ones. The blocked set broadcasts into a left-anti BEFORE
+    // the distinct-count shuffle so excluded rows never travel.
+    "q16_supplier_census" -> ((s, d) => {
+      val pairs = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val blocked = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      pairs
+        .join(broadcast(blocked), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t(s, d, "part").filter(
+            col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 5, 10, 15, 20, 25))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // ---- TPC-H Q20 shape ("excess inventory"): suppliers in one nation
+    // who shipped MORE than half of a part's 1997 volume for some part in
+    // a name family — the doubly-nested semi-join pattern (Q20's
+    // availqty > 0.5·sum(qty) probe, re-expressed over shipped volume).
+    // Quantities aggregate in fixed-point BIGINT; the 0.5·total compare
+    // is exact-integer vs one IEEE multiply. The supplier probe is a
+    // left-semi (existence only — no fan-out, no distinct needed).
+    "q20_excess_suppliers" -> ((s, d) => {
+      val shipped = t(s, d, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)
+        .join(broadcast(t(s, d, "part").filter(col("p_name").like("small%"))
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+      val perPS = shipped
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(FP.q(col("l_quantity"), 20)).cast("bigint").as("sq"))
+      val perP = perPS.groupBy(col("l_partkey")).agg(sum(col("sq")).as("tq"))
+      val excess = perPS.join(perP, "l_partkey")
+        .filter(col("sq").cast("double") > lit(0.5) * col("tq").cast("double"))
+        .select(col("l_suppkey"))
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_name")
+    }),
+
     // ---- the NOT IN null trap, solved both ways: one NULL in a NOT IN
     // subquery makes EVERY row's membership test UNKNOWN → zero rows, while
     // NOT EXISTS ignores the NULL and anti-joins normally. Spark plans the
@@ -1277,6 +1453,106 @@ object Relational {
          |FROM idle CROSS JOIN thr
          |WHERE c_acctbal > thr
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the offer book and the min ride exact fixed-point BIGINTs; only the
+    // final display divide is floating
+    "q2_min_cost_supp" ->
+      """WITH offers AS (
+        |  SELECT l_partkey AS o_pk, l_suppkey AS o_sk,
+        |    min(CAST(floor((l_extendedprice / l_quantity) * 1048576.0 + 0.5) AS BIGINT)) AS cost_q
+        |  FROM lineitem GROUP BY 1, 2),
+        |elig AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |ro AS (SELECT * FROM offers JOIN elig ON o_sk = s_suppkey),
+        |mp AS (SELECT o_pk AS m_pk, min(cost_q) AS min_q FROM ro GROUP BY 1)
+        |SELECT p_partkey, p_name, s_name, n_name,
+        |  round(CAST(cost_q AS DOUBLE) / 1048576.0, 4) AS unit_cost
+        |FROM ro JOIN mp ON o_pk = m_pk AND cost_q = min_q
+        |JOIN part ON o_pk = p_partkey
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'SMALL'
+        |ORDER BY p_partkey, s_name LIMIT 100""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation,
+         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  count(*) AS n_lines,
+         |  ${SqlText.qround(SqlText.qsum(
+              "l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity", 20), 4)}
+         |    AS profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH pv AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    sum(CAST(floor(l_extendedprice * 1048576.0 + 0.5) AS BIGINT)) AS vq
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_3')
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(vq) AS tq FROM pv)
+        |SELECT p_partkey, round(CAST(vq AS DOUBLE) / 1048576.0, 4) AS part_value
+        |FROM pv CROSS JOIN tot
+        |WHERE CAST(vq AS DOUBLE) > 0.001 * CAST(tq AS DOUBLE)
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+
+    "q12_late_shipments" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    // revenue stays BIGINT through the max-equality probe — no double
+    // equality anywhere
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1048576.0 + 0.5) AS BIGINT)) AS rev_q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  round(CAST(rev_q AS DOUBLE) / 1048576.0, 4) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_q = (SELECT max(rev_q) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_census" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand != 'Brand#5' AND p_type != 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(floor(l_quantity * 1048576.0 + 0.5) AS BIGINT)) AS sq
+        |  FROM lineitem
+        |  WHERE year(l_shipdate) = 1997
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, sum(sq) AS tq FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        |WHERE s_suppkey IN (
+        |  SELECT ps.l_suppkey FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+        |  WHERE CAST(sq AS DOUBLE) > 0.5 * CAST(tq AS DOUBLE))
+        |ORDER BY s_name""".stripMargin,
 
     "sub_not_in_null_trap" ->
       """WITH v_subkeys AS (SELECT CASE WHEN c_acctbal < 0 THEN c_custkey END AS nullable_key

@@ -71,6 +71,108 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // ---- type-token ratio (corpus lexical-diversity health): per source,
+    // corpus-level TTR (distinct token types / total tokens — needs a
+    // distinct over the exploded token stream, the one real shuffle here,
+    // partial-agg friendly on (source, token)) plus the mean per-doc TTR
+    // (scan-side arithmetic folded through fixed-point qmean). A collapsing
+    // TTR per source is the classic symptom of template/boilerplate
+    // flooding in a crawl — this face is the monitor a curation pipeline
+    // pages on. All counts are exact integers; each ratio is one IEEE
+    // divide, identical on both engines.
+    "tx_ttr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), T.tokens(col("text")).as("toks"))
+      val perDoc = docs.select(col("source"),
+        size(col("toks")).cast("bigint").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("bigint").as("n_uniq"))
+      val docAgg = perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        FP.qround(FP.qmean(col("n_uniq").cast("double") / col("n_tok")), 4)
+          .as("mean_doc_ttr"))
+      val types = docs.select(col("source"), explode(col("toks")).as("tok"))
+        .groupBy("source").agg(countDistinct(col("tok")).as("n_types"))
+      docAgg.join(types, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6).as("corpus_ttr"),
+          col("mean_doc_ttr"))
+        .orderBy("source")
+    }),
+
+    // ---- boilerplate-prefix census (template detection): documents
+    // sharing an identical K-token prefix are template instances — the
+    // per-site boilerplate a crawl-curation pipeline strips before
+    // training. The prefix rides as an md5 signature (bounded key width
+    // regardless of token length); one hash-aggregate on the signature is
+    // the only shuffle, and the example pointer is a deterministic min.
+    // K=2 here (the synthetic docs are short word soup — real crawl
+    // boilerplate detection runs K=8..16; the plan is identical).
+    // Prefixes shared by ≥3 docs surface, with their source spread (a
+    // prefix spanning many sources is boilerplate; one source, a reprint).
+    "tx_prefix_boilerplate" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat_ws(" ", slice(T.tokens(col("text")), 1, 2))).as("prefix_sig"))
+        .groupBy("prefix_sig")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("example_doc"))
+        .filter(col("n_docs") >= 3)
+        .orderBy(desc("n_docs"), col("prefix_sig"))),
+
+    // ---- PII redaction census: email/phone detection + masking with
+    // before/after evidence. The synthetic corpus carries no organic PII,
+    // so each doc is deterministically enriched with one contact line
+    // (same concat on both engines) — the face exercises the REAL
+    // redaction plumbing (extract-count, global-replace, length delta,
+    // content signature) with nonzero matches instead of a vacuous
+    // zero-count pass. Patterns stay in the RE2 ∩ Java-regex common
+    // dialect (char classes + bounded quantifiers — no lookaround), so
+    // Spark and DuckDB match identically. Scan-side codegen only; at
+    // 100 TB this is the map stage of the scrub job, no shuffle.
+    "tx_pii_redact" -> ((s, d) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phonePat = "\\+1-555-[0-9]{4}"
+      t(s, d, "documents")
+        .withColumn("full_text",
+          concat(col("text"), lit(" contact user"), col("doc_id"), lit("@"),
+            col("source"), lit(".example or +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .withColumn("n_emails",
+          size(regexp_extract_all(col("full_text"), lit(emailPat), lit(0))).cast("bigint"))
+        .withColumn("n_phones",
+          size(regexp_extract_all(col("full_text"), lit(phonePat), lit(0))).cast("bigint"))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("full_text"), emailPat, "[EMAIL]"),
+            phonePat, "[PHONE]"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("full_text")).cast("bigint").as("len_before"),
+          length(col("redacted")).cast("bigint").as("len_after"),
+          md5(col("redacted")).as("redacted_sig"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- URL/domain census (crawl-source filtering): extract the domain
+    // from each document's (deterministically derived) canonical URL and
+    // aggregate the per-domain footprint — the blocklist/allowlist join
+    // input of a web-scale curation pipeline. regexp_extract with a
+    // capture group in the shared RE2 ∩ Java dialect; one tiny
+    // hash-aggregate on domain.
+    "tx_url_census" -> ((s, d) => {
+      val domPat = "https://([A-Za-z0-9.-]+)/"
+      t(s, d, "documents")
+        .withColumn("url",
+          concat(lit("https://"), col("source"), lit(".example/doc/"),
+            col("doc_id"), lit("?lang="), col("lang")))
+        .withColumn("domain", regexp_extract(col("url"), domPat, 1))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("domain")
+    }),
+
     // language ID: per-language stopword hits, fixed-priority argmax.
     "tx_lang_id" -> ((s, d) => {
       var df = t(s, d, "documents").withColumn("__toks", T.tokens(col("text")))
@@ -1314,6 +1416,68 @@ object TextOps {
          |        ${S.stopHits("text", graft.engine.TextFunctions.langStopwords.head._2)} AS n_stop
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    // per-doc ratios fold through the same qmean twin; corpus types via
+    // count(DISTINCT) over the unnested token stream
+    "tx_ttr" ->
+      s"""WITH tl AS (SELECT doc_id, source, ${S.tokens("text")} AS toks FROM documents),
+         |pd AS (SELECT source,
+         |         CAST(len(toks) AS BIGINT) AS n_tok,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+         |       FROM tl),
+         |da AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |         ${S.qround(S.qmean("CAST(n_uniq AS DOUBLE) / n_tok"), 4)} AS mean_doc_ttr
+         |       FROM pd GROUP BY source),
+         |ty AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+         |       FROM (SELECT source, unnest(toks) AS tok FROM tl) GROUP BY source)
+         |SELECT source, n_docs, n_tokens, n_types,
+         |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS corpus_ttr,
+         |  mean_doc_ttr
+         |FROM da JOIN ty USING (source) ORDER BY source""".stripMargin,
+
+    "tx_prefix_boilerplate" ->
+      s"""SELECT prefix_sig, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  min(doc_id) AS example_doc
+         |FROM (SELECT doc_id, source,
+         |        md5(array_to_string(list_slice(${S.tokens("text")}, 1, 2), ' ')) AS prefix_sig
+         |      FROM documents)
+         |GROUP BY prefix_sig HAVING count(*) >= 3
+         |ORDER BY n_docs DESC, prefix_sig""".stripMargin,
+
+    // same deterministic contact-line enrichment, same RE2 ∩ Java-dialect
+    // patterns; DuckDB needs the 'g' flag for global replace (Spark's
+    // regexp_replace is global by default)
+    "tx_pii_redact" ->
+      """WITH enriched AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@' || source || '.example or +1-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS full_text
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, full_text,
+        |    regexp_replace(regexp_replace(full_text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        |  FROM enriched)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(full_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(full_text, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(length(full_text) AS BIGINT) AS len_before,
+        |  CAST(length(redacted) AS BIGINT) AS len_after,
+        |  md5(redacted) AS redacted_sig
+        |FROM red ORDER BY doc_id""".stripMargin,
+
+    "tx_url_census" ->
+      """SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (SELECT lang, n_chars,
+        |        regexp_extract('https://' || source || '.example/doc/' || doc_id
+        |          || '?lang=' || lang, 'https://([A-Za-z0-9.-]+)/', 1) AS domain
+        |      FROM documents)
+        |GROUP BY domain ORDER BY domain""".stripMargin,
 
     "tx_lang_id" -> {
       val hitCols = graft.engine.TextFunctions.langStopwords

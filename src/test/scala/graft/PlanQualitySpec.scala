@@ -386,6 +386,30 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     assert(bc >= 2, s"both nation dims must broadcast, got $bc:\n$p")
   }
 
+  test("q2_min_cost_supp: decorrelated min rides equi-joins; region/nation/part dims broadcast") {
+    val p = planOf("q2_min_cost_supp")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the correlated-min decorrelation must never plan a cross product:\n$p")
+    val bc = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bc >= 3, s"region/nation/part dims must broadcast, got $bc:\n$p")
+  }
+
+  test("q15_top_supplier: pushed shipdate range + broadcast scalar-max probe") {
+    val p = planOf("q15_top_supplier")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+           p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"the quarter range must reach the parquet scan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin") ||
+           p.contains("BroadcastExchange"),
+      s"the one-row max must broadcast, never shuffle the revenue frame:\n$p")
+  }
+
+  test("q20_excess_suppliers: both probes are semi-joins (existence, no fan-out)") {
+    val p = planOf("q20_excess_suppliers")
+    assert("LeftSemi".r.findAllIn(p).length >= 2,
+      s"the part-family and excess-supplier probes must both plan LeftSemi:\n$p")
+  }
+
   test("q13_cust_distribution: zero-order customers survive (left join, not inner)") {
     val p = planOf("q13_cust_distribution")
     assert(p.contains("LeftOuter") || p.contains("RightOuter"),
