@@ -105,7 +105,10 @@ object MarginAudit {
     "q15_top_supplier",
     // r8: mean_doc_ttr is a qround'd qmean; corpus_ttr is an integer
     // ratio (types/tokens) — both bit-deterministic
-    "tx_ttr")
+    "tx_ttr",
+    // r8: mrr10 is an exact small-integer reciprocal; ndcg10 is a
+    // qsum-folded DCG over parsed-literal discounts / a literal IDCG
+    "sim_rank_metrics")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact

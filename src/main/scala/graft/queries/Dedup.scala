@@ -416,6 +416,27 @@ object Dedup {
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")),
 
+    // ---- leakage-free train/val/test split: assignment hashed at the
+    // dedup-CLUSTER level, not the document level. Doc-level splitting
+    // leaks near-duplicates across train/test (the classic eval
+    // contamination bug — a test doc's near-twin sits in train and the
+    // "held-out" loss is memorization); hashing the canonical cluster id
+    // makes every member of a cluster land in the SAME split by
+    // construction. Same overflow-safe hash as tx_split_assign (pre-reduce
+    // mod P before the Knuth multiply). Rides the materialized CC labels —
+    // one label-column hash + a tiny census aggregate on top of the
+    // snapshot every other dedup face shares.
+    "dd_cluster_split" -> ((s, d) =>
+      ccLabels(s, d)
+        .withColumn("bucket",
+          pmod(col("cid"), lit(1000000007L)) * 2654435761L % 1000000007L % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(countDistinct("cid").as("n_clusters"), count(lit(1)).as("n_docs"))
+        .orderBy("split")),
+
     // ---- the whole curation pipeline in ONE manifest: every corpus doc is
     // classified by the first stage that rejects it — exact dup (dd_exact's
     // keep-min rule), transitive near-dup (LSH pairs → connected
@@ -846,6 +867,23 @@ object Dedup {
          |SELECT sz AS cluster_size, count(*) AS n_clusters
          |FROM (SELECT cid, count(*) AS sz FROM cc GROUP BY cid)
          |GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
+    // same recursive closure, split hashed on the canonical id
+    "dd_cluster_split" ->
+      s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$pairsCte,
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |r(id, tgt) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN edges e ON e.a = r.tgt),
+         |cc AS (SELECT id AS doc_id, min(tgt) AS cid FROM r GROUP BY id),
+         |sp AS (SELECT cid,
+         |    (CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END) AS split
+         |  FROM (SELECT doc_id, cid, (cid % 1000000007) * 2654435761 % 1000000007 % 100 AS b FROM cc))
+         |SELECT split, CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "pipe_corpus_manifest" ->
       s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

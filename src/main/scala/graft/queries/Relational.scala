@@ -1041,6 +1041,30 @@ object Relational {
         .orderBy(col("dk").asc_nulls_first)
     }),
 
+    // ---- FULL OUTER join (§2.3 completion): the reconciliation shape —
+    // two independently-aggregated sides (rich customers vs rich suppliers
+    // per nation) aligned on nation, with rows preserved from BOTH sides
+    // and a presence flag naming which side is missing. Scale shape: each
+    // side reduces to nation-cardinality BEFORE the join, so the full
+    // outer (which Spark cannot broadcast — it plans SortMergeJoin)
+    // touches two group-count-sized frames, never the facts. The coalesce
+    // of the two keys is the standard full-outer key recovery.
+    "j7_join_full" -> ((s, d) => {
+      val rc = t(s, d, "customer").filter(col("c_acctbal") > 9990)
+        .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_rich_cust"))
+      val rs = t(s, d, "supplier").filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_rich_supp"))
+      rc.join(rs, col("ck") === col("sk"), "full_outer")
+        .select(
+          coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+          coalesce(col("n_rich_supp"), lit(0L)).as("n_rich_supp"),
+          when(col("ck").isNotNull && col("sk").isNotNull, "both")
+            .when(col("ck").isNull, "supplier_only")
+            .otherwise("customer_only").as("presence"))
+        .orderBy("nationkey")
+    }),
+
     // ---- typed custom aggregates (engine.Aggregators) given a catalog
     // face: the Welford one-pass moments and the heap-based per-group top-k
     // run as partial→final aggregation exactly like built-ins (mergeable
@@ -1809,6 +1833,20 @@ object Relational {
         |        count(*) OVER () AS n_total
         |      FROM orders)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "j7_join_full" ->
+      """WITH rc AS (SELECT c_nationkey AS ck, count(*) AS n_rich_cust
+        |  FROM customer WHERE c_acctbal > 9990 GROUP BY 1),
+        |rs AS (SELECT s_nationkey AS sk, count(*) AS n_rich_supp
+        |  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+        |SELECT coalesce(ck, sk) AS nationkey,
+        |  CAST(coalesce(n_rich_cust, 0) AS BIGINT) AS n_rich_cust,
+        |  CAST(coalesce(n_rich_supp, 0) AS BIGINT) AS n_rich_supp,
+        |  (CASE WHEN ck IS NOT NULL AND sk IS NOT NULL THEN 'both'
+        |        WHEN ck IS NULL THEN 'supplier_only'
+        |        ELSE 'customer_only' END) AS presence
+        |FROM rc FULL JOIN rs ON ck = sk
+        |ORDER BY nationkey""".stripMargin,
 
     "j6_join_nullsafe" ->
       s"""WITH fact AS (SELECT nullif(l_returnflag, 'N') AS k, l_extendedprice FROM lineitem),

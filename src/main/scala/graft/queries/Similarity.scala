@@ -151,6 +151,53 @@ object Similarity {
         .orderBy("qid")
     }),
 
+    // ---- position-aware retrieval metrics (MRR@10, nDCG@10): recall says
+    // WHETHER the ANN ranking found the true neighbors; these say WHERE it
+    // put them — the metric pair every retrieval eval actually reports.
+    // Relevance is binary membership in the exact-cosine top-10; the
+    // log-position discounts 1/log2(r+1) are HARDCODED decimal literals on
+    // both engines (Java computes log2 as ln(x)/ln(2), DuckDB differently
+    // — the two can differ in the last ulp, so neither engine's runtime
+    // log is trusted; a parsed decimal literal is bit-identical
+    // everywhere), and the ≤10-term DCG sum folds through fixed-point
+    // qsum so addition order can't move it. IDCG is the same 10 literals
+    // pre-summed as one constant (every query has exactly 10 relevant).
+    // Scale shape: identical to sim_recall_eval — one corpus pass scores
+    // all (query, vector) pairs against the broadcast query side; the
+    // metric arithmetic touches ≤ 10·|queries| rank rows.
+    "sim_rank_metrics" -> ((s, d) => {
+      val e = emb(s, d).withColumn("bucket", V.lshBucket(col("v"))).cache()
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qb"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(V.cosine(col("v"), col("qv")), 6))
+      val rankW = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      val exact = scored.withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 10).select("qid", "vec_id")
+      val ann = scored.filter(col("bucket") === col("qb"))
+        .withColumn("ra", row_number().over(rankW).cast("bigint"))
+        .filter(col("ra") <= 10).select("qid", "vec_id", "ra")
+      val disc = Seq(1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+        0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+        0.31546487678572877, 0.3010299956639812, 0.2890648263178879)
+      val idcg = 4.543559338088346
+      val perQ = exact.join(ann, Seq("qid", "vec_id"))
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_hits"),
+          min(col("ra")).as("frr"),
+          FP.qsum(element_at(array(disc.map(lit): _*), col("ra").cast("int")), 30)
+            .as("dcg"))
+      q.select("qid").join(perQ, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("frr"), lit(0L)).as("first_rel_rank"),
+          round(when(col("frr").isNotNull, lit(1.0) / col("frr").cast("double"))
+            .otherwise(lit(0.0)), 6).as("mrr10"),
+          round(coalesce(col("dcg"), lit(0.0)) / lit(idcg), 6).as("ndcg10"))
+        .orderBy("qid")
+    }),
+
     // ---- the IVF nprobe→recall curve — the ANN serving knob an operator
     // actually sets: for nprobe ∈ {1, 2, 4}, pooled recall@10 over the
     // 20-query sample AND the fraction of the corpus each setting scans.
@@ -915,6 +962,32 @@ object Similarity {
          |SELECT vec_id, bucket, round(${S.cosine("v", "qv")}, 6) AS cos
          |FROM b, q WHERE bucket = qbucket AND vec_id != 0
          |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    // same scored pass; discounts are the same parsed decimal literals,
+    // DCG folds through the qsum twin, IDCG is the pre-summed constant
+    "sim_rank_metrics" ->
+      s"""$embCte,
+         |b AS (SELECT vec_id, v, ${S.lshBucket("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id < 20),
+         |scored AS (SELECT qid, qb, vec_id, bucket, round(${S.cosine("v", "qv")}, 6) AS cos
+         |           FROM b CROSS JOIN q WHERE vec_id != qid),
+         |ex AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |    FROM scored) WHERE rn <= 10),
+         |ann AS (SELECT qid, vec_id, CAST(rn AS BIGINT) AS ra FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |    FROM scored WHERE bucket = qb) WHERE rn <= 10),
+         |h AS (SELECT ex.qid, ra FROM ex JOIN ann USING (qid, vec_id)),
+         |pq AS (SELECT qid, count(*) AS n_hits, min(ra) AS frr,
+         |    (CAST(sum(CAST(floor(([1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+         |      0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+         |      0.31546487678572877, 0.3010299956639812, 0.2890648263178879][ra]) * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1073741824.0) AS dcg
+         |  FROM h GROUP BY qid)
+         |SELECT q.qid AS qid, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(frr, 0) AS BIGINT) AS first_rel_rank,
+         |  round(CASE WHEN frr IS NULL THEN 0.0 ELSE 1.0 / frr END, 6) AS mrr10,
+         |  round(coalesce(dcg, 0.0) / 4.543559338088346, 6) AS ndcg10
+         |FROM q LEFT JOIN pq ON pq.qid = q.qid ORDER BY qid""".stripMargin,
 
     "sim_recall_eval" ->
       s"""$embCte,

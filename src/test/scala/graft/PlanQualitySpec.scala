@@ -410,6 +410,15 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
       s"the part-family and excess-supplier probes must both plan LeftSemi:\n$p")
   }
 
+  test("j7_join_full: both sides aggregate BEFORE the full outer join") {
+    val p = planOf("j7_join_full")
+    assert(p.contains("FullOuter"), s"the reconciliation join must be full outer:\n$p")
+    // the join's inputs must be the two aggregated frames, not raw scans:
+    // each side shows a partial→final HashAggregate below the join
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"both sides must reduce to nation cardinality before joining:\n$p")
+  }
+
   test("q13_cust_distribution: zero-order customers survive (left join, not inner)") {
     val p = planOf("q13_cust_distribution")
     assert(p.contains("LeftOuter") || p.contains("RightOuter"),
