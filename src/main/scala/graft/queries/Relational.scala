@@ -616,6 +616,51 @@ object Relational {
         .orderBy("event_type", "event_id")
     }),
 
+    // ---- window §2.5 completion: the frame/distribution functions a BI
+    // migration actually hits — cume_dist (fraction of partition at or
+    // below this ORDER-BY key), nth_value over the default growing frame
+    // (NULL until the 3rd row arrives — the semantics people get wrong),
+    // and first/last over an explicit whole-partition frame (last_value
+    // without the frame override is the classic silent bug: it returns
+    // the CURRENT row). Unique (totalprice, orderkey) ordering → every
+    // output is rank arithmetic or key lookup, engine-identical; cume_dist
+    // is an exact small-integer ratio. One shuffle on the partition key;
+    // top-5 per priority bounds the output.
+    "w10_dist_frames" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val growing = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("cum_frac", round(cume_dist().over(w), 6))
+        .withColumn("third_key", nth_value(col("o_orderkey"), 3).over(growing))
+        .withColumn("top_key", first(col("o_orderkey")).over(whole))
+        .withColumn("bottom_key", last(col("o_orderkey")).over(whole))
+        .filter(col("rn") <= 5)
+        .select("o_orderpriority", "rn", "o_orderkey", "cum_frac",
+          "third_key", "top_key", "bottom_key")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // ---- correlated LATERAL subquery (top-N per group as the optimizer
+    // sees it from SQL text): for every nation, the 2 richest customers
+    // via a correlated ORDER BY … LIMIT subquery. Spark decorrelates this
+    // to the same window-rank plan w4_rank_topn builds by hand — the face
+    // proves the SQL-surface route lands on the scalable plan, not a
+    // per-nation rescan. DuckDB runs the identical LATERAL text.
+    "sub_lateral_topn" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("v_nation")
+      t(s, d, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT n_name, c.c_custkey, c.c_acctbal
+        FROM v_nation, LATERAL (
+          SELECT c_custkey, c_acctbal FROM v_customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        ORDER BY n_name, c_acctbal DESC, c_custkey""")
+    }),
+
     // ---- the spark.sql surface: the same engine drives multi-CTE ANSI SQL
     // over registered views — proof a reference user can bring their SQL
     // text instead of the DataFrame API and get identical plans (the CTE
@@ -1594,6 +1639,30 @@ object Relational {
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin,
+
+    // DuckDB's nth_value/first_value/last_value take the same explicit
+    // frames; cume_dist is the same exact integer ratio
+    "w10_dist_frames" ->
+      """SELECT o_orderpriority, rn, o_orderkey, cum_frac, third_key, top_key, bottom_key
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    round(cume_dist() OVER w, 6) AS cum_frac,
+        |    nth_value(o_orderkey, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key,
+        |    first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_key,
+        |    last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_key
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "sub_lateral_topn" ->
+      """SELECT n_name, c.c_custkey, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
 
     "w9_running_distinct" ->
       """SELECT event_type, event_id, ts,

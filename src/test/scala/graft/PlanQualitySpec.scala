@@ -410,6 +410,14 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
       s"the part-family and excess-supplier probes must both plan LeftSemi:\n$p")
   }
 
+  test("sub_lateral_topn: the correlated LATERAL limit decorrelates to a window rank, not a rescan") {
+    val p = planOf("sub_lateral_topn")
+    assert(!p.contains("CartesianProduct"),
+      s"the lateral must not plan a per-nation cartesian rescan:\n$p")
+    assert(p.contains("Window") || p.contains("TakeOrdered"),
+      s"expected the decorrelated window-rank (w4_rank_topn's plan) from SQL text:\n$p")
+  }
+
   test("j7_join_full: both sides aggregate BEFORE the full outer join") {
     val p = planOf("j7_join_full")
     assert(p.contains("FullOuter"), s"the reconciliation join must be full outer:\n$p")
