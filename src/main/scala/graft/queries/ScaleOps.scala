@@ -728,6 +728,57 @@ object ScaleOps {
              max("event_id").as("last_event"))
         .orderBy("reason")),
 
+    // ---- declarative data-quality constraint report (the Deequ shape): a
+    // constraint suite over the star schema evaluated as a fixed census —
+    // (constraint, n_checked, n_violations, pass). Execution discipline:
+    // every ROW-LEVEL check on the same table (null, range, sign) rides
+    // ONE scan as conditional sums — never one scan per constraint, the
+    // naive-suite mistake that turns a 20-constraint run into 20 passes
+    // over 100 TB; key-level checks (uniqueness = count−distinct,
+    // referential orphans = anti-join count) each need their own shuffle
+    // and are the suite's real cost. The report is a union of
+    // constraint-count-sized frames — integers only, trivially exact.
+    "etl_dq_report" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      // one pass, all lineitem row-level constraints
+      val liRow = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity").isNull || col("l_quantity") <= 0 ||
+          col("l_quantity") > 100, 1L).otherwise(0L)).as("v_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("v_disc"))
+      val rowChecks = liRow.select(explode(array(
+        struct(lit("lineitem.quantity_in_(0,100]").as("check_name"),
+          col("n").as("n_checked"), col("v_qty").as("n_violations")),
+        struct(lit("lineitem.discount_in_[0,1]").as("check_name"),
+          col("n").as("n_checked"), col("v_disc").as("n_violations"))))
+        .as("c")).select("c.*")
+      // key-level: composite uniqueness
+      val uniq = li.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("n_violations"))
+        .select(lit("lineitem.pk_unique(l_orderkey,l_linenumber)").as("check_name"),
+          col("n_checked"), col("n_violations"))
+      // referential orphans: fact keys with no dimension row (anti-join
+      // count — at scale the dimension side broadcasts or bloom-filters)
+      def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+                  name: String) = {
+        val nAll = fact.agg(count(lit(1)).as("n_checked"))
+        val nOrphan = fact.join(dim.select(col(pk).as(fk)).distinct(),
+            Seq(fk), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+        nAll.crossJoin(nOrphan)
+          .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
+      }
+      val ref1 = orphans(li.select("l_orderkey"), "l_orderkey",
+        t(s, d, "orders"), "o_orderkey", "lineitem.fk_orders")
+      val ref2 = orphans(t(s, d, "orders").select("o_custkey"), "o_custkey",
+        t(s, d, "customer"), "c_custkey", "orders.fk_customer")
+      rowChecks.union(uniq).union(ref1).union(ref2)
+        .withColumn("pass", col("n_violations") === 0)
+        .orderBy("check_name")
+    }),
+
     // ---- sketch aggregates. HLL/KLL internals differ across engines, so the
     // query emits the BOUND CHECK, not the raw sketch: both the approximate
     // and the exact aggregate are computed in-query and the output is the
@@ -1297,6 +1348,29 @@ object ScaleOps {
         |             ELSE 'ok' END AS reason
         |      FROM events)
         |GROUP BY reason ORDER BY reason""".stripMargin,
+
+    "etl_dq_report" ->
+      """WITH lr AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 OR l_quantity > 100
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+        |  FROM lineitem),
+        |rep AS (
+        |  SELECT 'lineitem.quantity_in_(0,100]' AS check_name, n AS n_checked, v_qty AS n_violations FROM lr
+        |  UNION ALL
+        |  SELECT 'lineitem.discount_in_[0,1]', n, v_disc FROM lr
+        |  UNION ALL
+        |  SELECT 'lineitem.pk_unique(l_orderkey,l_linenumber)', count(*),
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.fk_orders', (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  UNION ALL
+        |  SELECT 'orders.fk_customer', (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+        |SELECT check_name, n_checked, CAST(n_violations AS BIGINT) AS n_violations,
+        |  (n_violations = 0) AS pass
+        |FROM rep ORDER BY check_name""".stripMargin,
 
     // Sketch oracles verify the BOUND, not the sketch: the oracle computes
     // the exact side and asserts the bound literally TRUE — the Spark query
