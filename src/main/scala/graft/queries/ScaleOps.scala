@@ -779,6 +779,35 @@ object ScaleOps {
         .orderBy("check_name")
     }),
 
+    // ---- right-to-be-forgotten erasure manifest: given a deletion-request
+    // key set (negative-balance customers as the deterministic stand-in),
+    // the CASCADE impact across the star schema before any rewrite runs —
+    // per table: total rows, rows to erase, fraction. The cascade is the
+    // real shape: customer keys → their orders (semi-join) → those orders'
+    // lineitems (second semi-join); at 100 TB the request set is tiny and
+    // broadcasts down both hops (or rides a bloom filter), and the actual
+    // rewrite is the anti-join complement of exactly these plans — this
+    // manifest is the dry-run a compliance pipeline signs off on.
+    "etl_gdpr_erase" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val ords = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val delCust = cust.filter(col("c_acctbal") < 0).select("c_custkey")
+      val delOrders = ords.join(broadcast(delCust),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      val delLi = li.join(delOrders.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      def row(name: String, all: DataFrame, del: DataFrame) =
+        all.agg(count(lit(1)).as("n_rows")).crossJoin(
+          del.agg(count(lit(1)).as("n_erase")))
+          .select(lit(name).as("table_name"), col("n_rows"), col("n_erase"),
+            round(col("n_erase").cast("double") / col("n_rows"), 6).as("erase_frac"))
+      row("customer", cust, delCust)
+        .union(row("orders", ords, delOrders))
+        .union(row("lineitem", li, delLi))
+        .orderBy("table_name")
+    }),
+
     // ---- sketch aggregates. HLL/KLL internals differ across engines, so the
     // query emits the BOUND CHECK, not the raw sketch: both the approximate
     // and the exact aggregate are computed in-query and the output is the
@@ -1371,6 +1400,21 @@ object ScaleOps {
         |SELECT check_name, n_checked, CAST(n_violations AS BIGINT) AS n_violations,
         |  (n_violations = 0) AS pass
         |FROM rep ORDER BY check_name""".stripMargin,
+
+    "etl_gdpr_erase" ->
+      """WITH dc AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+        |do_ AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM dc)),
+        |dl AS (SELECT 1 FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM do_)),
+        |rep AS (
+        |  SELECT 'customer' AS table_name, (SELECT count(*) FROM customer) AS n_rows,
+        |    (SELECT count(*) FROM dc) AS n_erase
+        |  UNION ALL
+        |  SELECT 'orders', (SELECT count(*) FROM orders), (SELECT count(*) FROM do_)
+        |  UNION ALL
+        |  SELECT 'lineitem', (SELECT count(*) FROM lineitem), (SELECT count(*) FROM dl))
+        |SELECT table_name, n_rows, n_erase,
+        |  round(CAST(n_erase AS DOUBLE) / n_rows, 6) AS erase_frac
+        |FROM rep ORDER BY table_name""".stripMargin,
 
     // Sketch oracles verify the BOUND, not the sketch: the oracle computes
     // the exact side and asserts the bound literally TRUE — the Spark query

@@ -271,4 +271,68 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
       .map(_.getLong(5))
     assert(nFrags.exists(_ > 1), "expected at least one multi-fragment session")
   }
+
+  test("dd_cluster_split: leak-free by construction — no cluster straddles splits; census complete") {
+    import org.apache.spark.sql.functions._
+    val census = SparkEntry.queries("dd_cluster_split")(spark, d).collect()
+    assert(census.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    // recompute the doc-level assignment the face derives from and assert
+    // the leak property directly: every cluster id maps to EXACTLY one split
+    val labels = spark.read.parquet(
+      s"/tmp/graft_dedup/cc_${graft.engine.Layouts.tag(d)}")
+    val perCluster = labels
+      .withColumn("bucket",
+        pmod(col("cid"), lit(1000000007L)) * 2654435761L % 1000000007L % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("cid").agg(countDistinct("split").as("nsplits"))
+    assert(perCluster.filter(col("nsplits") =!= 1).count() == 0,
+      "a dedup cluster straddles train/val/test — the leak the face exists to prevent")
+    // census totals reconcile with the label snapshot
+    assert(census.map(_.getLong(2)).sum == labels.count(), "n_docs census incomplete")
+    assert(census.map(_.getLong(1)).sum ==
+      labels.select("cid").distinct().count(), "n_clusters census incomplete")
+  }
+
+  test("tx_pii_redact: redaction is idempotent and counts match the enrichment plant") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("tx_pii_redact")(spark, d)
+    // every doc was enriched with exactly one email and one phone
+    val bad = out.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count()
+    assert(bad == 0, s"$bad docs without exactly one planted email+phone")
+    // masking shrank or kept length (the masks are shorter than any match)
+    assert(out.filter(col("len_after") >= col("len_before")).count() == 0,
+      "redaction must strictly shrink the enriched text")
+    // idempotence: no email/phone pattern survives in the redacted text —
+    // rebuild the redacted column and scan it again
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\+1-555-[0-9]{4}"
+    val redacted = graft.engine.Tables.load(spark, d, "documents")
+      .withColumn("full_text",
+        concat(col("text"), lit(" contact user"), col("doc_id"), lit("@"),
+          col("source"), lit(".example or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("full_text"), emailPat, "[EMAIL]"),
+          phonePat, "[PHONE]"))
+    val leftover = redacted.filter(
+      size(regexp_extract_all(col("redacted"), lit(emailPat), lit(0))) > 0 ||
+      size(regexp_extract_all(col("redacted"), lit(phonePat), lit(0))) > 0).count()
+    assert(leftover == 0, s"$leftover docs still carry PII after redaction")
+  }
+
+  test("etl_dq_report: violations bounded by checked counts; the known PK violation surfaces") {
+    val rows = SparkEntry.queries("etl_dq_report")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == 5)
+    for ((name, n, v, pass) <- rows) {
+      assert(v >= 0 && v <= n, s"$name: violations $v outside [0, $n]")
+      assert(pass == (v == 0), s"$name: pass flag inconsistent")
+    }
+    // the synthetic feed's composite key really is non-unique — the report
+    // must find it (a suite that can't fail is not a check)
+    val pk = rows.find(_._1.startsWith("lineitem.pk_unique")).get
+    assert(!pk._4 && pk._3 > 0, "expected the real composite-key violation to surface")
+  }
 }
