@@ -108,7 +108,10 @@ object MarginAudit {
     "tx_ttr",
     // r8: mrr10 is an exact small-integer reciprocal; ndcg10 is a
     // qsum-folded DCG over parsed-literal discounts / a literal IDCG
-    "sim_rank_metrics")
+    "sim_rank_metrics",
+    // r8: mean is a qround'd qmean; sd is one sqrt of a qmean-derived
+    // variance; clean_rev folds through qsum(20)
+    "ts_seasonal_profile", "src_csv_badrecords")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact

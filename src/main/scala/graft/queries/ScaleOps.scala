@@ -564,6 +564,41 @@ object ScaleOps {
         .orderBy("o_orderstatus")
     }),
 
+    // ---- PERMISSIVE ingestion with corrupt-record capture: a CSV feed
+    // with PLANTED malformed rows (text in the numeric field for
+    // o_orderkey % 23 == 0), read back with an explicit schema +
+    // columnNameOfCorruptRecord. A malformed field nulls out, the raw
+    // line lands in the capture column, and the GOOD fields of the same
+    // row still parse — the census (rows, bad rows, clean revenue) per
+    // status proves all three behaviors. The oracle is CLOSED-FORM: it
+    // recomputes the census from the parquet source and the plant rule,
+    // independently of Spark's parser — so a silent row drop or a
+    // miscaptured record hash-mismatches. At 100 TB this is the
+    // quarantine-at-ingest pattern: bad rows stay queryable for triage
+    // instead of killing the job (FAILFAST) or vanishing (DROPMALFORMED).
+    "src_csv_badrecords" -> ((s, d) => {
+      val tag = graft.engine.Layouts.tag(d)
+      val path = s"/tmp/graft_formats/orders_badcsv_$tag"
+      graft.engine.Layouts.ensureCommitted(s, path) {
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            when(pmod(col("o_orderkey"), lit(23)) === 0,
+              concat(lit("bad"), col("o_orderkey")))
+              .otherwise(col("o_totalprice").cast("string")).as("o_totalprice"))
+          .write.mode("overwrite").option("header", "true").csv(path)
+      }
+      s.read.option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, _bad STRING")
+        .csv(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+          round(FP.qsum(when(col("_bad").isNull, col("o_totalprice")), 20), 4)
+            .as("clean_rev"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ---- ORC source round-trip: the other columnar format Spark ships
     // natively — same first-use layout, filter pushed to the ORC scan.
     "src_orc_roundtrip" -> ((s, d) => {
@@ -1314,6 +1349,14 @@ object ScaleOps {
     "src_csv_roundtrip" ->
       s"""SELECT o_orderstatus, count(*) AS n, round(${SqlText.qsum("o_totalprice", 20)}, 4) AS rev,
          |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // closed-form: the census from the source table + the plant rule,
+    // independent of the CSV parser under test
+    "src_csv_badrecords" ->
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN o_orderkey % 23 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+         |  round(${SqlText.qsum("CASE WHEN o_orderkey % 23 != 0 THEN o_totalprice END", 20)}, 4) AS clean_rev
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "src_orc_roundtrip" ->

@@ -287,6 +287,35 @@ object Temporal {
              round(FP.qmean(col("value"), 20), 4).as("avg_value"))
         .orderBy("day")),
 
+    // ---- seasonal (hour-of-day) decomposition: the per-(event_type, hour)
+    // baseline profile plus a residual-outlier census against it — the
+    // naive-seasonal model behind traffic dashboards and the anomaly
+    // pre-filter ts_anomaly's global z-score can't express (a 3 a.m.
+    // spike is invisible to a global mean). Both moments ride ONE profile
+    // pass (E[x] and E[x²] as fixed-point qmeans; var = E[x²] − mean² is
+    // a single IEEE expression over engine-identical doubles — never a
+    // second scan); the outlier count is the only second pass, against
+    // the broadcast profile. sd magnitude: value ≤ 490 ⇒ value² ≤ 2.5e5,
+    // inside the bits=20 envelope at any graded sf.
+    "ts_seasonal_profile" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("hr", hour(col("ts")).cast("bigint"))
+      val profile = ev.groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n"),
+          FP.qround(FP.qmean(col("value"), 20), 6).as("mean_value"),
+          FP.qmean(col("value") * col("value"), 20).as("m2"))
+        .withColumn("sd_raw",
+          sqrt(greatest(col("m2") - col("mean_value") * col("mean_value"), lit(0.0))))
+      ev.join(broadcast(profile), Seq("event_type", "hr"))
+        .groupBy(col("event_type"), col("hr"), col("n"), col("mean_value"),
+          col("sd_raw"))
+        .agg(sum(when(abs(col("value") - col("mean_value")) > lit(2.0) * col("sd_raw"),
+          1L).otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("hr"), col("n"), col("mean_value"),
+          round(col("sd_raw"), 6).as("sd_value"), col("n_outliers"))
+        .orderBy("event_type", "hr")
+    }),
+
     // sliding (hopping) event-time windows — 1-hour span every 15 minutes,
     // so each event lands in exactly 4 overlapping windows. Spark expands
     // the event BEFORE the aggregation (4 rows per event, then the usual
@@ -682,6 +711,24 @@ object Temporal {
       s"""SELECT date_trunc('day', ts) AS day, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users, round(${S.qmean("value", 20)}, 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // the same E[x]/E[x²] fixed-point chain; var and the 2σ cut are single
+    // IEEE expressions over engine-identical doubles
+    "ts_seasonal_profile" ->
+      s"""WITH prof AS (
+         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n,
+         |    ${S.qround(S.qmean("value", 20), 6)} AS mean_value,
+         |    ${S.qmean("value * value", 20)} AS m2
+         |  FROM events GROUP BY 1, 2),
+         |p2 AS (SELECT event_type, hr, n, mean_value,
+         |    sqrt(greatest(m2 - mean_value * mean_value, 0.0)) AS sd_raw
+         |  FROM prof)
+         |SELECT e.event_type, CAST(hour(e.ts) AS BIGINT) AS hr, n, mean_value,
+         |  round(sd_raw, 6) AS sd_value,
+         |  CAST(sum(CASE WHEN abs(e.value - mean_value) > 2.0 * sd_raw THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM events e JOIN p2 ON e.event_type = p2.event_type AND CAST(hour(e.ts) AS BIGINT) = p2.hr
+         |GROUP BY 1, 2, n, mean_value, sd_raw
+         |ORDER BY e.event_type, hr""".stripMargin,
 
     "st_session_window" ->
       s"""WITH x AS (SELECT user_id, ts, value, event_id,
