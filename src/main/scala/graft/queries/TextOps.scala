@@ -173,6 +173,71 @@ object TextOps {
         .orderBy("domain")
     }),
 
+    // ---- URL canonicalization + duplicate census: the normalize step a
+    // crawl dedup runs BEFORE any content hashing — lowercase the host,
+    // strip tracking query params and fragments, drop a trailing slash —
+    // then count how many raw variants collapse onto each canonical URL.
+    // The raw variants are derived deterministically (4 per doc: mixed
+    // case, ?utm_ tracking, #fragment, trailing slash) so the collapse is
+    // non-vacuous and both engines see identical input. Pure scan-side
+    // regexp_replace chain in the shared RE2 ∩ Java dialect; one
+    // hash-aggregate on the canonical key.
+    "tx_url_canonicalize" -> ((s, d) => {
+      val raw = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("variant", explode(array(
+          concat(lit("https://"), upper(col("source")), lit(".Example/Doc/"), col("doc_id")),
+          concat(lit("https://"), col("source"), lit(".example/doc/"), col("doc_id"),
+            lit("?utm_source=feed&utm_campaign=x")),
+          concat(lit("https://"), col("source"), lit(".example/doc/"), col("doc_id"),
+            lit("#section-2")),
+          concat(lit("https://"), col("source"), lit(".example/doc/"), col("doc_id"),
+            lit("/")))))
+      raw
+        .withColumn("no_frag", regexp_replace(col("variant"), "#.*$", ""))
+        .withColumn("no_track",
+          regexp_replace(col("no_frag"), "\\?utm_[^#]*$", ""))
+        .withColumn("no_slash", regexp_replace(col("no_track"), "/$", ""))
+        .withColumn("canonical", lower(col("no_slash")))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("variant")).as("n_distinct_raw"))
+        .agg(count(lit(1)).as("n_canonical"),
+          sum(col("n_variants")).as("n_raw"),
+          sum(when(col("n_variants") === 4, 1L).otherwise(0L)).as("n_fully_collapsed"),
+          max(col("n_distinct_raw")).as("max_raw_per_canonical"))
+    }),
+
+    // ---- HTML boilerplate strip: tags out, entities unescaped, whitespace
+    // collapsed — the first transform of any web-crawl text pipeline. The
+    // markup is derived deterministically around each doc's text (wrapper
+    // tags + a <script> block that must vanish ENTIRELY, not just its
+    // tags), so the face proves order matters: scripts strip BEFORE
+    // generic tags, entities unescape after. Evidence = cleaned length,
+    // tag/entity counts, and an md5 of the cleaned text. Scan-side
+    // regex chain, no shuffle before the sort.
+    "tx_html_strip" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><script>track(\"x&y\");</script></head><body><p class=\"main\">"),
+        col("text"),
+        lit("</p><br/>&amp;copy &lt;2024&gt;&nbsp;end</body></html>"))
+      t(s, d, "documents")
+        .withColumn("html", html)
+        .withColumn("n_tags",
+          size(regexp_extract_all(col("html"), lit("<[^>]+>"), lit(0))).cast("bigint"))
+        .withColumn("no_script",
+          regexp_replace(col("html"), "<script>[^<]*</script>", ""))
+        .withColumn("no_tags", regexp_replace(col("no_script"), "<[^>]+>", ""))
+        .withColumn("unescaped",
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            col("no_tags"), "&amp;", "&"), "&lt;", "<"), "&gt;", ">"), "&nbsp;", " "))
+        .withColumn("clean", regexp_replace(col("unescaped"), "  +", " "))
+        .select(col("doc_id"), col("n_tags"),
+          length(col("html")).cast("bigint").as("len_html"),
+          length(col("clean")).cast("bigint").as("len_clean"),
+          md5(col("clean")).as("clean_sig"))
+        .orderBy("doc_id")
+    }),
+
     // language ID: per-language stopword hits, fixed-priority argmax.
     "tx_lang_id" -> ((s, d) => {
       var df = t(s, d, "documents").withColumn("__toks", T.tokens(col("text")))
@@ -1478,6 +1543,51 @@ object TextOps {
         |          || '?lang=' || lang, 'https://([A-Za-z0-9.-]+)/', 1) AS domain
         |      FROM documents)
         |GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // same strip order (fragment → tracking → slash → lowercase); DuckDB
+    // needs the 'g' flag Spark applies by default
+    "tx_url_canonicalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest([
+        |    'https://' || upper(source) || '.Example/Doc/' || doc_id,
+        |    'https://' || source || '.example/doc/' || doc_id || '?utm_source=feed&utm_campaign=x',
+        |    'https://' || source || '.example/doc/' || doc_id || '#section-2',
+        |    'https://' || source || '.example/doc/' || doc_id || '/']) AS variant
+        |  FROM documents),
+        |c AS (SELECT variant,
+        |    lower(regexp_replace(regexp_replace(regexp_replace(variant,
+        |      '#.*$', '', 'g'), '\?utm_[^#]*$', '', 'g'), '/$', '', 'g')) AS canonical
+        |  FROM raw),
+        |g AS (SELECT canonical, count(*) AS n_variants,
+        |    count(DISTINCT variant) AS n_distinct_raw FROM c GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_canonical,
+        |  CAST(sum(n_variants) AS BIGINT) AS n_raw,
+        |  CAST(sum(CASE WHEN n_variants = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_fully_collapsed,
+        |  CAST(max(n_distinct_raw) AS BIGINT) AS max_raw_per_canonical
+        |FROM g""".stripMargin,
+
+    // same strip order: script blocks first (content and all), then
+    // generic tags, then entity unescapes, then whitespace collapse
+    "tx_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><script>track("x&y");</script></head><body><p class="main">'
+        |      || text || '</p><br/>&amp;copy &lt;2024&gt;&nbsp;end</body></html>' AS html
+        |  FROM documents),
+        |st AS (SELECT doc_id, html,
+        |    regexp_replace(regexp_replace(html,
+        |      '<script>[^<]*</script>', '', 'g'), '<[^>]+>', '', 'g') AS no_tags
+        |  FROM h),
+        |un AS (SELECT doc_id, html,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(no_tags,
+        |      '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&nbsp;', ' ', 'g') AS unescaped
+        |  FROM st)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+        |  CAST(length(html) AS BIGINT) AS len_html,
+        |  CAST(length(regexp_replace(unescaped, '  +', ' ', 'g')) AS BIGINT) AS len_clean,
+        |  md5(regexp_replace(unescaped, '  +', ' ', 'g')) AS clean_sig
+        |FROM un ORDER BY doc_id""".stripMargin,
 
     "tx_lang_id" -> {
       val hitCols = graft.engine.TextFunctions.langStopwords
