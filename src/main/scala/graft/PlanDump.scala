@@ -155,7 +155,22 @@ object PlanDump {
     "dd_lsh_tuning" -> ("LSH geometry sweep: the cached signature table is " +
       "banded three ways; each geometry is one explode + equi-join, and the " +
       "planted-truth joins run against the (a, b) pair key — per-geometry cost " +
-      "scales with bucket occupancy.")
+      "scales with bucket occupancy."),
+    "q2_min_cost_supp" -> ("TPC-H Q2 shape: the correlated MIN decorrelates to " +
+      "one offer-book aggregation (the only big shuffle) + a per-part min " +
+      "joined back on an exact fixed-point BIGINT; region/nation/part dims " +
+      "all broadcast — never a per-row rescan."),
+    "j7_join_full" -> ("Full-outer reconciliation: both sides reduce to " +
+      "nation cardinality BEFORE the SortMergeJoin(FullOuter) — the join " +
+      "touches two group-count-sized frames, never the facts."),
+    "etl_dq_report" -> ("DQ constraint suite: all row-level checks on one " +
+      "table fuse into a single scan as conditional sums; uniqueness and the " +
+      "two FK orphan probes are the only shuffles (anti-joins with " +
+      "broadcast-able key sides)."),
+    "sub_lateral_topn" -> ("Correlated LATERAL ORDER BY…LIMIT from SQL text: " +
+      "Spark decorrelates to the window-rank plan (filter on rank ≤ 2 over " +
+      "one partitioned window) — proof the SQL surface lands on the same " +
+      "scalable shape as the hand-built w4_rank_topn.")
   )
 
   def main(args: Array[String]): Unit = {
