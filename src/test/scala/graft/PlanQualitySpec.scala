@@ -418,6 +418,25 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
       s"expected the decorrelated window-rank (w4_rank_topn's plan) from SQL text:\n$p")
   }
 
+  test("join hints are honored: MERGE forces sort-merge, BROADCAST forces broadcast") {
+    // the escape hatch when the optimizer's size estimate is wrong at
+    // 100 TB — both directions must actually flip the physical join
+    graft.engine.Tables.load(spark, d, "orders").createOrReplaceTempView("h_orders")
+    graft.engine.Tables.load(spark, d, "customer").createOrReplaceTempView("h_customer")
+    val merged = spark.sql(
+      """SELECT /*+ MERGE(h_customer) */ count(*) AS n
+        |FROM h_orders JOIN h_customer ON o_custkey = c_custkey""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(merged.contains("SortMergeJoin") && !merged.contains("BroadcastHashJoin"),
+      s"MERGE hint must suppress the broadcast:\n$merged")
+    val bcast = spark.sql(
+      """SELECT /*+ BROADCAST(h_customer) */ count(*) AS n
+        |FROM h_orders JOIN h_customer ON o_custkey = c_custkey""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(bcast.contains("BroadcastHashJoin"),
+      s"BROADCAST hint must force the broadcast:\n$bcast")
+  }
+
   test("j7_join_full: both sides aggregate BEFORE the full outer join") {
     val p = planOf("j7_join_full")
     assert(p.contains("FullOuter"), s"the reconciliation join must be full outer:\n$p")
