@@ -173,6 +173,30 @@ object TextOps {
         .orderBy("domain")
     }),
 
+    // ---- context-window fit census: per source, how much of the corpus
+    // fits a training context window whole, and the chunk count the rest
+    // explodes into — the capacity-planning question every pretraining
+    // run starts with (token budget ≠ document count when long docs
+    // chunk). Windows 32/64/128 here because the synthetic docs run
+    // 25–90 tokens; a real corpus uses 2k/8k/32k with the same plan.
+    // One scan + one tiny aggregate; all outputs exact integers or
+    // single-divide ratios.
+    "tx_ctx_fit" -> ((s, d) => {
+      val W = 64
+      t(s, d, "documents")
+        .select(col("source"), size(T.tokens(col("text"))).cast("bigint").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("n_tok") <= 32, 1L).otherwise(0L)).as("fit_32"),
+          sum(when(col("n_tok") <= 64, 1L).otherwise(0L)).as("fit_64"),
+          sum(when(col("n_tok") <= 128, 1L).otherwise(0L)).as("fit_128"),
+          sum((col("n_tok") + (W - 1)).divide(W).cast("bigint")).as("n_chunks_w64"))
+        .withColumn("fit_64_frac",
+          round(col("fit_64").cast("double") / col("n_docs"), 4))
+        .orderBy("source")
+    }),
+
     // ---- URL canonicalization + duplicate census: the normalize step a
     // crawl dedup runs BEFORE any content hashing — lowercase the host,
     // strip tracking query params and fragments, drop a trailing slash —
@@ -1543,6 +1567,17 @@ object TextOps {
         |          || '?lang=' || lang, 'https://([A-Za-z0-9.-]+)/', 1) AS domain
         |      FROM documents)
         |GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "tx_ctx_fit" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN n_tok <= 32 THEN 1 ELSE 0 END) AS BIGINT) AS fit_32,
+         |  CAST(sum(CASE WHEN n_tok <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS fit_64,
+         |  CAST(sum(CASE WHEN n_tok <= 128 THEN 1 ELSE 0 END) AS BIGINT) AS fit_128,
+         |  CAST(sum((n_tok + 63) // 64) AS BIGINT) AS n_chunks_w64,
+         |  round(CAST(sum(CASE WHEN n_tok <= 64 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS fit_64_frac
+         |FROM (SELECT source, CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tok FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     // same strip order (fragment → tracking → slash → lowercase); DuckDB
     // needs the 'g' flag Spark applies by default

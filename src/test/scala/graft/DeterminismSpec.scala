@@ -46,4 +46,30 @@ class DeterminismSpec extends AnyFunSuite with SharedSparkSpec {
       assert(a == b, s"$name output depends on partitioning:\n" +
         a.zip(b).collect { case (x, y) if x != y => s"  $x\n  $y" }.take(3).mkString("\n"))
     }
+
+  /** AQE regime parity: adaptive execution re-plans joins, coalesces
+    * shuffle partitions, and splits skewed ones at RUNTIME — a different
+    * physical execution than the static plan. Representative queries from
+    * the join/agg/window/iterative families must produce bit-identical
+    * rows either way; a mismatch means a result depends on the runtime
+    * partition geometry, which AQE changes freely at 100 TB. */
+  private def runAqe(name: String, enabled: Boolean): Seq[String] = {
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", enabled.toString)
+      SparkEntry.queries(name)(spark, d).collect().map(_.toString).toSeq
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prior)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  for (name <- Seq("q1_agg", "j5_join_multiway", "q2_min_cost_supp",
+                   "st_sessionize", "dd_clusters", "w10_dist_frames"))
+    test(s"$name: bit-identical with AQE on vs off") {
+      val on = runAqe(name, enabled = true)
+      val off = runAqe(name, enabled = false)
+      assert(on.nonEmpty && on == off,
+        s"$name output depends on the AQE runtime re-plan")
+    }
 }
