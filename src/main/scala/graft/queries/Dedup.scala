@@ -416,6 +416,24 @@ object Dedup {
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")),
 
+    // ---- soft dedup (downweight, don't drop): the alternative to
+    // keep-best that recent pretraining recipes prefer — every duplicate
+    // survives but carries training weight 1/cluster_size, so each
+    // cluster contributes exactly one document's worth of gradient mass.
+    // The census shows the trade per cluster size: raw doc mass vs
+    // retained effective mass (= n_clusters, by construction — the
+    // weight is an exact small-integer reciprocal on both engines).
+    // Rides the materialized CC labels; two tiny hash-aggs.
+    "dd_soft_dedup_mass" -> ((s, d) =>
+      ccLabels(s, d)
+        .groupBy("cid").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          (col("n_clusters") * col("sz")).as("n_docs"),
+          round(lit(1.0) / col("sz").cast("double"), 6).as("weight_per_doc"),
+          col("n_clusters").cast("double").as("effective_mass"))
+        .orderBy("cluster_size")),
+
     // ---- leakage-free train/val/test split: assignment hashed at the
     // dedup-CLUSTER level, not the document level. Doc-level splitting
     // leaks near-duplicates across train/test (the classic eval
@@ -867,6 +885,22 @@ object Dedup {
          |SELECT sz AS cluster_size, count(*) AS n_clusters
          |FROM (SELECT cid, count(*) AS sz FROM cc GROUP BY cid)
          |GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
+    "dd_soft_dedup_mass" ->
+      s"""${sigsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$pairsCte,
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |r(id, tgt) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN edges e ON e.a = r.tgt),
+         |cc AS (SELECT id AS doc_id, min(tgt) AS cid FROM r GROUP BY id),
+         |szs AS (SELECT cid, count(*) AS sz FROM cc GROUP BY cid)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  CAST(count(*) * sz AS BIGINT) AS n_docs,
+         |  round(1.0 / sz, 6) AS weight_per_doc,
+         |  CAST(count(*) AS DOUBLE) AS effective_mass
+         |FROM szs GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     // same recursive closure, split hashed on the canonical id
     "dd_cluster_split" ->

@@ -116,6 +116,37 @@ object Similarity {
         .limit(5)
     }),
 
+    // ---- filtered vector search (metadata-constrained ANN): top-k among
+    // vectors matching the query's label — the feature that separates a
+    // vector DB from a bare index, and the classic design fork: PRE-filter
+    // (apply the predicate before ranking; always returns k if k matches
+    // exist) vs post-filtering a bucket probe (can come up short when the
+    // bucket holds few matching rows). Both paths share one scored pass
+    // with the predicate applied scan-side; the face emits both rankings
+    // so the shortfall is visible in the row count itself. At 100 TB the
+    // label predicate pushes into the scan and the bucket probe prunes on
+    // top — filter selectivity × bucket occupancy decides which side wins.
+    "sim_filtered_ann" -> ((s, d) => {
+      // planes=4 (16 buckets): with ~50 rows per label, the query bucket
+      // holds a FEW matching rows — the post-filter list comes back short
+      // of k but non-empty, which is the trade made visible
+      val e = emb(s, d).withColumn("bucket", V.lshBucket(col("v"), 4))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("label").as("qlabel"), col("v").as("qv"),
+          col("bucket").as("qbucket"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0 && col("label") === col("qlabel"))
+        .withColumn("cos", round(V.cosine(col("v"), col("qv")), 6))
+      val exact = scored
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+        .select(lit("exact_prefilter").as("method"), col("vec_id"), col("cos"))
+      val bucketed = scored.filter(col("bucket") === col("qbucket"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+        .select(lit("bucket_postfilter").as("method"), col("vec_id"), col("cos"))
+      exact.union(bucketed)
+        .orderBy(col("method"), col("cos").desc, col("vec_id").asc)
+    }),
+
     // ---- ANN recall@10 evaluation: the quality gate every approximate
     // index needs — for a 20-query sample, compute exact top-10 (full-scan
     // cosine, the ground truth) and bucket-probe ANN top-10, then
@@ -988,6 +1019,20 @@ object Similarity {
          |  round(CASE WHEN frr IS NULL THEN 0.0 ELSE 1.0 / frr END, 6) AS mrr10,
          |  round(coalesce(dcg, 0.0) / 4.543559338088346, 6) AS ndcg10
          |FROM q LEFT JOIN pq ON pq.qid = q.qid ORDER BY qid""".stripMargin,
+
+    "sim_filtered_ann" ->
+      s"""$embCte,
+         |b AS (SELECT vec_id, label, v, ${S.lshBucket("v", 4)} AS bucket FROM e),
+         |q AS (SELECT label AS qlabel, v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+         |scored AS (SELECT vec_id, bucket, qbucket,
+         |    round(${S.cosine("v", "qv")}, 6) AS cos
+         |  FROM b CROSS JOIN q WHERE vec_id != 0 AND label = qlabel),
+         |ex AS (SELECT 'exact_prefilter' AS method, vec_id, cos FROM scored
+         |  ORDER BY cos DESC, vec_id LIMIT 5),
+         |bk AS (SELECT 'bucket_postfilter' AS method, vec_id, cos FROM scored
+         |  WHERE bucket = qbucket ORDER BY cos DESC, vec_id LIMIT 5)
+         |SELECT method, vec_id, cos FROM (SELECT * FROM ex UNION ALL SELECT * FROM bk)
+         |ORDER BY method, cos DESC, vec_id""".stripMargin,
 
     "sim_recall_eval" ->
       s"""$embCte,
