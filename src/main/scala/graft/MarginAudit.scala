@@ -111,7 +111,9 @@ object MarginAudit {
     "sim_rank_metrics",
     // r8: mean is a qround'd qmean; sd is one sqrt of a qmean-derived
     // variance; clean_rev folds through qsum(20)
-    "ts_seasonal_profile", "src_csv_badrecords")
+    "ts_seasonal_profile", "src_csv_badrecords",
+    // r8: path sums are exact BIGINTs; min_cost is one display divide
+    "graph_sssp_bounded")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact

@@ -120,6 +120,42 @@ object Graph {
         .orderBy("dist")
     }),
 
+    // ---- bounded weighted single-source shortest paths (Bellman-Ford
+    // relaxation, 4 rounds): cheapest procurement route from one customer
+    // to every supplier through the bipartite trading graph, edge weight
+    // = the pair's minimum observed unit price (fixed-point 2^8 BIGINT —
+    // integer path sums, so the min over paths is exact on both engines).
+    // Each round is ONE co-partitioned join + min-aggregate — dist(v)
+    // after round k = min over paths of ≤ k edges, the textbook
+    // distributed SSSP step; the hop bound is the cost control (unbounded
+    // SSSP floods dense graphs). The oracle unrolls the same 4
+    // relaxations as plain CTE levels — a naive recursive-CTE path
+    // enumeration measured 171 s vs 0.6 s unrolled at sf0.01, the
+    // difference between enumerating paths and relaxing distances.
+    "graph_sssp_bounded" -> ((s, d) => {
+      val we = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .agg(min(FP.q(col("l_extendedprice") / col("l_quantity"), 8))
+          .cast("long").as("w"))
+      val adj = we.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"), col("w"))
+        .union(we.select((col("sp") + 1000000L).as("src"), col("c").as("dst"), col("w")))
+        .cache()
+      import s.implicits._
+      var dist = Seq((1L, 0L)).toDF("node", "dist")
+      for (_ <- 1 to 4) {
+        val relaxed = dist.join(adj, dist("node") === adj("src"))
+          .select(col("dst").as("node"), (dist("dist") + col("w")).as("dist"))
+        dist = dist.union(relaxed).groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint()
+      }
+      adj.unpersist()
+      dist.filter(col("node") >= 1000000L)
+        .select((col("node") - 1000000L).as("s_suppkey"),
+          round(col("dist").cast("double") / 256.0, 4).as("min_cost"))
+        .orderBy("s_suppkey")
+    }),
+
     // ---- triangle counting + global clustering coefficient over the
     // co-supply graph (two suppliers shipping the same part in the same
     // month), the third graph staple after degrees and rank. The month
@@ -296,6 +332,34 @@ object Graph {
         |  round(3.0 * n_triangles /
         |    (SELECT CAST(sum(dg * (dg - 1)) / 2 AS BIGINT) FROM deg), 4) AS clustering
         |FROM tri""".stripMargin,
+
+    // the same 4 relaxations unrolled as CTE levels with min-collapse at
+    // each — never the recursive path enumeration (171 s vs 0.6 s)
+    "graph_sssp_bounded" ->
+      """WITH we AS (
+        |  SELECT o_custkey AS c, l_suppkey AS sp,
+        |    min(CAST(floor((l_extendedprice / l_quantity) * 256.0 + 0.5) AS BIGINT)) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |adj AS (
+        |  SELECT c AS src, sp + 1000000 AS dst, w FROM we
+        |  UNION ALL SELECT sp + 1000000 AS src, c AS dst, w FROM we),
+        |d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0
+        |  UNION ALL SELECT a.dst, d.dist + a.w FROM d0 d JOIN adj a ON a.src = d.node) GROUP BY node),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1
+        |  UNION ALL SELECT a.dst, d.dist + a.w FROM d1 d JOIN adj a ON a.src = d.node) GROUP BY node),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2
+        |  UNION ALL SELECT a.dst, d.dist + a.w FROM d2 d JOIN adj a ON a.src = d.node) GROUP BY node),
+        |d4 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d3
+        |  UNION ALL SELECT a.dst, d.dist + a.w FROM d3 d JOIN adj a ON a.src = d.node) GROUP BY node)
+        |SELECT node - 1000000 AS s_suppkey,
+        |  round(CAST(dist AS DOUBLE) / 256.0, 4) AS min_cost
+        |FROM d4 WHERE node >= 1000000 ORDER BY 1""".stripMargin,
 
     // bounded recursive CTE twin of engine.Bfs: UNION-dedup on (node, dist)
     // pairs, growth cut by the same 6-hop cap the Spark loop uses, then
