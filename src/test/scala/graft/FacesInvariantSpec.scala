@@ -322,6 +322,36 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(leftover == 0, s"$leftover docs still carry PII after redaction")
   }
 
+  test("dd_soft_dedup_mass: masses reconcile with the label snapshot; weights are exact reciprocals") {
+    val rows = SparkEntry.queries("dd_soft_dedup_mass")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty && rows.exists(_._1 > 1), "expected at least one real duplicate cluster")
+    val labels = spark.read.parquet(s"/tmp/graft_dedup/cc_${graft.engine.Layouts.tag(d)}")
+    assert(rows.map(_._3).sum == labels.count(), "doc mass census incomplete")
+    assert(rows.map(_._5).sum == labels.select("cid").distinct().count().toDouble,
+      "effective mass must equal the cluster count (each cluster contributes exactly 1)")
+    for ((sz, nc, nd, w, eff) <- rows) {
+      assert(nd == nc * sz, s"size-$sz row: n_docs $nd != n_clusters*size")
+      assert(math.abs(w - math.rint(1.0 / sz * 1e6) / 1e6) < 1e-12,
+        s"size-$sz weight $w is not round(1/size, 6)")
+      assert(eff == nc.toDouble)
+    }
+  }
+
+  test("sim_filtered_ann: post-filter bucket list is a non-empty strict subset scenario") {
+    val rows = SparkEntry.queries("sim_filtered_ann")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val exact = rows.filter(_._1 == "exact_prefilter")
+    val bucket = rows.filter(_._1 == "bucket_postfilter")
+    assert(exact.length == 5, "pre-filter must always return k")
+    assert(bucket.nonEmpty, "bucket path must exercise (coarsen planes if empty)")
+    assert(bucket.length <= 5)
+    // every bucket result is drawn from the same filtered universe, so its
+    // cosine can never beat the exact top-1
+    val top = exact.map(_._3).max
+    assert(bucket.forall(_._3 <= top), "a bucket hit outscored the exact top-1")
+  }
+
   test("etl_dq_report: violations bounded by checked counts; the known PK violation surfaces") {
     val rows = SparkEntry.queries("etl_dq_report")(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
