@@ -113,7 +113,10 @@ object MarginAudit {
     // variance; clean_rev folds through qsum(20)
     "ts_seasonal_profile", "src_csv_badrecords",
     // r8: path sums are exact BIGINTs; min_cost is one display divide
-    "graph_sssp_bounded")
+    "graph_sssp_bounded",
+    // r8: mean_tokens is a qround'd qmean; lang_entropy rides
+    // tx_token_entropy's qsum construction; dup_rate is an integer ratio
+    "tx_dataset_card")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact

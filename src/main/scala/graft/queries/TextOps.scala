@@ -173,6 +173,40 @@ object TextOps {
         .orderBy("domain")
     }),
 
+    // ---- per-source dataset card (the "datasheet" a corpus release
+    // ships): volume (docs, tokens, mean length), exact-duplicate rate,
+    // and language spread (count + Shannon entropy of the lang mix) in
+    // one report — the first page of any data-release documentation, and
+    // the per-source triage view a curation owner reads before deciding
+    // mixture weights. One scan derives all per-doc features; two
+    // source-keyed aggregates (core stats, lang distribution) join on the
+    // group-count-sized frames. Entropy rides tx_token_entropy's proven
+    // H = ln N − (Σ c·ln c)/N fixed-point construction.
+    "tx_dataset_card" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("source"), col("lang"),
+          md5(lower(trim(col("text")))).as("h"),
+          size(T.tokens(col("text"))).cast("bigint").as("n_tok"))
+      val core = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        FP.qround(FP.qmean(col("n_tok").cast("double"), 20), 4).as("mean_tokens"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"))
+      val langs = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(
+          sum("c").as("n"),
+          count(lit(1)).as("n_langs"),
+          FP.qsum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+        .select(col("source"), col("n_langs"),
+          round(log(col("n")) - col("clnc") / col("n"), 4).as("lang_entropy"))
+      core.join(langs, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("mean_tokens"),
+          col("n_exact_dups"),
+          round(col("n_exact_dups").cast("double") / col("n_docs"), 4).as("dup_rate"),
+          col("n_langs"), col("lang_entropy"))
+        .orderBy("source")
+    }),
+
     // ---- context-window fit census: per source, how much of the corpus
     // fits a training context window whole, and the chunk count the rest
     // explodes into — the capacity-planning question every pretraining
@@ -1567,6 +1601,25 @@ object TextOps {
         |          || '?lang=' || lang, 'https://([A-Za-z0-9.-]+)/', 1) AS domain
         |      FROM documents)
         |GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "tx_dataset_card" ->
+      s"""WITH base AS (SELECT source, lang, md5(lower(trim(text))) AS h,
+         |    CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |core AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    ${S.qround(S.qmean("CAST(n_tok AS DOUBLE)", 20), 4)} AS mean_tokens,
+         |    CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups
+         |  FROM base GROUP BY source),
+         |lc AS (SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2),
+         |langs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+         |    sum(c) AS n, ${S.qsum("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))")} AS clnc
+         |  FROM lc GROUP BY source)
+         |SELECT core.source AS source, n_docs, n_tokens, mean_tokens, n_exact_dups,
+         |  round(CAST(n_exact_dups AS DOUBLE) / n_docs, 4) AS dup_rate,
+         |  n_langs, round(ln(n) - clnc / n, 4) AS lang_entropy
+         |FROM core JOIN langs ON core.source = langs.source
+         |ORDER BY source""".stripMargin,
 
     "tx_ctx_fit" ->
       s"""SELECT source, count(*) AS n_docs,
