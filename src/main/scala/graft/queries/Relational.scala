@@ -585,6 +585,22 @@ object Relational {
                              WHERE s.nullable_key = o.o_custkey)) AS n_not_exists""")
     }),
 
+    // ---- ANSI FILTER clause (conditional aggregation as SQL text): the
+    // standard's spelling of sum(CASE WHEN …) — one aggregate pass, each
+    // aggregate carrying its own predicate. Spark compiles FILTER to the
+    // identical conditional-aggregate plan, so the SQL surface costs
+    // nothing over the hand-built form; DuckDB runs the same text.
+    "agg_filter_clause" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT o_orderstatus,
+          count(*) AS n,
+          count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+          count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+          min(o_orderkey) FILTER (WHERE o_totalprice > 200000) AS first_large
+        FROM v_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
     // ---- rollup with grouping_id: the bitmask that tells a report reader
     // WHICH level each output row aggregates (0 = leaf, 1 = status
     // subtotal, 3 = grand total) — without it, rollup output with nullable
@@ -1632,6 +1648,14 @@ object Relational {
         |  (SELECT count(*) FROM orders o
         |   WHERE NOT EXISTS (SELECT 1 FROM v_subkeys s
         |                     WHERE s.nullable_key = o.o_custkey)) AS n_not_exists""".stripMargin,
+
+    "agg_filter_clause" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_large,
+        |  min(o_orderkey) FILTER (WHERE o_totalprice > 200000) AS first_large
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "agg_grouping_id" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -843,6 +843,27 @@ object ScaleOps {
         .orderBy("table_name")
     }),
 
+    // ---- keyed pseudonymization (the GDPR companion to etl_gdpr_erase):
+    // replace direct identifiers with a salted one-way hash so records
+    // stay JOINABLE across tables without exposing the identity — the
+    // pseudonymize-don't-delete half of a compliance design. The census
+    // proves the two properties that make it sound: the mapping is 1:1
+    // (distinct pseudonyms == distinct keys — no collisions collapsing
+    // identities) and total (no null pseudonyms). Scan-side sha2, no
+    // shuffle beyond the census aggregate; at 100 TB the salt rotates per
+    // release and the re-keying is one map-only rewrite.
+    "etl_pseudonymize" -> ((s, d) => {
+      val salt = "release-2026-08"
+      t(s, d, "customer")
+        .withColumn("pseudo",
+          sha2(concat(lit(salt), lit(":"), col("c_custkey").cast("string")), 256))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("c_custkey")).as("n_keys"),
+          countDistinct(col("pseudo")).as("n_pseudonyms"),
+          sum(when(col("pseudo").isNull, 1L).otherwise(0L)).as("n_null"))
+        .withColumn("collision_free", col("n_pseudonyms") === col("n_keys"))
+    }),
+
     // ---- sketch aggregates. HLL/KLL internals differ across engines, so the
     // query emits the BOUND CHECK, not the raw sketch: both the approximate
     // and the exact aggregate are computed in-query and the output is the
@@ -1443,6 +1464,14 @@ object ScaleOps {
         |SELECT check_name, n_checked, CAST(n_violations AS BIGINT) AS n_violations,
         |  (n_violations = 0) AS pass
         |FROM rep ORDER BY check_name""".stripMargin,
+
+    "etl_pseudonymize" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+        |  CAST(count(DISTINCT sha256('release-2026-08:' || c_custkey)) AS BIGINT) AS n_pseudonyms,
+        |  CAST(sum(CASE WHEN sha256('release-2026-08:' || c_custkey) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  (count(DISTINCT sha256('release-2026-08:' || c_custkey)) = count(DISTINCT c_custkey)) AS collision_free
+        |FROM customer""".stripMargin,
 
     "etl_gdpr_erase" ->
       """WITH dc AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
