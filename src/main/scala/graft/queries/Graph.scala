@@ -138,6 +138,14 @@ object Graph {
         .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .agg(min(FP.q(col("l_extendedprice") / col("l_quantity"), 8))
           .cast("long").as("w"))
+      // adj is cached UNPARTITIONED on purpose: the frontier frame `dist`
+      // is node-cardinality-sized, so AQE broadcasts it into every round's
+      // relax join and adj streams in place — pre-partitioning adj on src
+      // (the PageRank.weighted pattern) was MEASURED WORSE here (58.6 →
+      // 73.9 MB shuffle: the repartition pays a full 2|E| exchange the
+      // broadcast join never needed). The patterns diverge because
+      // PageRank's rank frame is |V|-sized and must shuffle-join; a
+      // bounded-hop frontier rides the broadcast side.
       val adj = we.select(col("c").as("src"), (col("sp") + 1000000L).as("dst"), col("w"))
         .union(we.select((col("sp") + 1000000L).as("src"), col("c").as("dst"), col("w")))
         .cache()
