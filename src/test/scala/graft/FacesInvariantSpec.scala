@@ -352,6 +352,49 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(bucket.forall(_._3 <= top), "a bucket hit outscored the exact top-1")
   }
 
+  test("graph_sssp_bounded: 1-hop distances equal the direct offer; relaxation never exceeds it") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("graph_sssp_bounded")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.nonEmpty)
+    // direct offers from customer 1, recomputed from the facts
+    val direct = graft.engine.Tables.load(spark, d, "orders")
+      .filter(col("o_custkey") === 1)
+      .join(graft.engine.Tables.load(spark, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_suppkey")
+      .agg(min(floor(col("l_extendedprice") / col("l_quantity") * 256.0 + 0.5))
+        .cast("long").as("wq"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct.nonEmpty, "customer 1 must trade with someone")
+    for ((sp, wq) <- direct) {
+      val best = rows.getOrElse(sp, fail(s"direct supplier $sp missing from SSSP output"))
+      val one = math.rint(wq / 256.0 * 1e4) / 1e4
+      assert(best <= one + 1e-9,
+        s"supplier $sp: dist $best exceeds its own direct edge $one — relaxation broken")
+    }
+    // some multi-hop route must actually beat a direct edge, or the face
+    // degenerates to the 1-hop join
+    assert(direct.exists { case (sp, wq) => rows(sp) < math.rint(wq / 256.0 * 1e4) / 1e4 - 1e-9 },
+      "expected at least one 3-hop route cheaper than the direct offer")
+  }
+
+  test("tx_dataset_card: totals reconcile with the corpus; rates and entropy in range") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("tx_dataset_card")(spark, d).collect()
+    val docs = graft.engine.Tables.load(spark, d, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "doc totals incomplete")
+    for (r <- rows) {
+      val (nd, dup, nl, h) = (r.getLong(1), r.getDouble(5), r.getLong(6), r.getDouble(7))
+      assert(dup >= 0.0 && dup <= 1.0, s"dup_rate $dup out of range")
+      assert(nl >= 1, "every source has at least one language")
+      // Shannon entropy of an nl-way mix is bounded by ln(nl)
+      assert(h >= -1e-9 && h <= math.log(nl.toDouble) + 1e-4,
+        s"lang_entropy $h outside [0, ln($nl)]")
+      assert(nd >= 1)
+    }
+  }
+
   test("etl_dq_report: violations bounded by checked counts; the known PK violation surfaces") {
     val rows = SparkEntry.queries("etl_dq_report")(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
