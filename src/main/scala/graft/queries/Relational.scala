@@ -482,7 +482,11 @@ object Relational {
     "q12_late_shipments" -> ((s, d) => {
       t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > date_add(col("o_orderdate"), 90))
+        // full-timestamp interval arithmetic (ADVICE r8): date_add would
+        // cast o_orderdate to DATE and drop any time-of-day, silently
+        // diverging from the oracle's INTERVAL addition on data with
+        // non-midnight order timestamps
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
         .groupBy("l_linestatus")
         .agg(
           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1L))
@@ -725,10 +729,19 @@ object Relational {
     // parallel; a second exact percentile closes it). Outliers move MAD
     // not at all, where stddev chases them quadratically.
     "agg_mad" -> ((s, d) => {
-      val med = t(s, d, "lineitem")
+      // Exact MAD is irreducibly two-pass (the deviation column needs the
+      // median first), but both passes share ONE cached 2-column
+      // projection instead of re-scanning + re-decoding the parquet
+      // (VERDICT r8 #4); the cached frame is 2 columns of the fact, freed
+      // with the session's cache manager. At 100 TB the same move is
+      // "materialize the projected columns once" — the second pass stays
+      // embarrassingly parallel either way.
+      val base = t(s, d, "lineitem")
+        .select("l_returnflag", "l_extendedprice").cache()
+      val med = base
         .groupBy("l_returnflag")
         .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"))
-      t(s, d, "lineitem")
+      base
         .join(broadcast(med), "l_returnflag")
         .withColumn("dev", abs(col("l_extendedprice") - col("med")))
         .groupBy("l_returnflag")
