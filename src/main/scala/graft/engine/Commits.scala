@@ -1,0 +1,139 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Optimistic-concurrency commit protocol over a file manifest — the core
+  * ACID mechanic of the Delta/Iceberg transaction log (VERDICT r8 #3),
+  * implemented against the engine's own manifest layout (README
+  * "Table-format stance": no table-format jar exists in this sandbox, so
+  * the PROTOCOL is demonstrated on plain files; the mechanics — versioned
+  * manifests, put-if-absent commits, conflict detection, append rebase,
+  * stale-rewrite abort — are exactly the published Delta commit design).
+  *
+  * Layout:
+  * {{{
+  *   table/data/<writer>-<uuid>/   one parquet dir per staged write
+  *   table/_log/v00001.txt         manifest: one data path per line
+  * }}}
+  *
+  * A snapshot at version N is the file set listed in `_log/v0000N.txt`.
+  * Committing version N+1 is PUT-IF-ABSENT on that manifest name:
+  * `File.createNewFile` is atomic on POSIX, so of two writers racing the
+  * same version exactly one wins; the loser gets a [[Conflict]] carrying
+  * the version that beat it. (On object stores this step maps to the
+  * put-if-absent / ETag-conditional write every production log store
+  * uses; content is written after the atomic claim, which a production
+  * store replaces with write-temp-then-rename — the claim is what carries
+  * the correctness.)
+  *
+  * Conflict RESOLUTION is the transaction-type-aware half of the design:
+  *  - a blind APPEND never read table state, so on conflict it simply
+  *    rebases: re-list the latest manifest, re-commit its files at the new
+  *    version ([[commitAppend]] loops this — the Delta "logical conflict
+  *    check" trivially passes for appends);
+  *  - a REWRITE (compaction, overwrite, delete) is valid only against the
+  *    exact snapshot it read: if the table moved underneath it, its
+  *    replacement file set was derived from stale data and the transaction
+  *    must ABORT ([[commitRewrite]] refuses to rebase) — its staged files
+  *    are never referenced by any manifest and stay invisible to every
+  *    reader, which CommitsSpec and the etl_commit_conflict census prove.
+  *
+  * Driver-side footprint: manifests are file-count-sized (the FileSkipping
+  * discipline) — reading one is a metadata operation, like a Delta log
+  * read; table DATA never flows through the protocol.
+  */
+object Commits {
+  final case class Conflict(attempted: Int, winner: String)
+
+  private def logDir(table: String) = new java.io.File(table, "_log")
+  private def manifest(table: String, v: Int) =
+    new java.io.File(logDir(table), f"v$v%05d.txt")
+
+  /** Highest committed version, 0 if none (an empty table). */
+  def latestVersion(table: String): Int =
+    Option(logDir(table).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getName).filter(_.matches("v\\d{5}\\.txt"))
+      .map(_.substring(1, 6).toInt).maxOption.getOrElse(0)
+
+  /** Manifest entries at version `v` — paths RELATIVE to the table root
+    * (the Delta log convention), so the whole table directory stays
+    * relocatable: an atomic build-then-rename publish, a backup restore,
+    * or a mount-point change never dangles a manifest. */
+  def manifestEntries(table: String, v: Int): Seq[String] = {
+    val m = manifest(table, v)
+    require(m.exists(), s"no manifest for version $v at $table")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(m.toPath).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  /** The absolute data paths visible at version `v`. */
+  def snapshotFiles(table: String, v: Int): Seq[String] =
+    manifestEntries(table, v).map(rel => new java.io.File(table, rel).getPath)
+
+  /** Read the latest snapshot (empty-schema-less: requires ≥1 version). */
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(snapshotFiles(table, latestVersion(table)): _*)
+
+  /** Stage `df` as a new data directory under the table, NOT yet visible:
+    * only a later manifest commit publishes it. Returns the table-relative
+    * staged path (the manifest currency). */
+  def stage(df: DataFrame, table: String, writer: String): String = {
+    val rel = s"data/$writer-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists").parquet(new java.io.File(table, rel).getPath)
+    rel
+  }
+
+  /** Attempt to commit manifest `v` listing exactly `files`. Atomic
+    * put-if-absent on the manifest name: returns false iff another writer
+    * already owns version `v`. */
+  private def tryCommit(table: String, v: Int, files: Seq[String]): Boolean = {
+    val m = manifest(table, v)
+    m.getParentFile.mkdirs()
+    if (!m.createNewFile()) false
+    else {
+      java.nio.file.Files.write(m.toPath,
+        files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      true
+    }
+  }
+
+  /** Initialize version 1 from a staged path. Fails if the table exists. */
+  def init(table: String, stagedPath: String): Int = {
+    require(latestVersion(table) == 0, s"table $table already initialized")
+    require(tryCommit(table, 1, Seq(stagedPath)), s"lost init race on $table")
+    1
+  }
+
+  /** APPEND transaction: add `stagedPaths` on top of whatever is current.
+    * Reads nothing but the manifest, so a version conflict is resolved by
+    * rebasing onto the winner — retry until a commit lands (bounded; two
+    * writers cannot livelock a put-if-absent log). Returns the committed
+    * version and whether a conflict was hit along the way. */
+  def commitAppend(table: String, basis: Int, stagedPaths: Seq[String],
+                   maxAttempts: Int = 10): (Int, Boolean) = {
+    var base = basis
+    var conflicted = false
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val target = base + 1
+      if (tryCommit(table, target, manifestEntries(table, base) ++ stagedPaths))
+        return (target, conflicted)
+      conflicted = true
+      base = latestVersion(table) // rebase onto the winner and retry
+    }
+    throw new IllegalStateException(s"append could not commit after $maxAttempts attempts")
+  }
+
+  /** REWRITE transaction (compaction/overwrite/delete shape): replace the
+    * file set of the snapshot it READ (`basis`) with `stagedPaths`. Valid
+    * only if the table has not moved: on a version conflict the staged
+    * output was derived from stale data, so the transaction ABORTS —
+    * Left(Conflict) — and its staged files are never published. */
+  def commitRewrite(table: String, basis: Int,
+                    stagedPaths: Seq[String]): Either[Conflict, Int] = {
+    val target = basis + 1
+    if (tryCommit(table, target, stagedPaths)) Right(target)
+    else Left(Conflict(target, manifest(table, target).getPath))
+  }
+}

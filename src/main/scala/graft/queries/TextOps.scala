@@ -15,6 +15,13 @@ object TextOps {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Training-vocabulary frequency floor for the driver-side BPE trainers
+    * (tx_bpe_encode_trie, tx_bpe_encode_k500): words seen fewer times never
+    * reach the collected word-frequency table, bounding the driver
+    * footprint at any corpus scale (VERDICT r8 #2). The DuckDB oracles
+    * apply the identical HAVING floor in their training CTEs. */
+  val BpeMinCount = 2
+
   val queries: Map[String, Q] = Map(
     // token counting: raw whitespace split vs non-empty tokens + char length.
     "tx_token_count" -> ((s, d) =>
@@ -674,9 +681,18 @@ object TextOps {
     // could not even be compiled, while this path is unchanged.
     "tx_bpe_encode_trie" -> ((s, d) => {
       import s.implicits._
+      // min_count FLOOR on the training vocabulary, applied BEFORE the
+      // collect (VERDICT r8 #2): Zipf bounds the *useful* vocabulary, but
+      // a web corpus's raw distinct-token set includes unbounded noise
+      // (random ids, hashes), so every real BPE trainer prunes singletons
+      // before the driver-side pass — the floor is what makes "the
+      // vocabulary fits one node" an enforced bound, not an assumption.
+      // The oracle's words0 CTE applies the identical HAVING floor, so the
+      // floored training semantics are themselves oracle-checked.
       val wordFreqs = t(s, d, "documents")
         .select(explode(T.tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= BpeMinCount)
         .as[(String, Long)].collect().toSeq
       val merges = graft.engine.Bpe.trainLocal(wordFreqs, k = 5)
       val ranks = merges.zipWithIndex.map { case ((a, b, _), i) => ((a, b), i) }.toMap
@@ -694,6 +710,69 @@ object TextOps {
         }
         .toDF("doc_id", "n_tokens", "tokens")
         .orderBy("doc_id")
+    }),
+
+    // ---- PRODUCTION-k BPE encode as a catalog face (VERDICT r8 #1/#2):
+    // the trie path above proves the vocab-scale implementation at the
+    // oracle-replayable k=5; this face RUNS it at k=500 — a 500-round
+    // DuckDB training replay is impractical (the k=5 fold already strains
+    // the SQL planner), so the gate is the sketch_* bound-check pattern:
+    // every oracle-computable quantity is emitted exactly — doc/word/char
+    // counts, the FLOORED collected-vocabulary size, and n_tokens itself,
+    // which IS oracle-exact here because k=500 provably exhausts this
+    // corpus's 31-word training vocabulary (BpeSpec pins exhaustion
+    // <500 rounds), after which every in-vocabulary word encodes to
+    // exactly ONE piece, so n_tokens must equal the word-occurrence count
+    // — any trainer early-stop bug, rank-map corruption, or encode
+    // under-merge breaks that equality and hash-mismatches. The remaining
+    // invariants add teeth on the per-word path: piece-concatenation
+    // reconstruction (a trie/memo bug that drops or duplicates a piece
+    // flips reconstruct_ok) and the words ≤ tokens ≤ chars sandwich.
+    // BpeSpec separately pins k=500 byte-for-byte against the
+    // sequential-replay ground truth on a 2000-word vocabulary that
+    // sustains all 500 rounds; this face puts the production-k run itself
+    // on the driver's scoreboard. Scale shape: training is the floored
+    // vocabulary collect + trainLocal (milliseconds at any k); encode is
+    // one mapPartitions scan with the broadcast rank map and the
+    // executor-local word→pieces memo — cost independent of k.
+    "tx_bpe_encode_k500" -> ((s, d) => {
+      import s.implicits._
+      val wordFreqs = t(s, d, "documents")
+        .select(explode(T.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= BpeMinCount)
+        .as[(String, Long)].collect().toSeq
+      val merges = graft.engine.Bpe.trainLocal(wordFreqs, k = 500)
+      val ranks = merges.zipWithIndex.map { case ((a, b, _), i) => ((a, b), i) }.toMap
+      val perDoc = t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+        .as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+          it.map { case (_, ws) =>
+            var nW = 0L; var nC = 0L; var nT = 0L; var ok = true
+            ws.foreach { w =>
+              val p = memo.getOrElseUpdate(w, graft.engine.Bpe.encodeWord(w, ranks))
+              nW += 1; nC += w.length; nT += p.length
+              if (ok && p.mkString != w) ok = false
+            }
+            (nW, nC, nT, ok)
+          }
+        }
+        .toDF("n_words", "n_chars", "n_tokens", "ok")
+      perDoc.agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_chars").as("n_word_chars"),
+          sum("n_tokens").as("nt"),
+          min("ok").as("all_ok"))
+        .select(col("n_docs"), col("n_words"), col("n_word_chars"),
+          lit(wordFreqs.length.toLong).as("n_vocab_collected"),
+          col("nt").as("n_tokens"),
+          col("all_ok").as("reconstruct_ok"),
+          (col("nt") >= col("n_words") && col("nt") <= col("n_word_chars"))
+            .as("tokens_within_bounds"),
+          (col("nt") < col("n_word_chars")).as("compresses"))
     }),
 
     // ---- tokenizer SIZING sweep: corpus fertility and emergent piece
@@ -1502,6 +1581,14 @@ object TextOps {
     s"""words0 AS (SELECT string_split(word, '') AS syms, count(*) AS freq
        |  FROM (SELECT unnest(${S.tokens("text")}) AS word FROM documents) GROUP BY word),
        |${(1 to 5).map(bpeRnd).mkString(",\n")}""".stripMargin
+  /** Same 5-round training replay but with the [[BpeMinCount]] vocabulary
+    * floor the driver-side trainers enforce before their collect — keeps
+    * the floored training semantics oracle-checked end-to-end. */
+  private lazy val bpeTrainCtesFloored =
+    s"""words0 AS (SELECT string_split(word, '') AS syms, count(*) AS freq
+       |  FROM (SELECT unnest(${S.tokens("text")}) AS word FROM documents) GROUP BY word
+       |  HAVING count(*) >= $BpeMinCount),
+       |${(1 to 5).map(bpeRnd).mkString(",\n")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "tx_token_count" ->
@@ -1876,12 +1963,13 @@ object TextOps {
          |ORDER BY n_merges""".stripMargin
     },
 
-    // the IDENTICAL 5-round training+replay oracle gates the trie encode:
+    // the IDENTICAL 5-round training+replay oracle gates the trie encode
+    // (with the same min_count training floor the Spark side enforces):
     // the mapPartitions rank-priority path must agree with DuckDB's
     // sequential merge replay byte-for-byte, or training (trainLocal) or
     // encode (encodeWord) drifted from the declarative semantics
     "tx_bpe_encode_trie" ->
-      s"""WITH $bpeTrainCtes,
+      s"""WITH $bpeTrainCtesFloored,
          |tl AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
          |encd AS (SELECT doc_id, flatten(list_transform(toks, w -> $bpeEnc)) AS flat
          |  FROM tl CROSS JOIN win1 w1 CROSS JOIN win2 w2 CROSS JOIN win3 w3
@@ -1889,6 +1977,25 @@ object TextOps {
          |SELECT doc_id, CAST(len(flat) AS BIGINT) AS n_tokens,
          |  array_to_string(flat, ' ') AS tokens
          |FROM encd ORDER BY doc_id""".stripMargin,
+
+    // production-k face: every oracle-computable quantity exact (counts +
+    // the floored vocabulary size), the k-dependent encode gated by the
+    // in-query invariants asserted literally TRUE — the sketch_* pattern
+    // n_tokens = the word-occurrence count: k=500 exhausts this corpus's
+    // training vocabulary (full collapse — BpeSpec pins exhaustion), so
+    // every in-vocabulary word must encode to exactly one piece; the
+    // invariant booleans are asserted literally TRUE (sketch_* pattern)
+    "tx_bpe_encode_k500" ->
+      s"""WITH occ AS (SELECT unnest(${S.tokens("text")}) AS w FROM documents)
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT count(*) FROM occ) AS n_words,
+         |  (SELECT CAST(sum(length(w)) AS BIGINT) FROM occ) AS n_word_chars,
+         |  (SELECT count(*) FROM (SELECT w FROM occ GROUP BY w
+         |     HAVING count(*) >= $BpeMinCount)) AS n_vocab_collected,
+         |  (SELECT count(*) FROM occ) AS n_tokens,
+         |  TRUE AS reconstruct_ok,
+         |  TRUE AS tokens_within_bounds,
+         |  TRUE AS compresses""".stripMargin,
 
     // same training CTEs + per-occurrence replay, rolled up per source
     "tx_bpe_fertility" ->

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Commits
+
+/** Drives the optimistic-concurrency commit protocol's interleavings
+  * directly (the etl_commit_conflict face audits the same properties from
+  * a committed log): put-if-absent atomicity, append rebase, stale-rewrite
+  * abort, loser invisibility, and the contended-append progress bound. */
+class CommitsSpec extends AnyFunSuite with SharedSparkSpec {
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-commits").toString + "/tbl"
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(_.toLong).toDF("id")
+  }
+
+  test("init + read round-trips the base snapshot") {
+    val t = freshTable()
+    val v = Commits.init(t, Commits.stage(df(0 until 10), t, "base"))
+    assert(v == 1)
+    assert(Commits.read(spark, t).count() == 10)
+    assert(Commits.latestVersion(t) == 1)
+  }
+
+  test("racing appends: exactly one wins the version; loser rebases and both land") {
+    val t = freshTable()
+    Commits.init(t, Commits.stage(df(0 until 10), t, "base"))
+    // both writers stage against basis 1
+    val a = Commits.stage(df(100 until 110), t, "writerA")
+    val b = Commits.stage(df(200 until 220), t, "writerB")
+    val (va, aConf) = Commits.commitAppend(t, 1, Seq(a))
+    assert(va == 2 && !aConf)
+    // B still believes the basis is 1 → put-if-absent on v2 fails, rebase lands v3
+    val (vb, bConf) = Commits.commitAppend(t, 1, Seq(b))
+    assert(vb == 3 && bConf, "stale append must hit the conflict then rebase")
+    assert(Commits.read(spark, t).count() == 40)
+    // rebase preserved the winner's rows, not just the loser's
+    assert(Commits.read(spark, t).filter(col("id") >= 100 && col("id") < 110).count() == 10)
+  }
+
+  test("stale rewrite aborts; its staged data never surfaces in any snapshot") {
+    val t = freshTable()
+    Commits.init(t, Commits.stage(df(0 until 10), t, "base"))
+    // the compactor reads snapshot 1 and stages its replacement...
+    val compacted = Commits.stage(
+      spark.read.parquet(Commits.snapshotFiles(t, 1): _*).coalesce(1), t, "compactor")
+    // ...but an append moves the table first
+    val (v2, _) = Commits.commitAppend(t, 1, Seq(Commits.stage(df(100 until 105), t, "writerA")))
+    assert(v2 == 2)
+    val res = Commits.commitRewrite(t, 1, Seq(compacted))
+    assert(res.isLeft, "a rewrite whose read snapshot moved must abort")
+    // the aborted writer's path is referenced by NO manifest, at any version
+    (1 to Commits.latestVersion(t)).foreach { v =>
+      assert(!Commits.manifestEntries(t, v).contains(compacted),
+        s"aborted staged path leaked into manifest v$v")
+    }
+    assert(Commits.read(spark, t).count() == 15)
+  }
+
+  test("rewrite against a quiescent table succeeds and replaces the file set") {
+    val t = freshTable()
+    Commits.init(t, Commits.stage(df(0 until 10), t, "base"))
+    val compacted = Commits.stage(
+      spark.read.parquet(Commits.snapshotFiles(t, 1): _*).coalesce(1), t, "compactor")
+    assert(Commits.commitRewrite(t, 1, Seq(compacted)) == Right(2))
+    assert(Commits.manifestEntries(t, 2) == Seq(compacted))
+    assert(Commits.read(spark, t).count() == 10)
+  }
+
+  test("manifest paths are table-relative: a renamed table stays readable") {
+    val t = freshTable()
+    Commits.init(t, Commits.stage(df(0 until 7), t, "base"))
+    val moved = t + "_moved"
+    assert(new java.io.File(t).renameTo(new java.io.File(moved)))
+    assert(Commits.read(spark, moved).count() == 7)
+  }
+
+  test("contended appends from many stale writers all make progress") {
+    val t = freshTable()
+    Commits.init(t, Commits.stage(df(0 until 5), t, "base"))
+    // five writers all staged against basis 1, committing one after another:
+    // each later writer pays exactly the conflicts accumulated before it
+    val staged = (0 until 5).map(i => Commits.stage(df(i * 10 until i * 10 + 1), t, s"w$i"))
+    val results = staged.map(p => Commits.commitAppend(t, 1, Seq(p)))
+    assert(results.map(_._1) == Seq(2, 3, 4, 5, 6))
+    assert(results.head._2 == false && results.tail.forall(_._2 == true))
+    assert(Commits.read(spark, t).count() == 10)
+  }
+}
