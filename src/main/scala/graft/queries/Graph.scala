@@ -356,6 +356,8 @@ object Graph {
         .orderBy(desc("aa"), col("s1"), col("s2"))
         .limit(100)
         .crossJoin(broadcast(census))
+        // the 1-row census join does not guarantee the limit's order
+        .orderBy(desc("aa"), col("s1"), col("s2"))
     })
   )
 

@@ -27,6 +27,12 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     * the physical plan. String-counted off the plan dump — the same
     * surface PLANS.md archives and PlanQualitySpec asserts on. */
   private def fingerprint(name: String): Seq[Int] = {
+    // cache state changes plans (a cached subplan substitutes an
+    // InMemoryTableScan for a scan+exchange), and sbt runs suites
+    // concurrently in one session — fingerprints must be derived from a
+    // clean cache or the corpus is test-ORDER-dependent, not plan-
+    // dependent. Recompute-on-clear is always safe (FP determinism).
+    spark.sharedState.cacheManager.clearCache()
     val p = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
     Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
       "BroadcastNestedLoopJoin", "CartesianProduct",
