@@ -39,7 +39,6 @@ object PageRank {
   def run(edges: DataFrame, rounds: Int, damping: Double = 0.85,
           trackDeltas: Boolean = true): (DataFrame, Seq[Double]) = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
-    require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
     // materialize the edge frame ONCE: it joins into every round, and a
     // lazy edge plan (e.g. a fact⋈fact distinct) would re-execute per
     // round — at 5 rounds that was most of graph_rank_converged's time
@@ -55,6 +54,22 @@ object PageRank {
     // bit-identical to the unhoisted plan and to the oracle's replay.
     val weighted = e.join(out, "src")
       .select(col("src"), col("dst"), col("outdeg")).localCheckpoint()
+    runPrepared(weighted, nodes, rounds, damping, trackDeltas)
+  }
+
+  /** The loop alone, over a PREPARED (src, dst, outdeg) frame and its
+    * (node) frame — for callers that maintain the degree-weighted
+    * adjacency as a per-snapshot artifact (the graph_rank_converged
+    * layout): the nodes-distinct and edge⋈outdeg setup stages above are
+    * pure functions of the snapshot, so re-deriving them per run is
+    * per-round fixed cost a production rank job never pays. Both frames
+    * must be materialized (parquet/checkpoint), or each round re-executes
+    * their plans. */
+  def runPrepared(weighted: DataFrame, nodes: DataFrame, rounds: Int,
+                  damping: Double = 0.85,
+                  trackDeltas: Boolean = true): (DataFrame, Seq[Double]) = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
     // empty graph would otherwise surface as an NPE reading the delta agg
     require(weighted.limit(1).count() == 1, "page-rank needs a non-empty edge frame")
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint()
