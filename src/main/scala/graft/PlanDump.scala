@@ -170,7 +170,29 @@ object PlanDump {
     "sub_lateral_topn" -> ("Correlated LATERAL ORDER BY…LIMIT from SQL text: " +
       "Spark decorrelates to the window-rank plan (filter on rank ≤ 2 over " +
       "one partitioned window) — proof the SQL surface lands on the same " +
-      "scalable shape as the hand-built w4_rank_topn.")
+      "scalable shape as the hand-built w4_rank_topn."),
+    "graph_adamic_adar" -> ("Hub-capped Adamic–Adar: the witness-degree frame " +
+      "broadcasts twice (cap filter + census), wedges stream through the " +
+      "src-keyed self-join with fan-out bounded by the degree ceiling " +
+      "(C(64,2) max per witness), and the 1-row dropped-hub census BNLJs " +
+      "onto the top-100."),
+    "graph_rank_converged" -> ("Prepared PageRank: the degree-weighted " +
+      "adjacency and node frames come from per-sf layouts, so the plan is " +
+      "ONLY the 5 unrolled rounds — each one rank⋈adjacency join + one " +
+      "mass aggregation + the re-seed left join, lineage truncated per " +
+      "round."),
+    "etl_commit_conflict" -> ("Commit-log audit: per-version snapshot scans " +
+      "union under 1-row crossJoins (metadata-sized census); the table data " +
+      "itself is only ever scanned through the manifests — the staged " +
+      "orphan is read once to prove its row count."),
+    "st_repair_roundtrip" -> ("Streamed-fragment repair census: fragments " +
+      "(session-count-sized) window once on user_id for the island chain; " +
+      "both exceptAll legs and the count aggregates reduce to 1-row frames " +
+      "crossJoined — the raw events are scanned once for the batch twin."),
+    "tx_bpe_encode_k500" -> ("Production-k BPE: the floored vocabulary " +
+      "collect feeds driver-side training; encode is ONE mapPartitions " +
+      "scan with the broadcast rank map and per-partition word→pieces " +
+      "memo — no shuffle until the 1-row census aggregate.")
   )
 
   def main(args: Array[String]): Unit = {
