@@ -138,7 +138,12 @@ object ShuffleAudit {
       "block reads as input bytes, so iterative loops (PageRank, BFS, CC)\n" +
       "report their per-round re-reads of materialized state — that traffic\n" +
       "is memory-local to an executor, not fabric. Their number to watch is\n" +
-      "the shuffle column.\n\n"
+      "the shuffle column. The same caveat cuts the other way for the\n" +
+      "catalog-wide ratio: per-sf LAYOUTS (graph adjacency, LSH signatures,\n" +
+      "streamed fragments) remove repeated fact scans from the input\n" +
+      "denominator, so the aggregate ratio is only comparable between runs\n" +
+      "with the same layout set — per-query shuffle bytes are the stable\n" +
+      "cross-round series.\n\n"
     sb ++= s"Audited ${all.size} queries; catalog-wide shuffle:input = "
     val tIn = all.map(_._2).sum; val tWr = all.map(_._3).sum
     // guard like the per-query ratio: a filtered [query ...] subset hitting
