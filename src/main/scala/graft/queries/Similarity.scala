@@ -771,6 +771,42 @@ object Similarity {
         .orderBy("cluster", "dim")
     }),
 
+    // ---- INCREMENTAL IVF index maintenance — the append path of a
+    // production vector index: new vectors are assigned to the FROZEN
+    // coarse quantizer (trained on the base epoch) without re-clustering,
+    // and the per-list census tells the operator when the codebook went
+    // stale. Epochs are the deterministic vec_id parity split (the
+    // emb_centroid_drift convention); training is 2 Lloyd rounds over the
+    // base epoch only (seeds = even vec_id < 16, so 8 effective lists —
+    // the KMeans seed contract applied to the parity subset), then ONE
+    // broadcast-assign pass per epoch against the same frozen centroids.
+    // The census per list: base/new occupancy, growth (ratio of exact
+    // ints), and the qmean assignment dist² of each epoch — a list whose
+    // new-vector distances run hot is absorbing out-of-distribution data
+    // and is the retrain trigger. Scale shape: centroids broadcast (k
+    // rows); each epoch costs one candidate fan-out collapsed by partial
+    // struct-min — vector count never shuffles; the census is k rows.
+    "sim_ivf_incremental" -> ((s, d) => {
+      val e = emb(s, d)
+      val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val incoming = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val (cents, _) = graft.engine.KMeans.lloyd(base, k = 16, rounds = 2,
+        trackInertia = false)
+      def census(df: org.apache.spark.sql.DataFrame, tag: String) =
+        graft.engine.KMeans.assign(df, cents)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as(s"n_$tag"),
+               round(FP.qmean(col("dist2")), 4).as(s"avg_dist2_$tag"))
+      census(base, "base").join(census(incoming, "new"), Seq("cluster"), "left")
+        .select(col("cluster"), col("n_base"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          round(coalesce(col("n_new"), lit(0L)) / col("n_base").cast("double"), 4)
+            .as("growth"),
+          col("avg_dist2_base"),
+          col("avg_dist2_new"))
+        .orderBy("cluster")
+    }),
+
     // ---- batch k-NN join: top-3 cosine neighbors for a deterministic
     // SAMPLE of query vectors (vec_id % 100 == 0) against the full corpus —
     // the retrieval-evaluation join an embedding pipeline runs after each
@@ -1413,6 +1449,48 @@ object Similarity {
          |${rnd(3, "cents2")}
          |SELECT seed_id AS cluster, CAST(dim AS BIGINT) AS dim, ${S.qround("cval", 4)} AS centroid_val
          |FROM cd3 ORDER BY cluster, dim""".stripMargin
+    },
+
+    // 2-round Lloyd replay restricted to the even epoch (same dist2 fold,
+    // (dist2, seed_id) tie-break, and qmean update as the emb_kmeans_k3
+    // twin), then ONE assignment of both epochs to the frozen cents2
+    "sim_ivf_incremental" -> {
+      def rnd(i: Int, prev: String) =
+        s"""a$i AS (SELECT b.vec_id, b.v, c.seed_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(b.v, c.c), p -> (p[1]-p[2])*(p[1]-p[2]))),
+           |      (acc, x) -> acc + x) AS dist2
+           |  FROM b CROSS JOIN $prev c),
+           |best$i AS (SELECT vec_id, v, seed_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist2, seed_id) AS rn FROM a$i) WHERE rn = 1),
+           |cd$i AS (SELECT seed_id, dim, ${S.qmean("v[CAST(dim AS INTEGER)]")} AS cval
+           |  FROM best$i, generate_series(1, 64) t(dim) GROUP BY seed_id, dim),
+           |cents$i AS (SELECT seed_id, list(cval ORDER BY dim) AS c FROM cd$i GROUP BY seed_id)"""
+      s"""$embCte,
+         |b AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+         |cents0 AS (SELECT vec_id AS seed_id, v AS c FROM e
+         |           WHERE vec_id < 16 AND vec_id % 2 = 0),
+         |${rnd(1, "cents0")},
+         |${rnd(2, "cents1")},
+         |af AS (SELECT e.vec_id, e.vec_id % 2 AS epoch, c.seed_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(e.v, c.c), p -> (p[1]-p[2])*(p[1]-p[2]))),
+         |      (acc, x) -> acc + x) AS dist2
+         |  FROM e CROSS JOIN cents2 c),
+         |bestf AS (SELECT vec_id, epoch, seed_id, dist2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist2, seed_id) AS rn FROM af) WHERE rn = 1),
+         |cb AS (SELECT seed_id AS cluster, count(*) AS n_base,
+         |    round(${S.qmean("dist2")}, 4) AS avg_dist2_base
+         |  FROM bestf WHERE epoch = 0 GROUP BY 1),
+         |cn AS (SELECT seed_id AS cluster, count(*) AS n_new,
+         |    round(${S.qmean("dist2")}, 4) AS avg_dist2_new
+         |  FROM bestf WHERE epoch = 1 GROUP BY 1)
+         |SELECT cluster, n_base, coalesce(n_new, 0) AS n_new,
+         |  round(CAST(coalesce(n_new, 0) AS DOUBLE) / n_base, 4) AS growth,
+         |  avg_dist2_base, avg_dist2_new
+         |FROM cb LEFT JOIN cn USING (cluster) ORDER BY cluster""".stripMargin
     },
 
     "sim_knn_join" ->
