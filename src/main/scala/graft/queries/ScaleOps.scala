@@ -13,6 +13,38 @@ object ScaleOps {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** The shared three-writer commit-log scenario (etl_commit_conflict +
+    * etl_commit_changes): v1 = customers nation < 10, a winning append of
+    * [10, 20) at v2, a stale compaction REJECTED by conflict detection,
+    * and a second append rebasing ≥ 20 through the conflict to v3.
+    * Materialized once per sf; built in a work dir and atomically renamed
+    * so a crashed half-build can never be consumed (manifests are
+    * table-relative, so the rename is safe). */
+  private def commitScenario(s: SparkSession, d: String): String = {
+    val C = graft.engine.Commits
+    val table = s"/tmp/graft_commits/tbl_${graft.engine.Layouts.tag(d)}"
+    graft.engine.Layouts.ensure(s, table)(new java.io.File(table).exists()) {
+      val work = table + ".build-" + java.util.UUID.randomUUID().toString.take(8)
+      val cust = t(s, d, "customer")
+      C.init(work, C.stage(cust.filter(col("c_nationkey") < 10), work, "base"))
+      // all three writers stage against basis v1
+      val aStaged = C.stage(cust.filter(col("c_nationkey") >= 10 &&
+        col("c_nationkey") < 20), work, "writerA")
+      val bStaged = C.stage(
+        s.read.parquet(C.snapshotFiles(work, 1): _*).coalesce(1), work, "writerB")
+      val cStaged = C.stage(cust.filter(col("c_nationkey") >= 20), work, "writerC")
+      val (v2, aConf) = C.commitAppend(work, 1, Seq(aStaged))
+      require(v2 == 2 && !aConf, "append A must win v2 unconflicted")
+      require(C.commitRewrite(work, 1, Seq(bStaged)).isLeft,
+        "stale rewrite must be rejected by conflict detection")
+      val (v3, cConf) = C.commitAppend(work, 1, Seq(cStaged))
+      require(v3 == 3 && cConf, "append C must rebase through the conflict to v3")
+      require(new java.io.File(work).renameTo(new java.io.File(table)),
+        s"atomic publish of $work failed")
+    }
+    table
+  }
+
   /** Shared SCD2 dimension history: per-(custkey, day) revenue states with
     * lead()-derived validity windows — the ONE history every versioned-read
     * face consumes (etl_scd2, etl_scd2_asof, etl_snapshot_read,
@@ -864,6 +896,41 @@ object ScaleOps {
         .withColumn("collision_free", col("n_pseudonyms") === col("n_keys"))
     }),
 
+    // ---- change-data-feed over the commit log (the Delta CDF read path on
+    // engine.Commits): per version, the manifest DIFF against its
+    // predecessor — files added/removed and the rows those added files
+    // carry — plus the append-only flag a downstream incremental consumer
+    // checks before trusting "new rows = version delta". This is how an
+    // incremental pipeline tails a lakehouse table without re-scanning it:
+    // manifests are metadata-sized driver reads; only the ADDED files of
+    // each version are ever opened, so catching up N versions costs the
+    // new data, not the table. Runs over the same three-writer scenario as
+    // etl_commit_conflict — the aborted compaction correctly never appears
+    // in any version's diff.
+    "etl_commit_changes" -> ((s, d) => {
+      val C = graft.engine.Commits
+      val table = commitScenario(s, d)
+      val latest = C.latestVersion(table)
+      val perVersion = (1 to latest).map { v =>
+        val prev = if (v == 1) Set.empty[String]
+                   else C.manifestEntries(table, v - 1).toSet
+        val cur = C.manifestEntries(table, v)
+        val added = cur.filterNot(prev)
+        val removed = prev.diff(cur.toSet)
+        s.read.parquet(added.map(a => s"$table/$a"): _*)
+          .agg(count(lit(1)).as("n_rows_added"))
+          .select(lit(v.toLong).as("version"),
+            lit(cur.size.toLong).as("n_files"),
+            lit(added.size.toLong).as("n_files_added"),
+            lit(removed.size.toLong).as("n_files_removed"),
+            col("n_rows_added"))
+      }.reduce(_.union(_))
+      perVersion
+        .crossJoin(C.read(s, table).agg(count(lit(1)).as("n_rows_latest")))
+        .withColumn("append_only", col("n_files_removed") === 0)
+        .orderBy("version")
+    }),
+
     // ---- k-anonymity census over a GENERALIZATION LADDER (completes the
     // compliance triad: erasure cascade + pseudonymization + re-id risk):
     // how many records sit in quasi-identifier equivalence classes smaller
@@ -921,26 +988,7 @@ object ScaleOps {
     // interleavings plus the contended-append livelock bound directly.
     "etl_commit_conflict" -> ((s, d) => {
       val C = graft.engine.Commits
-      val table = s"/tmp/graft_commits/tbl_${graft.engine.Layouts.tag(d)}"
-      graft.engine.Layouts.ensure(s, table)(new java.io.File(table).exists()) {
-        val work = table + ".build-" + java.util.UUID.randomUUID().toString.take(8)
-        val cust = t(s, d, "customer")
-        C.init(work, C.stage(cust.filter(col("c_nationkey") < 10), work, "base"))
-        // all three writers stage against basis v1
-        val aStaged = C.stage(cust.filter(col("c_nationkey") >= 10 &&
-          col("c_nationkey") < 20), work, "writerA")
-        val bStaged = C.stage(
-          s.read.parquet(C.snapshotFiles(work, 1): _*).coalesce(1), work, "writerB")
-        val cStaged = C.stage(cust.filter(col("c_nationkey") >= 20), work, "writerC")
-        val (v2, aConf) = C.commitAppend(work, 1, Seq(aStaged))
-        require(v2 == 2 && !aConf, "append A must win v2 unconflicted")
-        require(C.commitRewrite(work, 1, Seq(bStaged)).isLeft,
-          "stale rewrite must be rejected by conflict detection")
-        val (v3, cConf) = C.commitAppend(work, 1, Seq(cStaged))
-        require(v3 == 3 && cConf, "append C must rebase through the conflict to v3")
-        require(new java.io.File(work).renameTo(new java.io.File(table)),
-          s"atomic publish of $work failed")
-      }
+      val table = commitScenario(s, d)
       // audit the committed log: metadata-sized driver reads (the
       // FileSkipping / Delta-log-read exception), data stays distributed
       val latest = C.latestVersion(table)
@@ -1580,6 +1628,25 @@ object ScaleOps {
         |  CAST(sum(CASE WHEN sha256('release-2026-08:' || c_custkey) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         |  (count(DISTINCT sha256('release-2026-08:' || c_custkey)) = count(DISTINCT c_custkey)) AS collision_free
         |FROM customer""".stripMargin,
+
+    // the CDF is fully determined by the scenario's three appends; the
+    // aborted compaction must never surface in any version's diff
+    "etl_commit_changes" ->
+      """WITH rows1 AS (SELECT count(*) AS n FROM customer WHERE c_nationkey < 10),
+        |rows2 AS (SELECT count(*) AS n FROM customer WHERE c_nationkey >= 10 AND c_nationkey < 20),
+        |rows3 AS (SELECT count(*) AS n FROM customer WHERE c_nationkey >= 20),
+        |tot AS (SELECT count(*) AS n FROM customer),
+        |cdf AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_files,
+        |    CAST(1 AS BIGINT) AS n_files_added, CAST(0 AS BIGINT) AS n_files_removed,
+        |    (SELECT n FROM rows1) AS n_rows_added
+        |  UNION ALL
+        |  SELECT 2, 2, 1, 0, (SELECT n FROM rows2)
+        |  UNION ALL
+        |  SELECT 3, 3, 1, 0, (SELECT n FROM rows3))
+        |SELECT version, n_files, n_files_added, n_files_removed, n_rows_added,
+        |  (SELECT n FROM tot) AS n_rows_latest, TRUE AS append_only
+        |FROM cdf ORDER BY version""".stripMargin,
 
     // same ladder via DuckDB's GROUPING SETS + grouping(); every column is
     // an exact integer or a ratio of exact BIGINTs
