@@ -759,6 +759,57 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // ---- Poisson-bootstrap confidence interval for the per-group mean —
+    // the resampling pattern that actually runs at 100 TB: classical
+    // bootstrap resampling (draw n rows with replacement, B times) needs
+    // global coordination, but Poisson(1) per-row replica weights
+    // approximate it embarrassingly parallel (Chamandy et al., the
+    // production "Poisson bootstrap"): each row × replica gets a
+    // DETERMINISTIC pseudo-Poisson weight from quadratic-mix integer
+    // hashing (the tx_mixture_resample no-rand() discipline — both engines
+    // replay the identical integer ladder, so the whole resample is
+    // reproducible at any partitioning), replica means are ratios of
+    // fixed-point qsums (exact-long numerator AND denominator), and the
+    // spread of the B=16 replica means is computed as a second FP pass
+    // over the 16-row-per-group means frame — no order-sensitive moment
+    // aggregate anywhere. Scale shape: the ×B expansion is scan-side
+    // codegen (sequence + explode), partial aggregation collapses it to
+    // (group, replica) before the one shuffle; the CI math runs on
+    // B·groups rows.
+    "agg_bootstrap_ci" -> ((s, d) => {
+      val B = 16
+      val P = 1000003L
+      val rows = t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("rk"),
+          col("l_extendedprice").as("x"))
+        .select(col("l_returnflag"), col("rk"), col("x"),
+          explode(sequence(lit(0), lit(B - 1))).as("r"))
+        .withColumn("h", pmod(col("rk") * 2654435761L + (col("r") + 1) * 40503L, lit(P)))
+        // Poisson(1) inverse-CDF ladder on the integer hash (cutoffs =
+        // CDF × P, fixed literals so both engines compare the same ints)
+        .withColumn("w",
+          when(col("h") < 367879L, 0L).when(col("h") < 735759L, 1L)
+            .when(col("h") < 919699L, 2L).when(col("h") < 981012L, 3L)
+            .when(col("h") < 996340L, 4L).otherwise(5L))
+      val reps = rows.groupBy("l_returnflag", "r")
+        .agg((FP.qsum(col("x") * col("w"), 20) / sum(col("w"))).as("m"))
+      val center = reps.groupBy("l_returnflag")
+        .agg(FP.qmean(col("m"), 20).as("boot_mean"))
+      reps.join(broadcast(center), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_replicas"),
+          first(col("boot_mean")).as("bm"),
+          FP.qsum((col("m") - col("boot_mean")) * (col("m") - col("boot_mean")), 20)
+            .as("ss"))
+        .select(col("l_returnflag"), col("n_replicas"),
+          round(col("bm"), 4).as("boot_mean"),
+          round(sqrt(col("ss") / (col("n_replicas") - 1).cast("double")), 4).as("boot_se"),
+          round(col("bm") - lit(1.96) * sqrt(col("ss") / (col("n_replicas") - 1).cast("double")), 4).as("ci_lo"),
+          round(col("bm") + lit(1.96) * sqrt(col("ss") / (col("n_replicas") - 1).cast("double")), 4).as("ci_hi"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- day-over-day self-join built from ONE aggregated subplan: both
     // join inputs are the same daily rollup, so the planner reuses the
     // first aggregation's shuffle for the second side (plan-asserted)
@@ -1738,6 +1789,33 @@ object Relational {
          |  round(any_value(p05), 4) AS p05, round(any_value(p95), 4) AS p95
          |FROM lineitem JOIN bands USING (l_returnflag)
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // identical integer hash ladder, identical fixed-point replica means
+    // (exact-long numerator/denominator), identical FP second pass for the
+    // spread — the whole resample replays deterministically
+    "agg_bootstrap_ci" ->
+      s"""WITH rws AS (SELECT l_returnflag,
+         |    l_orderkey * 8 + l_linenumber AS rk, l_extendedprice AS x, r
+         |  FROM lineitem, range(0, 16) t(r)),
+         |hs AS (SELECT l_returnflag, x, r,
+         |    (rk * 2654435761 + (r + 1) * 40503) % 1000003 AS h FROM rws),
+         |ws AS (SELECT l_returnflag, x, r,
+         |    CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1
+         |         WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3
+         |         WHEN h < 996340 THEN 4 ELSE 5 END AS w FROM hs),
+         |reps AS (SELECT l_returnflag, r,
+         |    ${SqlText.qsum("x * w", 20)} / sum(w) AS m
+         |  FROM ws GROUP BY 1, 2),
+         |center AS (SELECT l_returnflag, ${SqlText.qmean("m", 20)} AS bm
+         |  FROM reps GROUP BY 1),
+         |fin AS (SELECT l_returnflag, count(*) AS n_replicas, any_value(bm) AS bm,
+         |    ${SqlText.qsum("(m - bm) * (m - bm)", 20)} AS ss
+         |  FROM reps JOIN center USING (l_returnflag) GROUP BY 1)
+         |SELECT l_returnflag, n_replicas, round(bm, 4) AS boot_mean,
+         |  round(sqrt(ss / CAST(n_replicas - 1 AS DOUBLE)), 4) AS boot_se,
+         |  round(bm - 1.96 * sqrt(ss / CAST(n_replicas - 1 AS DOUBLE)), 4) AS ci_lo,
+         |  round(bm + 1.96 * sqrt(ss / CAST(n_replicas - 1 AS DOUBLE)), 4) AS ci_hi
+         |FROM fin ORDER BY l_returnflag""".stripMargin,
 
     "agg_mad" ->
       """WITH med AS (SELECT l_returnflag,
