@@ -57,6 +57,13 @@ object MarginAudit {
     // same sequential-fold class: max(0, acc + (x − target − slack)) with
     // a qround'd broadcast target and literal slack/threshold
     "ts_cusum",
+    // r9: replica means are exact-long FP ratios, the center/spread a
+    // second qmean/qsum pass, and the CI a fixed chain of correctly-
+    // rounded IEEE ops (sub/mul/div/sqrt) on those deterministic inputs
+    "agg_bootstrap_ci",
+    // r9: per-list occupancy is exact BIGINTs; avg dist² is qmean over the
+    // deterministic sequential dist² fold (the emb_kmeans class)
+    "sim_ivf_incremental",
     // same sequential-fold class: the (level, trend) Holt recurrence with
     // literal α/β, replayed as a struct-accumulator list_reduce
     "ts_holt",
@@ -183,6 +190,11 @@ object MarginAudit {
     // tie-breaks — the same exposure tx_bm25 carries, which the audit
     // measures directly on that face)
     "sim_hybrid_rrf")
+    // (etl_k_anonymity is deterministic — frac_below_k is one divide on
+    // exact BIGINT row masses — but its round() sits inside the spark.sql
+    // aggregate projection where the strip audit cannot reach: the
+    // dd_lsh_tuning precedent, left unclassified so RoundingMarginSpec
+    // does not cancel.)
     // (dd_lsh_tuning is deterministic for the same reason — recall is a
     // BIGINT ratio, thresholds are shared literals — but its round() sits
     // inside union branches where the strip audit cannot reach, so listing
