@@ -408,4 +408,73 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     val pk = rows.find(_._1.startsWith("lineitem.pk_unique")).get
     assert(!pk._4 && pk._3 > 0, "expected the real composite-key violation to surface")
   }
+
+  test("etl_k_anonymity: ladder monotone — generalizing only merges classes") {
+    val rows = SparkEntry.queries("etl_k_anonymity")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    val total = graft.engine.Tables.load(spark, d, "customer").count()
+    for ((lvl, nClasses, minClass, nRows, below) <- rows) {
+      assert(nRows == total, s"level $lvl: census covers $nRows of $total rows")
+      assert(below >= 0 && below <= nRows)
+      assert(minClass >= 1 && nClasses >= 1)
+    }
+    // coarser quasi-identifiers can only merge equivalence classes: class
+    // count non-increasing, smallest class non-decreasing, exposure
+    // non-increasing up the ladder
+    rows.sliding(2).foreach { case Array((_, c1, m1, _, b1), (_, c2, m2, _, b2)) =>
+      assert(c2 <= c1, "generalization must not split classes")
+      assert(m2 >= m1, "generalization must not shrink the smallest class")
+      assert(b2 <= b1, "generalization must not increase re-id exposure")
+    }
+  }
+
+  test("sim_ivf_incremental: census covers both epochs exactly; growth consistent") {
+    val rows = SparkEntry.queries("sim_ivf_incremental")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val e = graft.engine.Tables.load(spark, d, "embeddings")
+    val nBase = e.filter(org.apache.spark.sql.functions.expr("vec_id % 2 = 0")).count()
+    val nNew = e.filter(org.apache.spark.sql.functions.expr("vec_id % 2 = 1")).count()
+    assert(rows.map(_._2).sum == nBase, "every base vector lands in exactly one list")
+    assert(rows.map(_._3).sum == nNew, "every incoming vector lands in exactly one list")
+    for ((cl, nb, nn, growth) <- rows) {
+      assert(nb >= 1, s"list $cl exists only if base vectors landed in it")
+      assert(math.abs(growth - nn.toDouble / nb) < 5e-5, s"list $cl growth inconsistent")
+    }
+  }
+
+  test("agg_bootstrap_ci: interval brackets the mean symmetrically; se positive") {
+    val rows = SparkEntry.queries("agg_bootstrap_ci")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 3)
+    for ((flag, b, mean, se, lo, hi) <- rows) {
+      assert(b == 16L, s"$flag: expected 16 replicas")
+      assert(se > 0, s"$flag: zero bootstrap spread means the resample is degenerate")
+      assert(lo < mean && mean < hi, s"$flag: CI [$lo, $hi] must bracket $mean")
+      // lo/hi are mean ∓ 1.96·se rounded at 4 — recompute within grid slack
+      assert(math.abs((hi - lo) - 2 * 1.96 * se) < 2e-3,
+        s"$flag: CI width ${hi - lo} vs 3.92·se ${2 * 1.96 * se}")
+      // the bootstrap mean of a 6k-row group must sit near the plain mean
+      val plain = graft.engine.Tables.load(spark, d, "lineitem")
+        .filter(org.apache.spark.sql.functions.col("l_returnflag") === flag)
+        .agg(org.apache.spark.sql.functions.avg("l_extendedprice"))
+        .head.getDouble(0)
+      assert(math.abs(mean - plain) < 6 * se + 1e-6,
+        s"$flag: bootstrap mean $mean implausibly far from sample mean $plain")
+    }
+  }
+
+  test("st_repair_roundtrip: the census certifies exact equality and full event coverage") {
+    val r = SparkEntry.queries("st_repair_roundtrip")(spark, d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val nEvents = graft.engine.Tables.load(spark, d, "events").count()
+    assert(row.getBoolean(5), "round-trip must be exact")
+    assert(row.getLong(0) == row.getLong(1), "session counts must agree")
+    assert(row.getLong(2) == nEvents, "every event must survive the stream→repair pipeline")
+    assert(row.getLong(3) == 0 && row.getLong(4) == 0)
+  }
 }
