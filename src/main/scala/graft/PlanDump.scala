@@ -171,11 +171,11 @@ object PlanDump {
       "Spark decorrelates to the window-rank plan (filter on rank ≤ 2 over " +
       "one partitioned window) — proof the SQL surface lands on the same " +
       "scalable shape as the hand-built w4_rank_topn."),
-    "graph_adamic_adar" -> ("Hub-capped Adamic–Adar: the witness-degree frame " +
-      "broadcasts twice (cap filter + census), wedges stream through the " +
-      "src-keyed self-join with fan-out bounded by the degree ceiling " +
-      "(C(64,2) max per witness), and the 1-row dropped-hub census BNLJs " +
-      "onto the top-100."),
+    "graph_adamic_adar" -> ("Hub-capped Adamic–Adar: the scored pair table " +
+      "(wedge self-join with fan-out bounded by the degree-64 ceiling, " +
+      "fixed-point weight sum) materializes once per snapshot — the " +
+      "CC-label pattern — so the serving plan is a layout scan + top-100 " +
+      "TakeOrdered + the 1-row dropped-hub census BNLJ."),
     "graph_rank_converged" -> ("Prepared PageRank: the degree-weighted " +
       "adjacency and node frames come from per-sf layouts, so the plan is " +
       "ONLY the 5 unrolled rounds — each one rank⋈adjacency join + one " +

@@ -46,8 +46,8 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
   // Note the corpus reads like the plan audit it automates: the iterative
   // faces assemble from checkpointed rounds (no joins in the FINAL frame's
   // plan), agg_mad/winsorize show the fit-broadcast-transform single
-  // broadcast, adamic_adar carries its 3 broadcasts + 1-row census BNLJ,
-  // the TPC-H shapes are broadcast-star chains, and the IVF-PQ funnel is
+  // broadcast, adamic_adar is a layout read + 1-row census BNLJ, the
+  // TPC-H shapes are broadcast-star chains, and the IVF-PQ funnel is
   // the one legitimately wide plan (staged candidate funnels).
   private val expected: Map[String, Seq[Int]] = Map(
     "agg_mad" -> Seq(1, 0, 0, 0, 0, 2, 1, 0),
@@ -57,7 +57,8 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "dd_substring_spans" -> Seq(1, 0, 0, 0, 0, 3, 1, 0),
     "f2_format_mmssms" -> Seq(0, 0, 0, 0, 0, 0, 1, 0),
     "f8_safe_seconds" -> Seq(0, 0, 0, 0, 0, 0, 1, 0),
-    "graph_adamic_adar" -> Seq(3, 0, 0, 1, 0, 4, 0, 1),
+    // r9: reads the per-sf scored-pair layout — only the 1-row census BNLJ
+    "graph_adamic_adar" -> Seq(0, 0, 0, 1, 0, 0, 0, 0),
     "graph_bfs_layers" -> Seq(0, 0, 0, 0, 0, 1, 1, 0),
     "graph_kcore" -> Seq(0, 0, 0, 0, 0, 0, 1, 0),
     "graph_rank_converged" -> Seq(0, 0, 0, 0, 0, 0, 1, 0),
