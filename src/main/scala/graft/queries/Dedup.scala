@@ -529,6 +529,48 @@ object Dedup {
         .select("a", "b", "n_inter", "n_union", "jaccard")
         .orderBy("a", "b")),
 
+    // ---- AllPairs/PPJoin prefix-filtered set-similarity join (Bayardo
+    // '07, Xiao '08): the EXACT-threshold alternative to LSH candidate
+    // generation. Order every doc's bigram set by global rarity (df asc,
+    // gram tie-break); for Jaccard ≥ 0.5 two sets MUST share a token in
+    // their first ⌊n/2⌋+1 rarest grams, so only the rarity prefix joins —
+    // and prefix join keys are by construction the LOW-df grams, so a hot
+    // stopword bigram can never explode the self-join (the property LSH
+    // buys with df-caps, PPJoin gets from the ordering itself). ZERO
+    // recall loss: unlike banded minhash, every qualifying pair provably
+    // surfaces; the trade is the df table + per-doc rank (one window over
+    // doc-sized partitions) that LSH doesn't pay. Verify = exact Jaccard
+    // on candidates only; the 1-row candidate census broadcasts on so the
+    // funnel (candidates → verified) is visible in-row.
+    "dd_prefix_filter" -> ((s, d) => {
+      val grams = corpus(s, d)
+        .withColumn("__toks", T.tokens(col("text")))
+        .select(col("doc_id"), array_distinct(T.bigramsFromTokens(col("__toks"))).as("g"))
+        .cache()
+      val tok = grams.select(col("doc_id"), size(col("g")).as("n"),
+        explode(col("g")).as("gram"))
+      val dfc = tok.groupBy("gram").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
+      val prefix = tok.join(dfc, "gram")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= floor(col("n") / lit(2)) + lit(1))
+        .select("doc_id", "gram")
+      val cand = prefix.as("x").join(prefix.as("y"),
+          col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        .cache()
+      val ver = cand
+        .join(grams.select(col("doc_id").as("a"), col("g").as("ga")), "a")
+        .join(grams.select(col("doc_id").as("b"), col("g").as("gb")), "b")
+        .withColumn("n_union", size(array_distinct(concat(col("ga"), col("gb")))).cast("bigint"))
+        .withColumn("n_inter", (size(col("ga")) + size(col("gb"))).cast("bigint") - col("n_union"))
+        .withColumn("jaccard", round(col("n_inter") / col("n_union"), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select("a", "b", "n_inter", "n_union", "jaccard")
+      ver.crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .orderBy("a", "b")
+    }),
+
     // asymmetric shingle CONTAINMENT |A∩B|/|A| (and /|B|): catches
     // doc-inside-doc duplication that symmetric Jaccard misses — a short
     // doc fully embedded in a long one scores low Jaccard but containment
@@ -980,6 +1022,32 @@ object Dedup {
          |          CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT), 4) AS jaccard
          |  FROM cand JOIN grams ga ON cand.a = ga.doc_id JOIN grams gb ON cand.b = gb.doc_id)
          |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+
+    // same rarity-ordered prefix (df asc, gram tie-break; length ⌊n/2⌋+1
+    // via integer //) and the same exact-Jaccard verify arithmetic
+    "dd_prefix_filter" ->
+      s"""$corpusCte,
+         |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS g
+         |  FROM (SELECT doc_id, ${S.tokens("text")} AS toks FROM docs)),
+         |tok AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM grams),
+         |dfc AS (SELECT gram, count(*) AS df FROM tok GROUP BY gram),
+         |pref AS (SELECT doc_id, gram FROM (
+         |    SELECT t.doc_id, t.gram, t.n,
+         |      row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.gram) AS rn
+         |    FROM tok t JOIN dfc d USING (gram))
+         |  WHERE rn <= n // 2 + 1),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM pref x JOIN pref y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+         |cen AS (SELECT count(*) AS n_candidates FROM cand)
+         |SELECT a, b, n_inter, n_union, jaccard, n_candidates FROM (
+         |  SELECT a, b,
+         |    CAST(len(ga.g) + len(gb.g) AS BIGINT) - CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT) AS n_inter,
+         |    CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT) AS n_union,
+         |    round((CAST(len(ga.g) + len(gb.g) AS BIGINT) - CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT)) /
+         |          CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT), 4) AS jaccard
+         |  FROM cand JOIN grams ga ON cand.a = ga.doc_id JOIN grams gb ON cand.b = gb.doc_id)
+         |CROSS JOIN cen WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
 
     "dd_containment" ->
       s"""$sigsCte,

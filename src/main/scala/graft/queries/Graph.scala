@@ -325,6 +325,47 @@ object Graph {
       rows.toDF("round", "n_nodes", "n_edges").orderBy("round")
     }),
 
+    // ---- label-propagation community detection (Raghavan '07), the
+    // catalog's community face beside the CONNECTIVITY closure (dd_clusters
+    // CC): each node adopts the most frequent label among its neighbors,
+    // ties broken by min label — four SEMI-SYNCHRONOUS rounds alternating
+    // sides, because fully-synchronous LPA famously OSCILLATES on bipartite
+    // graphs (the two sides swap label sets every round); alternating
+    // updates are the standard coloring fix, and a customer↔supplier graph
+    // is 2-colored by construction. Round 1: customers adopt (supplier
+    // labels all distinct → min neighbor id); round 2: suppliers adopt the
+    // first real modes; rounds 3-4 show the contraction in n_moved. Per
+    // round: the ~16k-node label table BROADCASTS into the edge join (nodes
+    // ≪ edges at every scale — at 100 TB labels would instead stay
+    // co-partitioned with the adjacency, the engine.PageRank layout), the
+    // (node,label) count collapses map-side, and the mode-argmax is the
+    // two-level max-count→min-label chain — pure integer arithmetic, no
+    // argmax-over-struct aliasing risk on either engine. Only the 2-counter
+    // row crosses to the driver per round (kcore discipline). The oracle
+    // unrolls the same four rounds as CTEs.
+    "graph_lpa_communities" -> ((s, d) => {
+      import s.implicits._
+      val e = symEdges(s, d)
+      var labels = e.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")).localCheckpoint()
+      val rows = (1 to 4).map { round =>
+        val p = if (round % 2 == 1) 0 else 1 // customers even, suppliers odd
+        val cnt = e.filter(col("src") % 2 === p)
+          .join(broadcast(labels.withColumnRenamed("node", "dst")), "dst")
+          .groupBy("src", "lbl").agg(count(lit(1)).as("c"))
+        val mx = cnt.groupBy("src").agg(max(col("c")).as("mc"))
+        val upd = cnt.join(mx, "src").filter(col("c") === col("mc"))
+          .groupBy("src").agg(min(col("lbl")).as("lbl"))
+          .select(col("src").as("node"), col("lbl"))
+        val moved = upd.join(labels.withColumnRenamed("lbl", "prev"), "node")
+          .filter(col("lbl") =!= col("prev")).count()
+        labels = labels.filter(col("node") % 2 =!= p).union(upd).localCheckpoint()
+        val nComm = labels.select(countDistinct("lbl")).as[Long].head()
+        (round.toLong, moved, nComm)
+      }
+      rows.toDF("round", "n_moved", "n_communities").orderBy("round")
+    }),
+
     // ---- Adamic–Adar link prediction: score supplier pairs by their
     // shared customers, weighting each witness by 1/ln(degree) so a
     // customer who buys from everyone certifies nothing while a two-
@@ -542,6 +583,35 @@ object Graph {
          |       UNION ALL SELECT dst * 2 + 1, src * 2 FROM e00),
          |${(1 to 5).map(rnd).mkString(",\n")}
          |${(1 to 5).map(row).mkString("\nUNION ALL\n")}
+         |ORDER BY round""".stripMargin
+    },
+
+    // four unrolled semi-synchronous rounds; mode-argmax as the same
+    // two-level max-count→min-label integer chain
+    "graph_lpa_communities" -> {
+      def rnd(i: Int) = {
+        val p = if (i % 2 == 1) 0 else 1
+        s"""c$i AS (SELECT e.src AS node, l.lbl, count(*) AS c
+           |  FROM ed e JOIN l${i - 1} l ON l.node = e.dst
+           |  WHERE e.src % 2 = $p GROUP BY 1, 2),
+           |m$i AS (SELECT node, max(c) AS mc FROM c$i GROUP BY node),
+           |u$i AS (SELECT c.node, min(c.lbl) AS lbl FROM c$i c
+           |  JOIN m$i m ON c.node = m.node AND c.c = m.mc GROUP BY c.node),
+           |l$i AS (SELECT node, lbl FROM l${i - 1} WHERE node % 2 <> $p
+           |        UNION ALL SELECT node, lbl FROM u$i)""".stripMargin
+      }
+      def row(i: Int) =
+        s"""SELECT CAST($i AS BIGINT) AS round,
+           |  (SELECT count(*) FROM u$i u JOIN l${i - 1} q
+           |     ON u.node = q.node AND u.lbl <> q.lbl) AS n_moved,
+           |  (SELECT count(DISTINCT lbl) FROM l$i) AS n_communities""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |ed AS (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM e0
+         |       UNION ALL SELECT dst * 2 + 1, src * 2 FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ed),
+         |${(1 to 4).map(rnd).mkString(",\n")}
+         |${(1 to 4).map(row).mkString("\nUNION ALL\n")}
          |ORDER BY round""".stripMargin
     },
 

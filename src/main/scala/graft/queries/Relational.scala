@@ -352,7 +352,12 @@ object Relational {
       val l = t(s, d, "lineitem")
         .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
-        .withColumn("late", col("l_shipdate") > date_add(col("o_orderdate"), 90))
+        // full-timestamp interval arithmetic (same class as the q12 ADVICE
+        // fix): date_add would cast o_orderdate to DATE and drop any
+        // time-of-day, diverging from the oracle's INTERVAL addition on data
+        // with non-midnight order timestamps
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       l.groupBy("l_orderkey")
         .agg(countDistinct("l_suppkey").as("n_supp"),
           countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),

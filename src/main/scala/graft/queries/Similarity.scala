@@ -147,6 +147,32 @@ object Similarity {
         .orderBy(col("method"), col("cos").desc, col("vec_id").asc)
     }),
 
+    // ---- hard-negative mining (the contrastive-training data face): for
+    // each sampled query, the top-5 highest-cosine vectors with a DIFFERENT
+    // label — the negatives that actually move a dual-encoder, vs the
+    // uninformative random ones (DPR/ANCE recipe). Two standard guards: the
+    // query itself is excluded, and candidates above cos 0.98 are dropped as
+    // suspected unlabeled positives/mislabels (mining those as negatives
+    // poisons the loss — the "false negative" filter every production miner
+    // runs). One broadcast-query scan over the corpus (the sim_recall_eval
+    // shape): mining cost is a linear pass regardless of query count; at
+    // 100 TB the scan side is first pruned by an ANN shortlist
+    // (sim_ann_topk's bucket machinery) before exact re-scoring.
+    "sim_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+        .withColumn("cos", round(V.cosine(col("v"), col("qv")), 6))
+        .filter(col("cos") < 0.98)
+      val rankW = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("neg_rank", row_number().over(rankW).cast("bigint"))
+        .filter(col("neg_rank") <= 5)
+        .select("qid", "neg_rank", "vec_id", "label", "cos")
+        .orderBy("qid", "neg_rank")
+    }),
+
     // ---- ANN recall@10 evaluation: the quality gate every approximate
     // index needs — for a 20-query sample, compute exact top-10 (full-scan
     // cosine, the ground truth) and bucket-probe ANN top-10, then
@@ -1069,6 +1095,19 @@ object Similarity {
          |  WHERE bucket = qbucket ORDER BY cos DESC, vec_id LIMIT 5)
          |SELECT method, vec_id, cos FROM (SELECT * FROM ex UNION ALL SELECT * FROM bk)
          |ORDER BY method, cos DESC, vec_id""".stripMargin,
+
+    // same scored pass + rank window; the 0.98 false-negative guard is
+    // applied before ranking on both engines
+    "sim_hard_negatives" ->
+      s"""$embCte,
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 20),
+         |scored AS (SELECT qid, vec_id, label, round(${S.cosine("v", "qv")}, 6) AS cos
+         |           FROM e CROSS JOIN q WHERE vec_id != qid AND label != qlabel),
+         |r AS (SELECT qid, vec_id, label, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS neg_rank
+         |  FROM scored WHERE cos < 0.98)
+         |SELECT qid, neg_rank, vec_id, label, cos FROM r
+         |WHERE neg_rank <= 5 ORDER BY qid, neg_rank""".stripMargin,
 
     "sim_recall_eval" ->
       s"""$embCte,

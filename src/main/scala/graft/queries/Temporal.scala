@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.{FixedPoint => FP, Tables}
@@ -414,6 +414,64 @@ object Temporal {
       grid.join(hourly, Seq("user_id", "hour"), "left")
         .withColumn("filled_value", last("avg_value", ignoreNulls = true).over(w))
         .withColumn("is_gap", col("avg_value").isNull)
+        .orderBy("user_id", "hour")
+    }),
+
+    // ---- linear interpolation gap-fill: ts_gapfill's forward-fill holds
+    // the LAST observation flat through a gap — right for state-like series
+    // (a config value), wrong for flow-like ones (a sensor reading), where
+    // the standard repair is the line between the bracketing observations.
+    // Same per-user hourly grid; each GAP hour looks back to its previous
+    // observation (last ignoreNulls) and forward to its next (first
+    // ignoreNulls over the following frame), then interpolates at the
+    // hour's fractional position. Determinism: the bracketing values are
+    // fixed-point BIGINTs (qmean at 2^20) cast to double, and the position
+    // ratio is a small-integer division — every double op is the same
+    // IEEE-754 sequence in both engines, written with IDENTICAL
+    // parenthesization, so the rounded result cannot sit on a rounding
+    // lottery. One shuffle on user_id (grid explode co-partitions with the
+    // join, the ts_gapfill discipline); per-user state is the window frame.
+    // Output = interior gap hours only (both brackets exist) — the rows a
+    // repair job would actually write back.
+    "ts_interpolate_linear" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("user_id") < 8)
+        .withColumn("hour", date_trunc("HOUR", col("ts")))
+      // hourly observations kept as the EXACT (Σ quantized, count) integer
+      // pair — the mean is divided out ONCE, after the windows, so no
+      // double→long cast (Spark truncates, DuckDB rounds — a silent
+      // cross-engine trap) ever happens
+      val hourly = ev.groupBy("user_id", "hour")
+        .agg(sum(FP.q(col("value"), 20)).cast("long").as("vs"),
+             count(lit(1)).as("vn"))
+      val grid = ev.groupBy("user_id")
+        .agg(min("hour").as("h0"), max("hour").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+      val wPrev = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      def obs(c: Column): Column = when(col("vs").isNotNull, c)
+      val hEpoch = (unix_timestamp(col("hour")) / 3600L).cast("long")
+      val pm = col("pvs").cast("double") / (col("pvn").cast("double") * lit(1048576.0))
+      val nm = col("nvs").cast("double") / (col("nvn").cast("double") * lit(1048576.0))
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .withColumn("h", hEpoch)
+        .withColumn("pvs", last(obs(col("vs")), ignoreNulls = true).over(wPrev))
+        .withColumn("pvn", last(obs(col("vn")), ignoreNulls = true).over(wPrev))
+        .withColumn("ph", last(obs(col("h")), ignoreNulls = true).over(wPrev))
+        .withColumn("nvs", first(obs(col("vs")), ignoreNulls = true).over(wNext))
+        .withColumn("nvn", first(obs(col("vn")), ignoreNulls = true).over(wNext))
+        .withColumn("nh", first(obs(col("h")), ignoreNulls = true).over(wNext))
+        .filter(col("vs").isNull && col("pvs").isNotNull && col("nvs").isNotNull)
+        // identical IEEE sequence both engines — the parenthesization IS the
+        // contract: pm + (nm - pm) * ((h - ph) / (nh - ph)), every operand a
+        // single correctly-rounded op on exact integer inputs
+        .withColumn("interp", round(
+          pm + (nm - pm) * ((col("h") - col("ph")).cast("double") /
+            (col("nh") - col("ph")).cast("double")), 4))
+        .select(col("user_id"), col("hour"),
+          (col("nh") - col("ph") - 1L).as("gap_len"), col("interp"))
         .orderBy("user_id", "hour")
     }),
 
@@ -849,6 +907,43 @@ object Temporal {
         |  h.avg_value IS NULL AS is_gap
         |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
         |ORDER BY g.user_id, g.hour""".stripMargin,
+
+    // same grid + bracketing windows; the mean is divided out once after
+    // the windows (exact integer sums travel), and the interpolation is the
+    // identical parenthesized IEEE sequence
+    "ts_interpolate_linear" ->
+      """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS hour, value
+        |    FROM events WHERE user_id < 8),
+        |hourly AS (SELECT user_id, hour,
+        |    CAST(sum(CAST(floor(value * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS vs,
+        |    count(*) AS vn
+        |    FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |    FROM ev GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |    FROM bounds),
+        |g AS (SELECT g.user_id, g.hour,
+        |    CAST(epoch(g.hour) // 3600 AS BIGINT) AS h, h.vs, h.vn
+        |  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour),
+        |w AS (SELECT user_id, hour, h, vs,
+        |    last_value(vs IGNORE NULLS) OVER wp AS pvs,
+        |    last_value(vn IGNORE NULLS) OVER wp AS pvn,
+        |    last_value(CASE WHEN vs IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+        |    first_value(vs IGNORE NULLS) OVER wn AS nvs,
+        |    first_value(vn IGNORE NULLS) OVER wn AS nvn,
+        |    first_value(CASE WHEN vs IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nh
+        |  FROM g
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, hour, nh - ph - 1 AS gap_len,
+        |  round(CAST(pvs AS DOUBLE) / (CAST(pvn AS DOUBLE) * 1048576.0)
+        |    + (CAST(nvs AS DOUBLE) / (CAST(nvn AS DOUBLE) * 1048576.0)
+        |       - CAST(pvs AS DOUBLE) / (CAST(pvn AS DOUBLE) * 1048576.0))
+        |      * (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)), 4) AS interp
+        |FROM w WHERE vs IS NULL AND pvs IS NOT NULL AND nvs IS NOT NULL
+        |ORDER BY user_id, hour""".stripMargin,
 
     // each event belongs to the 4 epoch-aligned 15-minute-stepped window
     // starts within the preceding hour

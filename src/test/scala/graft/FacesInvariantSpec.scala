@@ -477,4 +477,85 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(row.getLong(2) == nEvents, "every event must survive the stream→repair pipeline")
     assert(row.getLong(3) == 0 && row.getLong(4) == 0)
   }
+
+  test("ts_interpolate_linear: interp strictly between brackets, gap_len positive") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("ts_interpolate_linear")(spark, d).collect()
+    assert(rows.nonEmpty, "an hourly grid over sparse events must contain gaps")
+    // every interpolated value lies within [min, max] of the user's hourly
+    // means (convexity: a point on the segment between two observations)
+    val bounds = graft.engine.Tables.load(spark, d, "events")
+      .filter(col("user_id") < 8)
+      .groupBy(org.apache.spark.sql.functions.date_trunc("HOUR", col("ts")).as("h"),
+        col("user_id"))
+      .agg(org.apache.spark.sql.functions.avg("value").as("m"))
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.min("m").as("lo"),
+        org.apache.spark.sql.functions.max("m").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for (r <- rows) {
+      val (u, gapLen, interp) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(gapLen >= 1, "an emitted row is a gap by construction")
+      val (lo, hi) = bounds(u)
+      assert(interp >= lo - 1e-3 && interp <= hi + 1e-3,
+        s"user $u interp $interp outside observed range [$lo, $hi]")
+    }
+  }
+
+  test("graph_lpa_communities: monotone convergence, communities bounded by nodes") {
+    val rows = SparkEntry.queries("graph_lpa_communities")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 4)
+    // community count can only shrink or hold under label adoption (labels
+    // are never invented, only copied), and it must have shrunk from the
+    // all-singletons start by round 1
+    val nodes = rows.map(_._3).max
+    for (w <- rows.sliding(2) if w.length == 2)
+      assert(w(1)._3 <= w(0)._3, s"n_communities grew ${w(0)._3} -> ${w(1)._3}")
+    assert(rows.head._2 > 0, "round 1 must move every customer off its own label")
+    for ((round, moved, nc) <- rows) {
+      assert(nc >= 1 && nc <= nodes)
+      assert(moved >= 0)
+    }
+  }
+
+  test("dd_prefix_filter: finds every LSH-confirmed >=0.5 pair (zero recall loss)") {
+    import org.apache.spark.sql.functions.col
+    val pf = SparkEntry.queries("dd_prefix_filter")(spark, d)
+    val rows = pf.collect()
+    assert(rows.nonEmpty, "planted duplicates must verify")
+    val nCand = rows.head.getLong(5)
+    assert(rows.length <= nCand, "verified pairs cannot exceed candidates")
+    for (r <- rows) {
+      assert(r.getLong(0) < r.getLong(1), "pair not ordered")
+      assert(r.getDouble(4) >= 0.5 - 5e-5)
+    }
+    // completeness vs the probabilistic path: every dd_jaccard_verify pair
+    // at its 0.6 threshold is also >= 0.5, so prefix filtering must surface
+    // ALL of them — the exact-join guarantee banded minhash can't make
+    val lsh = SparkEntry.queries("dd_jaccard_verify")(spark, d)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mine = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(mine),
+      s"prefix filter missed LSH-confirmed pairs: ${lsh -- mine}")
+  }
+
+  test("sim_hard_negatives: ranks contiguous, labels differ from query, guard respected") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("sim_hard_negatives")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val qLabels = graft.engine.Tables.load(spark, d, "embeddings")
+      .filter(col("vec_id") < 20)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val byQ = rows.groupBy(_.getLong(0))
+    for ((qid, rs) <- byQ) {
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length),
+        s"q$qid ranks not contiguous")
+      for (r <- rs) {
+        assert(r.getInt(3) != qLabels(qid), s"q$qid mined a same-label 'negative'")
+        assert(r.getDouble(4) < 0.98, "false-negative guard breached")
+        assert(r.getLong(2) != qid)
+      }
+    }
+  }
 }
