@@ -733,6 +733,49 @@ object Relational {
     // collapses to one row per group; the deviation pass is embarrassingly
     // parallel; a second exact percentile closes it). Outliers move MAD
     // not at all, where stddev chases them quadratically.
+    // ---- Gini / Lorenz revenue-concentration profile — the inequality
+    // census a data-mixing pipeline runs on source footprints and a revenue
+    // team runs on accounts: G = 2·Σr·x / (n·Σx) − (n+1)/n over ascending
+    // ranks, plus the top-decile Lorenz point. The interesting part is the
+    // RANK: a naive global row_number is a one-partition window over the
+    // whole aggregate — fine at 15k customers, a scale-killer at 1e9. Here
+    // rank is TWO-PHASE DISTRIBUTED: (1) a coarse monotone bucket
+    // b = ⌊√rq⌋ (IEEE sqrt is correctly rounded, so the bucket boundary is
+    // bit-identical on both engines and floor∘sqrt preserves the rq
+    // order); (2) cumulative offsets over the BUCKET frame — bounded by
+    // the VALUE DOMAIN (~20k buckets at any row count), so its window is
+    // metadata-sized forever; (3) within-bucket row_number, each partition
+    // a thin rq-slice. rank = offset + local — provably the global
+    // (rq, custkey) rank. The oracle free-rides on a plain row_number.
+    // Fixed-point envelope (q4): Σ rank·rq ≈ n²·rev·2⁴ → ~1e17 at sf0.1,
+    // ~90× under 2^63; past sf~3 drop to q0 or rescale ranks.
+    "agg_gini_concentration" -> ((s, d) => {
+      val rev = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(FP.q(col("o_totalprice"), 4)).cast("long").as("rq"))
+      val bucketed = rev.withColumn("b",
+        floor(sqrt(col("rq").cast("double"))).cast("long"))
+      val offsets = bucketed.groupBy("b").agg(count(lit(1)).as("nb"))
+        .withColumn("off", coalesce(sum("nb").over(
+          Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val ranked = bucketed.join(broadcast(offsets.select("b", "off")), "b")
+        .withColumn("lr", row_number().over(
+          Window.partitionBy("b").orderBy(col("rq"), col("o_custkey"))).cast("long"))
+        .withColumn("r", col("off") + col("lr"))
+        .cache()
+      val tot = ranked.agg(count(lit(1)).as("n"), sum("rq").as("tq"),
+        sum(col("r") * col("rq")).as("srq"))
+      val topq = ranked.crossJoin(broadcast(tot))
+        .filter(col("r") > col("n") - floor(col("n") / lit(10)).cast("long"))
+        .agg(sum("rq").as("topq"))
+      tot.crossJoin(topq).select(
+        col("n").as("n_customers"),
+        round((lit(2.0) * col("srq").cast("double"))
+            / (col("n").cast("double") * col("tq").cast("double"))
+          - (col("n") + lit(1)).cast("double") / col("n").cast("double"), 4).as("gini"),
+        round(col("topq").cast("double") / col("tq").cast("double"), 4).as("top10_share"))
+    }),
+
     "agg_mad" -> ((s, d) => {
       // Exact MAD is irreducibly two-pass (the deviation column needs the
       // median first), but both passes share ONE cached 2-column
@@ -1821,6 +1864,25 @@ object Relational {
          |  round(bm - 1.96 * sqrt(ss / CAST(n_replicas - 1 AS DOUBLE)), 4) AS ci_lo,
          |  round(bm + 1.96 * sqrt(ss / CAST(n_replicas - 1 AS DOUBLE)), 4) AS ci_hi
          |FROM fin ORDER BY l_returnflag""".stripMargin,
+
+    // the oracle ranks with a plain global row_number — the two-phase
+    // bucket rank on the Spark side must land on the identical total order
+    "agg_gini_concentration" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 16.0 + 0.5) AS BIGINT)) AS BIGINT) AS rq
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (SELECT o_custkey, rq,
+        |    CAST(row_number() OVER (ORDER BY rq, o_custkey) AS BIGINT) AS r FROM rev),
+        |tot AS (SELECT count(*) AS n, CAST(sum(rq) AS BIGINT) AS tq,
+        |    CAST(sum(r * rq) AS BIGINT) AS srq FROM rk),
+        |top AS (SELECT CAST(sum(rq) AS BIGINT) AS topq FROM rk, tot
+        |        WHERE r > n - n // 10)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  round((2.0 * CAST(srq AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(tq AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS gini,
+        |  round(CAST(topq AS DOUBLE) / CAST(tq AS DOUBLE), 4) AS top10_share
+        |FROM tot, top""".stripMargin,
 
     "agg_mad" ->
       """WITH med AS (SELECT l_returnflag,

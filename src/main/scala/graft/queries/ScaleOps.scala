@@ -772,6 +772,74 @@ object ScaleOps {
         .orderBy("l_returnflag")
     }),
 
+    // ---- per-file BLOOM-filter skipping census: min/max envelopes
+    // (layout_file_skipping) prune RANGE predicates on the cluster key, but
+    // a POINT lookup on an uncorrelated key hits every envelope — the gap
+    // Delta/Iceberg close by adding per-file Bloom filters to the stats
+    // log. Files here are time-batched by ship month (the real ingest
+    // layout, and deliberately uncorrelated with l_orderkey so membership
+    // is not derivable from the file id); each file's filter is 3 exact-
+    // math hashes into an m = 4·n_keys bit space (sized per file like a
+    // real writer, ~15% fp at k=3 — visible in-row). The filter is probed
+    // via its EXISTS formulation — probe hits iff all 3 hashed bits appear
+    // in the file's distinct (j, bit) set — so the census needs no bitmap
+    // materialization and both engines replay identical BIGINT arithmetic.
+    // 10 present + 10 shifted probe keys; the contrast the face exists to
+    // show: min/max passes ALL 8 files for in-domain probes (envelopes
+    // span everything) and 0 for shifted ones, while Bloom discriminates
+    // in-domain — n_false_positive quantifies its only cost. At 100 TB the
+    // bits table is manifest-metadata (keys × 3 rows, distinct-collapsed),
+    // and the probe side is always a broadcast.
+    "layout_bloom_skipping" -> ((s, d) => {
+      val P = lit(1000000007L)
+      val hashes = Seq(2654435761L, 2246822519L, 3266489917L)
+      def hashBits(key: Column): Column = explode(array(hashes.zipWithIndex.map {
+        case (a, j) => struct(lit(j).as("j"),
+          (((key + 1) * lit(a)) % P % col("m")).as("bit"))
+      }: _*))
+      val keys = t(s, d, "lineitem")
+        .select(((year(col("l_shipdate")) * 12 + month(col("l_shipdate"))) % 8)
+          .cast("long").as("fid"), col("l_orderkey"))
+        .distinct().cache()
+      val perfile = keys.groupBy("fid").agg(count(lit(1)).as("n_keys"),
+          min("l_orderkey").as("min_k"), max("l_orderkey").as("max_k"))
+        .withColumn("m", col("n_keys") * 4)
+      val bits = keys.join(broadcast(perfile.select("fid", "m")), "fid")
+        .select(col("fid"), hashBits(col("l_orderkey")).as("hb"))
+        .select(col("fid"), col("hb.j").as("j"), col("hb.bit").as("bit"))
+        .distinct()
+      val present = keys.select("l_orderkey").distinct()
+        .filter(col("l_orderkey") % 97 === 0)
+        .orderBy("l_orderkey").limit(10)
+        .select(col("l_orderkey").as("okey"), lit("present").as("kind"))
+      val probes = present.union(present.select(
+        (col("okey") + 1000000000L).as("okey"), lit("shifted").as("kind"))).cache()
+      val pf = probes.crossJoin(broadcast(perfile))
+      val bloomHits = pf
+        .select(col("okey"), col("kind"), col("fid"), hashBits(col("okey")).as("hb"))
+        .select(col("okey"), col("kind"), col("fid"),
+          col("hb.j").as("j"), col("hb.bit").as("bit"))
+        .join(bits, Seq("fid", "j", "bit"))
+        .groupBy("okey", "kind", "fid").agg(count(lit(1)).as("nj"))
+        .filter(col("nj") === 3)
+        .groupBy("okey", "kind").agg(count(lit(1)).as("n_files_bloom_hit"))
+      val mmHits = pf.filter(col("okey") >= col("min_k") && col("okey") <= col("max_k"))
+        .groupBy("okey", "kind").agg(count(lit(1)).as("n_files_minmax_hit"))
+      val actual = probes.join(keys, probes("okey") === keys("l_orderkey"))
+        .groupBy("okey", "kind").agg(countDistinct("fid").as("n_files_actual"))
+      probes
+        .join(mmHits, Seq("okey", "kind"), "left")
+        .join(bloomHits, Seq("okey", "kind"), "left")
+        .join(actual, Seq("okey", "kind"), "left")
+        .select(col("okey"), col("kind"),
+          coalesce(col("n_files_minmax_hit"), lit(0L)).as("n_files_minmax_hit"),
+          coalesce(col("n_files_bloom_hit"), lit(0L)).as("n_files_bloom_hit"),
+          coalesce(col("n_files_actual"), lit(0L)).as("n_files_actual"))
+        .withColumn("n_false_positive",
+          col("n_files_bloom_hit") - col("n_files_actual"))
+        .orderBy("kind", "okey")
+    }),
+
     // ---- validation routing (dead-letter / quarantine split): every row is
     // classified by the FIRST failing rule — malformed-event type, suspect
     // JSON payload, negligible value — and the query reports the routing
@@ -1579,6 +1647,44 @@ object ScaleOps {
         |FROM lineitem
         |WHERE l_extendedprice >= 2000.0 AND l_extendedprice <= 15000.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // identical BIGINT hash arithmetic and EXISTS-formulated membership
+    "layout_bloom_skipping" ->
+      """WITH hs(j, a) AS (VALUES (0, 2654435761), (1, 2246822519), (2, 3266489917)),
+        |keys AS (SELECT DISTINCT
+        |    CAST((year(l_shipdate) * 12 + month(l_shipdate)) % 8 AS BIGINT) AS fid,
+        |    l_orderkey FROM lineitem),
+        |perfile AS (SELECT fid, count(*) AS n_keys, min(l_orderkey) AS min_k,
+        |    max(l_orderkey) AS max_k, count(*) * 4 AS m FROM keys GROUP BY fid),
+        |bits AS (SELECT DISTINCT k.fid, hs.j,
+        |    ((k.l_orderkey + 1) * hs.a) % 1000000007 % p.m AS bit
+        |  FROM keys k JOIN perfile p USING (fid) CROSS JOIN hs),
+        |pres AS (SELECT okey, 'present' AS kind FROM (
+        |    SELECT DISTINCT l_orderkey AS okey FROM keys WHERE l_orderkey % 97 = 0
+        |    ORDER BY okey LIMIT 10)),
+        |probes AS (SELECT okey, kind FROM pres
+        |           UNION ALL SELECT okey + 1000000000, 'shifted' FROM pres),
+        |pb AS (SELECT pr.okey, pr.kind, p.fid, hs.j,
+        |    ((pr.okey + 1) * hs.a) % 1000000007 % p.m AS bit
+        |  FROM probes pr CROSS JOIN perfile p CROSS JOIN hs),
+        |bh AS (SELECT okey, kind, fid FROM pb JOIN bits USING (fid, j, bit)
+        |       GROUP BY okey, kind, fid HAVING count(*) = 3),
+        |bhc AS (SELECT okey, kind, count(*) AS nb FROM bh GROUP BY 1, 2),
+        |mm AS (SELECT pr.okey, pr.kind, count(*) AS nm FROM probes pr
+        |       JOIN perfile p ON pr.okey >= p.min_k AND pr.okey <= p.max_k
+        |       GROUP BY 1, 2),
+        |act AS (SELECT pr.okey, pr.kind, count(DISTINCT k.fid) AS na
+        |        FROM probes pr JOIN keys k ON k.l_orderkey = pr.okey GROUP BY 1, 2)
+        |SELECT pr.okey, pr.kind,
+        |  CAST(coalesce(nm, 0) AS BIGINT) AS n_files_minmax_hit,
+        |  CAST(coalesce(nb, 0) AS BIGINT) AS n_files_bloom_hit,
+        |  CAST(coalesce(na, 0) AS BIGINT) AS n_files_actual,
+        |  CAST(coalesce(nb, 0) - coalesce(na, 0) AS BIGINT) AS n_false_positive
+        |FROM probes pr
+        |LEFT JOIN mm ON mm.okey = pr.okey AND mm.kind = pr.kind
+        |LEFT JOIN bhc ON bhc.okey = pr.okey AND bhc.kind = pr.kind
+        |LEFT JOIN act ON act.okey = pr.okey AND act.kind = pr.kind
+        |ORDER BY pr.kind, pr.okey""".stripMargin,
 
     "etl_quarantine" ->
       """SELECT reason, count(*) AS n_events, count(DISTINCT user_id) AS n_users,

@@ -540,6 +540,49 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
       s"prefix filter missed LSH-confirmed pairs: ${lsh -- mine}")
   }
 
+  test("layout_bloom_skipping: no false negatives, minmax blind in-domain, census consistent") {
+    val rows = SparkEntry.queries("layout_bloom_skipping")(spark, d).collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      val (kind, mm, bloom, actual, fp) =
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // THE Bloom contract: a present key's bits are all set — the filter
+      // may over-approximate but can never skip a file that holds the key
+      assert(bloom >= actual, s"false negative: bloom=$bloom < actual=$actual")
+      assert(fp == bloom - actual)
+      if (kind == "present") {
+        assert(actual >= 1, "a sampled in-domain key must live somewhere")
+        assert(mm >= actual, "the min/max envelope is also over-approximate")
+      } else {
+        assert(actual == 0, "shifted keys are out of domain by construction")
+        assert(mm == 0, "min/max prunes everything out-of-domain")
+      }
+    }
+  }
+
+  test("agg_gini_concentration: matches a driver-side exact recompute") {
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("agg_gini_concentration")(spark, d).collect().head
+    val (n, gini, top10) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(gini >= 0.0 && gini < 1.0)
+    assert(top10 >= 0.1 - 5e-5 && top10 <= 1.0, "top decile holds at least its pro-rata share")
+    // exact recompute from first principles at sf0.001 scale
+    val revs = graft.engine.Tables.load(spark, d, "orders")
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.floor(col("o_totalprice") * 16.0 + 0.5)).as("rq"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy(x => (x._2, x._1)).map(_._2)
+    assert(revs.length == n)
+    val t = revs.map(BigInt(_)).sum
+    val s = revs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val expG = 2.0 * s.toDouble / (n.toDouble * t.toDouble) - (n + 1.0) / n
+    assert(math.abs(gini - expG) < 1e-3, s"gini $gini vs recomputed $expG")
+    val thr = n - n / 10
+    val expTop = revs.drop(thr.toInt).map(BigInt(_)).sum.toDouble / t.toDouble
+    assert(math.abs(top10 - expTop) < 1e-3, s"top10 $top10 vs recomputed $expTop")
+  }
+
   test("sim_hard_negatives: ranks contiguous, labels differ from query, guard respected") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("sim_hard_negatives")(spark, d).collect()
