@@ -531,21 +531,42 @@ object Dedup {
 
     // ---- AllPairs/PPJoin prefix-filtered set-similarity join (Bayardo
     // '07, Xiao '08): the EXACT-threshold alternative to LSH candidate
-    // generation. Order every doc's bigram set by global rarity (df asc,
-    // gram tie-break); for Jaccard ≥ 0.5 two sets MUST share a token in
-    // their first ⌊n/2⌋+1 rarest grams, so only the rarity prefix joins —
-    // and prefix join keys are by construction the LOW-df grams, so a hot
-    // stopword bigram can never explode the self-join (the property LSH
-    // buys with df-caps, PPJoin gets from the ordering itself). ZERO
-    // recall loss: unlike banded minhash, every qualifying pair provably
-    // surfaces; the trade is the df table + per-doc rank (one window over
-    // doc-sized partitions) that LSH doesn't pay. Verify = exact Jaccard
-    // on candidates only; the 1-row candidate census broadcasts on so the
-    // funnel (candidates → verified) is visible in-row.
+    // generation. Order every doc's shingle set by global rarity (df asc,
+    // gram tie-break); for Jaccard ≥ 0.5 two sets MUST share an element in
+    // their first ⌊n/2⌋+1 rarest, so only the rarity prefix joins — and
+    // prefix join keys are by construction the LOW-df shingles, so a hot
+    // shingle can never explode the self-join (the property LSH buys with
+    // df-caps, PPJoin gets from the ordering itself). ZERO recall loss:
+    // unlike banded minhash, every qualifying pair provably surfaces
+    // (spec: exhaustive all-pairs ground truth); the trade is the df table
+    // + per-doc rank that LSH doesn't pay.
+    //
+    // SHINGLE WIDTH IS THE LEVER (measured): on this templated corpus the
+    // BIGRAM df distribution is flat — even the per-doc "rarest" grams
+    // have df in the hundreds, and the prefix join degenerates to 9.0M
+    // candidate pairs from 5,325 docs at sf0.1 (63% of ALL pairs; 38 s).
+    // Widening to 4-token shingles restores the Zipf tail (df_max 7,
+    // median 1) and the identical algorithm yields 651 candidates from
+    // 15.8k join rows. Prefix filtering's bite is a property of the key
+    // distribution, not the algorithm — the same reason production
+    // near-dup pipelines shingle at 3-5 tokens, not words.
     "dd_prefix_filter" -> ((s, d) => {
+      // 4-token shingles carried as BIGINT rolling hashes (the LSH
+      // pipeline's representation, one gram wider): the df table and the
+      // prefix self-join shuffle 8-byte keys instead of ~30-byte gram
+      // strings, and the hash fold rides the already-fused tokenHashes
+      // expression. Both engines apply the identical fold, so a collision
+      // (≤ |grams|²/2P ≈ 1e-4 expected at sf0.1) merges the same pair of
+      // grams on both sides — deterministic, not a flake source.
+      val g4 = when(size(col("__th")) < 4, array().cast("array<long>"))
+        .otherwise(expr(
+          """transform(sequence(1, size(__th) - 3),
+            |  i -> (((element_at(__th, i) * 131 + element_at(__th, i + 1)) * 131
+            |         + element_at(__th, i + 2)) * 131 + element_at(__th, i + 3))
+            |       % 1000000007L)""".stripMargin))
       val grams = corpus(s, d)
-        .withColumn("__toks", T.tokens(col("text")))
-        .select(col("doc_id"), array_distinct(T.bigramsFromTokens(col("__toks"))).as("g"))
+        .withColumn("__th", T.tokenHashes(col("text")))
+        .select(col("doc_id"), array_distinct(g4).as("g"))
         .cache()
       val tok = grams.select(col("doc_id"), size(col("g")).as("n"),
         explode(col("g")).as("gram"))
@@ -1027,9 +1048,11 @@ object Dedup {
     // via integer //) and the same exact-Jaccard verify arithmetic
     "dd_prefix_filter" ->
       s"""$corpusCte,
-         |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
-         |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS g
-         |  FROM (SELECT doc_id, ${S.tokens("text")} AS toks FROM docs)),
+         |th AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM docs),
+         |grams AS (SELECT doc_id, list_distinct(CASE WHEN len(th) < 4 THEN CAST([] AS BIGINT[]) ELSE
+         |    list_transform(range(1, len(th) - 2),
+         |      i -> (((th[i] * 131 + th[i+1]) * 131 + th[i+2]) * 131 + th[i+3]) % 1000000007) END) AS g
+         |  FROM th),
          |tok AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM grams),
          |dfc AS (SELECT gram, count(*) AS df FROM tok GROUP BY gram),
          |pref AS (SELECT doc_id, gram FROM (

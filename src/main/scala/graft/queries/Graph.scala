@@ -357,11 +357,15 @@ object Graph {
         val upd = cnt.join(mx, "src").filter(col("c") === col("mc"))
           .groupBy("src").agg(min(col("lbl")).as("lbl"))
           .select(col("src").as("node"), col("lbl"))
-        val moved = upd.join(labels.withColumnRenamed("lbl", "prev"), "node")
-          .filter(col("lbl") =!= col("prev")).count()
+        val prev = labels
         labels = labels.filter(col("node") % 2 =!= p).union(upd).localCheckpoint()
-        val nComm = labels.select(countDistinct("lbl")).as[Long].head()
-        (round.toLong, moved, nComm)
+        // both per-round counters from ONE job over the two materialized
+        // label snapshots (node-count-sized broadcast join) — per-round
+        // driver sync is the jitter amplifier the bench retries punish
+        val st = labels.join(broadcast(prev.withColumnRenamed("lbl", "prev")), "node")
+          .agg(sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)).as("mv"),
+               countDistinct("lbl").as("nc")).head()
+        (round.toLong, st.getLong(0), st.getLong(1))
       }
       rows.toDF("round", "n_moved", "n_communities").orderBy("round")
     }),

@@ -797,17 +797,35 @@ object ScaleOps {
         case (a, j) => struct(lit(j).as("j"),
           (((key + 1) * lit(a)) % P % col("m")).as("bit"))
       }: _*))
-      val keys = t(s, d, "lineitem")
-        .select(((year(col("l_shipdate")) * 12 + month(col("l_shipdate"))) % 8)
-          .cast("long").as("fid"), col("l_orderkey"))
-        .distinct().cache()
-      val perfile = keys.groupBy("fid").agg(count(lit(1)).as("n_keys"),
-          min("l_orderkey").as("min_k"), max("l_orderkey").as("max_k"))
-        .withColumn("m", col("n_keys") * 4)
-      val bits = keys.join(broadcast(perfile.select("fid", "m")), "fid")
-        .select(col("fid"), hashBits(col("l_orderkey")).as("hb"))
-        .select(col("fid"), col("hb.j").as("j"), col("hb.bit").as("bit"))
-        .distinct()
+      // the Bloom manifest is computed at WRITE time by a real table writer
+      // (it is file-level metadata, a pure function of the snapshot like
+      // the min/max stats log) — materialized once per sf alongside the
+      // graph/dedup layout artifacts; the oracle keeps recomputing it from
+      // SQL so staleness cannot hide
+      val tag = graft.engine.Layouts.tag(d)
+      val base = s"/tmp/graft_filestats/bloom_$tag"
+      // bits is written LAST, so its commit marker certifies all three
+      graft.engine.Layouts.ensure(s, base)(
+        new java.io.File(s"$base/bits/_SUCCESS").exists()) {
+        val keys0 = t(s, d, "lineitem")
+          .select(((year(col("l_shipdate")) * 12 + month(col("l_shipdate"))) % 8)
+            .cast("long").as("fid"), col("l_orderkey"))
+          .distinct().cache()
+        val perfile0 = keys0.groupBy("fid").agg(count(lit(1)).as("n_keys"),
+            min("l_orderkey").as("min_k"), max("l_orderkey").as("max_k"))
+          .withColumn("m", col("n_keys") * 4)
+        keys0.coalesce(2).write.mode("overwrite").parquet(s"$base/keys")
+        perfile0.coalesce(1).write.mode("overwrite").parquet(s"$base/perfile")
+        keys0.join(broadcast(perfile0.select("fid", "m")), "fid")
+          .select(col("fid"), hashBits(col("l_orderkey")).as("hb"))
+          .select(col("fid"), col("hb.j").as("j"), col("hb.bit").as("bit"))
+          .distinct()
+          .coalesce(2).write.mode("overwrite").parquet(s"$base/bits")
+        keys0.unpersist()
+      }
+      val keys = s.read.parquet(s"$base/keys")
+      val perfile = s.read.parquet(s"$base/perfile")
+      val bits = s.read.parquet(s"$base/bits")
       val present = keys.select("l_orderkey").distinct()
         .filter(col("l_orderkey") % 97 === 0)
         .orderBy("l_orderkey").limit(10)

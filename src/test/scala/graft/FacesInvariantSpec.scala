@@ -519,8 +519,7 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
-  test("dd_prefix_filter: finds every LSH-confirmed >=0.5 pair (zero recall loss)") {
-    import org.apache.spark.sql.functions.col
+  test("dd_prefix_filter: exhaustive ground truth — zero recall loss at the exact threshold") {
     val pf = SparkEntry.queries("dd_prefix_filter")(spark, d)
     val rows = pf.collect()
     assert(rows.nonEmpty, "planted duplicates must verify")
@@ -530,14 +529,34 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
       assert(r.getLong(0) < r.getLong(1), "pair not ordered")
       assert(r.getDouble(4) >= 0.5 - 5e-5)
     }
-    // completeness vs the probabilistic path: every dd_jaccard_verify pair
-    // at its 0.6 threshold is also >= 0.5, so prefix filtering must surface
-    // ALL of them — the exact-join guarantee banded minhash can't make
-    val lsh = SparkEntry.queries("dd_jaccard_verify")(spark, d)
-      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ALL pairs at sf0.001 and recompute 4-gram Jaccard — the
+    // prefix join must surface exactly the qualifying set (completeness is
+    // the guarantee banded minhash cannot make; this is it, measured)
+    def g4(text: String): Set[Long] = {
+      val P = 1000000007L
+      val hs = text.split(" ").filter(_.nonEmpty)
+        .map(w => w.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % P))
+      if (hs.length < 4) Set.empty[Long]
+      else hs.sliding(4).map { q =>
+        (((q(0) * 131 + q(1)) * 131 + q(2)) * 131 + q(3)) % P
+      }.toSet
+    }
+    val docs = {
+      val base = graft.engine.Tables.load(spark, d, "documents")
+        .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+      base ++
+        base.filter(_._1 % 25 == 0).map { case (i, t) => (i + 1000000L, t + " zz duplicate") } ++
+        base.filter(_._1 % 40 == 0).map { case (i, t) => (i + 2000000L, t) }
+    }.map { case (i, t) => (i, g4(t)) }
+    val truth = (for {
+      (a, ga) <- docs; (b, gb) <- docs if a < b && ga.nonEmpty
+      inter = (ga & gb).size
+      union = (ga | gb).size
+      if union > 0 && inter.toDouble / union >= 0.5
+    } yield (a, b)).toSet
     val mine = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.subsetOf(mine),
-      s"prefix filter missed LSH-confirmed pairs: ${lsh -- mine}")
+    assert(mine == truth,
+      s"missed: ${truth -- mine}; spurious: ${mine -- truth}")
   }
 
   test("layout_bloom_skipping: no false negatives, minmax blind in-domain, census consistent") {
