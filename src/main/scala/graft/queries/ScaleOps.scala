@@ -1055,6 +1055,38 @@ object ScaleOps {
           |FROM cls GROUP BY level ORDER BY level""".stripMargin)
     }),
 
+    // ---- differential-privacy noisy release (completes the compliance
+    // quartet: erase / pseudonymize / k-anonymity / DP): per-nation
+    // customer counts + Laplace noise at ε = 0.5, sensitivity 1 (one
+    // customer lives in exactly one nation). The MECHANISM is real — noise
+    // scale b = Δ/ε = 2, release = max(count + noise, 0) — but the DRAW is
+    // the catalog's documented deterministic stub (the mm decode-stub
+    // discipline): a 33-point inverse-CDF grid of Laplace(2), computed
+    // ONCE in Scala and interpolated as the same literal into both
+    // engines, indexed by an integer hash of the group key. Production
+    // swaps the hash index for a crypto RNG draw — everything else (the
+    // census shape, the clamp, the ε accounting column) ships as-is. True
+    // counts are released here only because the oracle gate needs them;
+    // scale shape: one hash-aggregate, noise applied group-side (group
+    // count rows, never fact rows).
+    "etl_dp_noisy_counts" -> ((s, d) => {
+      val b = 2.0
+      val noiseTable: Seq[Long] = (0 until 33).map { i =>
+        val p = (i + 0.5) / 33.0
+        math.round(-b * math.signum(p - 0.5) * math.log(1.0 - 2.0 * math.abs(p - 0.5)))
+      }
+      val noiseArr = array(noiseTable.map(lit(_)): _*)
+      t(s, d, "customer")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_true"))
+        .withColumn("idx",
+          ((col("c_nationkey") + 1) * lit(2654435761L)) % lit(1000000007L) % 33)
+        .withColumn("noise", element_at(noiseArr, (col("idx") + 1).cast("int")))
+        .select(col("c_nationkey"), col("n_true"), col("noise"),
+          greatest(col("n_true") + col("noise"), lit(0L)).as("n_noisy"),
+          lit(0.5).as("epsilon"))
+        .orderBy("c_nationkey")
+    }),
+
     // ---- optimistic-concurrency commit conflict (VERDICT r8 #3 — the one
     // ACID mechanic the manifest-based lakehouse faces hadn't covered):
     // three writers race engine.Commits' put-if-absent log from the same
@@ -1792,6 +1824,23 @@ object ScaleOps {
         |    / CAST(sum(class_size) AS DOUBLE), 4) AS frac_below_k,
         |  (min(class_size) >= 5) AS k_anonymous
         |FROM cls GROUP BY level ORDER BY level""".stripMargin,
+
+    // the identical 33-point Laplace grid computed once in Scala and
+    // interpolated as the same literal into both engines
+    "etl_dp_noisy_counts" -> {
+      val b = 2.0
+      val tbl = (0 until 33).map { i =>
+        val p = (i + 0.5) / 33.0
+        math.round(-b * math.signum(p - 0.5) * math.log(1.0 - 2.0 * math.abs(p - 0.5)))
+      }.mkString("[", ", ", "]")
+      s"""WITH cnt AS (SELECT c_nationkey, count(*) AS n_true FROM customer GROUP BY 1)
+         |SELECT c_nationkey, n_true, CAST(noise AS BIGINT) AS noise,
+         |  greatest(n_true + noise, 0) AS n_noisy, 0.5 AS epsilon
+         |FROM (SELECT c_nationkey, n_true,
+         |    $tbl[CAST(((c_nationkey + 1) * 2654435761) % 1000000007 % 33 + 1 AS INTEGER)] AS noise
+         |  FROM cnt)
+         |ORDER BY c_nationkey""".stripMargin
+    },
 
     // the census is fully determined by the scenario: v1 = nations < 10,
     // v2 = v1 + [10,20) append, v3 = v2 + >= 20 append; the aborted

@@ -173,6 +173,52 @@ object Similarity {
         .orderBy("qid", "neg_rank")
     }),
 
+    // ---- MMR result diversification (Carbonell & Goldstein '98): greedy
+    // re-rank of the relevance shortlist by λ·rel − (1−λ)·max-sim-to-
+    // selected — the "don't show five copies of the same doc" stage every
+    // retrieval endpoint runs after ANN. Execution split mirrors a real
+    // serving head: the SHORTLIST (top-20 exact cosine) and its 20×20
+    // pairwise-sim matrix are computed distributed, then the 5-step greedy
+    // runs driver-side over that k-bounded frame — re-ranking happens on
+    // the head because its input is output-sized BY CONSTRUCTION (the
+    // documented metadata-sized-collect class, like the Count–Min point
+    // probes). Determinism: rel and sim are rounded-6 before the greedy,
+    // every score is the same IEEE sequence on both engines, ties break on
+    // vec_id; the oracle unrolls the identical 5 selections as CTEs.
+    "sim_mmr_diversify" -> ((s, d) => {
+      import s.implicits._
+      val lam = 0.5
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val cands = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .withColumn("rel", round(V.cosine(col("v"), col("qv")), 6))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .select("vec_id", "v", "rel").cache()
+      val sims = cands.as("x").crossJoin(cands.as("y"))
+        .filter(col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          round(V.cosine(col("x.v"), col("y.v")), 6).as("sim"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      def simOf(x: Long, y: Long): Double = if (x < y) sims((x, y)) else sims((y, x))
+      val pool = scala.collection.mutable.LinkedHashMap(
+        cands.select("vec_id", "rel").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)): _*)
+      val picked = scala.collection.mutable.ArrayBuffer[Long]()
+      val out = (1 to 5).map { k =>
+        val (vid, rel, score) = pool.toSeq.map { case (c, rel) =>
+          val pen = if (picked.isEmpty) 0.0 else picked.map(simOf(c, _)).max
+          (c, rel, lam * rel - (1 - lam) * pen)
+        }.minBy { case (c, _, sc) => (-sc, c) }
+        picked += vid; pool.remove(vid)
+        // HALF_UP to match round() on both engines; + 0.0 canonicalizes a
+        // possible negative zero (the FixedPoint.qround rule)
+        val r4 = BigDecimal(score).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0
+        (k.toLong, vid, rel, r4)
+      }
+      out.toDF("sel_rank", "vec_id", "rel", "mmr_score")
+    }),
+
     // ---- ANN recall@10 evaluation: the quality gate every approximate
     // index needs — for a 20-query sample, compute exact top-10 (full-scan
     // cosine, the ground truth) and bucket-probe ANN top-10, then
@@ -1095,6 +1141,33 @@ object Similarity {
          |  WHERE bucket = qbucket ORDER BY cos DESC, vec_id LIMIT 5)
          |SELECT method, vec_id, cos FROM (SELECT * FROM ex UNION ALL SELECT * FROM bk)
          |ORDER BY method, cos DESC, vec_id""".stripMargin,
+
+    // the identical 5 greedy selections unrolled as CTEs; scores compared
+    // RAW (rounding only at output), ties on vec_id
+    "sim_mmr_diversify" -> {
+      def step(i: Int) =
+        s"""r$i AS (SELECT c.vec_id, c.rel, 0.5 * c.rel - 0.5 * max(p.sim) AS sc
+           |  FROM c JOIN p ON p.a = c.vec_id JOIN sel${i - 1} s ON p.b = s.vec_id
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+           |  GROUP BY c.vec_id, c.rel),
+           |s$i AS (SELECT vec_id, rel, sc FROM r$i ORDER BY sc DESC, vec_id LIMIT 1),
+           |sel$i AS (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+      s"""$embCte,
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |sc0 AS (SELECT vec_id, v, round(${S.cosine("v", "qv")}, 6) AS rel
+         |        FROM e, q WHERE vec_id != 0),
+         |c AS (SELECT vec_id, v, rel FROM (SELECT vec_id, v, rel,
+         |    row_number() OVER (ORDER BY rel DESC, vec_id) AS rn FROM sc0) WHERE rn <= 20),
+         |p AS (SELECT x.vec_id AS a, y.vec_id AS b, round(${S.cosine("x.v", "y.v")}, 6) AS sim
+         |      FROM c x JOIN c y ON x.vec_id <> y.vec_id),
+         |s1 AS (SELECT vec_id, rel, 0.5 * rel AS sc FROM c ORDER BY rel DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT vec_id FROM s1),
+         |${(2 to 5).map(step).mkString(",\n")}
+         |SELECT sel_rank, vec_id, rel, ${S.qround("sc", 4)} AS mmr_score FROM (
+         |  SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel, sc FROM s1
+         |  ${(2 to 5).map(i => s"UNION ALL SELECT CAST($i AS BIGINT), vec_id, rel, sc FROM s$i").mkString("\n  ")})
+         |ORDER BY sel_rank""".stripMargin
+    },
 
     // same scored pass + rank window; the 0.98 false-negative guard is
     // applied before ranking on both engines

@@ -602,6 +602,38 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(math.abs(top10 - expTop) < 1e-3, s"top10 $top10 vs recomputed $expTop")
   }
 
+  test("sim_mmr_diversify: greedy order is score-monotone and starts at max relevance") {
+    val rows = SparkEntry.queries("sim_mmr_diversify")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1L to 5L))
+    assert(rows.map(_._2).distinct.length == 5, "a doc can be selected once")
+    // the first pick is pure relevance; λ=0.5 ⇒ its score is rel/2
+    assert(math.abs(rows.head._4 - rows.head._3 / 2) < 1e-4)
+    // from step 2 on the greedy max can only fall: pools shrink and the
+    // max-sim penalty grows pointwise. (Step 1 → 2 CAN rise: step 1's
+    // penalty is zero by definition, while a NEGATIVE similarity to the
+    // first pick hands step 2 a diversity bonus — observed at sf0.001.)
+    for (w <- rows.drop(1).sliding(2) if w.length == 2)
+      assert(w(1)._4 <= w(0)._4 + 1e-9, s"mmr_score rose ${w(0)._4} -> ${w(1)._4}")
+  }
+
+  test("etl_dp_noisy_counts: clamp correct, noise from the grid, epsilon constant") {
+    val b = 2.0
+    val grid = (0 until 33).map { i =>
+      val p = (i + 0.5) / 33.0
+      math.round(-b * math.signum(p - 0.5) * math.log(1.0 - 2.0 * math.abs(p - 0.5)))
+    }.toSet
+    val rows = SparkEntry.queries("etl_dp_noisy_counts")(spark, d).collect()
+    assert(rows.length == 25)
+    for (r <- rows) {
+      val (nTrue, noise, nNoisy, eps) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(grid.contains(noise), s"noise $noise not on the inverse-CDF grid")
+      assert(nNoisy == math.max(nTrue + noise, 0L))
+      assert(eps == 0.5)
+    }
+  }
+
   test("sim_hard_negatives: ranks contiguous, labels differ from query, guard respected") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("sim_hard_negatives")(spark, d).collect()
