@@ -95,6 +95,51 @@ object Multimodal {
     }
   }
 
+  /** Scene-structured GVID clip: frames are byte-identical WITHIN a scene
+    * and every byte shifts by +53 mod 256 at a scene boundary (scene index
+    * = f / sceneLen) — the synthetic stand-in for shot changes, with the
+    * same container layout as [[videoBytes]]. */
+  def sceneVideoBytes(docId: Long, nFrames: Int, sceneLen: Int): Array[Byte] = {
+    require(sceneLen >= 1)
+    val b = new Array[Byte](8 + nFrames * FrameLen)
+    b(0) = 'G'; b(1) = 'V'; b(2) = 'I'; b(3) = 'D'
+    for (i <- 0 until 4) b(4 + i) = (nFrames >>> (8 * i)).toByte
+    for (f <- 0 until nFrames; j <- 0 until FrameLen)
+      b(8 + f * FrameLen + j) = ((docId * 31 + (f / sceneLen) * 53 + j) % 256).toByte
+    b
+  }
+
+  case class FrameDiff(doc_id: Long, frame_idx: Int, diff_l1: Long)
+
+  /** Adjacent-frame L1 byte difference stream — the raw signal shot
+    * detection thresholds. Genuinely re-reads count and frame bytes from
+    * their offsets (no arithmetic shared with the synthesizer); same
+    * untrusted-length discipline as [[sampleFrames]]: bad magic, negative
+    * count, or an over-long claim drops the clip, never throws. */
+  def frameDiffs(vids: Dataset[VideoRecord]): Dataset[FrameDiff] = {
+    import vids.sparkSession.implicits._
+    vids.mapPartitions { it =>
+      it.flatMap { r =>
+        val p = r.payload
+        if (p.length < 8 || p(0) != 'G' || p(1) != 'V' || p(2) != 'I' || p(3) != 'D') Iterator.empty
+        else {
+          val n = (p(4) & 0xff) | ((p(5) & 0xff) << 8) | ((p(6) & 0xff) << 16) | ((p(7) & 0xff) << 24)
+          if (n < 1 || 8L + n.toLong * FrameLen > p.length) Iterator.empty
+          else (1 until n).iterator.map { f =>
+            var s = 0L
+            var j = 0
+            while (j < FrameLen) {
+              s += math.abs((p(8 + f * FrameLen + j) & 0xff) -
+                (p(8 + (f - 1) * FrameLen + j) & 0xff))
+              j += 1
+            }
+            FrameDiff(r.doc_id, f, s)
+          }
+        }
+      }
+    }
+  }
+
   /** Per-partition feature extraction: decoder state is initialized once per
     * partition, then rows stream through — the real batch shape for any
     * native decoder. */

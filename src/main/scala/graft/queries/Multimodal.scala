@@ -88,6 +88,40 @@ object Multimodal {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- shot/scene-cut detection (the video-curation twin of
+    // mm_audio_segments' VAD): adjacent-frame L1 byte difference →
+    // threshold → per-clip cut census. The diff stream is REAL byte math
+    // in the typed per-partition path (engine.Multimodal.frameDiffs reads
+    // count + frame bytes from their offsets, corrupt clips drop); the
+    // thresholding and census stay declarative. Synthetic scenes are
+    // byte-identical within a scene and shift +53 mod 256 at boundaries,
+    // so ANY positive threshold separates; a production detector
+    // calibrates the threshold on decoded-pixel histograms — the decode
+    // stub discipline, with the container plumbing real. The oracle is
+    // CLOSED-FORM from the plant rule, including max_diff's wrap
+    // arithmetic (53 vs 203 per byte) — it proves the diffs really came
+    // from the bytes. Corrupt plant: doc_id % 13 == 0 ships a truncated
+    // magic-mismatched payload and must vanish.
+    "mm_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      import graft.engine.{Multimodal => M}
+      val vids = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val n = (id % 10 + 4).toInt
+        val sl = (id % 4 + 2).toInt
+        val bytes =
+          if (id % 13 == 0) Array[Byte]('G', 'V', 'I', 'X')
+          else M.sceneVideoBytes(id, n, sl)
+        M.VideoRecord(id, bytes)
+      }
+      M.frameDiffs(vids).toDF()
+        .groupBy("doc_id")
+        .agg((count(lit(1)) + lit(1L)).as("n_frames"),
+          sum(when(col("diff_l1") > 0, 1L).otherwise(0L)).as("n_cuts"),
+          max("diff_l1").as("max_diff"))
+        .withColumn("scene_len", col("doc_id") % 4 + 2)
+        .orderBy("doc_id")
+    }),
+
     // resize planning: decode real PNG/BMP dims (same synth + byte parser
     // as mm_decode_real), then compute aspect-preserving ≤256-max-side
     // target dims declaratively — the decode sits in the typed path, the
@@ -422,6 +456,26 @@ object Multimodal {
         |  CAST(list_reduce(list_transform(range(0, 16),
         |    j -> (doc_id * 31 + frame_idx * 17 + j) % 256), (a, x) -> a + x) AS BIGINT) AS frame_checksum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // closed-form from the plant rule: cuts at f % sl = 0; max_diff's wrap
+    // arithmetic (a +53 mod-256 shift is |53| or |203| per byte depending
+    // on where the older frame's residue sits) re-derived per scene —
+    // matching proves the diff stream really read the bytes
+    "mm_scene_cuts" ->
+      """WITH p AS (SELECT doc_id, doc_id % 10 + 4 AS n, doc_id % 4 + 2 AS sl
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |sc AS (SELECT doc_id, n, sl, unnest(range(1, (n - 1) // sl + 1)) AS s FROM p),
+        |w AS (SELECT doc_id, s,
+        |    len(list_filter(range(0, 16),
+        |      j -> (doc_id * 31 + (s - 1) * 53 + j) % 256 >= 203)) AS wr
+        |  FROM sc),
+        |md AS (SELECT doc_id, max((16 - wr) * 53 + wr * 203) AS max_diff
+        |       FROM w GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(n AS BIGINT) AS n_frames,
+        |  CAST((n - 1) // sl AS BIGINT) AS n_cuts,
+        |  CAST(coalesce(md.max_diff, 0) AS BIGINT) AS max_diff,
+        |  CAST(sl AS BIGINT) AS scene_len
+        |FROM p LEFT JOIN md USING (doc_id) ORDER BY p.doc_id""".stripMargin,
 
     "mm_resize_plan" ->
       """SELECT doc_id,

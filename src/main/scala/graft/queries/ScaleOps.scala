@@ -1055,6 +1055,43 @@ object ScaleOps {
           |FROM cls GROUP BY level ORDER BY level""".stripMargin)
     }),
 
+    // ---- partition-spec EVOLUTION read (the Iceberg headline mechanic,
+    // over plain parquet): the table's first generation is partitioned by
+    // year; the spec later evolves to (year, month) — and historical files
+    // are NOT rewritten, so a reader must serve both layouts forever. The
+    // evolved column is BACKFILLED from data on the old generation
+    // (month(o_orderdate)), which is exactly the trade: gen2 prunes the
+    // month predicate at the DIRECTORY level while gen1 evaluates it
+    // row-side after year-pruning — same answer, different IO, zero
+    // rewrite. Both generations materialize once per sf; the oracle
+    // recomputes the census from the raw table with the same gen rule, so
+    // a row lost (or doubled) at the layout seam cannot hide.
+    "etl_partition_evolution" -> ((s, d) => {
+      val tag = graft.engine.Layouts.tag(d)
+      val base = s"/tmp/graft_evolvepart/orders_$tag"
+      graft.engine.Layouts.ensure(s, base)(
+        new java.io.File(s"$base/gen2/_SUCCESS").exists()) {
+        val o = t(s, d, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .withColumn("o_month", month(col("o_orderdate")))
+        o.filter(col("o_year") < 1996).drop("o_month")
+          .write.mode("overwrite").partitionBy("o_year").parquet(s"$base/gen1")
+        o.filter(col("o_year") >= 1996)
+          .write.mode("overwrite").partitionBy("o_year", "o_month").parquet(s"$base/gen2")
+      }
+      val g1 = s.read.parquet(s"$base/gen1")
+        .withColumn("o_month", month(col("o_orderdate")))
+        .withColumn("gen", lit("gen1"))
+      val g2 = s.read.parquet(s"$base/gen2").withColumn("gen", lit("gen2"))
+      g1.unionByName(g2)
+        .filter(col("o_year") === 1995 ||
+          (col("o_year") === 1996 && col("o_month") <= 3))
+        .groupBy(col("gen"), col("o_year").cast("bigint").as("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("rev"))
+        .orderBy("gen", "o_year")
+    }),
+
     // ---- differential-privacy noisy release (completes the compliance
     // quartet: erase / pseudonymize / k-anonymity / DP): per-nation
     // customer counts + Laplace noise at ε = 0.5, sensitivity 1 (one
@@ -1824,6 +1861,17 @@ object ScaleOps {
         |    / CAST(sum(class_size) AS DOUBLE), 4) AS frac_below_k,
         |  (min(class_size) >= 5) AS k_anonymous
         |FROM cls GROUP BY level ORDER BY level""".stripMargin,
+
+    // same gen rule applied to the raw table — a row lost or doubled at
+    // the generation seam breaks the census
+    "etl_partition_evolution" ->
+      """SELECT CASE WHEN year(o_orderdate) < 1996 THEN 'gen1' ELSE 'gen2' END AS gen,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 4) AS rev
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995
+        |   OR (year(o_orderdate) = 1996 AND month(o_orderdate) <= 3)
+        |GROUP BY 1, 2 ORDER BY gen, o_year""".stripMargin,
 
     // the identical 33-point Laplace grid computed once in Scala and
     // interpolated as the same literal into both engines

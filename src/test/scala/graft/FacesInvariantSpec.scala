@@ -602,6 +602,21 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(math.abs(top10 - expTop) < 1e-3, s"top10 $top10 vs recomputed $expTop")
   }
 
+  test("mm_scene_cuts: cut census matches the plant rule, corrupt clips vanish") {
+    val rows = SparkEntry.queries("mm_scene_cuts")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 % 13 != 0), "corrupt-planted clips must be dropped")
+    for ((id, nf, cuts, maxd, sl) <- rows) {
+      assert(nf == id % 10 + 4)
+      assert(sl == id % 4 + 2)
+      assert(cuts == (nf - 1) / sl, s"doc $id: cuts $cuts != (${nf - 1})/$sl")
+      if (cuts == 0) assert(maxd == 0)
+      else assert(maxd >= 16 * 53 && maxd <= 16 * 203,
+        s"doc $id: max_diff $maxd outside the +53-shift envelope")
+    }
+  }
+
   test("sim_mmr_diversify: greedy order is score-monotone and starts at max relevance") {
     val rows = SparkEntry.queries("sim_mmr_diversify")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))

@@ -110,6 +110,18 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
       s"o_year must prune partitions, not filter rows:\n$p")
   }
 
+  test("etl_partition_evolution: both generations prune, gen2 on the evolved month key") {
+    val p = planOf("etl_partition_evolution")
+    // two scans, each with partition filters; the evolved generation's
+    // filter mentions o_month (directory-level), the old one only o_year
+    val scans = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(p).toList
+    assert(scans.size >= 2, s"expected two pruned scans in:\n$p")
+    assert(scans.exists(f => f.contains("o_month")),
+      s"gen2 must prune on the evolved o_month key:\n$p")
+    assert(scans.forall(f => f.contains("o_year")),
+      s"both generations must prune on o_year:\n$p")
+  }
+
   test("tx_pack_greedy: packing windows per shard, never a global single-partition sort") {
     val p = planOf("tx_pack_greedy")
     assert(p.contains("hashpartitioning(shard"),
