@@ -156,6 +156,16 @@ object MarginAudit {
     "sim_ivfpq_recall",
     // rel_err = one sub + one divide on exact BIGINT pair counts
     "opt_join_cardinality",
+    // linear interpolation: pm + (nm − pm)·((h−ph)/(nh−ph)) — a fixed
+    // parenthesization-pinned chain of correctly-rounded IEEE ops whose
+    // operands are exact (Σq, n) BIGINT pairs carried through fully-ordered
+    // windows; a boundary tie (e.g. the dyadic 38.65625 at sf0.01) is
+    // reproduced bit-identically by both engines — the tx_kneser_ney class
+    "ts_interpolate_linear",
+    // Gini/Lorenz: 2S/(nT) − (n+1)/n and topq/T — fixed divide/multiply
+    // chains on exact BIGINT rank-weighted sums (the two-phase rank is
+    // integer arithmetic end to end)
+    "agg_gini_concentration",
     // purity/recall = single divides on exact BIGINT pair counts
     "mm_image_dedup",
     // fertility = one divide on exact BIGINT piece/word counts
