@@ -192,7 +192,24 @@ object PlanDump {
     "tx_bpe_encode_k500" -> ("Production-k BPE: the floored vocabulary " +
       "collect feeds driver-side training; encode is ONE mapPartitions " +
       "scan with the broadcast rank map and per-partition word→pieces " +
-      "memo — no shuffle until the 1-row census aggregate.")
+      "memo — no shuffle until the 1-row census aggregate."),
+    "dd_prefix_filter" -> ("PPJoin prefix-filtered similarity join: hashed " +
+      "4-token shingles (BIGINT keys), df table joined back for the " +
+      "rarity rank, prefix self-join on low-df keys only, exact-Jaccard " +
+      "verify confined to candidates — the exact-threshold alternative " +
+      "to banded minhash, zero recall loss."),
+    "agg_gini_concentration" -> ("Two-phase distributed rank: monotone " +
+      "⌊√rq⌋ buckets, cumulative offsets over the value-domain-bounded " +
+      "bucket frame (broadcast back), within-bucket row_number — no " +
+      "one-partition global window anywhere in the plan."),
+    "layout_bloom_skipping" -> ("Bloom skipping census: the per-file " +
+      "(fid, j, bit) manifest and key table are write-time layouts (scan " +
+      "only); probes broadcast into the EXISTS-formulated membership " +
+      "join — no bitmap structure, pure relational algebra."),
+    "etl_partition_evolution" -> ("Partition-spec evolution read: two " +
+      "generation scans union, gen1 pruning on o_year with the evolved " +
+      "month predicate evaluated row-side (backfilled column), gen2 " +
+      "pruning on BOTH directory keys — plan-asserted in PlanQualitySpec.")
   )
 
   def main(args: Array[String]): Unit = {
