@@ -402,6 +402,38 @@ object Similarity {
         .orderBy(coalesce(col("rank_direct"), lit(999L)), col("vec_id"))
     }),
 
+    // ---- late-interaction (ColBERT-style) MaxSim retrieval: each stored
+    // vector is read as 4 token embeddings (contiguous 16-dim slices — the
+    // deterministic multi-vector stand-in this corpus supports) and
+    // score(q, d) = Σ_qt max_dt cos(q_qt, d_dt). The whole 4×4 cosine grid
+    // evaluates scan-side per (doc, query) row — 16 fused cosine_sim calls
+    // inside one codegen'd projection against the 8 broadcast queries — so
+    // the only shuffle is the per-query rank over scored rows. At 100 TB
+    // this is the exact re-rank kernel of a PLAID-shaped funnel: candidate
+    // generation composes with the IVF probe exactly as sim_ivfpq_topk's
+    // shortlist does (centroid-prune doc tokens, MaxSim only survivors);
+    // the kernel itself never shuffles a vector. Scores are qround-ed
+    // (sums of cosines go negative) with a vec_id tie-break, so ranks are
+    // engine-deterministic.
+    "sim_maxsim" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("v").as("qv"))
+      def tok(c: Column, t: Int) = slice(c, t * 16 + 1, 16)
+      // left-assoc Σ over qt of greatest over dt — the oracle spells the
+      // same association so the folded doubles are bit-identical
+      val score = (0 until 4).map { qt =>
+        greatest((0 until 4).map(dt => V.cosine(tok(col("qv"), qt), tok(col("v"), dt))): _*)
+      }.reduce(_ + _)
+      val rankW = Window.partitionBy("qid").orderBy(col("maxsim").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("maxsim", FP.qround(score, 6))
+        .withColumn("rnk", row_number().over(rankW).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vec_id"), col("maxsim"))
+        .orderBy("qid", "rnk")
+    }),
+
     // ---- cosine-threshold SWEEP for semantic dedup — the dd_lsh_tuning
     // move applied to embeddings: the SAME blocked candidate set scored
     // once, then each threshold row is a filter over the scored frame
@@ -1236,6 +1268,26 @@ object Similarity {
          |  (rank_direct IS NOT DISTINCT FROM rank_reduced) AS agree
          |FROM td FULL OUTER JOIN tr ON td.vec_id = tr.vec_id
          |ORDER BY coalesce(rank_direct, 999), coalesce(td.vec_id, tr.vec_id)""".stripMargin,
+
+    // the 4×4 slice-cosine grid rebuilt verbatim: list_slice twins Spark's
+    // slice (both 1-based, length 16), greatest/+ in the same left-assoc
+    // order, qround on the (possibly negative) score
+    "sim_maxsim" -> {
+      def tokSql(c: String, t: Int) = s"list_slice($c, ${t * 16 + 1}, ${t * 16 + 16})"
+      val score = (0 until 4).map { qt =>
+        "greatest(" +
+          (0 until 4).map(dt => S.cosine(tokSql("qv", qt), tokSql("v", dt))).mkString(", ") + ")"
+      }.mkString("(", " + ", ")")
+      s"""$embCte,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+         |scored AS (SELECT qid, vec_id, ${S.qround(score, 6)} AS maxsim
+         |  FROM e CROSS JOIN q WHERE vec_id != qid),
+         |ranked AS (SELECT qid, vec_id, maxsim, CAST(row_number() OVER
+         |    (PARTITION BY qid ORDER BY maxsim DESC, vec_id ASC) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT qid, rnk, vec_id, maxsim FROM ranked WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    },
 
     // same blocked candidate frame scored once at round-6; threshold
     // literals interpolated identically into both engines

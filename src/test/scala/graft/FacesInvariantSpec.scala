@@ -667,4 +667,35 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
       }
     }
   }
+
+  test("sim_maxsim: ranks contiguous, scores monotone, MaxSim dominates the aligned sum") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("sim_maxsim")(spark, d).collect()
+    assert(rows.length == 40, "8 queries x top-5")
+    val vecs = graft.engine.Tables.load(spark, d, "embeddings")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((qid, rs) <- rows.groupBy(_.getLong(0))) {
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to 5L), s"q$qid ranks not 1..5")
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"q$qid scores not non-increasing")
+      for (r <- rs) {
+        val (doc, maxsim) = (r.getLong(2), r.getDouble(3))
+        assert(doc != qid, "self excluded")
+        assert(maxsim <= 4.0 + 5e-5 && maxsim >= -4.0 - 5e-5, s"score $maxsim out of [-4, 4]")
+        // max over doc tokens dominates the aligned (qt = dt) token match
+        val (qv, dv) = (vecs(qid), vecs(doc))
+        val aligned = (0 until 4).map(t =>
+          cos(qv.slice(t * 16, t * 16 + 16), dv.slice(t * 16, t * 16 + 16))).sum
+        assert(maxsim >= aligned - 5e-5,
+          s"q$qid doc$doc maxsim $maxsim below aligned sum $aligned")
+      }
+    }
+  }
 }
