@@ -1057,6 +1057,53 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // ---- DSIR-style importance weighting (Xie et al. 2023, "Data
+    // Selection via Importance Resampling"): hashed-bigram features, a
+    // target distribution fit on the lang='en' slice and a raw
+    // distribution fit on the whole corpus (BOTH from the same single
+    // feature pass — the target count is a conditional sum, not a second
+    // scan), add-1-smoothed per-bucket log likelihood-ratios, and per-doc
+    // importance weight = Σ c_f·lr_f. Scale shape: the feature table is
+    // capped at 4096 buckets regardless of corpus size, so the lr table
+    // broadcasts everywhere and the per-doc pass is one hash-agg + one
+    // broadcast join; the weight sum is FixedPoint.qsum (order-free), and
+    // each lr is qround(ln(ratio of two correctly-rounded divides of
+    // exact integers), 6) so both engines rank identical doubles. Top-15
+    // is TakeOrdered — the selection step a 100 TB pipeline would follow
+    // with a threshold or gumbel-resample over the SAME weight column.
+    "tx_dsir_weights" -> ((s, d) => {
+      val P = 1000000007L
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          T.tokenHashes(col("text")).as("__th"))
+        .withColumn("__bg",
+          when(size(col("__th")) < 2, array().cast("array<bigint>"))
+            .otherwise(zip_with(
+              slice(col("__th"), lit(1), size(col("__th")) - 1),
+              slice(col("__th"), lit(2), size(col("__th")) - 1),
+              (a, b) => ((a * lit(131L) + b) % lit(P)) % lit(4096L))))
+        .select(col("doc_id"), col("lang"), col("source"), col("__bg"))
+        .cache()
+      val feats = staged.select(col("doc_id"), col("lang"), col("source"),
+        explode(col("__bg")).as("b"))
+      val bucket = feats.groupBy("b").agg(count(lit(1)).as("cq"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val tot = bucket.agg(sum("cq").as("q_tot"), sum("ct").as("t_tot"))
+      val lr = bucket.crossJoin(broadcast(tot)).select(col("b"),
+        FP.qround(log(
+          ((col("ct") + 1).cast("double") / (col("t_tot") + 4096).cast("double")) /
+          ((col("cq") + 1).cast("double") / (col("q_tot") + 4096).cast("double"))), 6)
+          .as("lr"))
+      feats.groupBy("doc_id", "lang", "source", "b").agg(count(lit(1)).as("c"))
+        .join(broadcast(lr), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(sum("c").as("n_bigrams"),
+          FP.qround(FP.qsum(col("c") * col("lr"), 30), 4).as("w"))
+        .orderBy(col("w").desc, col("doc_id").asc)
+        .limit(15)
+        .select("doc_id", "lang", "source", "n_bigrams", "w")
+    }),
+
     // ---- model-based quality filter: tx_quality's interpretable features
     // scored by a LEARNED linear model whose weights live in a broadcast
     // one-row TABLE (the "apply classifier at scale" shape — swap the
@@ -2132,6 +2179,33 @@ object TextOps {
         |  CAST((coalesce(n_kept, 0) * 20000 + k_total) // (k_total * 2) AS DOUBLE) / 10000.0 AS realized_share
         |FROM wp LEFT JOIN kept ON kept.source = wp.source CROSS JOIN kt
         |ORDER BY source""".stripMargin,
+
+    // the same hashed-bigram feature chain (131-fold mod P, mod 4096),
+    // the same add-1-smoothed ratio of two correctly-rounded divides of
+    // exact integers under ln (DuckDB ln = natural log; its `log` is
+    // log10), qround-ed to 6; the weight is the qsum twin so partial
+    // merge order cannot move it
+    "tx_dsir_weights" ->
+      s"""WITH th AS (SELECT doc_id, lang, source, ${S.tokenHashes("text")} AS th FROM documents),
+         |f AS (SELECT doc_id, lang, source,
+         |    unnest(list_transform(range(1, len(th)),
+         |      i -> ((th[i]*131 + th[i+1]) % ${S.P}) % 4096)) AS b FROM th),
+         |bucket AS (SELECT b, count(*) AS cq,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM f GROUP BY b),
+         |tot AS (SELECT CAST(sum(cq) AS BIGINT) AS q_tot,
+         |        CAST(sum(ct) AS BIGINT) AS t_tot FROM bucket),
+         |lr AS (SELECT b, ${S.qround(
+               "ln((CAST(ct + 1 AS DOUBLE) / CAST(t_tot + 4096 AS DOUBLE)) / " +
+               "(CAST(cq + 1 AS DOUBLE) / CAST(q_tot + 4096 AS DOUBLE)))", 6)} AS lr
+         |  FROM bucket CROSS JOIN tot),
+         |pb AS (SELECT doc_id, lang, source, b, count(*) AS c
+         |  FROM f GROUP BY doc_id, lang, source, b)
+         |SELECT doc_id, lang, source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |  ${S.qround(S.qsum("c * lr", 30), 4)} AS w
+         |FROM pb JOIN lr USING (b)
+         |GROUP BY doc_id, lang, source
+         |ORDER BY w DESC, doc_id ASC LIMIT 15""".stripMargin,
 
     // identical feature subquery to tx_quality; the logit is the same exact
     // Long numerator over 100000*n_tokens — one integer-exact divide, and

@@ -668,6 +668,23 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("tx_dsir_weights: ordered top-15, weights bounded, target language dominates") {
+    val rows = SparkEntry.queries("tx_dsir_weights")(spark, d).collect()
+    assert(rows.length == 15)
+    val ws = rows.map(_.getDouble(4))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, "weights not non-increasing")
+    // equal weights must be doc_id-tie-broken ascending
+    for (Array(a, b) <- rows.sliding(2))
+      if (a.getDouble(4) == b.getDouble(4))
+        assert(a.getLong(0) < b.getLong(0), "tie not broken by doc_id")
+    for (r <- rows) assert(r.getLong(3) >= 1, "a weighted doc must have features")
+    // importance resampling toward lang='en' must surface mostly-en docs:
+    // the en slice is ~39% of the corpus but should be a strong majority
+    // of the top-15 (measured 12/15 at sf0.001)
+    val en = rows.count(_.getString(1) == "en")
+    assert(en >= 9, s"only $en/15 top-weighted docs are en — selection has no pull")
+  }
+
   test("sim_maxsim: ranks contiguous, scores monotone, MaxSim dominates the aligned sum") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("sim_maxsim")(spark, d).collect()
