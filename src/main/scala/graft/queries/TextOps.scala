@@ -1154,6 +1154,38 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // ---- preference-pair mining (DPO/RLHF data prep): per prompt group
+    // (source here), pair the highest- and lowest-reward responses with
+    // the margin between them. The reward proxy is TTR in basis points —
+    // an exact integer (nu·10⁴ div nt), so chosen/rejected/margin are all
+    // integer-deterministic; swap the ttr4 column for a real reward-model
+    // score table and nothing else changes. Scale shape: per-group
+    // extremes via min/max over (score, id) STRUCTS — partial aggregation
+    // collapses each group map-side before the one |groups|-sized shuffle,
+    // strictly cheaper than the row_number window the oracle uses (the
+    // window re-sorts every row inside the shuffle; struct-agg ships two
+    // structs per group per partition). Ties break to the smallest doc_id
+    // on both extremes (max carries -doc_id, min carries +doc_id).
+    "tx_preference_pairs" -> ((s, d) => {
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), T.tokens(col("text")).as("__toks")).cache()
+      val scored = staged.select(col("doc_id"), col("source"),
+          size(col("__toks")).cast("bigint").as("nt"),
+          size(array_distinct(col("__toks"))).cast("bigint").as("nu"))
+        .filter(col("nt") >= 1)
+        .withColumn("ttr4", expr("nu * 10000 div nt"))
+      scored.groupBy("source")
+        .agg(
+          max(struct(col("ttr4").as("t"), (-col("doc_id")).as("negid"))).as("best"),
+          min(struct(col("ttr4").as("t"), col("doc_id").as("id"))).as("worst"),
+          count(lit(1)).as("n_docs"))
+        .select(col("source"),
+          (-col("best.negid")).as("chosen_doc"), col("best.t").as("chosen_ttr4"),
+          col("worst.id").as("rejected_doc"), col("worst.t").as("rejected_ttr4"),
+          (col("best.t") - col("worst.t")).as("margin4"), col("n_docs"))
+        .orderBy("source")
+    }),
+
     // cross-document duplicated-n-gram fraction — the Gopher/Dolma corpus
     // quality signal tx_repetition can't see: what share of a doc's word
     // 5-grams also appear in at least one OTHER document (boilerplate,
@@ -2206,6 +2238,31 @@ object TextOps {
          |FROM pb JOIN lr USING (b)
          |GROUP BY doc_id, lang, source
          |ORDER BY w DESC, doc_id ASC LIMIT 15""".stripMargin,
+
+    // same exact-integer TTR; extremes via row_number windows with the
+    // identical (score DESC|ASC, doc_id ASC) tie orders the struct-agg
+    // encodes on the Spark side
+    "tx_preference_pairs" ->
+      s"""WITH f AS (SELECT doc_id, source,
+         |    CAST(len(${S.tokens("text")}) AS BIGINT) AS nt,
+         |    CAST(len(list_distinct(${S.tokens("text")})) AS BIGINT) AS nu
+         |  FROM documents),
+         |sc AS (SELECT doc_id, source, (nu * 10000) // nt AS ttr4
+         |  FROM f WHERE nt >= 1),
+         |b AS (SELECT source, doc_id AS chosen_doc, ttr4 AS chosen_ttr4 FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY source ORDER BY ttr4 DESC, doc_id ASC) AS rn FROM sc)
+         |  WHERE rn = 1),
+         |w AS (SELECT source, doc_id AS rejected_doc, ttr4 AS rejected_ttr4 FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY source ORDER BY ttr4 ASC, doc_id ASC) AS rn FROM sc)
+         |  WHERE rn = 1),
+         |n AS (SELECT source, count(*) AS n_docs FROM sc GROUP BY source)
+         |SELECT b.source AS source, chosen_doc, chosen_ttr4,
+         |  rejected_doc, rejected_ttr4,
+         |  chosen_ttr4 - rejected_ttr4 AS margin4, n_docs
+         |FROM b JOIN w ON b.source = w.source JOIN n ON b.source = n.source
+         |ORDER BY source""".stripMargin,
 
     // identical feature subquery to tx_quality; the logit is the same exact
     // Long numerator over 100000*n_tokens — one integer-exact divide, and

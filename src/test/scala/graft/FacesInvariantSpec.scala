@@ -668,6 +668,19 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("tx_preference_pairs: one pair per source, margin consistent, extremes ordered") {
+    val rows = SparkEntry.queries("tx_preference_pairs")(spark, d).collect()
+    assert(rows.length == 20, "one pair per source")
+    for (r <- rows) {
+      val (ct, rt, m, n) = (r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(ct >= rt, "chosen reward below rejected")
+      assert(m == ct - rt, "margin inconsistent")
+      assert(ct >= 0 && ct <= 10000 && rt >= 0 && rt <= 10000, "TTR4 out of range")
+      assert(n >= 1 && n <= 25, s"group size $n out of the 25-docs-per-source layout")
+      if (m > 0) assert(r.getLong(1) != r.getLong(3), "distinct docs when margin positive")
+    }
+  }
+
   test("tx_dsir_weights: ordered top-15, weights bounded, target language dominates") {
     val rows = SparkEntry.queries("tx_dsir_weights")(spark, d).collect()
     assert(rows.length == 15)
