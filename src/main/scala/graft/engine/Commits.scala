@@ -66,9 +66,11 @@ object Commits {
     java.nio.file.Files.readAllLines(m.toPath).asScala.toSeq.filter(_.nonEmpty)
   }
 
-  /** The absolute data paths visible at version `v`. */
+  /** The absolute data paths visible at version `v`. Canonicalized so
+    * cross-table `../` entries (shallow clones) resolve to plain paths
+    * before they reach a reader. */
   def snapshotFiles(table: String, v: Int): Seq[String] =
-    manifestEntries(table, v).map(rel => new java.io.File(table, rel).getPath)
+    manifestEntries(table, v).map(rel => new java.io.File(table, rel).getCanonicalPath)
 
   /** Read the latest snapshot (empty-schema-less: requires ≥1 version). */
   def read(spark: SparkSession, table: String): DataFrame =
@@ -101,6 +103,27 @@ object Commits {
   def init(table: String, stagedPath: String): Int = {
     require(latestVersion(table) == 0, s"table $table already initialized")
     require(tryCommit(table, 1, Seq(stagedPath)), s"lost init race on $table")
+    1
+  }
+
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... CLONE` mechanic): create
+    * `dst` whose v1 manifest references the SOURCE's current data files by
+    * `../<src>/`-relative path — a metadata-only copy. Zero data bytes
+    * move; the clone then evolves independently (its appends stage under
+    * its OWN data/ dir and the source never learns of them), while source
+    * commits after the clone point are equally invisible to the clone —
+    * snapshot isolation in both directions, which the etl_clone_shallow
+    * census proves by row count. `dst` must share `src`'s parent so the
+    * pair stays relocatable together (the manifestEntries relative-path
+    * contract). Fails if `dst` already exists. */
+  def shallowClone(src: String, dst: String): Int = {
+    val (srcF, dstF) = (new java.io.File(src), new java.io.File(dst))
+    require(srcF.getParentFile.getCanonicalFile == dstF.getParentFile.getCanonicalFile,
+      s"shallow clone requires siblings: $src vs $dst")
+    require(latestVersion(dst) == 0, s"table $dst already initialized")
+    val entries = manifestEntries(src, latestVersion(src))
+      .map(e => s"../${srcF.getName}/$e")
+    require(tryCommit(dst, 1, entries), s"lost clone-init race on $dst")
     1
   }
 

@@ -1017,6 +1017,49 @@ object ScaleOps {
         .orderBy("version")
     }),
 
+    // ---- SHALLOW CLONE census (the Delta CLONE mechanic over the commit
+    // log): src reaches v2 (two appended slices), the clone's v1 manifest
+    // references those files by ../-path — zero data bytes move — then
+    // BOTH tables diverge: the clone appends its own slice (staged under
+    // its own data/ dir), the source commits a third slice the clone never
+    // sees. The census proves the whole contract by arithmetic: the
+    // clone's file set is 2 shared + 1 own, its rows are exactly
+    // |c<20| + |c<5| (clone snapshot + clone-only append), and the
+    // source's rows are the full table (its post-clone commit landed, the
+    // clone's did not leak back). Scenario builds once per sf with the
+    // commitScenario atomic-rename publish; at 100 TB a clone is the same
+    // one metadata write regardless of table size — that is the point.
+    "etl_clone_shallow" -> ((s, d) => {
+      val C = graft.engine.Commits
+      val root = s"/tmp/graft_clone/${graft.engine.Layouts.tag(d)}"
+      graft.engine.Layouts.ensure(s, root)(new java.io.File(root).exists()) {
+        val work = root + ".build-" + java.util.UUID.randomUUID().toString.take(8)
+        val (wsrc, wdst) = (s"$work/src", s"$work/clone")
+        val cust = t(s, d, "customer")
+        C.init(wsrc, C.stage(cust.filter(col("c_nationkey") < 15), wsrc, "base"))
+        val (v2, _) = C.commitAppend(wsrc, 1, Seq(C.stage(
+          cust.filter(col("c_nationkey") >= 15 && col("c_nationkey") < 20), wsrc, "w2")))
+        require(v2 == 2, "src must reach v2 before the clone point")
+        C.shallowClone(wsrc, wdst)
+        C.commitAppend(wdst, 1, Seq(C.stage(
+          cust.filter(col("c_nationkey") < 5), wdst, "cl")))
+        C.commitAppend(wsrc, 2, Seq(C.stage(
+          cust.filter(col("c_nationkey") >= 20), wsrc, "w3")))
+        require(new java.io.File(work).renameTo(new java.io.File(root)),
+          s"atomic publish of $work failed")
+      }
+      def row(name: String, tbl: String) = {
+        val v = C.latestVersion(tbl)
+        val entries = C.manifestEntries(tbl, v)
+        val shared = entries.count(_.startsWith("../"))
+        C.read(s, tbl).agg(count(lit(1)).as("n_rows"))
+          .select(lit(name).as("tbl"), lit(v.toLong).as("version"),
+            lit(entries.size.toLong).as("n_files"), lit(shared.toLong).as("n_shared"),
+            lit((entries.size - shared).toLong).as("n_own"), col("n_rows"))
+      }
+      row("clone", s"$root/clone").union(row("src", s"$root/src")).orderBy("tbl")
+    }),
+
     // ---- k-anonymity census over a GENERALIZATION LADDER (completes the
     // compliance triad: erasure cascade + pseudonymization + re-id risk):
     // how many records sit in quasi-identifier equivalence classes smaller
@@ -1840,6 +1883,21 @@ object ScaleOps {
         |SELECT version, n_files, n_files_added, n_files_removed, n_rows_added,
         |  (SELECT n FROM tot) AS n_rows_latest, TRUE AS append_only
         |FROM cdf ORDER BY version""".stripMargin,
+
+    // the clone's rows are its snapshot (c<20) + its own append (c<5);
+    // the source's are the whole table — both derivable from raw customer,
+    // so a leak in either isolation direction breaks a count
+    "etl_clone_shallow" ->
+      """WITH a AS (SELECT count(*) AS n FROM customer WHERE c_nationkey < 20),
+        |b AS (SELECT count(*) AS n FROM customer WHERE c_nationkey < 5),
+        |tot AS (SELECT count(*) AS n FROM customer)
+        |SELECT 'clone' AS tbl, CAST(2 AS BIGINT) AS version,
+        |  CAST(3 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS n_shared,
+        |  CAST(1 AS BIGINT) AS n_own,
+        |  (SELECT n FROM a) + (SELECT n FROM b) AS n_rows
+        |UNION ALL
+        |SELECT 'src', 3, 3, 0, 3, (SELECT n FROM tot)
+        |ORDER BY tbl""".stripMargin,
 
     // same ladder via DuckDB's GROUPING SETS + grouping(); every column is
     // an exact integer or a ratio of exact BIGINTs

@@ -79,6 +79,28 @@ class CommitsSpec extends AnyFunSuite with SharedSparkSpec {
     assert(Commits.read(spark, moved).count() == 7)
   }
 
+  test("shallow clone: zero-copy snapshot, bidirectional isolation after divergence") {
+    val root = java.nio.file.Files.createTempDirectory("graft-clone").toString
+    val (src, dst) = (s"$root/src", s"$root/clone")
+    Commits.init(src, Commits.stage(df(0 until 10), src, "base"))
+    Commits.commitAppend(src, 1, Seq(Commits.stage(df(10 until 15), src, "w2")))
+    assert(Commits.shallowClone(src, dst) == 1)
+    // metadata-only: every clone entry points back into src, none copied
+    val entries = Commits.manifestEntries(dst, 1)
+    assert(entries.nonEmpty && entries.forall(_.startsWith("../src/")))
+    assert(Commits.read(spark, dst).count() == 15)
+    // diverge both sides: clone append invisible to src, src append invisible to clone
+    Commits.commitAppend(dst, 1, Seq(Commits.stage(df(100 until 103), dst, "cl")))
+    Commits.commitAppend(src, 2, Seq(Commits.stage(df(200 until 220), src, "w3")))
+    assert(Commits.read(spark, dst).count() == 18, "clone must not see src's later commit")
+    assert(Commits.read(spark, src).count() == 35, "src must not see the clone's append")
+    // a second clone of the same name must refuse
+    intercept[IllegalArgumentException](Commits.shallowClone(src, dst))
+    // clones must be siblings (the ../ relocatability contract)
+    intercept[IllegalArgumentException](
+      Commits.shallowClone(src, s"$root/deeper/clone2"))
+  }
+
   test("contended appends from many stale writers all make progress") {
     val t = freshTable()
     Commits.init(t, Commits.stage(df(0 until 5), t, "base"))
