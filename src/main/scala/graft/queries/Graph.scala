@@ -370,6 +370,42 @@ object Graph {
       rows.toDF("round", "n_moved", "n_communities").orderBy("round")
     }),
 
+    // ---- modularity census (Newman's Q) of the nation-induced partition
+    // of the trading graph — the quality metric a community detector
+    // (graph_lpa_communities) is judged against, computed here for the
+    // natural attribute partition so the face is one pass, not iterative.
+    // Per community c over the SYMMETRIC frame: dq_c = in_c/2m −
+    // (deg_c/2m)², Q = Σ dq_c. Scale shape: the node→community map joins
+    // onto each edge endpoint on the node key — written as plain joins so
+    // the plan is the co-partitioned shape a billion-node attribute table
+    // needs; at this sf AQE demotes both to broadcast on its own. All
+    // inputs to dq are exact BIGINTs; the two divides and one multiply
+    // are single IEEE ops, qround-ed (a sparse community's dq can be
+    // negative).
+    "graph_modularity" -> ((s, d) => {
+      val e = symEdges(s, d)
+      val comm = t(s, d, "customer")
+          .select((col("c_custkey") * 2).as("node"),
+            col("c_nationkey").cast("long").as("comm"))
+        .union(t(s, d, "supplier")
+          .select((col("s_suppkey") * 2 + 1).as("node"),
+            col("s_nationkey").cast("long").as("comm")))
+      val tagged = e
+        .join(comm.select(col("node").as("src"), col("comm").as("community")), "src")
+        .join(comm.select(col("node").as("dst"), col("comm").as("dcomm")), "dst")
+      val per = tagged.groupBy("community").agg(
+        countDistinct("src").as("n_nodes"),
+        count(lit(1)).as("deg_sum"),
+        sum(when(col("community") === col("dcomm"), 1L).otherwise(0L)).as("intra_sym"))
+      per.crossJoin(broadcast(per.agg(sum("deg_sum").as("two_m"))))
+        .select(col("community"), col("n_nodes"), col("deg_sum"),
+          expr("intra_sym div 2").as("n_intra"),
+          FP.qround(col("intra_sym") / col("two_m") -
+            (col("deg_sum") / col("two_m")) * (col("deg_sum") / col("two_m")), 6)
+            .as("dq"))
+        .orderBy("community")
+    }),
+
     // ---- Adamic–Adar link prediction: score supplier pairs by their
     // shared customers, weighting each witness by 1/ln(degree) so a
     // customer who buys from everyone certifies nothing while a two-
@@ -452,6 +488,32 @@ object Graph {
         |outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
         |SELECT outdeg, count(*) AS n_nodes FROM outd
         |GROUP BY outdeg ORDER BY outdeg""".stripMargin,
+
+    // same symmetric frame and even/odd ids; dq from the identical
+    // BIGINT inputs through the same two-divide-one-multiply chain
+    "graph_modularity" ->
+      s"""WITH edges AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |sym AS (SELECT c*2 AS src, sp*2+1 AS dst FROM edges
+         |        UNION ALL SELECT sp*2+1 AS src, c*2 AS dst FROM edges),
+         |comm AS (SELECT c_custkey*2 AS node, CAST(c_nationkey AS BIGINT) AS comm FROM customer
+         |         UNION ALL
+         |         SELECT s_suppkey*2+1 AS node, CAST(s_nationkey AS BIGINT) AS comm FROM supplier),
+         |tagged AS (SELECT sc.comm AS community, sym.src, dc.comm AS dcomm
+         |  FROM sym JOIN comm sc ON sym.src = sc.node
+         |           JOIN comm dc ON sym.dst = dc.node),
+         |per AS (SELECT community,
+         |    CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+         |    CAST(count(*) AS BIGINT) AS deg_sum,
+         |    CAST(sum(CASE WHEN community = dcomm THEN 1 ELSE 0 END) AS BIGINT) AS intra_sym
+         |  FROM tagged GROUP BY community),
+         |tot AS (SELECT CAST(sum(deg_sum) AS BIGINT) AS two_m FROM per)
+         |SELECT community, n_nodes, deg_sum, intra_sym // 2 AS n_intra,
+         |  ${S.qround(
+              "CAST(intra_sym AS DOUBLE) / CAST(two_m AS DOUBLE) - " +
+              "(CAST(deg_sum AS DOUBLE) / CAST(two_m AS DOUBLE)) * " +
+              "(CAST(deg_sum AS DOUBLE) / CAST(two_m AS DOUBLE))", 6)} AS dq
+         |FROM per CROSS JOIN tot ORDER BY community""".stripMargin,
 
     // same triangles counted with the simpler id-ordering (u < v < w):
     // orientation choice cannot change the count, so the degree-ordered

@@ -668,6 +668,20 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("graph_modularity: degree identities hold and Q is in the admissible band") {
+    val rows = SparkEntry.queries("graph_modularity")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val twoM = rows.map(_.getLong(2)).sum
+    assert(twoM % 2 == 0, "symmetric frame degree total must be even")
+    for (r <- rows) {
+      assert(r.getLong(1) >= 1, "empty community reported")
+      assert(2 * r.getLong(3) <= r.getLong(2),
+        "intra-edge endpoints cannot exceed the community's degree mass")
+    }
+    val q = rows.map(_.getDouble(4)).sum
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q outside [-1/2, 1]")
+  }
+
   test("tx_preference_pairs: one pair per source, margin consistent, extremes ordered") {
     val rows = SparkEntry.queries("tx_preference_pairs")(spark, d).collect()
     assert(rows.length == 20, "one pair per source")
