@@ -209,7 +209,27 @@ object PlanDump {
     "etl_partition_evolution" -> ("Partition-spec evolution read: two " +
       "generation scans union, gen1 pruning on o_year with the evolved " +
       "month predicate evaluated row-side (backfilled column), gen2 " +
-      "pruning on BOTH directory keys — plan-asserted in PlanQualitySpec.")
+      "pruning on BOTH directory keys — plan-asserted in PlanQualitySpec."),
+    "sim_maxsim" -> ("Late-interaction MaxSim: the 4×4 slice-cosine grid " +
+      "is 16 fused cosine_sim calls in ONE codegen'd projection against " +
+      "the broadcast 8-query side; the only exchange is the per-query " +
+      "rank window over scored rows — the PLAID re-rank kernel shape."),
+    "tx_dsir_weights" -> ("DSIR weights: one explode pass feeds BOTH " +
+      "distributions (target = conditional sum), the ≤4096-row lr table " +
+      "broadcasts back into the per-doc hash-agg, and the weight is a " +
+      "quantized order-free sum; top-15 is TakeOrderedAndProject."),
+    "tx_preference_pairs" -> ("Preference pairs: per-group extremes via " +
+      "min/max over (score, id) structs — partial aggregation collapses " +
+      "each group map-side before one |groups|-sized exchange; no window, " +
+      "no per-group sort."),
+    "etl_clone_shallow" -> ("Shallow-clone census: both snapshot reads go " +
+      "through manifest-resolved file lists (metadata operations); the " +
+      "only jobs are two count aggregates over the referenced parquet — " +
+      "the clone itself was one manifest write, zero data bytes."),
+    "graph_modularity" -> ("Modularity census: symmetric-frame scan joins " +
+      "the node→community map on each endpoint (AQE demotes both to " +
+      "broadcast at bench sf; co-partitioned shape at scale), one " +
+      "per-community hash-agg, 1-row total crossJoined back.")
   )
 
   def main(args: Array[String]): Unit = {
