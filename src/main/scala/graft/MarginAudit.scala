@@ -199,7 +199,13 @@ object MarginAudit {
     // stability itself rides on the rounded bm25/cos orderings with doc_id
     // tie-breaks — the same exposure tx_bm25 carries, which the audit
     // measures directly on that face)
-    "sim_hybrid_rrf")
+    "sim_hybrid_rrf",
+    // r9: Pearson r from exact DECIMAL(38,0) moment sums — numerator and
+    // denominator terms are exact integers cast once to double, then one
+    // fixed mul/sqrt/divide chain both engines replay bit-identically
+    // (dd_record_linkage / etl_deletion_vectors emit no floats at all —
+    // nothing strippable, left unclassified per the dd_cluster_sizes rule)
+    "ts_autocorr")
     // (etl_k_anonymity is deterministic — frac_below_k is one divide on
     // exact BIGINT row masses — but its round() sits inside the spark.sql
     // aggregate projection where the strip audit cannot reach: the

@@ -229,7 +229,21 @@ object PlanDump {
     "graph_modularity" -> ("Modularity census: symmetric-frame scan joins " +
       "the node→community map on each endpoint (AQE demotes both to " +
       "broadcast at bench sf; co-partitioned shape at scale), one " +
-      "per-community hash-agg, 1-row total crossJoined back.")
+      "per-community hash-agg, 1-row total crossJoined back."),
+    "ts_autocorr" -> ("ACF: one hash-agg collapses any input volume to the " +
+      "calendar-bounded daily frame; the 5-lag pair join is broadcast on " +
+      "both sides (lags dim + tiny day frame) and the moment sums are " +
+      "exact DECIMAL(38,0) partial aggregates — no floating aggregation " +
+      "anywhere in the plan."),
+    "dd_record_linkage" -> ("FS linkage: candidate generation is ONE " +
+      "equi-join on the (nation, segment, last-digit) blocking key — " +
+      "never all-pairs; scoring is a codegen'd integer-weight projection " +
+      "and the census one hash-agg. Blocking granularity is the scale " +
+      "dial; the plan shape is LSH's band join."),
+    "etl_deletion_vectors" -> ("Merge-on-read DV: base scan + ONE " +
+      "broadcast left join against the word-packed sidecar + a codegen'd " +
+      "bit test — no shuffle on the data path at any scale; the sidecar " +
+      "is manifest-sized (one BIGINT row per occupied 32-bit word).")
   )
 
   def main(args: Array[String]): Unit = {

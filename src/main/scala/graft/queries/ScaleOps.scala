@@ -1211,6 +1211,66 @@ object ScaleOps {
             .as("aborted_invisible"))
     }),
 
+    // ---- merge-on-read DELETION VECTORS — the row-level-delete mechanic
+    // Delta (deletion vectors) and Iceberg (position deletes) added so a
+    // delete needn't rewrite data files (etl_upsert's copy-on-write cost
+    // model): the delete commit writes only a tiny position-bitmap SIDECAR
+    // and every reader anti-applies it at scan time. Base layout = orders
+    // bucketed into 4 "files" with an explicit per-file row position; a
+    // real writer assigns positions file-locally (embarrassingly parallel),
+    // which the per-file row_number window models. The DV sidecar packs
+    // deleted positions into 32-bit words — one (file_id, word_idx, word)
+    // BIGINT row per occupied word (705 deletes collapse to 397 words at
+    // sf0.01; production uses a roaring bitmap, same idea; 32-bit words
+    // because 1<<31 stays positive in BIGINT on both engines). The read
+    // path is scan + ONE broadcast left join on (file_id, pos div 32) + a
+    // codegen'd bit test — merge-on-read costs a broadcast hash probe per
+    // row, never a shuffle, at any scale. The census proves the mechanics
+    // end-to-end: per-status live counts, dv_words read from the ACTUAL
+    // sidecar (bitmap compression visible in-row), and surfaced_deleted
+    // counted THROUGH the bitmap path against the oracle's literal 0 — a
+    // single mis-packed or mis-probed bit breaks the row.
+    "etl_deletion_vectors" -> ((s, d) => {
+      val tag = graft.engine.Layouts.tag(d)
+      val base = s"/tmp/graft_dv/base_$tag"
+      val dv = s"/tmp/graft_dv/dv_$tag"
+      val deletePred =
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0
+      graft.engine.Layouts.ensureCommitted(s, base) {
+        t(s, d, "orders")
+          .withColumn("file_id", (col("o_orderkey") % 4).cast("int"))
+          .withColumn("pos",
+            row_number().over(Window.partitionBy("file_id")
+              .orderBy("o_orderkey")).cast("long") - 1)
+          .write.mode("overwrite").partitionBy("file_id").parquet(base)
+      }
+      graft.engine.Layouts.ensureCommitted(s, dv) {
+        s.read.parquet(base).filter(deletePred)
+          .groupBy(col("file_id"), expr("pos div 32").as("word_idx"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))")
+            .as("word"))
+          .coalesce(1).write.mode("overwrite").parquet(dv)
+      }
+      val dvDf = s.read.parquet(dv)
+      val live = s.read.parquet(base)
+        .withColumn("word_idx", expr("pos div 32"))
+        .join(broadcast(dvDf), Seq("file_id", "word_idx"), "left")
+        .filter(col("word").isNull ||
+          col("word").bitwiseAND(
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")) === 0)
+      val globals = s.read.parquet(base).filter(deletePred)
+        .agg(count(lit(1)).as("deleted_rows"))
+        .crossJoin(dvDf.agg(count(lit(1)).as("dv_words")))
+        .crossJoin(live.agg(
+          count(when(deletePred, 1)).as("surfaced_deleted")))
+      live.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("live_rows"))
+        .crossJoin(broadcast(globals))
+        .select(col("o_orderstatus"), col("live_rows"), col("deleted_rows"),
+          col("dv_words"), col("surfaced_deleted"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ---- sketch aggregates. HLL/KLL internals differ across engines, so the
     // query emits the BOUND CHECK, not the raw sketch: both the approximate
     // and the exact aggregate are computed in-query and the output is the
@@ -1961,6 +2021,25 @@ object ScaleOps {
         |  CAST(1 AS BIGINT) AS n_orphaned,
         |  (SELECT count(*) FROM customer WHERE c_nationkey < 10) AS orphan_rows,
         |  TRUE AS aborted_invisible""".stripMargin,
+
+    // the oracle derives live/deleted/word counts straight from the delete
+    // predicate and the position arithmetic; surfaced_deleted is its
+    // literal-0 invariant (the Spark side must EARN it through the bitmap)
+    "etl_deletion_vectors" ->
+      """WITH pos AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderkey % 4 AS file_id,
+        |    row_number() OVER (PARTITION BY o_orderkey % 4 ORDER BY o_orderkey) - 1 AS pos
+        |  FROM orders),
+        |del AS (SELECT * FROM pos WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0),
+        |g AS (SELECT
+        |  (SELECT count(*) FROM del) AS deleted_rows,
+        |  (SELECT count(DISTINCT (file_id, pos // 32)) FROM del) AS dv_words)
+        |SELECT o_orderstatus, count(*) AS live_rows,
+        |  g.deleted_rows, g.dv_words, CAST(0 AS BIGINT) AS surfaced_deleted
+        |FROM pos, g
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+        |GROUP BY o_orderstatus, g.deleted_rows, g.dv_words
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "etl_gdpr_erase" ->
       """WITH dc AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),

@@ -666,6 +666,46 @@ object Temporal {
              coalesce(max("late_s"), lit(0L)).as("max_late_s"))
         .filter(col("n_late") > 0)
         .orderBy("user_id")
+    }),
+
+    // ---- autocorrelation of the daily revenue series at lags 1/2/3/7/14 —
+    // the seasonality probe a forecasting pipeline runs before choosing
+    // model structure (ts_holt's trend smoothing, ts_seasonal_profile's
+    // weekly profile). Two scale properties make the face: (1) the series
+    // is CALENDAR-BOUNDED — the per-day aggregate reduces any input volume
+    // to O(days) rows before the lag join, so the pair frame stays tiny at
+    // 100 TB; (2) Pearson r comes from exact integer moment sums
+    // (DECIMAL(38,0) over 2^8 fixed-point day values — n·Σxy-type terms
+    // peak ~1e26 at sf0.1, overflow headroom to ~sf1e6), so every moment
+    // is merge-order-exact and the final double division is bit-identical
+    // on both engines: no floating aggregation anywhere, unlike a raw
+    // corr() whose last-ulp sum order differs per engine (agg_corr_regr
+    // survives that at 4 decimals; near-zero ACF values would not). The
+    // lag join is calendar arithmetic (b.day = a.day + lag), not row
+    // adjacency, so gap days cannot misalign pairs.
+    "ts_autocorr" -> ((s, d) => {
+      import s.implicits._
+      val daily = t(s, d, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+        .agg(sum(floor(col("o_totalprice") * 256.0 + 0.5).cast("bigint"))
+          .cast("decimal(38,0)").as("v"))
+        .cache()
+      val lags = Seq(1, 2, 3, 7, 14).toDF("lag")
+      daily.as("a").crossJoin(broadcast(lags))
+        .join(daily.as("b"), col("b.day") === date_add(col("a.day"), col("lag")))
+        .select(col("lag"), col("a.v").as("x"), col("b.v").as("y"))
+        .groupBy("lag")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+             sum("x").as("sx"), sum("y").as("sy"),
+             sum(col("x") * col("y")).as("sxy"),
+             sum(col("x") * col("x")).as("sxx"),
+             sum(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n").cast("bigint").as("n_pairs"),
+          FP.qround((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 4)
+            .as("acf"))
+        .orderBy("lag")
     })
   )
 
@@ -1065,6 +1105,27 @@ object Temporal {
         |  FROM hw)
         |SELECT user_id, count(*) AS n_events, count(late_s) AS n_late,
         |  CAST(coalesce(max(late_s), 0) AS BIGINT) AS max_late_s
-        |FROM lt GROUP BY user_id HAVING count(late_s) > 0 ORDER BY user_id""".stripMargin
+        |FROM lt GROUP BY user_id HAVING count(late_s) > 0 ORDER BY user_id""".stripMargin,
+
+    // Pearson r from exact DECIMAL(38,0) moment sums — both engines do the
+    // identical integer arithmetic, then one identical double division
+    "ts_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 256.0 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS v
+        |  FROM orders GROUP BY 1),
+        |lags AS (SELECT unnest([1,2,3,7,14]) AS lag),
+        |m AS (
+        |  SELECT l.lag, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    sum(a.v) AS sx, sum(b.v) AS sy, sum(a.v * b.v) AS sxy,
+        |    sum(a.v * a.v) AS sxx, sum(b.v * b.v) AS syy
+        |  FROM lags l JOIN daily a ON TRUE
+        |  JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+        |  GROUP BY l.lag)
+        |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+        |  (round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+        |   + 0.0) AS acf
+        |FROM m ORDER BY lag""".stripMargin
   )
 }

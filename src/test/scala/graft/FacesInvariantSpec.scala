@@ -742,4 +742,68 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
       }
     }
   }
+
+  test("ts_autocorr: |acf| <= 1, pairs bounded by days present") {
+    val rows = SparkEntry.queries("ts_autocorr")(spark, d).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 7, 14), "one row per lag, ordered")
+    val nDays = graft.engine.Tables.load(spark, d, "orders")
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("o_orderdate"))).distinct().count()
+    // the series has GAP days at small sf, so pair counts are NOT monotone
+    // in lag (day+3 can land on a present day more often than day+2) —
+    // only the presence bound holds
+    for (r <- rows) {
+      val (lag, nPairs, acf) = (r.getInt(0), r.getLong(1), r.getDouble(2))
+      assert(nPairs >= 1 && nPairs <= nDays - 1,
+        s"lag $lag: $nPairs pairs outside [1, ${nDays - 1}]")
+      assert(math.abs(acf) <= 1.0, s"lag $lag: acf $acf outside [-1, 1]")
+    }
+  }
+
+  test("dd_record_linkage: FS classes reconcile against the planted B-source structure") {
+    val rows = SparkEntry.queries("dd_record_linkage")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val c = graft.engine.Tables.load(spark, d, "customer")
+    val nEven = c.filter("c_custkey % 2 = 0").count()
+    val nDamaged = c.filter("c_custkey % 6 = 0").count() // even by construction
+    val (pairs, mtch, poss, tru, tp, fp) = rows.foldLeft((0L, 0L, 0L, 0L, 0L, 0L)) {
+      case ((a, b, cc, dd, e, f), r) =>
+        (a + r.getLong(1), b + r.getLong(2), cc + r.getLong(3),
+         dd + r.getLong(4), e + r.getLong(5), f + r.getLong(6))
+    }
+    // blocking recall is total: every planted re-observation (clean or
+    // damaged) survives the (nation, segment, last-digit) block
+    assert(tru == nEven, s"true pairs $tru != planted re-observations $nEven")
+    // match class = exactly the clean re-observations: precision 1.0
+    assert(fp == 0, s"false positives $fp")
+    assert(tp == mtch, s"tp $tp != n_match $mtch with fp=0")
+    assert(mtch == nEven - nDamaged, s"match class $mtch != clean re-observations")
+    // the damaged re-observations land exactly in the clerical-review band
+    assert(poss == nDamaged, s"possible class $poss != damaged plants $nDamaged")
+    // blocking actually blocked: compared pairs well under the block-free
+    // quadratic (|A| * |B| = nCust * (nCust/2 * 2))
+    val nCust = c.count()
+    assert(pairs < nCust * nCust / 10, s"$pairs pairs — blocking ineffective")
+    for (r <- rows) {
+      assert(r.getLong(2) + 0L <= r.getLong(1), "n_match > n_pairs")
+      assert(r.getLong(5) <= r.getLong(4), "tp > true")
+    }
+  }
+
+  test("etl_deletion_vectors: bitmap read path conserves rows, deleted never surface") {
+    val rows = SparkEntry.queries("etl_deletion_vectors")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val o = graft.engine.Tables.load(spark, d, "orders")
+    val total = o.count()
+    val deleted = o.filter("o_orderstatus = 'F' AND o_orderkey % 7 = 0").count()
+    val live = rows.map(_.getLong(1)).sum
+    assert(rows.forall(_.getLong(4) == 0L), "a deleted row surfaced through the bitmap")
+    assert(rows.forall(_.getLong(2) == deleted), s"deleted_rows != $deleted")
+    assert(live + deleted == total, s"live $live + deleted $deleted != $total")
+    val dvWords = rows.head.getLong(3)
+    // sidecar word count: at least ceil(deleted/32) (dense packing floor),
+    // at most one word per deleted row (fully sparse)
+    assert(dvWords >= (deleted + 31) / 32 && dvWords <= deleted,
+      s"dv_words $dvWords outside [${(deleted + 31) / 32}, $deleted]")
+  }
 }
