@@ -203,9 +203,13 @@ object MarginAudit {
     // r9: Pearson r from exact DECIMAL(38,0) moment sums — numerator and
     // denominator terms are exact integers cast once to double, then one
     // fixed mul/sqrt/divide chain both engines replay bit-identically
-    // (dd_record_linkage / etl_deletion_vectors emit no floats at all —
-    // nothing strippable, left unclassified per the dd_cluster_sizes rule)
-    "ts_autocorr")
+    // (dd_record_linkage / etl_deletion_vectors / etl_l_diversity emit no
+    // floats at all — nothing strippable, left unclassified per the
+    // dd_cluster_sizes rule)
+    "ts_autocorr",
+    // r9: mean_grad / clip_ratio are single divides on exact BIGINT
+    // gradient/sample masses; the flags compare in integer arithmetic
+    "mm_blur_score", "mm_audio_clipping")
     // (etl_k_anonymity is deterministic — frac_below_k is one divide on
     // exact BIGINT row masses — but its round() sits inside the spark.sql
     // aggregate projection where the strip audit cannot reach: the

@@ -243,7 +243,19 @@ object PlanDump {
     "etl_deletion_vectors" -> ("Merge-on-read DV: base scan + ONE " +
       "broadcast left join against the word-packed sidecar + a codegen'd " +
       "bit test — no shuffle on the data path at any scale; the sidecar " +
-      "is manifest-sized (one BIGINT row per occupied 32-bit word).")
+      "is manifest-sized (one BIGINT row per occupied 32-bit word)."),
+    "mm_blur_score" -> ("Sharpness filter: synth → real BMP decode → " +
+      "integer gradient mass, all inside ONE mapPartitions pass " +
+      "(codec-init-once, per-image state only); the only exchange is the " +
+      "final doc_id sort. Corrupt payloads drop at the decode boundary."),
+    "mm_audio_clipping" -> ("Clipping census: int16 decode + rail count " +
+      "in ONE mapPartitions pass; flag is integer arithmetic " +
+      "(100·clipped > 5·n). The sign-extending byte decode is the thing " +
+      "under test — the oracle replays the plant rule, never the bytes."),
+    "etl_l_diversity" -> ("l-diversity: two-level hash-agg chain " +
+      "((nat,seg,band) distinct → per-class diversity → per-segment " +
+      "census) — partial aggregation collapses each level map-side; " +
+      "nothing row-cardinality-sized after the first agg.")
   )
 
   def main(args: Array[String]): Unit = {

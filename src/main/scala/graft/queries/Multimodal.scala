@@ -360,7 +360,118 @@ object Multimodal {
              sum("n_bytes").as("total_bytes"),
              max("n_bytes").as("max_bytes"),
              round(avg("n_bytes"), 4).as("avg_bytes"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ---- blur/sharpness filter (the image-curation twin of tx_quality):
+    // every image-training pipeline drops low-detail frames before
+    // captioning/embedding, and the standard cheap detector is gradient
+    // mass (Tenengrad / Laplacian-variance family). Pixels are decoded by
+    // the REAL bottom-up padded-stride BMP reader (engine.ImageHeaders
+    // .bmpGray — shares no traversal code with the synth writer); the
+    // sharpness statistic is the exact integer L1 gradient mass over all
+    // horizontal+vertical neighbor pairs, so the census carries no float
+    // the flag depends on (is_blurry is an integer compare against
+    // 10·n_terms). Plants: id%5=0 ships a smooth ramp (low gradient),
+    // everything else a quadratic hash texture (high gradient), id%13=0 a
+    // truncated payload that must VANISH (hostile-length rule). The oracle
+    // recomputes the whole grid closed-form from doc_id without seeing a
+    // byte — only an exact synth→BMP→decode→gradient round-trip matches.
+    // Scale shape: decode+gradient is one mapPartitions pass (codec-init-
+    // once), per-image state only; output one row per image.
+    "mm_blur_score" -> ((s, d) => {
+      import s.implicits._
+      import graft.engine.{ImageHeaders => IH, Multimodal => M}
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = (id % 12 + 4).toInt
+        val h = (id * 5 % 12 + 4).toInt
+        val payload =
+          if (id % 13 == 0) IH.bmpBytes(w, h, 3) // claims w×h, ships 3 bytes
+          else if (id % 5 == 0)
+            IH.bmpPixelBytes(w, h, (x, y) => (((x + y + id) % 16) * 2).toInt)
+          else
+            IH.bmpPixelBytes(w, h,
+              (x, y) => ((x.toLong * x * 7 + y.toLong * y * 13 + id * 31) % 256).toInt)
+        M.MediaRecord(id, payload, "image/bmp")
+      }
+      media.mapPartitions { it =>
+        // codec init would sit here, once per partition
+        it.flatMap { r =>
+          IH.bmpGray(r.payload).map { case (w, h, g) =>
+            var grad = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w - 1) {
+                grad += math.abs(g(y * w + x + 1) - g(y * w + x)); x += 1
+              }
+              y += 1
+            }
+            y = 0
+            while (y < h - 1) {
+              var x = 0
+              while (x < w) {
+                grad += math.abs(g((y + 1) * w + x) - g(y * w + x)); x += 1
+              }
+              y += 1
+            }
+            val nTerms = h.toLong * (w - 1) + (h - 1).toLong * w
+            (r.doc_id, w.toLong, h.toLong, nTerms, grad)
+          }
+        }
+      }.toDF("doc_id", "width", "height", "n_terms", "grad_mass")
+        .withColumn("mean_grad",
+          round(col("grad_mass") / col("n_terms").cast("double"), 4))
+        .withColumn("is_blurry", col("grad_mass") < lit(10L) * col("n_terms"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- clipping census over real sample bytes (the audio-curation twin
+    // of mm_blur_score): ASR/speech pipelines drop clips whose waveform
+    // saturates the int16 range. The synth plants saturated samples at
+    // BOTH rails ((j+id) % m == 0 with per-clip modulus m = 11+id%10, the
+    // rail picked by the multiple's parity — so −32768, the value with no
+    // positive counterpart, is exercised in encode AND decode), against a
+    // background confined to ±15000. The decoder is the shared sign-
+    // extending samples16; the flag is pure integer arithmetic
+    // (100·n_clipped > 5·n_samples), so densities straddling the 5%
+    // threshold (1/11…1/20) flag deterministically on both engines.
+    // id%23=0 ships a truncated payload (declared data length exceeds the
+    // bytes) and must vanish via the decoder's hostile-length rule.
+    "mm_audio_clipping" -> ((s, d) => {
+      import s.implicits._
+      import graft.engine.{AudioHeaders => AH, Multimodal => M}
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val n = ((id % 30 + 2) * 16).toInt
+        val m = (11 + id % 10).toInt
+        val b = AH.wavBytes(1, 8000, 16, n)
+        var j = 0
+        while (j < n) {
+          val v =
+            if ((j + id) % m == 0) {
+              if (((j + id) / m) % 2 == 0) 32767 else -32768
+            } else (((id * 13 + j * 7) % 30000) - 15000).toInt
+          b(AH.WavHeaderLen + 2 * j) = (v & 0xff).toByte
+          b(AH.WavHeaderLen + 2 * j + 1) = ((v >> 8) & 0xff).toByte
+          j += 1
+        }
+        val payload = if (id % 23 == 0) b.dropRight(5) else b
+        M.MediaRecord(id, payload, "audio/wav")
+      }
+      media.mapPartitions { it =>
+        // codec init would sit here, once per partition
+        it.flatMap { r =>
+          AH.samples16(r.payload).map { ss =>
+            var clipped = 0L
+            ss.foreach { v => if (v == 32767 || v == -32768) clipped += 1 }
+            (r.doc_id, ss.length.toLong, clipped)
+          }
+        }
+      }.toDF("doc_id", "n_samples", "n_clipped")
+        .withColumn("clip_ratio",
+          round(col("n_clipped") / col("n_samples").cast("double"), 4))
+        .withColumn("is_clipped", col("n_clipped") * 100 > col("n_samples") * 5)
+        .orderBy("doc_id")
+    })
   ) ++ ImageDedup.queries
 
   val oracles: Map[String, String] = Map(
@@ -519,6 +630,50 @@ object Multimodal {
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  max(n_bytes) AS max_bytes, round(avg(n_bytes), 4) AS avg_bytes
         |FROM (SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // closed-form pixel-grid replay from doc_id — never sees a byte; the
+    // corrupt (id%13) clips are excluded because the reader must drop them
+    "mm_blur_score" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 12 + 4 AS w, doc_id * 5 % 12 + 4 AS h
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |grid AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(range(0, h), y -> list_transform(range(0, w), x ->
+        |      CASE WHEN doc_id % 5 = 0 THEN ((x + y + doc_id) % 16) * 2
+        |           ELSE (x*x*7 + y*y*13 + doc_id*31) % 256 END)) AS g
+        |  FROM img),
+        |m AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(h * (w-1) + (h-1) * w AS BIGINT) AS n_terms,
+        |    CAST(
+        |      list_sum(flatten(list_transform(range(0, h), y ->
+        |        list_transform(range(0, w-1), x -> abs(g[y+1][x+2] - g[y+1][x+1]))))) +
+        |      list_sum(flatten(list_transform(range(0, h-1), y ->
+        |        list_transform(range(0, w), x -> abs(g[y+2][x+1] - g[y+1][x+1])))))
+        |    AS BIGINT) AS grad_mass
+        |  FROM grid)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  n_terms, grad_mass,
+        |  round(grad_mass / CAST(n_terms AS DOUBLE), 4) AS mean_grad,
+        |  (grad_mass < 10 * n_terms) AS is_blurry
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the oracle counts the PLANT RULE; the Spark side counts rail values
+    // recovered through the sign-extending byte decode — only an exact
+    // int16 encode→decode round-trip (including −32768) matches
+    "mm_audio_clipping" ->
+      """WITH a AS (
+        |  SELECT doc_id, (doc_id % 30 + 2) * 16 AS n, 11 + doc_id % 10 AS m
+        |  FROM documents WHERE doc_id % 23 <> 0),
+        |c AS (
+        |  SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |    CAST(len(list_filter(range(0, n), j -> (j + doc_id) % m = 0)) AS BIGINT) AS n_clipped
+        |  FROM a)
+        |SELECT doc_id, n_samples, n_clipped,
+        |  round(n_clipped / CAST(n_samples AS DOUBLE), 4) AS clip_ratio,
+        |  (n_clipped * 100 > n_samples * 5) AS is_clipped
+        |FROM c ORDER BY doc_id""".stripMargin
   ) ++ ImageDedup.oracles
 }

@@ -1098,6 +1098,35 @@ object ScaleOps {
           |FROM cls GROUP BY level ORDER BY level""".stripMargin)
     }),
 
+    // ---- l-diversity census (etl_k_anonymity's sibling): k-anonymity
+    // bounds CLASS SIZE, but a class of 50 rows that all share one
+    // sensitive value still fully discloses it (the homogeneity attack) —
+    // l-diversity requires every quasi-identifier class to contain ≥ l
+    // DISTINCT sensitive values. QI = (nation, segment), sensitive = the
+    // coarse balance band; the census reports, per segment, the minimum
+    // class diversity, the below-l class/row mass (the re-identification
+    // exposure a release reviewer signs off on), and the homogeneous-class
+    // count — all exact integers. Scale shape: the distinct-per-class
+    // count is ONE two-level hash-agg chain ((nat, seg, band) distinct →
+    // per-class count → per-segment census) — partial aggregation
+    // collapses each level map-side, nothing is row-cardinality-sized
+    // after the first agg at any corpus scale.
+    "etl_l_diversity" -> ((s, d) => {
+      val cls = t(s, d, "customer")
+        .groupBy(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("class_size"),
+             countDistinct(floor(col("c_acctbal") / 1000)).as("n_distinct"))
+      cls.groupBy("seg")
+        .agg(count(lit(1)).as("n_classes"),
+             min("n_distinct").as("min_diversity"),
+             count(when(col("n_distinct") < 3, 1)).as("classes_below_l"),
+             sum(when(col("n_distinct") < 3, col("class_size")).otherwise(0L))
+               .as("rows_at_risk"),
+             count(when(col("n_distinct") === 1, 1)).as("n_homogeneous"))
+        .withColumn("l_diverse", col("min_diversity") >= 3)
+        .orderBy("seg")
+    }),
+
     // ---- partition-spec EVOLUTION read (the Iceberg headline mechanic,
     // over plain parquet): the table's first generation is partitioned by
     // year; the spec later evolves to (year, month) — and historical files
@@ -1979,6 +2008,21 @@ object ScaleOps {
         |    / CAST(sum(class_size) AS DOUBLE), 4) AS frac_below_k,
         |  (min(class_size) >= 5) AS k_anonymous
         |FROM cls GROUP BY level ORDER BY level""".stripMargin,
+
+    "etl_l_diversity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    count(*) AS class_size,
+        |    count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS n_distinct
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT seg, count(*) AS n_classes,
+        |  min(n_distinct) AS min_diversity,
+        |  count(*) FILTER (n_distinct < 3) AS classes_below_l,
+        |  CAST(coalesce(sum(CASE WHEN n_distinct < 3 THEN class_size ELSE 0 END), 0) AS BIGINT)
+        |    AS rows_at_risk,
+        |  count(*) FILTER (n_distinct = 1) AS n_homogeneous,
+        |  (min(n_distinct) >= 3) AS l_diverse
+        |FROM cls GROUP BY seg ORDER BY seg""".stripMargin,
 
     // same gen rule applied to the raw table — a row lost or doubled at
     // the generation seam breaks the census

@@ -806,4 +806,50 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(dvWords >= (deleted + 31) / 32 && dvWords <= deleted,
       s"dv_words $dvWords outside [${(deleted + 31) / 32}, $deleted]")
   }
+
+  test("mm_blur_score: exactly the ramp plants flag blurry, corrupt clips vanish") {
+    val rows = SparkEntry.queries("mm_blur_score")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids.forall(_ % 13 != 0), "a corrupt (truncated) image survived decode")
+    for (r <- rows) {
+      val (id, w, h, nTerms, grad, meanGrad, blurry) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+         r.getLong(4), r.getDouble(5), r.getBoolean(6))
+      assert(nTerms == h * (w - 1) + (h - 1) * w, s"doc $id n_terms wrong")
+      assert(blurry == (id % 5 == 0), s"doc $id blurry=$blurry but plant says ${id % 5 == 0}")
+      assert(math.abs(meanGrad - grad.toDouble / nTerms) < 5e-5, s"doc $id mean_grad off")
+    }
+  }
+
+  test("mm_audio_clipping: clip counts match the plant-rule density window") {
+    val rows = SparkEntry.queries("mm_audio_clipping")(spark, d).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 23 != 0), "a truncated clip survived decode")
+    for (r <- rows) {
+      val (id, n, clipped, flag) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4))
+      val m = 11 + id % 10
+      // multiples of m in a length-n window: floor or ceil of n/m
+      assert(clipped == n / m || clipped == n / m + 1,
+        s"doc $id: $clipped clipped outside {${n / m}, ${n / m + 1}} for m=$m n=$n")
+      assert(flag == (clipped * 100 > n * 5), s"doc $id flag inconsistent")
+    }
+  }
+
+  test("etl_l_diversity: census reconciles against the raw QI classes") {
+    val rows = SparkEntry.queries("etl_l_diversity")(spark, d).collect()
+    assert(rows.length == 5, "one row per market segment")
+    val c = graft.engine.Tables.load(spark, d, "customer")
+    val nClasses = c.select("c_nationkey", "c_mktsegment").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nClasses, "class counts don't cover all QI classes")
+    for (r <- rows) {
+      val (minDiv, below, risk, homog, ldiv) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))
+      assert(minDiv >= 1)
+      assert(homog <= below, "homogeneous classes must be counted among below-l")
+      assert(ldiv == (minDiv >= 3), "l_diverse flag inconsistent with min diversity")
+      assert((below == 0) == (risk == 0), "rows_at_risk inconsistent with classes_below_l")
+    }
+  }
 }
