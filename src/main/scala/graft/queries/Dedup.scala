@@ -835,13 +835,18 @@ object Dedup {
         round(col("c_acctbal") + 500.0, 2).as("b_acctbal"),
         col("c_mktsegment").as("b_mktsegment"))
       val b = bClean.unionByName(bGhost)
+      // right(), not substring(-n, n): for a string SHORTER than n, Spark's
+      // negative-start substring returns '' while SQL right() returns the
+      // whole string — the engines only agree on right() at every length
+      // (names here are always >= 14 chars, but the comparator must not
+      // carry a latent length trap)
       val pairs = c.join(b,
         col("c_nationkey") === col("b_nationkey") &&
           col("c_mktsegment") === col("b_mktsegment") &&
-          substring(col("c_name"), -1, 1) === substring(col("b_name"), -1, 1))
+          expr("right(c_name, 1)") === expr("right(b_name, 1)"))
       val scored = pairs.select(col("c_custkey"), col("orig_key"), col("c_nationkey"),
           (when(col("c_name") === col("b_name"), 8).otherwise(-4) +
-           when(substring(col("c_name"), -6, 6) === substring(col("b_name"), -6, 6), 6)
+           when(expr("right(c_name, 6)") === expr("right(b_name, 6)"), 6)
              .otherwise(-6) +
            when(abs(col("c_acctbal") - col("b_acctbal")) <= 0.55, 3).otherwise(-2))
             .as("w"),
