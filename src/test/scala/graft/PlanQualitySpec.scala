@@ -497,4 +497,30 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
            rOff.contains("cbo_nation") && !rOff.contains("cbo_orders"),
       s"without CBO the written order must survive:\nleft=$lOff\nright=$rOff")
   }
+
+  test("etl_deletion_vectors: the DV sidecar anti-applies via broadcast, never sort-merge") {
+    val p = planOf("etl_deletion_vectors")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"the data path must probe the DV as a broadcast left join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join on the data path would shuffle every base row at scale:\n$p")
+  }
+
+  test("dd_record_linkage: ONE blocked candidate join, census partial-aggregates") {
+    val p = planOf("dd_record_linkage")
+    val joins = "BroadcastHashJoin".r.findAllIn(p).length +
+      "SortMergeJoin".r.findAllIn(p).length
+    assert(joins == 1, s"candidate generation must be exactly one blocked equi-join, got $joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"linkage must never go all-pairs:\n$p")
+    assert(p.contains("partial_count"), s"census must partial-aggregate map-side:\n$p")
+  }
+
+  test("ts_autocorr: broadcast lag-pair join over the calendar-bounded frame, partial moment sums") {
+    val p = planOf("ts_autocorr")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the day-frame pair join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join on a calendar-bounded frame:\n$p")
+    assert(p.contains("partial_sum"), s"moment sums must partial-aggregate:\n$p")
+  }
 }
