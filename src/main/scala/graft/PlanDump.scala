@@ -255,7 +255,12 @@ object PlanDump {
     "etl_l_diversity" -> ("l-diversity: two-level hash-agg chain " +
       "((nat,seg,band) distinct → per-class diversity → per-segment " +
       "census) — partial aggregation collapses each level map-side; " +
-      "nothing row-cardinality-sized after the first agg.")
+      "nothing row-cardinality-sized after the first agg."),
+    "dd_sorted_neighborhood" -> ("SNM: ONE per-nation sort feeds the rank " +
+      "window, then an equi-join on nation with a bounded rn-band " +
+      "predicate — candidates are w·|A| (linear) at any corpus size. The " +
+      "blocking-join alternative (dd_record_linkage) trades the sort for " +
+      "a key whose granularity must be re-tuned as data grows.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -820,21 +820,7 @@ object Dedup {
     // clerical-review band — and every ghost scores below both thresholds.
     "dd_record_linkage" -> ((s, d) => {
       val c = t(s, d, "customer")
-      val bClean = c.filter(col("c_custkey") % 2 === 0).select(
-        col("c_custkey").as("orig_key"),
-        when(col("c_custkey") % 6 === 0,
-          regexp_replace(col("c_name"), "Customer#", "Cust#"))
-          .otherwise(col("c_name")).as("b_name"),
-        col("c_nationkey").as("b_nationkey"),
-        round(col("c_acctbal") + (col("c_custkey") % 10 - 5) * 0.1, 2).as("b_acctbal"),
-        col("c_mktsegment").as("b_mktsegment"))
-      val bGhost = c.filter(col("c_custkey") % 2 === 1).select(
-        (col("c_custkey") + 1000000).as("orig_key"),
-        concat(lit("Customer#"), (col("c_custkey") + 1000000).cast("string")).as("b_name"),
-        col("c_nationkey").as("b_nationkey"),
-        round(col("c_acctbal") + 500.0, 2).as("b_acctbal"),
-        col("c_mktsegment").as("b_mktsegment"))
-      val b = bClean.unionByName(bGhost)
+      val b = linkSourceB(c)
       // right(), not substring(-n, n): for a string SHORTER than n, Spark's
       // negative-start substring returns '' while SQL right() returns the
       // whole string — the engines only agree on right() at every length
@@ -859,8 +845,101 @@ object Dedup {
              count(when(col("w") >= 8 && col("is_true"), 1)).as("n_tp"),
              count(when(col("w") >= 8 && !col("is_true"), 1)).as("n_fp"))
         .orderBy("nationkey")
+    }),
+
+    // ---- sorted-neighborhood candidate generation (SNM, Hernández–Stolfo)
+    // — the textbook ALTERNATIVE to dd_record_linkage's blocking-key join,
+    // with a genuinely different plan shape: instead of an equi-join on a
+    // composite block key, sort both sources together on a match-relevant
+    // key (the trailing id digits, which every planted perturbation
+    // preserves) and compare only records within a fixed window w of each
+    // other. SNM survives blocking-key DAMAGE (a wrong segment or nation
+    // would evict a record from its equi-join block but barely moves its
+    // sort position) at the cost of one sort; the window bounds candidates
+    // to w·N — linear at any corpus size, vs a block key whose granularity
+    // must be re-tuned as data grows. Scale shape: the sort is PARTITIONED
+    // (per nation — SNM's multi-pass discipline runs one pass per coarse
+    // partition), the rank window is per-partition, and the rn-range self-
+    // join is an equi-join on nation with a bounded band predicate. With
+    // side ordered A-before-B on sort-key ties, every true pair (equal
+    // trailing digits) has its B record AFTER its A record, so the forward-
+    // only window loses no recall — documented, and the census proves it:
+    // found_true == the planted re-observation count per nation.
+    "dd_sorted_neighborhood" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val u = c.select(lit("A").as("side"), col("c_custkey").as("key"),
+          col("c_name").as("name"), col("c_nationkey").as("nat"),
+          col("c_acctbal").as("bal"))
+        .unionByName(linkSourceB(c).select(lit("B").as("side"),
+          col("orig_key").as("key"), col("b_name").as("name"),
+          col("b_nationkey").as("nat"), col("b_acctbal").as("bal")))
+        .withColumn("sortkey", expr("right(name, 6)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("nat").orderBy(col("sortkey"), col("side"), col("key"))))
+      val a = u.filter(col("side") === "A")
+        .select(col("nat"), col("rn"), col("key").as("a_key"),
+          col("name").as("a_name"), col("bal").as("a_bal"))
+      val bb = u.filter(col("side") === "B")
+        .select(col("nat").as("b_nat"), col("rn").as("b_rn"), col("key").as("b_key"),
+          col("name").as("b_name"), col("bal").as("b_bal"))
+      val cand = a.join(bb,
+        col("nat") === col("b_nat") &&
+          col("b_rn") > col("rn") && col("b_rn") <= col("rn") + 4)
+      val scored = cand.select(col("nat"), col("a_key"), col("b_key"),
+          (when(col("a_name") === col("b_name"), 8).otherwise(-4) +
+           when(expr("right(a_name, 6)") === expr("right(b_name, 6)"), 6)
+             .otherwise(-6) +
+           when(abs(col("a_bal") - col("b_bal")) <= 0.55, 3).otherwise(-2))
+            .as("w"),
+          (col("a_key") === col("b_key")).as("is_true"))
+      scored.groupBy(col("nat").as("nationkey"))
+        .agg(count(lit(1)).as("n_candidates"),
+             count(when(col("is_true"), 1)).as("found_true"),
+             count(when(col("w") >= 8, 1)).as("n_match"),
+             count(when(col("w") >= 2 && col("w") < 8, 1)).as("n_possible"),
+             count(when(col("w") >= 8 && !col("is_true"), 1)).as("n_fp"))
+        .orderBy("nationkey")
     })
   )
+
+  /** The deterministically-dirtied second observation of the customer
+    * table shared by the entity-resolution faces (dd_record_linkage,
+    * dd_sorted_neighborhood): clean re-observations (even keys), damaged
+    * re-observations (key%6=0 — abbreviated name, drifted balance), and
+    * ghosts that exist only in B (odd keys shifted +1e6, rebuilt names,
+    * +500 balance). The SQL twin is [[linkBSql]]. */
+  private def linkSourceB(c: DataFrame): DataFrame = {
+    val bClean = c.filter(col("c_custkey") % 2 === 0).select(
+      col("c_custkey").as("orig_key"),
+      when(col("c_custkey") % 6 === 0,
+        regexp_replace(col("c_name"), "Customer#", "Cust#"))
+        .otherwise(col("c_name")).as("b_name"),
+      col("c_nationkey").as("b_nationkey"),
+      round(col("c_acctbal") + (col("c_custkey") % 10 - 5) * 0.1, 2).as("b_acctbal"),
+      col("c_mktsegment").as("b_mktsegment"))
+    val bGhost = c.filter(col("c_custkey") % 2 === 1).select(
+      (col("c_custkey") + 1000000).as("orig_key"),
+      concat(lit("Customer#"), (col("c_custkey") + 1000000).cast("string")).as("b_name"),
+      col("c_nationkey").as("b_nationkey"),
+      round(col("c_acctbal") + 500.0, 2).as("b_acctbal"),
+      col("c_mktsegment").as("b_mktsegment"))
+    bClean.unionByName(bGhost)
+  }
+
+  /** linkSourceB's SQL twin — the `b` CTE body both ER oracles share. */
+  private val linkBSql: String =
+    """SELECT c_custkey AS orig_key,
+      |    CASE WHEN c_custkey % 6 = 0 THEN replace(c_name, 'Customer#', 'Cust#')
+      |         ELSE c_name END AS b_name,
+      |    c_nationkey AS b_nationkey,
+      |    round(c_acctbal + (c_custkey % 10 - 5) * 0.1, 2) AS b_acctbal,
+      |    c_mktsegment AS b_mktsegment
+      |  FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000,
+      |    'Customer#' || CAST(c_custkey + 1000000 AS VARCHAR),
+      |    c_nationkey, round(c_acctbal + 500.0, 2), c_mktsegment
+      |  FROM customer WHERE c_custkey % 2 = 1""".stripMargin
 
   private val S = SqlText
 
@@ -1329,19 +1408,8 @@ object Dedup {
     // Fellegi–Sunter linkage census: integer ×2 log-odds weights, so the
     // match (w>=8) and possible (2<=w<8) thresholds never touch a float
     "dd_record_linkage" ->
-      """WITH b AS (
-        |  SELECT c_custkey AS orig_key,
-        |    CASE WHEN c_custkey % 6 = 0 THEN replace(c_name, 'Customer#', 'Cust#')
-        |         ELSE c_name END AS b_name,
-        |    c_nationkey AS b_nationkey,
-        |    round(c_acctbal + (c_custkey % 10 - 5) * 0.1, 2) AS b_acctbal,
-        |    c_mktsegment AS b_mktsegment
-        |  FROM customer WHERE c_custkey % 2 = 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000,
-        |    'Customer#' || CAST(c_custkey + 1000000 AS VARCHAR),
-        |    c_nationkey, round(c_acctbal + 500.0, 2), c_mktsegment
-        |  FROM customer WHERE c_custkey % 2 = 1),
+      s"""WITH b AS (
+        |  $linkBSql),
         |scored AS (
         |  SELECT a.c_custkey, b.orig_key, a.c_nationkey,
         |    (CASE WHEN a.c_name = b.b_name THEN 8 ELSE -4 END +
@@ -1356,6 +1424,37 @@ object Dedup {
         |  count(*) FILTER (w >= 2 AND w < 8) AS n_possible,
         |  count(*) FILTER (is_true) AS n_true,
         |  count(*) FILTER (w >= 8 AND is_true) AS n_tp,
+        |  count(*) FILTER (w >= 8 AND NOT is_true) AS n_fp
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SNM: same FS weights, candidates from the per-nation sorted window;
+    // the (sortkey, side, key) rank order is total, so rn is deterministic
+    "dd_sorted_neighborhood" ->
+      s"""WITH b AS (
+        |  $linkBSql),
+        |u AS (
+        |  SELECT 'A' AS side, c_custkey AS key, c_name AS name,
+        |    c_nationkey AS nat, c_acctbal AS bal FROM customer
+        |  UNION ALL
+        |  SELECT 'B', orig_key, b_name, b_nationkey, b_acctbal FROM b),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY nat ORDER BY right(name, 6), side, key) AS rn FROM u),
+        |cand AS (
+        |  SELECT a.nat, a.key AS a_key, b2.key AS b_key, a.name AS a_name,
+        |    b2.name AS b_name, a.bal AS a_bal, b2.bal AS b_bal
+        |  FROM r a JOIN r b2 ON a.nat = b2.nat AND b2.rn > a.rn AND b2.rn <= a.rn + 4
+        |  WHERE a.side = 'A' AND b2.side = 'B'),
+        |scored AS (
+        |  SELECT nat, a_key, b_key,
+        |    (CASE WHEN a_name = b_name THEN 8 ELSE -4 END +
+        |     CASE WHEN right(a_name, 6) = right(b_name, 6) THEN 6 ELSE -6 END +
+        |     CASE WHEN abs(a_bal - b_bal) <= 0.55 THEN 3 ELSE -2 END) AS w,
+        |    (a_key = b_key) AS is_true
+        |  FROM cand)
+        |SELECT nat AS nationkey, count(*) AS n_candidates,
+        |  count(*) FILTER (is_true) AS found_true,
+        |  count(*) FILTER (w >= 8) AS n_match,
+        |  count(*) FILTER (w >= 2 AND w < 8) AS n_possible,
         |  count(*) FILTER (w >= 8 AND NOT is_true) AS n_fp
         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
   )

@@ -837,6 +837,25 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("dd_sorted_neighborhood: window recall is total, candidates linearly bounded") {
+    val rows = SparkEntry.queries("dd_sorted_neighborhood")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val c = graft.engine.Tables.load(spark, d, "customer")
+    val nEven = c.filter("c_custkey % 2 = 0").count()
+    val nDamaged = c.filter("c_custkey % 6 = 0").count()
+    val found = rows.map(_.getLong(2)).sum
+    // side sorts A-before-B on sort-key ties, so the forward-only window
+    // must find EVERY planted re-observation
+    assert(found == nEven, s"SNM found $found true pairs, planted $nEven")
+    assert(rows.map(_.getLong(3)).sum == nEven - nDamaged, "match class != clean plants")
+    assert(rows.map(_.getLong(4)).sum == nDamaged, "possible class != damaged plants")
+    assert(rows.forall(_.getLong(5) == 0L), "SNM produced a false positive")
+    // w=4 forward window: at most 4 candidates per A record — linear, never
+    // quadratic, the property that makes SNM a scale alternative to blocking
+    assert(rows.map(_.getLong(1)).sum <= 4 * c.count(),
+      "candidate count exceeded the w*|A| window bound")
+  }
+
   test("etl_l_diversity: census reconciles against the raw QI classes") {
     val rows = SparkEntry.queries("etl_l_diversity")(spark, d).collect()
     assert(rows.length == 5, "one row per market segment")
