@@ -123,7 +123,11 @@ object MarginAudit {
     "graph_sssp_bounded",
     // r8: mean_tokens is a qround'd qmean; lang_entropy rides
     // tx_token_entropy's qsum construction; dup_rate is an integer ratio
-    "tx_dataset_card")
+    "tx_dataset_card",
+    // r9: mean_jw is a qmean over engine-identical jw doubles (the native
+    // expression is bit-pinned to DuckDB's builtin); band counts are
+    // integer compares on those same doubles
+    "dd_jw_comparator")
 
   /** Deterministic-but-not-fixed-point: outputs are ratios/products of
     * exact integers (same double every run on both engines), so an exact

@@ -260,7 +260,12 @@ object PlanDump {
       "window, then an equi-join on nation with a bounded rn-band " +
       "predicate — candidates are w·|A| (linear) at any corpus size. The " +
       "blocking-join alternative (dd_record_linkage) trades the sort for " +
-      "a key whose granularity must be re-tuned as data grows.")
+      "a key whose granularity must be re-tuned as data grows."),
+    "dd_jw_comparator" -> ("Graded ER comparator: the native codegen'd " +
+      "jaro_winkler BinaryExpression scores each blocked candidate pair " +
+      "inside whole-stage codegen (no UDF boundary); one census hash-agg. " +
+      "The DuckDB-builtin oracle makes the hash gate a cross-" +
+      "implementation equivalence proof per pair.")
   )
 
   def main(args: Array[String]): Unit = {

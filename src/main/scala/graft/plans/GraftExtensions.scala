@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhash24Fn)
     ext.injectFunction(GraftExtensions.cdcChunksFn)
     ext.injectFunction(GraftExtensions.cosineSimFn)
+    ext.injectFunction(GraftExtensions.jaroWinklerFn)
     ext.injectOptimizerRule(_ => EliminateDurationRoundTrip)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -76,6 +77,9 @@ object GraftExtensions {
     ColumnBridge.toColumn(CdcChunks(ColumnBridge.toExpression(c)))
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.toColumn(CosineSim(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(JaroWinkler(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
 
   private type FnDef = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
@@ -119,6 +123,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
     (args: Seq[Expression]) => CosineSim(args(0), args(1)))
 
+  val jaroWinklerFn: FnDef = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (args: Seq[Expression]) => JaroWinkler(args(0), args(1)))
+
   /** Install into an already-running session (tests / notebooks): registers
     * the SQL functions, the optimizer rule, and the as-of join strategy. */
   def install(spark: SparkSession): Unit = {
@@ -138,6 +147,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("cdc_chunks", args => CdcChunks(args.head), "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("cosine_sim", args => CosineSim(args(0), args(1)), "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("jaro_winkler", args => JaroWinkler(args(0), args(1)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(EliminateDurationRoundTrip))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EliminateDurationRoundTrip

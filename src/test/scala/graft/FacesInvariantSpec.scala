@@ -856,6 +856,23 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
       "candidate count exceeded the w*|A| window bound")
   }
 
+  test("dd_jw_comparator: every true pair scores >= 0.95, bands partition the pairs") {
+    val rows = SparkEntry.queries("dd_jw_comparator")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val c = graft.engine.Tables.load(spark, d, "customer")
+    val nEven = c.filter("c_custkey % 2 = 0").count()
+    // graded comparator recovers what exact equality drops: clean pairs at
+    // 1.0 AND abbreviated names (~0.956) all land in the >= 0.95 band
+    assert(rows.map(_.getLong(5)).sum == nEven,
+      "every planted re-observation must score >= 0.95")
+    for (r <- rows) {
+      val (n, ge95, mid, lt90, mean) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(6))
+      assert(ge95 + mid + lt90 == n, "bands must partition the candidate pairs")
+      assert(mean > 0.0 && mean <= 1.0, s"mean_jw $mean outside (0, 1]")
+    }
+  }
+
   test("etl_l_diversity: census reconciles against the raw QI classes") {
     val rows = SparkEntry.queries("etl_l_diversity")(spark, d).collect()
     assert(rows.length == 5, "one row per market segment")

@@ -249,4 +249,41 @@ class PlansSpec extends AnyFunSuite with SharedSparkSpec {
     assert(!rows(0).isNullAt(0) && !rows(0).isNullAt(1) && !rows(0).isNullAt(2))
     assert(rows(1).isNullAt(0) && rows(1).isNullAt(1) && rows(1).isNullAt(2))
   }
+
+  test("jaro_winkler: golden vectors pin the DuckDB-compatible semantics, codegen ≡ eval") {
+    import graft.plans.JaroWinkler
+    def ref(j: Double, p: Int): Double = j + p * 0.1 * (1.0 - j)
+    def jw(a: String, b: String): Double =
+      JaroWinkler.jw(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    // the textbook vectors, with expected values built from the exact
+    // IEEE chains the semantics prescribe (these equal DuckDB's
+    // jaro_winkler_similarity bit-for-bit — probed when the expression
+    // was pinned; the oracle face re-proves it on every candidate pair)
+    val mJaro = (6.0 / 6 + 6.0 / 6 + 5 / 6.0) / 3.0
+    assert(jw("MARTHA", "MARHTA") == ref(mJaro, 3))
+    val dJaro = (4.0 / 5 + 4.0 / 8 + 4 / 4.0) / 3.0
+    assert(jw("DIXON", "DICKSONX") == ref(dJaro, 2))
+    val wJaro = (4.0 / 6 + 4.0 / 5 + 4 / 4.0) / 3.0
+    assert(jw("DWAYNE", "DUANE") == ref(wJaro, 1))
+    // boost applies ONLY above jaro 0.7: 4-char prefix but jaro = 2/3 → no boost
+    assert(jw("abcdWWWW", "abcdZZZZ") == (4.0 / 8 + 4.0 / 8 + 4 / 4.0) / 3.0)
+    // DuckDB conventions: both-empty and one-empty are 0, not 1; a 2-char
+    // swap has window 0 → no matches
+    assert(jw("", "") == 0.0 && jw("", "abc") == 0.0 && jw("ab", "ba") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+    // codegen path (DataFrame select) ≡ direct eval on a perturbed corpus
+    import spark.implicits._
+    val pairs = (0 until 2000).map { i =>
+      val a = s"Customer#${1000000 + i * 37}"
+      val b = if (i % 3 == 0) a.replace("Customer#", "Cust#")
+              else if (i % 3 == 1) a.reverse else a
+      (a, b)
+    }
+    val got = pairs.toDF("a", "b")
+      .select(GraftExtensions.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(_.getDouble(0))
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      assert(g == jw(a, b), s"codegen/eval divergence on ($a, $b)")
+    }
+  }
 }
