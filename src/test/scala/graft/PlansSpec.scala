@@ -71,6 +71,8 @@ class PlansSpec extends AnyFunSuite with SharedSparkSpec {
       "SELECT parse_f1_duration('01:02:345') AS a, format_f1_duration(-62345) AS b").head
     assert(r.getLong(0) == 62345L)
     assert(r.getString(1) == "-00:01:02:345")
+    val jw = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw").head.getDouble(0)
+    assert(jw == graft.plans.JaroWinkler.jw("MARTHA".getBytes, "MARHTA".getBytes))
 
     import spark.implicits._
     val df = Seq(1234L).toDF("ms")
