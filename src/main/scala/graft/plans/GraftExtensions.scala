@@ -50,6 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cdcChunksFn)
     ext.injectFunction(GraftExtensions.cosineSimFn)
     ext.injectFunction(GraftExtensions.jaroWinklerFn)
+    ext.injectFunction(GraftExtensions.nfcNormalizeFn)
     ext.injectOptimizerRule(_ => EliminateDurationRoundTrip)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -80,6 +81,9 @@ object GraftExtensions {
 
   def jaroWinkler(a: Column, b: Column): Column =
     ColumnBridge.toColumn(JaroWinkler(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+
+  def nfcNormalize(c: Column): Column =
+    ColumnBridge.toColumn(NfcNormalize(ColumnBridge.toExpression(c)))
 
   private type FnDef = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
@@ -128,6 +132,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
     (args: Seq[Expression]) => JaroWinkler(args(0), args(1)))
 
+  val nfcNormalizeFn: FnDef = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (args: Seq[Expression]) => NfcNormalize(args.head))
+
   /** Install into an already-running session (tests / notebooks): registers
     * the SQL functions, the optimizer rule, and the as-of join strategy. */
   def install(spark: SparkSession): Unit = {
@@ -149,6 +158,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("cosine_sim", args => CosineSim(args(0), args(1)), "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("jaro_winkler", args => JaroWinkler(args(0), args(1)), "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("nfc_normalize", args => NfcNormalize(args.head), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(EliminateDurationRoundTrip))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EliminateDurationRoundTrip

@@ -934,6 +934,35 @@ object Dedup {
              count(when(col("jw") >= 0.95 && col("is_true"), 1)).as("n_true_ge95"),
              round(FP.qmean(col("jw"), 20), 4).as("mean_jw"))
         .orderBy("nationkey")
+    }),
+
+    // ---- Unicode-normalization-insensitive dedup (the native
+    // nfc_normalize expression's catalog face): "café" with a composed
+    // U+00E9 and with `e`+combining-U+0301 must collapse to one document
+    // or every downstream hash/shingle/signature silently splits. The
+    // corpus is ASCII, so both variants are PLANTED per doc in-query:
+    // composed ('e' → U+00E9) and decomposed ('e' → e+U+0301); the face
+    // proves NFC(decomposed) converges to the composed form byte-for-byte
+    // by emitting the md5 of the normalized string — Spark's side runs the
+    // JDK normalizer inside the native codegen'd expression, DuckDB's runs
+    // utf8proc's nfc_normalize, so the hash gate is a per-row equivalence
+    // proof between two independent Unicode libraries (the jaro_winkler
+    // discipline). Scale shape: pure scan-side projection, ZERO shuffle —
+    // and the expression's ASCII fast path (numBytes == numChars → return
+    // the input, no copy) means a real mostly-ASCII corpus pays nothing.
+    "dd_nfc_normalize" -> ((s, d) => {
+      // decomposed: e + COMBINING ACUTE (U+0301); composed: U+00E9
+      val dec = expr("replace(text, 'e', 'e\u0301')")
+      val comp = expr("replace(text, 'e', '\u00e9')")
+      val nfc = graft.plans.GraftExtensions.nfcNormalize(dec)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("bigint").as("len_orig"),
+          length(dec).cast("bigint").as("len_decomposed"),
+          length(nfc).cast("bigint").as("len_nfc"),
+          (nfc === comp).as("converged"),
+          md5(nfc).as("nfc_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1512,6 +1541,23 @@ object Dedup {
         |  count(*) FILTER (jw < 0.90) AS n_lt90,
         |  count(*) FILTER (jw >= 0.95 AND is_true) AS n_true_ge95,
         |  round(${S.qmean("jw", 20)}, 4) AS mean_jw
-        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // utf8proc's nfc_normalize vs the JDK normalizer behind the native
+    // Spark expression — the md5 column makes the hash gate a per-row
+    // byte-equality proof of the normalized strings; chr(769) = U+0301,
+    // chr(233) = U+00E9
+    "dd_nfc_normalize" ->
+      """WITH v AS (SELECT doc_id, text,
+        |    replace(text, 'e', 'e' || chr(769)) AS dec,
+        |    replace(text, 'e', chr(233)) AS comp
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS len_orig,
+        |  CAST(length(dec) AS BIGINT) AS len_decomposed,
+        |  CAST(length(nfc_normalize(dec)) AS BIGINT) AS len_nfc,
+        |  nfc_normalize(dec) = comp AS converged,
+        |  md5(nfc_normalize(dec)) AS nfc_md5
+        |FROM v ORDER BY doc_id""".stripMargin
   )
 }

@@ -73,6 +73,8 @@ class PlansSpec extends AnyFunSuite with SharedSparkSpec {
     assert(r.getString(1) == "-00:01:02:345")
     val jw = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw").head.getDouble(0)
     assert(jw == graft.plans.JaroWinkler.jw("MARTHA".getBytes, "MARHTA".getBytes))
+    val nfc = spark.sql("SELECT nfc_normalize('café') AS n").head.getString(0)
+    assert(nfc == "café")
 
     import spark.implicits._
     val df = Seq(1234L).toDF("ms")
@@ -287,5 +289,39 @@ class PlansSpec extends AnyFunSuite with SharedSparkSpec {
     pairs.zip(got).foreach { case ((a, b), g) =>
       assert(g == jw(a, b), s"codegen/eval divergence on ($a, $b)")
     }
+  }
+
+  test("nfc_normalize: ASCII fast path is copy-free, semantics match the JDK, codegen ≡ eval") {
+    import graft.plans.NfcNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    // ASCII fast path returns the INPUT reference — no String, no copy
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(NfcNormalize.normalize(ascii) eq ascii)
+    // already-composed non-ASCII also returns the input (isNormalized path)
+    val composed = UTF8String.fromString("café")
+    assert(NfcNormalize.normalize(composed) eq composed)
+    // decomposed composes: e + U+0301 → U+00E9
+    assert(NfcNormalize.normalize(UTF8String.fromString("café")).toString == "café")
+    // codegen path ≡ the JDK normalizer on a mixed corpus (combining acute,
+    // combining ring, already-composed forms, repeated segments), idempotent
+    import spark.implicits._
+    val docs = (0 until 500).map { i =>
+      val accent = if (i % 2 == 0) "é" else "é"
+      val ring = if (i % 3 == 0) "Å" else "Å"
+      s"doc $i caf$accent $ring " * (i % 3 + 1)
+    }
+    val got = docs.toDF("t")
+      .select(GraftExtensions.nfcNormalize(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    docs.zip(got).foreach { case (raw, g) =>
+      assert(g == java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC),
+        s"JDK divergence on: $raw")
+      assert(NfcNormalize.normalize(UTF8String.fromString(g)).toString == g,
+        "nfc_normalize not idempotent")
+    }
+    // null propagates
+    val n = Seq[(Integer, String)]((1, null)).toDF("i", "t")
+      .select(GraftExtensions.nfcNormalize(col("t"))).head
+    assert(n.isNullAt(0))
   }
 }
