@@ -222,6 +222,15 @@ object PlanDump {
       "min/max over (score, id) structs — partial aggregation collapses " +
       "each group map-side before one |groups|-sized exchange; no window, " +
       "no per-group sort."),
+    "tx_annotator_kappa" -> ("Annotator kappa: scan-side integer label " +
+      "projections, ONE hash-agg keyed by lang with map-side partial " +
+      "collapse; po/pe/kappa are exact-Long numerator/denominator pairs " +
+      "rounded with integer arithmetic — |langs| rows out, no float."),
+    "tx_chat_template" -> ("Chat-template render: one window exchange " +
+      "keyed by source (row_number + two leads share the frame) for the " +
+      "synthetic turn pairing; the mask-span arithmetic is scan-side " +
+      "codegen over length(concat(...)) — with real conversation ids the " +
+      "window disappears and the face is a zero-shuffle projection."),
     "etl_clone_shallow" -> ("Shallow-clone census: both snapshot reads go " +
       "through manifest-resolved file lists (metadata operations); the " +
       "only jobs are two count aggregates over the referenced parquet — " +
@@ -265,7 +274,19 @@ object PlanDump {
       "jaro_winkler BinaryExpression scores each blocked candidate pair " +
       "inside whole-stage codegen (no UDF boundary); one census hash-agg. " +
       "The DuckDB-builtin oracle makes the hash gate a cross-" +
-      "implementation equivalence proof per pair.")
+      "implementation equivalence proof per pair."),
+    "tx_calibration_bins" -> ("Reliability diagram: the quality-model " +
+      "score chain stays scan-side (broadcast one-row weights), then ONE " +
+      "hash-agg onto ~200 fixed-width score bins with map-side partial " +
+      "collapse; pred/obs/gap are exact-Long integer roundings — the " +
+      "shifted floor division keeps Spark div and DuckDB // identical on " +
+      "negative scores."),
+    "dd_nfc_normalize" -> ("Unicode NFC dedup face: the native " +
+      "nfc_normalize expression runs inside whole-stage codegen as a pure " +
+      "scan-side projection — ZERO shuffle; the ASCII fast path " +
+      "(numBytes == numChars → return input, no copy) makes a mostly-" +
+      "ASCII corpus free. Oracle = utf8proc vs JDK normalizer, md5-proven " +
+      "per row.")
   )
 
   def main(args: Array[String]): Unit = {

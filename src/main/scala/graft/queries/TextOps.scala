@@ -1154,6 +1154,57 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // ---- calibration / reliability diagram over the learned quality
+    // filter (tx_quality_model's exact score chain): the MLOps gate that
+    // catches a filter whose scores drift from observed outcomes BEFORE
+    // it reshapes a corpus mix. Ground truth = the length label
+    // (n_chars >= 300); prediction = the model's 4-decimal integer score
+    // s4. Docs land in fixed-width score bins via a SHIFTED floor
+    // division — (s4 + 100000) div 1000 − 100 — because Spark's div
+    // truncates toward zero while DuckDB's // floors, and they disagree
+    // exactly on negative operands; the +100000 shift (|s4| < 100000 by
+    // the weight bounds: |num| < 10·den) makes every dividend positive so
+    // both engines floor identically. Per occupied bin: count, positives,
+    // mean predicted score (half-away-from-zero on the s4 sum), observed
+    // positive rate, and the |gap| whose n-weighted sum is the ECE
+    // numerator — all Long, no float anywhere. Scale shape: one scan
+    // pass + ONE hash-agg onto ≤ ~200 bins; map-side partial aggregation
+    // collapses each partition to its occupied bins before the shuffle.
+    "tx_calibration_bins" -> ((s, d) => {
+      import s.implicits._
+      val w = Seq((-150L, 200L, -300L, 250L, 15L))
+        .toDF("w0c", "w_lenc", "w_stopc", "w_uniqc", "w_atlc")
+      val toks = col("__toks")
+      t(s, d, "documents")
+        .withColumn("__toks", T.tokens(col("text")))
+        .withColumn("n_tokens", size(toks).cast("bigint"))
+        .withColumn("n_uniq", size(array_distinct(toks)).cast("bigint"))
+        .withColumn("sum_len", aggregate(toks, lit(0L), (a, wd) => a + length(wd)))
+        .withColumn("n_stop", T.stopwordHitsFromTokens(toks, T.langStopwords.head._2))
+        .crossJoin(broadcast(w))
+        .withColumn("num",
+          lit(1000L) * col("n_tokens") * col("w0c")
+            + col("w_lenc") * least(col("n_tokens"), lit(1000L)) * col("n_tokens")
+            + lit(1000L) * (col("w_stopc") * col("n_stop")
+              + col("w_uniqc") * col("n_uniq") + col("w_atlc") * col("sum_len")))
+        .withColumn("den", col("n_tokens") * lit(100000L))
+        .withColumn("s4", expr(
+          """CASE WHEN num >= 0 THEN (num * 20000 + den) div (den * 2)
+            |     ELSE -((-num * 20000 + den) div (den * 2)) END""".stripMargin))
+        .withColumn("bin", expr("(s4 + 100000) div 1000 - 100"))
+        .withColumn("pos", (col("n_chars") >= 300).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"),
+             sum("s4").as("sum_s4"))
+        .withColumn("pred4", expr(
+          """CASE WHEN sum_s4 >= 0 THEN (sum_s4 * 2 + n_docs) div (n_docs * 2)
+            |     ELSE -((-sum_s4 * 2 + n_docs) div (n_docs * 2)) END""".stripMargin))
+        .withColumn("obs4", expr("(n_pos * 20000 + n_docs) div (n_docs * 2)"))
+        .withColumn("gap4", abs(col("pred4") - col("obs4")))
+        .select("bin", "n_docs", "n_pos", "pred4", "obs4", "gap4")
+        .orderBy("bin")
+    }),
+
     // ---- preference-pair mining (DPO/RLHF data prep): per prompt group
     // (source here), pair the highest- and lowest-reward responses with
     // the margin between them. The reward proxy is TTR in basis points —
@@ -1184,6 +1235,92 @@ object TextOps {
           col("worst.id").as("rejected_doc"), col("worst.t").as("rejected_ttr4"),
           (col("best.t") - col("worst.t")).as("margin4"), col("n_docs"))
         .orderBy("source")
+    }),
+
+    // ---- inter-annotator agreement (Cohen's kappa): the preference-data
+    // QA gate that decides whether two labeling passes agree beyond
+    // chance. Two deterministic "annotators" label every document
+    // keep/drop — A by raw length (n_chars >= 200), B by lexical
+    // diversity (exact-integer TTR >= 0.5000) — and the per-language
+    // kappa = (po − pe)/(1 − pe) separates real agreement from marginal
+    // coincidence. Everything stays in Long arithmetic: with a/b/c/d the
+    // confusion cells, po·n = agree and pe·n² = A⁺B⁺ + A⁻B⁻ are carried
+    // as exact integer numerators, and po4/pe4/kappa4 come out of the
+    // half-away-from-zero integer rounding pattern (tx_quality) — no
+    // float anywhere, so the oracle matches bit-for-bit and kappa < 0
+    // (systematic disagreement) rounds symmetrically. Scale shape:
+    // scan-side label projections, then ONE hash-agg keyed by lang —
+    // map-side partial collapse, |langs| rows out. The n² term caps
+    // per-group counts at ~3·10⁹ docs/lang before Long overflow; past
+    // that the pe pair upgrades to DECIMAL(38,0) on both engines and
+    // nothing else changes. A degenerate group (both annotators constant
+    // → pe = 1) yields NULL kappa via the NULLIF'd denominator.
+    "tx_annotator_kappa" -> ((s, d) => {
+      val labeled = t(s, d, "documents")
+        .select(col("lang"), col("n_chars"), T.tokens(col("text")).as("__toks"))
+        .select(col("lang"), col("n_chars"),
+          size(col("__toks")).cast("bigint").as("nt"),
+          size(array_distinct(col("__toks"))).cast("bigint").as("nu"))
+        .filter(col("nt") >= 1)
+        .withColumn("la", (col("n_chars") >= 200).cast("long"))
+        .withColumn("lb", (expr("nu * 10000 div nt") >= 5000).cast("long"))
+      labeled.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("la") * col("lb")).as("n_both"),
+          sum((lit(1L) - col("la")) * (lit(1L) - col("lb"))).as("n_neither"),
+          sum("la").as("a_keep"), sum("lb").as("b_keep"))
+        .withColumn("agree", col("n_both") + col("n_neither"))
+        .withColumn("pe_num", col("a_keep") * col("b_keep")
+          + (col("n_docs") - col("a_keep")) * (col("n_docs") - col("b_keep")))
+        .withColumn("po4", expr("(agree * 20000 + n_docs) div (n_docs * 2)"))
+        .withColumn("pe4",
+          expr("(pe_num * 20000 + n_docs * n_docs) div (n_docs * n_docs * 2)"))
+        .withColumn("knum", col("n_docs") * col("agree") - col("pe_num"))
+        .withColumn("kden", expr("nullif(n_docs * n_docs - pe_num, 0)"))
+        .withColumn("kappa4", expr(
+          """CASE WHEN knum >= 0 THEN (knum * 20000 + kden) div (kden * 2)
+            |     ELSE -((-knum * 20000 + kden) div (kden * 2)) END""".stripMargin))
+        .select("lang", "n_docs", "agree", "a_keep", "b_keep",
+          "po4", "pe4", "kappa4")
+        .orderBy("lang")
+    }),
+
+    // ---- SFT chat-template rendering with loss-mask offsets: the step
+    // that turns curated (prompt, response) rows into training sequences
+    // where loss applies only to assistant spans. Consecutive documents
+    // within a source (by doc_id) stand in for a (user, assistant) turn
+    // pair — swap the pairing window for a real conversation key and
+    // nothing downstream changes. Per conversation the face emits the
+    // rendered length and the [mask_start, mask_end) character span of
+    // the assistant text inside "<|system|> … <|user|> {u} <|assistant|>
+    // {a} <|end|>", all derived from length() of the SAME concat pieces
+    // on both engines (never hand-counted constants), plus the exact-
+    // integer loss fraction in basis points. Scale shape: ONE window
+    // exchange keyed by source for the synthetic pairing (row_number +
+    // two leads share the frame); the template arithmetic itself is pure
+    // scan-side codegen — at 100 TB with real conversation ids the
+    // window disappears and this is a zero-shuffle projection.
+    "tx_chat_template" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("asst_doc", lead(col("doc_id"), 1).over(w))
+        .withColumn("asst_text", lead(col("text"), 1).over(w))
+        .filter(col("rn") % 2 === 1 && col("asst_doc").isNotNull)
+        .withColumn("mask_start", length(concat(
+          lit("<|system|> pipeline demo <|user|> "), col("text"),
+          lit(" <|assistant|> "))).cast("bigint"))
+        .withColumn("masked_chars", length(col("asst_text")).cast("bigint"))
+        .withColumn("mask_end", col("mask_start") + col("masked_chars"))
+        .withColumn("rendered_chars",
+          col("mask_end") + length(lit(" <|end|>")).cast("bigint"))
+        .withColumn("loss_frac4",
+          expr("masked_chars * 10000 div rendered_chars"))
+        .select(col("doc_id").as("user_doc"), col("source"), col("asst_doc"),
+          col("rendered_chars"), col("mask_start"), col("mask_end"),
+          col("masked_chars"), col("loss_frac4"))
+        .orderBy("user_doc")
     }),
 
     // cross-document duplicated-n-gram fraction — the Gopher/Dolma corpus
@@ -2264,6 +2401,62 @@ object TextOps {
          |FROM b JOIN w ON b.source = w.source JOIN n ON b.source = n.source
          |ORDER BY source""".stripMargin,
 
+    // identical integer confusion-cell arithmetic; kappa4 is the same
+    // half-away-from-zero CASE on (n·agree − pe_num)/(n² − pe_num)
+    "tx_annotator_kappa" ->
+      s"""WITH f AS (SELECT lang, n_chars,
+         |    CAST(len(${S.tokens("text")}) AS BIGINT) AS nt,
+         |    CAST(len(list_distinct(${S.tokens("text")})) AS BIGINT) AS nu
+         |  FROM documents),
+         |l AS (SELECT lang,
+         |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS la,
+         |    CASE WHEN (nu * 10000) // nt >= 5000 THEN 1 ELSE 0 END AS lb
+         |  FROM f WHERE nt >= 1),
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(la * lb) AS BIGINT) AS n_both,
+         |    CAST(sum((1 - la) * (1 - lb)) AS BIGINT) AS n_neither,
+         |    CAST(sum(la) AS BIGINT) AS a_keep,
+         |    CAST(sum(lb) AS BIGINT) AS b_keep
+         |  FROM l GROUP BY lang),
+         |k AS (SELECT lang, n_docs, n_both + n_neither AS agree,
+         |    a_keep, b_keep,
+         |    a_keep * b_keep + (n_docs - a_keep) * (n_docs - b_keep) AS pe_num
+         |  FROM g)
+         |SELECT lang, n_docs, agree, a_keep, b_keep,
+         |  (agree * 20000 + n_docs) // (n_docs * 2) AS po4,
+         |  (pe_num * 20000 + n_docs * n_docs) // (n_docs * n_docs * 2) AS pe4,
+         |  CASE WHEN n_docs * n_docs - pe_num = 0 THEN NULL
+         |       WHEN n_docs * agree - pe_num >= 0 THEN
+         |         ((n_docs * agree - pe_num) * 20000 + (n_docs * n_docs - pe_num))
+         |           // ((n_docs * n_docs - pe_num) * 2)
+         |       ELSE -((-(n_docs * agree - pe_num) * 20000 + (n_docs * n_docs - pe_num))
+         |           // ((n_docs * n_docs - pe_num) * 2))
+         |  END AS kappa4
+         |FROM k ORDER BY lang""".stripMargin,
+
+    // same pairing windows and the same length-of-concat arithmetic —
+    // the template literals appear once per engine, never as counted
+    // constants
+    "tx_chat_template" ->
+      s"""WITH p AS (SELECT doc_id, source, text,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         |    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS asst_doc,
+         |    lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS asst_text
+         |  FROM documents),
+         |c AS (SELECT doc_id AS user_doc, source, asst_doc,
+         |    CAST(length('<|system|> pipeline demo <|user|> ' || text
+         |      || ' <|assistant|> ') AS BIGINT) AS mask_start,
+         |    CAST(length(asst_text) AS BIGINT) AS masked_chars
+         |  FROM p WHERE rn % 2 = 1 AND asst_doc IS NOT NULL)
+         |SELECT user_doc, source, asst_doc,
+         |  mask_start + masked_chars + CAST(length(' <|end|>') AS BIGINT)
+         |    AS rendered_chars,
+         |  mask_start, mask_start + masked_chars AS mask_end, masked_chars,
+         |  (masked_chars * 10000)
+         |    // (mask_start + masked_chars + CAST(length(' <|end|>') AS BIGINT))
+         |    AS loss_frac4
+         |FROM c ORDER BY user_doc""".stripMargin,
+
     // identical feature subquery to tx_quality; the logit is the same exact
     // Long numerator over 100000*n_tokens — one integer-exact divide, and
     // keep is a pure integer compare (no float in the decision)
@@ -2287,6 +2480,42 @@ object TextOps {
          |       ELSE -((-num * 20000 + den) // (den * 2)) END AS DOUBLE) / 10000.0 AS score,
          |  num > 50000 * n_tokens AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // identical feature/score CTE; the shifted floor division makes
+    // DuckDB's // and Spark's div agree on every (possibly negative) s4
+    "tx_calibration_bins" ->
+      s"""WITH w AS (SELECT CAST(-150 AS BIGINT) AS w0c, CAST(200 AS BIGINT) AS w_lenc,
+         |            CAST(-300 AS BIGINT) AS w_stopc, CAST(250 AS BIGINT) AS w_uniqc,
+         |            CAST(15 AS BIGINT) AS w_atlc),
+         |f AS (SELECT doc_id, n_chars,
+         |        CAST(len(${S.tokens("text")}) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(${S.tokens("text")})) AS BIGINT) AS n_uniq,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(${S.tokens("text")}, w -> CAST(length(w) AS BIGINT))), (a, x) -> a + x) AS sum_len,
+         |        ${S.stopHits("text", graft.engine.TextFunctions.langStopwords.head._2)} AS n_stop
+         |      FROM documents),
+         |sc AS (SELECT n_chars, 100000 * n_tokens AS den,
+         |    1000 * n_tokens * w0c
+         |      + w_lenc * least(n_tokens, 1000) * n_tokens
+         |      + 1000 * (w_stopc * n_stop + w_uniqc * n_uniq + w_atlc * sum_len) AS num
+         |  FROM f CROSS JOIN w),
+         |s4t AS (SELECT n_chars,
+         |    CASE WHEN num >= 0 THEN (num * 20000 + den) // (den * 2)
+         |         ELSE -((-num * 20000 + den) // (den * 2)) END AS s4
+         |  FROM sc),
+         |b AS (SELECT (s4 + 100000) // 1000 - 100 AS bin, s4,
+         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pos
+         |  FROM s4t),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(pos) AS BIGINT) AS n_pos,
+         |    CAST(sum(s4) AS BIGINT) AS sum_s4
+         |  FROM b GROUP BY bin),
+         |p AS (SELECT bin, n_docs, n_pos,
+         |    CASE WHEN sum_s4 >= 0 THEN (sum_s4 * 2 + n_docs) // (n_docs * 2)
+         |         ELSE -((-sum_s4 * 2 + n_docs) // (n_docs * 2)) END AS pred4,
+         |    (n_pos * 20000 + n_docs) // (n_docs * 2) AS obs4
+         |  FROM g)
+         |SELECT bin, n_docs, n_pos, pred4, obs4, abs(pred4 - obs4) AS gap4
+         |FROM p ORDER BY bin""".stripMargin,
 
     "tx_dup_ngram_fraction" ->
       s"""WITH g AS (

@@ -695,6 +695,98 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("tx_annotator_kappa: confusion cells recoverable, integer rounding exact") {
+    val rows = SparkEntry.queries("tx_annotator_kappa")(spark, d).collect()
+    assert(rows.nonEmpty, "at least one language group")
+    for (r <- rows) {
+      val (n, agree, ak, bk) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(agree >= 0 && agree <= n, "agreement count out of range")
+      assert(ak >= 0 && ak <= n && bk >= 0 && bk <= n, "marginals out of range")
+      // cells are recoverable from the outputs: 2·n_both = agree + ak + bk − n
+      val twiceBoth = agree + ak + bk - n
+      assert(twiceBoth % 2 == 0 && twiceBoth >= 0, "confusion cells inconsistent")
+      assert(twiceBoth / 2 <= math.min(ak, bk), "both-keep cell exceeds a marginal")
+      // re-derive po4/pe4/kappa4 with the same half-away-from-zero integer
+      // rounding the query and oracle use — any drift in the formula trips here
+      def rnd(num: Long, den: Long): Long =
+        if (num >= 0) (num * 20000 + den) / (den * 2)
+        else -((-num * 20000 + den) / (den * 2))
+      val peNum = ak * bk + (n - ak) * (n - bk)
+      assert(r.getLong(5) == rnd(agree, n), "po4 drift")
+      assert(r.getLong(6) == rnd(peNum, n * n), "pe4 drift")
+      val kden = n * n - peNum
+      if (kden == 0) assert(r.isNullAt(7), "degenerate group must yield NULL kappa")
+      else {
+        val k4 = r.getLong(7)
+        assert(k4 == rnd(n * agree - peNum, kden), "kappa4 drift")
+        assert(k4 <= 10000, "kappa above perfect agreement")
+      }
+    }
+  }
+
+  test("tx_chat_template: span arithmetic exact, pairing covers floor(n/2) per source") {
+    val rows = SparkEntry.queries("tx_chat_template")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val prefixFloor = "<|system|> pipeline demo <|user|>  <|assistant|> ".length
+    for (r <- rows) {
+      val (u, a) = (r.getLong(0), r.getLong(2))
+      val (rc, ms, me, mc, lf) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(a > u, "assistant doc must follow the user doc within its source")
+      assert(me == ms + mc, "mask_end inconsistent")
+      assert(rc == me + " <|end|>".length, "rendered length inconsistent")
+      assert(ms >= prefixFloor, "mask_start below the empty-prompt template floor")
+      assert(lf == mc * 10000 / rc && lf >= 0 && lf < 10000, "loss fraction drift")
+    }
+    // every doc participates in at most one conversation, on one side
+    val ids = rows.flatMap(r => Seq(r.getLong(0), r.getLong(2)))
+    assert(ids.distinct.length == ids.length, "a doc appears in two conversations")
+    val perSource = graft.engine.Tables.load(spark, d, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == perSource.values.map(_ / 2).sum,
+      "conversation count must be floor(docs/2) summed over sources")
+  }
+
+  test("tx_calibration_bins: bins partition the corpus and agree with the model face") {
+    val rows = SparkEntry.queries("tx_calibration_bins")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val total = graft.engine.Tables.load(spark, d, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total, "bins must partition the corpus")
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(1), "positives exceed bin size")
+      val (p4, o4, g4) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(o4 >= 0 && o4 <= 10000, "observed rate out of range")
+      assert(g4 == math.abs(p4 - o4), "gap inconsistent")
+    }
+    // cross-face consistency: rebin tx_quality_model's scores (s4 is
+    // recoverable exactly from the dyad-free single divide score = s4/1e4)
+    // and the per-bin counts must match
+    val scores = SparkEntry.queries("tx_quality_model")(spark, d).collect()
+      .map(r => math.round(r.getDouble(1) * 10000.0))
+    val expected = scores.groupBy(s4 => Math.floorDiv(s4 + 100000, 1000) - 100)
+      .view.mapValues(_.length.toLong).toMap
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"bin histogram mismatch: $got vs $expected")
+  }
+
+  test("dd_nfc_normalize: every decomposed doc converges, lengths reconcile per-row") {
+    val rows = SparkEntry.queries("dd_nfc_normalize")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val eCounts = graft.engine.Tables.load(spark, d, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr(
+          "length(text) - length(replace(text, 'e', ''))").cast("long").as("ne"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val (id, lo, ld, ln) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ld - lo == eCounts(id), "decomposed length must grow by exactly #e")
+      assert(ln == lo, "NFC must restore the original codepoint count")
+      assert(r.getBoolean(4), s"doc $id did not converge to the composed form")
+      assert(r.getString(5).length == 32, "md5 of the normalized string missing")
+    }
+  }
+
   test("tx_dsir_weights: ordered top-15, weights bounded, target language dominates") {
     val rows = SparkEntry.queries("tx_dsir_weights")(spark, d).collect()
     assert(rows.length == 15)
