@@ -281,6 +281,12 @@ object PlanDump {
       "collapse; pred/obs/gap are exact-Long integer roundings — the " +
       "shifted floor division keeps Spark div and DuckDB // identical on " +
       "negative scores."),
+    "dd_winnowing" -> ("Winnowed fingerprints (MOSS): min-of-window " +
+      "selection is scan-side array codegen — the explode happens AFTER " +
+      "the ~60% reduction to selected fingerprints; partners ride one " +
+      "equi-join on the fingerprint key behind a df ≤ 16 cap, so a " +
+      "boilerplate fingerprint cannot quadratically explode the " +
+      "self-join. Never doc×doc."),
     "dd_nfc_normalize" -> ("Unicode NFC dedup face: the native " +
       "nfc_normalize expression runs inside whole-stage codegen as a pure " +
       "scan-side projection — ZERO shuffle; the ASCII fast path " +

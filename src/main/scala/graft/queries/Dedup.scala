@@ -963,6 +963,49 @@ object Dedup {
           (nfc === comp).as("converged"),
           md5(nfc).as("nfc_md5"))
         .orderBy("doc_id")
+    }),
+
+    // ---- winnowed fingerprints (Schleimer–Wilkerson–Aiken — the MOSS
+    // local fingerprinting scheme): select min(window of w=4 consecutive
+    // 3-gram shingle hashes), dedup'd per doc. The winnowing GUARANTEE —
+    // any shared token run of length ≥ w + k − 1 = 6 shares at least one
+    // selected fingerprint — is what MinHash can't give (whole-doc
+    // similarity only) and substring-span scans give only quadratically:
+    // this is the contamination/plagiarism primitive with bounded sketch
+    // size (expected density 2/(w+1) ≈ 0.4 of shingles). Scale shape:
+    // selection is pure scan-side array codegen — the explode happens
+    // AFTER the ~60% reduction to selected fingerprints; candidate
+    // partners ride ONE equi-join on the fingerprint key with a df-cap
+    // (≤ 16 docs per fingerprint, the LSH df-cap discipline) so a
+    // boilerplate fingerprint cannot quadratically explode the self-join
+    // at corpus scale. Never doc×doc.
+    "dd_winnowing" -> ((s, d) => {
+      val w = 4
+      val staged = corpus(s, d)
+        .select(col("doc_id"),
+          T.shinglesFromHashes(T.tokenHashes(col("text"))).as("__sh"))
+        .filter(size(col("__sh")) >= w)
+        .select(col("doc_id"),
+          size(col("__sh")).cast("bigint").as("n_shingles"),
+          array_distinct(transform(
+            sequence(lit(0), size(col("__sh")) - w),
+            i => array_min(slice(col("__sh"), i + 1, lit(w))))).as("__fps"))
+        .cache()
+      val fps = staged.select(col("doc_id"), explode(col("__fps")).as("fp"))
+      val kept = fps.join(
+        fps.groupBy("fp").agg(countDistinct("doc_id").as("fp_df"))
+          .filter(col("fp_df") <= 16).select("fp"),
+        "fp")
+      val partners = kept.as("a").join(kept.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg(countDistinct(col("b.doc_id")).as("n_partners"))
+      staged.select(col("doc_id"), col("n_shingles"),
+          size(col("__fps")).cast("bigint").as("n_fps"))
+        .withColumn("density4", expr("n_fps * 10000 div n_shingles"))
+        .join(partners, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_partners"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1558,6 +1601,32 @@ object Dedup {
         |  CAST(length(nfc_normalize(dec)) AS BIGINT) AS len_nfc,
         |  nfc_normalize(dec) = comp AS converged,
         |  md5(nfc_normalize(dec)) AS nfc_md5
-        |FROM v ORDER BY doc_id""".stripMargin
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // same min-of-window selection over the identical shingle chain;
+    // DuckDB list slicing is 1-based INCLUSIVE (sh[i:i+3] = 4 elements)
+    // and range() end-exclusive, mirroring Spark's slice(sh, i+1, 4)
+    // over sequence(0, len−4)
+    "dd_winnowing" ->
+      s"""$corpusCte,
+         |th AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM docs),
+         |sh AS (SELECT doc_id, ${S.shingles("th")} AS sh FROM th),
+         |st AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |    list_distinct(list_transform(range(1, len(sh) - 2),
+         |      i -> list_min(sh[i:i+3]))) AS fps
+         |  FROM sh WHERE len(sh) >= 4),
+         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM st),
+         |keep AS (SELECT fp FROM fp GROUP BY fp
+         |         HAVING count(DISTINCT doc_id) <= 16),
+         |kept AS (SELECT doc_id, fp.fp FROM fp JOIN keep USING (fp)),
+         |p AS (SELECT a.doc_id, CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_partners
+         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id != b.doc_id
+         |  GROUP BY a.doc_id)
+         |SELECT st.doc_id AS doc_id, n_shingles,
+         |  CAST(len(fps) AS BIGINT) AS n_fps,
+         |  (CAST(len(fps) AS BIGINT) * 10000) // n_shingles AS density4,
+         |  coalesce(p.n_partners, 0) AS n_partners
+         |FROM st LEFT JOIN p ON st.doc_id = p.doc_id
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -770,6 +770,30 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(got == expected, s"bin histogram mismatch: $got vs $expected")
   }
 
+  test("dd_winnowing: density near 2/(w+1), planted duplicates find partners") {
+    val rows = SparkEntry.queries("dd_winnowing")(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (ns, nf, dens) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nf >= 1 && nf <= ns - 4 + 1, "fingerprint count outside window bounds")
+      assert(dens == nf * 10000 / ns, "density drift")
+    }
+    // corpus-wide density should sit near the winnowing expectation
+    // 2/(w+1) = 0.4 (dedup'd selection pushes it below the bound)
+    val mean = rows.map(_.getLong(3)).sum / rows.length
+    assert(mean >= 1500 && mean <= 5000, s"mean density4 $mean implausible for w=4")
+    // the winnowing guarantee: every planted exact copy (+2M) and
+    // appended-suffix near-dup (+1M) shares a ≥6-token run with its base,
+    // so BOTH sides must report at least one partner
+    // (skip variants whose base was too short to produce a window at all)
+    val partnerOf = rows.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    for ((id, np) <- partnerOf if id >= 1000000;
+         baseNp <- partnerOf.get(id % 1000000)) {
+      assert(np >= 1, s"planted duplicate $id found no partner")
+      assert(baseNp >= 1, s"base of $id found no partner")
+    }
+  }
+
   test("dd_nfc_normalize: every decomposed doc converges, lengths reconcile per-row") {
     val rows = SparkEntry.queries("dd_nfc_normalize")(spark, d).collect()
     assert(rows.nonEmpty)
