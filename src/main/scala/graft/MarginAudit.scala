@@ -67,6 +67,10 @@ object MarginAudit {
     // same sequential-fold class: the (level, trend) Holt recurrence with
     // literal α/β, replayed as a struct-accumulator list_reduce
     "ts_holt",
+    // same Holt recurrence; backtest errors are differences of those
+    // deterministic folds against list elements, aggregated in a FIXED
+    // 3-term order on both engines (no avg())
+    "ts_backtest_holt",
     // sparse TF-IDF cosine: dots and norms fold through qsum; the cosine
     // is one divide/multiply chain on those deterministic doubles
     "tx_sparse_cosine",

@@ -281,6 +281,11 @@ object PlanDump {
       "collapse; pred/obs/gap are exact-Long integer roundings — the " +
       "shifted floor division keeps Spark div and DuckDB // identical on " +
       "negative scores."),
+    "ts_backtest_holt" -> ("Rolling-origin backtest: ONE sequential fold " +
+      "per key captures all three held-out forecasts in a single pass " +
+      "(running level+trend read immediately before consuming each " +
+      "origin) — one user_id shuffle, constant per-key state; the oracle " +
+      "replays the recurrence as three prefix list_reduce folds."),
     "dd_winnowing" -> ("Winnowed fingerprints (MOSS): min-of-window " +
       "selection is scan-side array codegen — the explode happens AFTER " +
       "the ~60% reduction to selected fingerprints; partners ride one " +

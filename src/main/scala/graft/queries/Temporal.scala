@@ -586,6 +586,57 @@ object Temporal {
         .orderBy("user_id")
     }),
 
+    // ---- rolling-origin backtest of the Holt forecaster (ts_holt's MLOps
+    // counterpart): a forecaster's in-sample fit says nothing — the
+    // evaluation that matters replays history, forecasting each held-out
+    // point from ONLY its prefix. Three origins per series (prefix lengths
+    // n−3, n−2, n−1, each forecasting the next actual), per-user MAE and
+    // signed bias. One sequential fold per key captures all three
+    // forecasts in a single pass (the forecast at origin o is the running
+    // (level+trend) immediately before consuming element o) — the same
+    // mapGroups shape as ts_holt, NOT three re-folds; the oracle replays
+    // the identical recurrence as three prefix list_reduce folds, and the
+    // error aggregation is a fixed-order 3-term sum on both engines, so
+    // every double is bit-deterministic at any partitioning. Scale: one
+    // shuffle keyed by user_id, per-key state is (level, trend, 3 errors).
+    "ts_backtest_holt" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val evs = it.toArray.sortBy(e => (e._2, e._3))
+          val n = evs.length
+          if (n < 4) (uid, n.toLong, 0L, 0.0, 0.0)
+          else {
+            var l = evs.head._4; var b = 0.0
+            var e1 = 0.0; var e2 = 0.0; var e3 = 0.0
+            var i = 1
+            while (i < n) {
+              val x = evs(i)._4
+              val fc = l + b
+              if (i == n - 3) e1 = fc - x
+              else if (i == n - 2) e2 = fc - x
+              else if (i == n - 1) e3 = fc - x
+              val l1 = 0.5 * x + 0.5 * (l + b)
+              b = 0.3 * (l1 - l) + 0.7 * b
+              l = l1
+              i += 1
+            }
+            (uid, n.toLong, 3L,
+              (math.abs(e1) + math.abs(e2) + math.abs(e3)) / 3.0,
+              (e1 + e2 + e3) / 3.0)
+          }
+        }
+        .toDF("user_id", "n_events", "n_origins", "mae", "bias")
+        .filter(col("n_origins") === 3)
+        .withColumn("mae", FP.qround(col("mae"), 4))
+        .withColumn("bias", FP.qround(col("bias"), 4))
+        .orderBy("user_id")
+    }),
+
     "ts_cusum" -> ((s, d) => {
       import s.implicits._
       val target = t(s, d, "events")
@@ -1043,6 +1094,40 @@ object Temporal {
          |  ${S.qround("s[2]", 4)} AS trend,
          |  ${S.qround("s[1] + s[2]", 4)} AS forecast_next
          |FROM st ORDER BY user_id""".stripMargin,
+
+    // three prefix replays of the identical Holt list_reduce; errors and
+    // their 3-term sums are the same fixed-order IEEE chains as the Scala
+    // single-pass fold
+    "ts_backtest_holt" -> {
+      def holtFold(o: String) =
+        s"""list_reduce(
+           |      list_prepend([CAST(vs[1] AS DOUBLE), CAST(0 AS DOUBLE)],
+           |        list_transform(vs[2:$o],
+           |          x -> [CAST(x AS DOUBLE), CAST(0 AS DOUBLE)])),
+           |      (acc, x) -> [
+           |        0.5*x[1] + 0.5*(acc[1] + acc[2]),
+           |        0.3*(0.5*x[1] + 0.5*(acc[1] + acc[2]) - acc[1]) + 0.7*acc[2]])""".stripMargin
+      s"""WITH ord AS (SELECT user_id, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |ag AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*) AS n
+         |  FROM ord GROUP BY user_id),
+         |f AS (SELECT user_id, n, vs,
+         |    ${holtFold("n-3")} AS f1,
+         |    ${holtFold("n-2")} AS f2,
+         |    ${holtFold("n-1")} AS f3
+         |  FROM ag WHERE n >= 4),
+         |e AS (SELECT user_id, n,
+         |    f1[1] + f1[2] - CAST(vs[n-2] AS DOUBLE) AS e1,
+         |    f2[1] + f2[2] - CAST(vs[n-1] AS DOUBLE) AS e2,
+         |    f3[1] + f3[2] - CAST(vs[n] AS DOUBLE) AS e3
+         |  FROM f)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+         |  CAST(3 AS BIGINT) AS n_origins,
+         |  ${S.qround("(abs(e1) + abs(e2) + abs(e3)) / 3.0", 4)} AS mae,
+         |  ${S.qround("(e1 + e2 + e3) / 3.0", 4)} AS bias
+         |FROM e ORDER BY user_id""".stripMargin
+    },
 
     // identical FP op order as the Scala recurrence: the prepended-zero
     // list_reduce replays max(0, acc + (x − target − slack)) left-to-right

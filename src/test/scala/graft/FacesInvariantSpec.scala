@@ -770,6 +770,41 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(got == expected, s"bin histogram mismatch: $got vs $expected")
   }
 
+  test("ts_backtest_holt: bias bounded by MAE, one user replayed exactly") {
+    val rows = SparkEntry.queries("ts_backtest_holt")(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(1) >= 4 && r.getLong(2) == 3, "origin census wrong")
+      // |mean(e)| <= mean(|e|); allow one 1e-4 quantum for independent rounding
+      assert(math.abs(r.getDouble(4)) <= r.getDouble(3) + 1e-4,
+        s"user ${r.getLong(0)}: |bias| exceeds MAE")
+    }
+    // replay the smallest user's series locally and pin its row
+    val uid = rows.head.getLong(0)
+    val evs = graft.engine.Tables.load(spark, d, "events")
+      .filter(org.apache.spark.sql.functions.col("user_id") === uid)
+      .select(org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("tus"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(e => (e._1, e._2))
+    var l = evs.head._3; var b = 0.0
+    var e1 = 0.0; var e2 = 0.0; var e3 = 0.0
+    val n = evs.length
+    for (i <- 1 until n) {
+      val x = evs(i)._3
+      val fc = l + b
+      if (i == n - 3) e1 = fc - x
+      else if (i == n - 2) e2 = fc - x
+      else if (i == n - 1) e3 = fc - x
+      val l1 = 0.5 * x + 0.5 * (l + b); b = 0.3 * (l1 - l) + 0.7 * b; l = l1
+    }
+    val mae = (math.abs(e1) + math.abs(e2) + math.abs(e3)) / 3.0
+    assert(math.abs(rows.head.getDouble(3) - mae) < 5e-5,
+      s"replayed MAE $mae vs face ${rows.head.getDouble(3)}")
+  }
+
   test("dd_winnowing: density near 2/(w+1), planted duplicates find partners") {
     val rows = SparkEntry.queries("dd_winnowing")(spark, d).collect()
     assert(rows.nonEmpty)
