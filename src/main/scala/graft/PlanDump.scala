@@ -281,6 +281,10 @@ object PlanDump {
       "collapse; pred/obs/gap are exact-Long integer roundings — the " +
       "shifted floor division keeps Spark div and DuckDB // identical on " +
       "negative scores."),
+    "tx_langid_confusion" -> ("Lang-ID confusion census: scan-side " +
+      "stopword hit counting feeds ONE hash-agg onto ≤ |langs|² cells; " +
+      "gold totals come back via a broadcast join, shares are exact " +
+      "integer basis points — never a window over the corpus."),
     "ts_backtest_holt" -> ("Rolling-origin backtest: ONE sequential fold " +
       "per key captures all three held-out forecasts in a single pass " +
       "(running level+trend read immediately before consuming each " +

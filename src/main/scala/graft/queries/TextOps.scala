@@ -317,6 +317,36 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // ---- language-ID evaluation (confusion census): the check every
+    // curation pipeline runs before trusting a router — tx_lang_id's
+    // stopword identifier scored against the gold lang column as a
+    // (gold, predicted) confusion matrix with per-gold recall shares.
+    // Same predictor expression as tx_lang_id (priority ties broken in
+    // langStopwords order, zero hits → 'und'); zh has no stopword list,
+    // so the router can never predict it — its gold row is 100% misroute
+    // (to en at this corpus) + 'und', and the census makes that blind
+    // spot measurable instead of silent. Scale shape: scan-side
+    // hit counting, ONE hash-agg onto ≤ |langs|² cells, then a broadcast
+    // join against the |langs|-row gold totals; share4 is an exact
+    // integer ratio. Never a window over the corpus.
+    "tx_langid_confusion" -> ((s, d) => {
+      var df = t(s, d, "documents").withColumn("__toks", T.tokens(col("text")))
+      for ((code, words) <- T.langStopwords)
+        df = df.withColumn(s"${code}_hits", T.stopwordHitsFromTokens(col("__toks"), words))
+      val best = greatest(T.langStopwords.map { case (c, _) => col(s"${c}_hits") }: _*)
+      val pred = T.langStopwords.foldRight(lit("und"): org.apache.spark.sql.Column) {
+        case ((c, _), els) => when(col(s"${c}_hits") === best && best > 0, lit(c)).otherwise(els)
+      }
+      val cells = df.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy("lang").agg(sum("n").as("gold_total"))
+      cells.join(broadcast(totals), "lang")
+        .withColumn("share4", expr("n * 10000 div gold_total"))
+        .withColumn("is_correct", col("lang") === col("pred_lang"))
+        .select("lang", "pred_lang", "n", "gold_total", "share4", "is_correct")
+        .orderBy("lang", "pred_lang")
+    }),
+
     // order-sensitive rolling-hash fingerprint + duplicate-count join back.
     // The sequential fold fp = ((0·B+h₁)·B+h₂)… mod P is rewritten as the
     // order-encoded COMMUTATIVE sum Σ hᵢ·B^(n-1-i) mod P — identical value
@@ -1994,6 +2024,32 @@ object TextOps {
          |  $hitCols
          |FROM documents)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // identical predictor CASE (priority = langStopwords order); cell
+    // counts then a totals join, share4 as exact integer basis points
+    "tx_langid_confusion" -> {
+      val hitCols = graft.engine.TextFunctions.langStopwords
+        .map { case (c, ws) => s"${S.stopHits("text", ws)} AS ${c}_hits" }.mkString(",\n  ")
+      val best = "greatest(en_hits, fr_hits, de_hits, es_hits)"
+      s"""WITH p AS (SELECT lang,
+         |  (CASE WHEN en_hits = $best AND $best > 0 THEN 'en'
+         |        WHEN fr_hits = $best AND $best > 0 THEN 'fr'
+         |        WHEN de_hits = $best AND $best > 0 THEN 'de'
+         |        WHEN es_hits = $best AND $best > 0 THEN 'es'
+         |        ELSE 'und' END) AS pred_lang
+         |FROM (SELECT lang,
+         |  $hitCols
+         |FROM documents)),
+         |cells AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY lang, pred_lang),
+         |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS gold_total
+         |  FROM cells GROUP BY lang)
+         |SELECT cells.lang AS lang, pred_lang, n, gold_total,
+         |  (n * 10000) // gold_total AS share4,
+         |  cells.lang = pred_lang AS is_correct
+         |FROM cells JOIN tot ON cells.lang = tot.lang
+         |ORDER BY lang, pred_lang""".stripMargin
     },
 
     "tx_fingerprint" ->

@@ -770,6 +770,31 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(got == expected, s"bin histogram mismatch: $got vs $expected")
   }
 
+  test("tx_langid_confusion: cells partition the corpus, agrees with tx_lang_id rows") {
+    val rows = SparkEntry.queries("tx_langid_confusion")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val total = graft.engine.Tables.load(spark, d, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == total, "confusion cells must partition the corpus")
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(3), "cell exceeds its gold total")
+      assert(r.getLong(4) == r.getLong(2) * 10000 / r.getLong(3), "share drift")
+      assert(r.getBoolean(5) == (r.getString(0) == r.getString(1)), "correct flag drift")
+    }
+    // zh has no stopword list: the router can NEVER predict it, so its
+    // gold row has zero correct cells — every zh doc is misrouted (to en
+    // at this corpus: the synthetic langs share a token pool) or 'und'.
+    // The census makes that blind spot measurable instead of silent.
+    val zh = rows.filter(_.getString(0) == "zh")
+    assert(zh.nonEmpty && zh.forall(r => !r.getBoolean(5)),
+      "zh blind spot not surfaced")
+    assert(!rows.exists(_.getString(1) == "zh"), "router predicted an unroutable lang")
+    // cell counts must equal a regroup of the per-doc tx_lang_id output
+    val perDoc = SparkEntry.queries("tx_lang_id")(spark, d).collect()
+      .groupBy(r => (r.getString(1), r.getString(6))).view.mapValues(_.length.toLong).toMap
+    val cells = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells == perDoc, "confusion census disagrees with the per-doc face")
+  }
+
   test("ts_backtest_holt: bias bounded by MAE, one user replayed exactly") {
     val rows = SparkEntry.queries("ts_backtest_holt")(spark, d).collect()
     assert(rows.nonEmpty)
