@@ -281,6 +281,11 @@ object PlanDump {
       "collapse; pred/obs/gap are exact-Long integer roundings — the " +
       "shifted floor division keeps Spark div and DuckDB // identical on " +
       "negative scores."),
+    "etl_t_closeness" -> ("t-closeness census: one (class, bucket) " +
+      "hash-agg; the ~dozen-row global bucket distribution broadcasts " +
+      "back to densify every class over the full grid; the EMD is a " +
+      "per-class cumulative window over m buckets carried as scaled " +
+      "Longs — one integer rounding at the end, no float."),
     "tx_langid_confusion" -> ("Lang-ID confusion census: scan-side " +
       "stopword hit counting feeds ONE hash-agg onto ≤ |langs|² cells; " +
       "gold totals come back via a broadcast join, shares are exact " +

@@ -1127,6 +1127,48 @@ object ScaleOps {
         .orderBy("seg")
     }),
 
+    // ---- t-closeness census (the third leg of the privacy triad after
+    // etl_k_anonymity / etl_l_diversity): l-diversity can't see a class
+    // whose sensitive values are distinct but SKEWED toward one end —
+    // t-closeness bounds the Earth-Mover's Distance between each QI
+    // class's sensitive distribution and the global one. For the ordered
+    // acctbal buckets EMD has the closed form
+    // t = Σᵢ|Σ_{j≤i}(p_j − q_j)| / (m−1), computed here entirely in Long
+    // arithmetic: the cumulative diff is carried scaled by
+    // class_size·N (D_i = Σ_{j≤i}(c_j·N − g_j·n_class)) so t4 is one
+    // integer rounding at the end — no float, no per-engine drift.
+    // Scale shape: one (class, bucket) hash-agg, the ≤ ~dozen-row global
+    // bucket table BROADCAST back to densify every class over the full
+    // bucket grid (a class missing a bucket still contributes |D|), one
+    // tiny per-class window over m buckets, one final class-level agg.
+    // The Long carrier bounds class_size·N at ~3·10⁹ rows-per-table
+    // before overflow; past that the cumulative pair upgrades to
+    // DECIMAL(38,0) on both engines, nothing else changes.
+    "etl_t_closeness" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000).cast("long").as("b"))
+      val cells = c.groupBy("nat", "seg", "b").agg(count(lit(1)).as("cb"))
+      val glob = c.groupBy("b").agg(count(lit(1)).as("gb"))
+      val tot = glob.agg(sum("gb").as("n"), count(lit(1)).as("m"))
+      val classes = cells.groupBy("nat", "seg").agg(sum("cb").as("class_size"))
+      val w = Window.partitionBy("nat", "seg").orderBy("b")
+      classes.crossJoin(broadcast(glob))
+        .join(cells, Seq("nat", "seg", "b"), "left")
+        .na.fill(0L, Seq("cb"))
+        .crossJoin(broadcast(tot))
+        .withColumn("dcum",
+          sum(col("cb") * col("n") - col("gb") * col("class_size")).over(w))
+        .groupBy("nat", "seg")
+        .agg(max("class_size").as("class_size"), max("m").as("m"),
+             max("n").as("n"), sum(abs(col("dcum"))).as("sad"))
+        .withColumn("den", (col("m") - 1) * col("class_size") * col("n"))
+        .withColumn("t4", expr("(sad * 20000 + den) div (den * 2)"))
+        .withColumn("breach", col("t4") > 2000)
+        .select("nat", "seg", "class_size", "m", "t4", "breach")
+        .orderBy("nat", "seg")
+    }),
+
     // ---- partition-spec EVOLUTION read (the Iceberg headline mechanic,
     // over plain parquet): the table's first generation is partitioned by
     // year; the spec later evolves to (year, month) — and historical files
@@ -2023,6 +2065,38 @@ object ScaleOps {
         |  count(*) FILTER (n_distinct = 1) AS n_homogeneous,
         |  (min(n_distinct) >= 3) AS l_diverse
         |FROM cls GROUP BY seg ORDER BY seg""".stripMargin,
+
+    // identical scaled-integer EMD: dense (class × bucket) grid, one
+    // cumulative window per class, one integer rounding at the end
+    "etl_t_closeness" ->
+      """WITH c AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS b FROM customer),
+        |cells AS (SELECT nat, seg, b, CAST(count(*) AS BIGINT) AS cb
+        |  FROM c GROUP BY nat, seg, b),
+        |gdist AS (SELECT b, CAST(count(*) AS BIGINT) AS gb FROM c GROUP BY b),
+        |tot AS (SELECT CAST(sum(gb) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS m FROM gdist),
+        |classes AS (SELECT nat, seg, CAST(sum(cb) AS BIGINT) AS class_size
+        |  FROM cells GROUP BY nat, seg),
+        |grid AS (SELECT classes.nat, classes.seg, class_size, gdist.b, gb,
+        |    coalesce(cb, 0) AS cb, n, m
+        |  FROM classes CROSS JOIN gdist
+        |  LEFT JOIN cells ON cells.nat = classes.nat
+        |    AND cells.seg = classes.seg AND cells.b = gdist.b
+        |  CROSS JOIN tot),
+        |cum AS (SELECT nat, seg, class_size, m, n,
+        |    sum(cb * n - gb * class_size)
+        |      OVER (PARTITION BY nat, seg ORDER BY b) AS dcum
+        |  FROM grid),
+        |agg AS (SELECT nat, seg, max(class_size) AS class_size, max(m) AS m,
+        |    max(n) AS n, CAST(sum(abs(dcum)) AS BIGINT) AS sad
+        |  FROM cum GROUP BY nat, seg),
+        |fin AS (SELECT nat, seg, class_size, m,
+        |    (sad * 20000 + (m - 1) * class_size * n)
+        |      // ((m - 1) * class_size * n * 2) AS t4
+        |  FROM agg)
+        |SELECT nat, seg, class_size, m, t4, t4 > 2000 AS breach
+        |FROM fin ORDER BY nat, seg""".stripMargin,
 
     // same gen rule applied to the raw table — a row lost or doubled at
     // the generation seam breaks the census

@@ -770,6 +770,38 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(got == expected, s"bin histogram mismatch: $got vs $expected")
   }
 
+  test("etl_t_closeness: classes partition the table, one class's EMD replayed exactly") {
+    val rows = SparkEntry.queries("etl_t_closeness")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val cust = graft.engine.Tables.load(spark, d, "customer")
+      .select(org.apache.spark.sql.functions.col("c_nationkey").cast("long"),
+        org.apache.spark.sql.functions.col("c_mktsegment"),
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.col("c_acctbal") / 1000).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_.getLong(2)).sum == cust.length, "classes must partition the table")
+    for (r <- rows) {
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000, "t4 out of [0,1]")
+      assert(r.getBoolean(5) == (r.getLong(4) > 2000), "breach flag drift")
+      assert(r.getLong(3) >= 2, "bucket grid degenerate")
+    }
+    // replay the first class's scaled-integer EMD from raw rows
+    val (nat0, seg0) = (rows.head.getInt(0).toLong, rows.head.getString(1))
+    val buckets = cust.map(_._3).distinct.sorted
+    val gb = cust.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val cls = cust.filter(c => c._1 == nat0 && c._2 == seg0)
+    val cb = cls.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val (nTot, nCls, m) = (cust.length.toLong, cls.length.toLong, buckets.length.toLong)
+    var dcum = 0L; var sad = 0L
+    for (b <- buckets) {
+      dcum += cb.getOrElse(b, 0L) * nTot - gb(b) * nCls
+      sad += math.abs(dcum)
+    }
+    val den = (m - 1) * nCls * nTot
+    assert(rows.head.getLong(4) == (sad * 20000 + den) / (den * 2),
+      s"replayed t4 for class ($nat0, $seg0) disagrees")
+  }
+
   test("tx_langid_confusion: cells partition the corpus, agrees with tx_lang_id rows") {
     val rows = SparkEntry.queries("tx_langid_confusion")(spark, d).collect()
     assert(rows.nonEmpty)
