@@ -281,6 +281,11 @@ object PlanDump {
       "collapse; pred/obs/gap are exact-Long integer roundings — the " +
       "shifted floor division keeps Spark div and DuckDB // identical on " +
       "negative scores."),
+    "etl_gdpr_access" -> ("DSAR report: the bounded request batch " +
+      "broadcasts through the erase cascade's join graph read-only — one " +
+      "scan per fact table regardless of batch size, never a per-subject " +
+      "query storm; spend is the order-independent fixed-point sum and " +
+      "zero-activity subjects survive the LEFT joins with NULL spans."),
     "etl_t_closeness" -> ("t-closeness census: one (class, bucket) " +
       "hash-agg; the ~dozen-row global bucket distribution broadcasts " +
       "back to densify every class over the full grid; the EMD is a " +

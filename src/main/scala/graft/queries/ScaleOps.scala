@@ -1169,6 +1169,42 @@ object ScaleOps {
         .orderBy("nat", "seg")
     }),
 
+    // ---- GDPR data-subject access report (DSAR — the READ twin of
+    // etl_gdpr_erase's cascade): for each requesting subject, the
+    // complete cross-table footprint a controller must export — identity
+    // row, order count + activity span, line-item count, total spend.
+    // The request batch (key % 100 = 7, ~1% of subjects) is bounded, so
+    // it BROADCASTS through the erase cascade's exact join graph
+    // read-only: one semi/inner hop per fact table, one scan per table
+    // regardless of batch size — at 100 TB a DSAR batch costs the same
+    // scans the erase dry-run does, never a per-subject query storm.
+    // Spend is the order-independent fixed-point sum (q-rounded twin on
+    // the oracle); subjects with no orders surface with zero counts —
+    // the report must prove absence, not drop the row.
+    "etl_gdpr_access" -> ((s, d) => {
+      val subjects = t(s, d, "customer").filter(col("c_custkey") % 100 === 7)
+        .select(col("c_custkey").as("subject_key"), col("c_mktsegment").as("segment"))
+      val ords = t(s, d, "orders").join(broadcast(subjects),
+        col("o_custkey") === col("subject_key"), "inner")
+      val ordAgg = ords.groupBy("subject_key")
+        .agg(count(lit(1)).as("n_orders"),
+             min(year(col("o_orderdate"))).cast("long").as("first_year"),
+             max(year(col("o_orderdate"))).cast("long").as("last_year"),
+             round(FP.qsum(col("o_totalprice"), 20), 4).as("total_spent"))
+      val liAgg = t(s, d, "lineitem").join(
+          broadcast(ords.select(col("o_orderkey"), col("subject_key"))),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy("subject_key")
+        .agg(count(lit(1)).as("n_lineitems"))
+      subjects.join(ordAgg, Seq("subject_key"), "left")
+        .join(liAgg, Seq("subject_key"), "left")
+        .na.fill(0L, Seq("n_orders", "n_lineitems"))
+        .na.fill(0.0, Seq("total_spent"))
+        .select("subject_key", "segment", "n_orders", "n_lineitems",
+          "first_year", "last_year", "total_spent")
+        .orderBy("subject_key")
+    }),
+
     // ---- partition-spec EVOLUTION read (the Iceberg headline mechanic,
     // over plain parquet): the table's first generation is partitioned by
     // year; the spec later evolves to (year, month) — and historical files
@@ -2097,6 +2133,32 @@ object ScaleOps {
         |  FROM agg)
         |SELECT nat, seg, class_size, m, t4, t4 > 2000 AS breach
         |FROM fin ORDER BY nat, seg""".stripMargin,
+
+    // same broadcast-shaped join graph read-only; LEFT joins keep
+    // zero-activity subjects with NULL spans — absence is proven, not
+    // dropped
+    "etl_gdpr_access" ->
+      s"""WITH subjects AS (SELECT c_custkey AS subject_key,
+        |    c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey % 100 = 7),
+        |o AS (SELECT subject_key, o_orderkey, o_orderdate, o_totalprice
+        |  FROM orders JOIN subjects ON o_custkey = subject_key),
+        |oa AS (SELECT subject_key, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(min(year(o_orderdate)) AS BIGINT) AS first_year,
+        |    CAST(max(year(o_orderdate)) AS BIGINT) AS last_year,
+        |    round(${SqlText.qsum("o_totalprice", 20)}, 4) AS total_spent
+        |  FROM o GROUP BY subject_key),
+        |la AS (SELECT subject_key, CAST(count(*) AS BIGINT) AS n_lineitems
+        |  FROM lineitem JOIN o ON l_orderkey = o_orderkey
+        |  GROUP BY subject_key)
+        |SELECT subjects.subject_key AS subject_key, segment,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(n_lineitems, 0) AS n_lineitems,
+        |  first_year, last_year, coalesce(total_spent, 0.0) AS total_spent
+        |FROM subjects
+        |LEFT JOIN oa ON subjects.subject_key = oa.subject_key
+        |LEFT JOIN la ON subjects.subject_key = la.subject_key
+        |ORDER BY subject_key""".stripMargin,
 
     // same gen rule applied to the raw table — a row lost or doubled at
     // the generation seam breaks the census

@@ -770,6 +770,36 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(got == expected, s"bin histogram mismatch: $got vs $expected")
   }
 
+  test("etl_gdpr_access: footprint counts reconcile against the raw tables") {
+    import org.apache.spark.sql.functions.{col, broadcast}
+    val rows = SparkEntry.queries("etl_gdpr_access")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val cust = graft.engine.Tables.load(spark, d, "customer")
+    assert(rows.length == cust.filter(col("c_custkey") % 100 === 7).count(),
+      "one report row per requesting subject")
+    val ords = graft.engine.Tables.load(spark, d, "orders")
+      .filter(col("o_custkey") % 100 === 7)
+    assert(rows.map(_.getLong(2)).sum == ords.count(),
+      "order counts must cover every subject order")
+    val li = graft.engine.Tables.load(spark, d, "lineitem")
+      .join(broadcast(ords.select("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(rows.map(_.getLong(3)).sum == li.count(),
+      "line-item counts must cover every subject line")
+    for (r <- rows) {
+      val (no, nl) = (r.getLong(2), r.getLong(3))
+      if (no == 0) {
+        assert(nl == 0 && r.isNullAt(4) && r.isNullAt(5) && r.getDouble(6) == 0.0,
+          "zero-activity subject must prove absence")
+      } else {
+        // (orders may legitimately carry zero line items in this data)
+        assert(nl >= 0, "negative line count")
+        assert(r.getLong(4) <= r.getLong(5), "activity span inverted")
+        assert(r.getDouble(6) > 0.0, "spend missing for an active subject")
+      }
+    }
+  }
+
   test("etl_t_closeness: classes partition the table, one class's EMD replayed exactly") {
     val rows = SparkEntry.queries("etl_t_closeness")(spark, d).collect()
     assert(rows.nonEmpty)
