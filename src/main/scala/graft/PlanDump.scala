@@ -281,6 +281,10 @@ object PlanDump {
       "collapse; pred/obs/gap are exact-Long integer roundings — the " +
       "shifted floor division keeps Spark div and DuckDB // identical on " +
       "negative scores."),
+    "tx_ngram_novelty" -> ("Novelty curve: first-occurrence is a " +
+      "commutative MIN per gram (map-side partial agg, vocabulary-sized " +
+      "dim table), one shuffle join back on the gram key, one per-doc " +
+      "re-aggregate — never doc×doc, no corpus-wide window."),
     "etl_gdpr_access" -> ("DSAR report: the bounded request batch " +
       "broadcasts through the erase cascade's join graph read-only — one " +
       "scan per fact table regardless of batch size, never a per-subject " +

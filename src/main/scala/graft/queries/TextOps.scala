@@ -1353,6 +1353,37 @@ object TextOps {
         .orderBy("user_doc")
     }),
 
+    // ---- n-gram novelty (the corpus-diversity curve): what share of a
+    // doc's word 3-grams appear here FIRST (no earlier doc_id contains
+    // them)? Falling novelty across an ingestion order is the earliest
+    // signal a crawl has started re-reading itself — the curve dataset
+    // teams plot before deciding another epoch vs more data; it's also
+    // the per-doc contribution census behind train-set memorization
+    // studies. Novelty is occurrence-weighted: a gram repeated inside its
+    // first document counts each time (Σ n_novel ≥ |vocabulary|, equal
+    // when no first doc repeats a gram) — FacesInvariantSpec pins the
+    // recount. Shape: the same fact⋈dim layout as tx_dup_ngram_fraction —
+    // one (gram → min doc_id) hash-agg (the first-occurrence table,
+    // vocabulary-sized), one shuffle join back on the gram key, one
+    // per-doc re-aggregate; novelty4 is an exact integer ratio. Never
+    // doc×doc, and no window over the corpus — first-occurrence is a
+    // commutative MIN, so map-side partial aggregation collapses it.
+    "tx_ngram_novelty" -> ((s, d) => {
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("__toks")).cache()
+      val grams = staged
+        .select(col("doc_id"), T.ngramsFromTokens(col("__toks"), 3).as("__g"))
+        .select(col("doc_id"), explode(col("__g")).as("gram"))
+      val firstSeen = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+      grams.join(firstSeen, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+               .as("n_novel"))
+        .withColumn("novelty4", expr("n_novel * 10000 div n_grams"))
+        .orderBy("doc_id")
+    }),
+
     // cross-document duplicated-n-gram fraction — the Gopher/Dolma corpus
     // quality signal tx_repetition can't see: what share of a doc's word
     // 5-grams also appear in at least one OTHER document (boilerplate,
@@ -2572,6 +2603,20 @@ object TextOps {
          |  FROM g)
          |SELECT bin, n_docs, n_pos, pred4, obs4, abs(pred4 - obs4) AS gap4
          |FROM p ORDER BY bin""".stripMargin,
+
+    // same gram construction; first-occurrence is min(doc_id) per gram
+    "tx_ngram_novelty" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS gram
+         |  FROM (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents)),
+         |fs AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  (CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         |    // count(*) AS novelty4
+         |FROM g JOIN fs USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "tx_dup_ngram_fraction" ->
       s"""WITH g AS (

@@ -770,6 +770,42 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(got == expected, s"bin histogram mismatch: $got vs $expected")
   }
 
+  test("tx_ngram_novelty: first doc fully novel, totals reconcile, curve falls") {
+    val rows = SparkEntry.queries("tx_ngram_novelty")(spark, d).collect()
+    assert(rows.nonEmpty)
+    // the first doc (no earlier doc exists) must be 100% novel
+    assert(rows.head.getLong(3) == 10000, "first doc must be fully novel")
+    for (r <- rows) {
+      val (ng, nn, nov) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nn >= 0 && nn <= ng, "novel count out of range")
+      assert(nov == nn * 10000 / ng, "novelty ratio drift")
+    }
+    // novelty is occurrence-weighted: Σ n_novel = occurrences of each gram
+    // inside its first document (≥ the distinct-gram vocabulary, which it
+    // equals when no first doc repeats a gram)
+    import org.apache.spark.sql.functions.{col, explode, min => fmin}
+    val T = graft.engine.TextFunctions
+    val grams = graft.engine.Tables.load(spark, d, "documents")
+      .select(col("doc_id"), explode(
+        T.ngramsFromTokens(T.tokens(col("text")), 3)).as("g"))
+    val firstSeen = grams.groupBy("g").agg(fmin("doc_id").as("fd"))
+    val expectedNovel = grams.join(firstSeen, "g")
+      .filter(col("doc_id") === col("fd")).count()
+    val distinctGrams = firstSeen.count()
+    val totalNovel = rows.map(_.getLong(2)).sum
+    assert(totalNovel == expectedNovel, "novel totals disagree with a recount")
+    assert(totalNovel >= distinctGrams, "every gram must be novel at least once")
+    // novelty should decline on average as the corpus accumulates: the
+    // first-quarter mean must exceed the last-quarter mean
+    val q = rows.length / 4
+    if (q >= 5) {
+      val headMean = rows.take(q).map(_.getLong(3)).sum / q
+      val tailMean = rows.takeRight(q).map(_.getLong(3)).sum / q
+      assert(headMean > tailMean,
+        s"novelty curve not falling: head $headMean vs tail $tailMean")
+    }
+  }
+
   test("etl_gdpr_access: footprint counts reconcile against the raw tables") {
     import org.apache.spark.sql.functions.{col, broadcast}
     val rows = SparkEntry.queries("etl_gdpr_access")(spark, d).collect()
