@@ -81,6 +81,9 @@ object MarginAudit {
     // order on those engine-identical doubles
     "sim_topk_exact", "sim_ann_topk", "sim_neardup_pairs", "sim_knn_join",
     "emb_semantic_dedup",
+    // same dense-cosine chain for the cos column; hamming/packing are
+    // pure integer (Horner fold + bit_count over XOR)
+    "sim_binary_hamming",
     // r7 faces: per-doc scores are integer micro-nat sums divided by exact
     // counts then qround'd; the bucket mean folds through qmean — every
     // float on the path is a fixed chain over exact integers

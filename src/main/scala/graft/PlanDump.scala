@@ -281,6 +281,11 @@ object PlanDump {
       "collapse; pred/obs/gap are exact-Long integer roundings — the " +
       "shifted floor division keeps Spark div and DuckDB // identical on " +
       "negative scores."),
+    "sim_binary_hamming" -> ("Binary-quantized retrieval: sign-bit " +
+      "packing is a scan-side Horner fold into two 32-bit words; Hamming " +
+      "ranking is bit_count over XOR — pure integer codegen; the exact " +
+      "float top-5 comes from TakeOrderedAndProject broadcast back, " +
+      "never a global window."),
     "tx_ngram_novelty" -> ("Novelty curve: first-occurrence is a " +
       "commutative MIN per gram (map-side partial agg, vocabulary-sized " +
       "dim table), one shuffle join back on the gram key, one per-doc " +

@@ -116,6 +116,41 @@ object Similarity {
         .limit(5)
     }),
 
+    // ---- binary quantization retrieval (the modern vector-DB memory
+    // trick): 64-dim float vectors collapse to 64 SIGN BITS — a 32×
+    // memory cut — and candidate ranking becomes Hamming distance on two
+    // packed 32-bit words, pure integer ops inside whole-stage codegen
+    // (bit_count over XOR). The face ranks the Hamming top-5 for the
+    // standard probe query and flags which of them the exact float-cosine
+    // top-5 contains — the recall-vs-compression trade made visible
+    // per-candidate, the same in-row discipline as sim_filtered_ann.
+    // Packing is a Horner fold (acc·2 + bit, descending dim), identical
+    // integer arithmetic on both engines; exact top-5 is
+    // TakeOrderedAndProject broadcast back, never a global window.
+    "sim_binary_hamming" -> ((s, d) => {
+      def packWord(v: Column, lo: Int): Column =
+        aggregate(
+          transform(sequence(lit(lo + 31), lit(lo), lit(-1)),
+            j => when(element_at(v, j + 1) > lit(0.0), lit(1L)).otherwise(lit(0L))),
+          lit(0L), (a, x) => a * 2 + x)
+      val e = emb(s, d)
+        .withColumn("w0", packWord(col("v"), 0))
+        .withColumn("w1", packWord(col("v"), 32))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("w0").as("qw0"), col("w1").as("qw1"))
+      val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("hamming",
+          expr("CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS BIGINT)"))
+        .withColumn("cos", round(V.cosine(col("v"), col("qv")), 6))
+      val exactTop = scored.orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(5).select(col("vec_id").as("exact_id"))
+      scored.join(broadcast(exactTop), col("vec_id") === col("exact_id"), "left")
+        .withColumn("in_exact_top5", col("exact_id").isNotNull)
+        .select("vec_id", "hamming", "cos", "in_exact_top5")
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     // ---- filtered vector search (metadata-constrained ANN): top-k among
     // vectors matching the query's label — the feature that separates a
     // vector DB from a bare index, and the classic design fork: PRE-filter
@@ -1133,6 +1168,33 @@ object Similarity {
          |SELECT vec_id, bucket, round(${S.cosine("v", "qv")}, 6) AS cos
          |FROM b, q WHERE bucket = qbucket AND vec_id != 0
          |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    // identical Horner sign-bit packing (descending dim), Hamming via
+    // bit_count(xor()) on the same two 32-bit words
+    "sim_binary_hamming" -> {
+      def packWord(lo: Int) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(0, 32),
+           |      k -> CASE WHEN v[${lo + 32} - k] > 0 THEN CAST(1 AS BIGINT)
+           |                ELSE CAST(0 AS BIGINT) END)),
+           |    (a, x) -> a * 2 + x)""".stripMargin
+      s"""$embCte,
+         |b AS (SELECT vec_id, v,
+         |    ${packWord(0)} AS w0,
+         |    ${packWord(32)} AS w1
+         |  FROM e),
+         |q AS (SELECT v AS qv, w0 AS qw0, w1 AS qw1 FROM b WHERE vec_id = 0),
+         |scored AS (SELECT vec_id,
+         |    CAST(bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1)) AS BIGINT)
+         |      AS hamming,
+         |    round(${S.cosine("v", "qv")}, 6) AS cos
+         |  FROM b, q WHERE vec_id != 0),
+         |ex AS (SELECT vec_id AS exact_id FROM scored
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 5)
+         |SELECT vec_id, hamming, cos, exact_id IS NOT NULL AS in_exact_top5
+         |FROM scored LEFT JOIN ex ON vec_id = exact_id
+         |ORDER BY hamming ASC, vec_id ASC LIMIT 5""".stripMargin
+    },
 
     // same scored pass; discounts are the same parsed decimal literals,
     // DCG folds through the qsum twin, IDCG is the pre-summed constant

@@ -770,6 +770,34 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(got == expected, s"bin histogram mismatch: $got vs $expected")
   }
 
+  test("sim_binary_hamming: packing replayed bit-for-bit, hamming ordered, recall sane") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("sim_binary_hamming")(spark, d).collect()
+    assert(rows.length == 5)
+    val hs = rows.map(_.getLong(1))
+    assert(hs.zip(hs.tail).forall { case (a, b) => a <= b }, "hamming not ascending")
+    assert(hs.forall(h => h >= 0 && h <= 64), "hamming outside the 64-bit range")
+    // replay the sign-bit packing + hamming for the returned ids from raw vectors
+    val vecs = graft.engine.Tables.load(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def pack(v: Array[Float]): (Long, Long) = {
+      var w0 = 0L; var w1 = 0L
+      for (j <- 31 to 0 by -1) w0 = w0 * 2 + (if (v(j) > 0) 1L else 0L)
+      for (j <- 63 to 32 by -1) w1 = w1 * 2 + (if (v(j) > 0) 1L else 0L)
+      (w0, w1)
+    }
+    val (qw0, qw1) = pack(vecs(0L))
+    for (r <- rows) {
+      val (w0, w1) = pack(vecs(r.getLong(0)))
+      val h = java.lang.Long.bitCount(w0 ^ qw0) + java.lang.Long.bitCount(w1 ^ qw1)
+      assert(r.getLong(1) == h, s"vec ${r.getLong(0)}: hamming ${r.getLong(1)} != replayed $h")
+    }
+    // the sign sketch must carry signal: its top-5 should overlap the
+    // exact float top-5 (at this data the overlap is non-empty)
+    assert(rows.exists(_.getBoolean(3)), "binary sketch found nothing from the exact top-5")
+  }
+
   test("tx_ngram_novelty: first doc fully novel, totals reconcile, curve falls") {
     val rows = SparkEntry.queries("tx_ngram_novelty")(spark, d).collect()
     assert(rows.nonEmpty)
