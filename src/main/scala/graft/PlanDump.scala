@@ -281,6 +281,11 @@ object PlanDump {
       "collapse; pred/obs/gap are exact-Long integer roundings — the " +
       "shifted floor division keeps Spark div and DuckDB // identical on " +
       "negative scores."),
+    "graph_hits" -> ("HITS hubs/authorities: two unnormalized mutual-" +
+      "reinforcement iterations on the materialized edge frame — each " +
+      "half-step is one co-partitioned edge⋈score join + one hash-agg, " +
+      "every score an exact BIGINT (no float, no normalization); top-15 " +
+      "is TakeOrderedAndProject."),
     "sim_binary_hamming" -> ("Binary-quantized retrieval: sign-bit " +
       "packing is a scan-side Horner fold into two 32-bit words; Hamming " +
       "ranking is bit_count over XOR — pure integer codegen; the exact " +

@@ -104,6 +104,34 @@ object Graph {
         .groupBy("outdeg").agg(count(lit(1)).as("n_nodes"))
         .orderBy("outdeg")),
 
+    // ---- HITS (Kleinberg hubs & authorities) on the bipartite trading
+    // graph — the rank PageRank can't give: a supplier is authoritative
+    // when GOOD HUBS (broad, well-connected customers) buy from it, not
+    // merely when many customers do. Two full mutual-reinforcement
+    // iterations, UNNORMALIZED so every score is an exact BIGINT — the
+    // textbook per-round L2 normalization only rescales the ranking, and
+    // skipping it keeps both engines bit-identical with zero float ops
+    // (auth1 = in-degree; hub1 = Σ auth1 over a customer's suppliers;
+    // auth2 = Σ hub1 over an authority's customers). Growth is
+    // (avg degree)² per full iteration — at 2 iterations Long holds to
+    // ~10⁹-degree hubs; more rounds at 100 TB move to DECIMAL(38,0) or
+    // re-introduce normalization. Scale shape: each half-step is ONE
+    // co-partitioned edge⋈score join + ONE hash-agg on the materialized
+    // edge frame (the PageRank loop's exact plan); top-15 is
+    // TakeOrderedAndProject.
+    "graph_hits" -> ((s, d) => {
+      val e = edges(s, d).cache()
+      val auth1 = e.groupBy("dst").agg(count(lit(1)).as("auth1"))
+      val hub1 = e.join(auth1, "dst")
+        .groupBy("src").agg(sum("auth1").as("hub1"))
+      e.join(hub1, "src")
+        .groupBy("dst").agg(sum("hub1").as("auth2"))
+        .join(auth1, "dst")
+        .select(col("dst").as("suppkey"), col("auth1"), col("auth2"))
+        .orderBy(col("auth2").desc, col("suppkey").asc)
+        .limit(15)
+    }),
+
     // ---- one damped power-iteration of supplier rank from uniform mass:
     // rank(s) = 0.15 + 0.85 · Σ_{c→s} 1/outdeg(c). The edge⋈outdeg join is
     // on src — the same key the edge distinct just shuffled on, so AQE
@@ -488,6 +516,20 @@ object Graph {
         |outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
         |SELECT outdeg, count(*) AS n_nodes FROM outd
         |GROUP BY outdeg ORDER BY outdeg""".stripMargin,
+
+    // same unrolled half-steps on exact BIGINTs — no float anywhere
+    "graph_hits" ->
+      """WITH edges AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |a1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS auth1
+        |  FROM edges GROUP BY dst),
+        |h1 AS (SELECT src, CAST(sum(auth1) AS BIGINT) AS hub1
+        |  FROM edges JOIN a1 USING (dst) GROUP BY src),
+        |a2 AS (SELECT dst, CAST(sum(hub1) AS BIGINT) AS auth2
+        |  FROM edges JOIN h1 USING (src) GROUP BY dst)
+        |SELECT dst AS suppkey, auth1, auth2
+        |FROM a2 JOIN a1 USING (dst)
+        |ORDER BY auth2 DESC, suppkey ASC LIMIT 15""".stripMargin,
 
     // same symmetric frame and even/odd ids; dq from the identical
     // BIGINT inputs through the same two-divide-one-multiply chain

@@ -770,6 +770,33 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(got == expected, s"bin histogram mismatch: $got vs $expected")
   }
 
+  test("graph_hits: mutual reinforcement replayed exactly from the edge list") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("graph_hits")(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 15, "top-15 cap violated")
+    val a2s = rows.map(_.getLong(2))
+    assert(a2s.zip(a2s.tail).forall { case (a, b) => a >= b }, "auth2 not descending")
+    // replay both half-steps from the raw fact join
+    val edges = graft.engine.Tables.load(spark, d, "orders")
+      .join(graft.engine.Tables.load(spark, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val auth1 = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val hub1 = edges.groupBy(_._1).view
+      .mapValues(_.map(e => auth1(e._2)).sum).toMap
+    val auth2 = edges.groupBy(_._2).view
+      .mapValues(_.map(e => hub1(e._1)).sum).toMap
+    for (r <- rows) {
+      val k = r.getLong(0)
+      assert(r.getLong(1) == auth1(k), s"supplier $k auth1 drift")
+      assert(r.getLong(2) == auth2(k), s"supplier $k auth2 drift")
+    }
+    // the winner must be the true argmax under the same (auth2, -key) order
+    val best = auth2.toSeq.map { case (k, v) => (v, -k) }.max
+    assert(rows.head.getLong(0) == -best._2, "top authority mismatch")
+  }
+
   test("sim_binary_hamming: packing replayed bit-for-bit, hamming ordered, recall sane") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("sim_binary_hamming")(spark, d).collect()
