@@ -281,6 +281,11 @@ object PlanDump {
       "collapse; pred/obs/gap are exact-Long integer roundings — the " +
       "shifted floor division keeps Spark div and DuckDB // identical on " +
       "negative scores."),
+    "agg_weighted_median" -> ("Exact weighted median: weights pool per " +
+      "DISTINCT value first (hash-agg, exact tie semantics), one " +
+      "cumulative window over ~|distinct values| rows per group, 3-row " +
+      "totals broadcast back; the answer is a raw data value — zero " +
+      "arithmetic on it, zero rounding discipline needed."),
     "graph_hits" -> ("HITS hubs/authorities: two unnormalized mutual-" +
       "reinforcement iterations on the materialized edge frame — each " +
       "half-step is one co-partitioned edge⋈score join + one hash-agg, " +

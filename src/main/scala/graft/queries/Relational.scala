@@ -1162,6 +1162,36 @@ object Relational {
              count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
+    // ---- exact WEIGHTED median (quantity-weighted price per return
+    // flag): the robust center that treats a 50-unit line as 50 votes —
+    // what "median price" actually means for inventory/revenue questions,
+    // and percentile()/approx sketches can't express it. Shape: weights
+    // pre-aggregate per DISTINCT price (hash-agg — the per-value rollup
+    // makes the tie semantics exact: equal prices pool their weight, so
+    // no row-level tie-break is ever needed), one cumulative window per
+    // group over ~|distinct prices| rows, the 3-row totals broadcast
+    // back, and the answer is min(price) where 2·cumw ≥ totw — the lower
+    // weighted median, deterministic by construction. Weights are
+    // integral quantities carried as exact BIGINTs; the median itself is
+    // a raw data value (no arithmetic), so both engines emit identical
+    // bits with zero rounding discipline required.
+    "agg_weighted_median" -> ((s, d) => {
+      val pw = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      val tots = pw.groupBy("flag")
+        .agg(sum("w").as("totw"), count(lit(1)).as("n_prices"))
+      val win = Window.partitionBy("flag").orderBy("price")
+      pw.withColumn("cumw", sum("w").over(win))
+        .join(broadcast(tots), "flag")
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("flag")
+        .agg(min("price").as("wmed_price"),
+             max("totw").as("totw"), max("n_prices").as("n_prices"))
+        .select("flag", "n_prices", "totw", "wmed_price")
+        .orderBy("flag")
+    }),
+
     // equi-width histogram with fixed literal bounds: bucket assignment is a
     // pure scan-side projection (no global min/max pass), partial-agg
     // friendly, and the capped top bucket keeps the domain total. The
@@ -2076,6 +2106,22 @@ object Relational {
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS median,
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // same per-value weight pooling + cumulative window; the lower
+    // weighted median is min(price) at the 2*cumw >= totw crossing
+    "agg_weighted_median" ->
+      """WITH pw AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |tots AS (SELECT flag, CAST(sum(w) AS BIGINT) AS totw,
+        |    CAST(count(*) AS BIGINT) AS n_prices FROM pw GROUP BY flag),
+        |c AS (SELECT flag, price,
+        |    sum(w) OVER (PARTITION BY flag ORDER BY price) AS cumw FROM pw)
+        |SELECT c.flag AS flag, max(n_prices) AS n_prices, max(totw) AS totw,
+        |  min(price) AS wmed_price
+        |FROM c JOIN tots ON c.flag = tots.flag
+        |WHERE cumw * 2 >= totw
+        |GROUP BY c.flag ORDER BY flag""".stripMargin,
 
     "agg_hist_equiwidth" ->
       s"""SELECT CAST(least(floor(o_totalprice / 60000.0), 9.0) AS BIGINT) AS bucket,

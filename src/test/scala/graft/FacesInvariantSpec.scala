@@ -770,6 +770,28 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(got == expected, s"bin histogram mismatch: $got vs $expected")
   }
 
+  test("agg_weighted_median: crossing property replayed from raw rows") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("agg_weighted_median")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.engine.Tables.load(spark, d, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    for (r <- rows) {
+      val (flag, med) = (r.getString(0), r.getDouble(3))
+      val grp = raw.filter(_._1 == flag)
+      val tot = grp.map(_._3).sum
+      assert(r.getLong(2) == tot, s"$flag: total weight drift")
+      // the defining property of the lower weighted median: weight at or
+      // below it reaches half the total; strictly below it does not
+      val wLe = grp.filter(_._2 <= med).map(_._3).sum
+      val wLt = grp.filter(_._2 < med).map(_._3).sum
+      assert(2 * wLe >= tot, s"$flag: weight ≤ median below half")
+      assert(2 * wLt < tot, s"$flag: a smaller price already crosses half")
+    }
+  }
+
   test("graph_hits: mutual reinforcement replayed exactly from the edge list") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("graph_hits")(spark, d).collect()
