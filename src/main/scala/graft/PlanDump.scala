@@ -281,6 +281,11 @@ object PlanDump {
       "collapse; pred/obs/gap are exact-Long integer roundings — the " +
       "shifted floor division keeps Spark div and DuckDB // identical on " +
       "negative scores."),
+    "etl_bitemporal" -> ("Bitemporal as-of: versions ≈ 1.02× the fact " +
+      "table, the 2×2 (T_tx, T_v) grid is a broadcast literal; " +
+      "resolution is one window per (cell, key) with the standard " +
+      "(valid_from, tx_from) pick order — a deployment pins one pair " +
+      "and pays a single windowed pass."),
     "agg_weighted_median" -> ("Exact weighted median: weights pool per " +
       "DISTINCT value first (hash-agg, exact tie semantics), one " +
       "cumulative window over ~|distinct values| rows per group, 3-row " +

@@ -246,6 +246,60 @@ object ScaleOps {
         .orderBy("custkey")
     }),
 
+    // ---- BITEMPORAL as-of (the two-axis classic SCD2 alone can't
+    // answer): "as the database was KNOWN at T_tx, what was believed
+    // VALID at T_v?" — the audit question behind every financial
+    // restatement and late-arriving-correction pipeline. The version
+    // store is built in-query: every order's base version (valid and
+    // recorded from o_orderdate) plus, for key % 50 = 0, a +100
+    // LATE-ARRIVING correction effective 60 days after the order but
+    // recorded only 90 days after — so transaction time and valid time
+    // genuinely diverge in both directions. The face
+    // answers a 2×2 (T_tx, T_v) grid: the correction is invisible when
+    // asked early on EITHER axis, visible only when both the knowledge
+    // and validity cutoffs pass it — the signature bitemporal truth
+    // table, emitted as one census row per grid cell. Resolution is the
+    // standard bitemporal pick (max valid_from, then max tx_from, per
+    // key) via one window keyed by (grid cell, orderkey). Scale shape:
+    // versions ≈ 1.02× the fact table; the 4-cell grid is a broadcast
+    // literal, so the cost is one windowed pass per cell over
+    // co-partitioned keys — a real deployment pins ONE (T_tx, T_v) pair
+    // and pays a single pass.
+    "etl_bitemporal" -> ((s, d) => {
+      import s.implicits._
+      // o_orderdate is cast to DATE explicitly on BOTH engines (the q12
+      // ADVICE lesson: date_add silently truncates a timestamp's
+      // time-of-day on one engine only)
+      val od = col("o_orderdate").cast("date")
+      val base = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"),
+        od.as("valid_from"), od.as("tx_from"),
+        lit(false).as("corrected"))
+      val corr = t(s, d, "orders").filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          (col("o_totalprice") + 100.0).as("price"),
+          date_add(od, 60).as("valid_from"),
+          date_add(od, 90).as("tx_from"),
+          lit(true).as("corrected"))
+      val grid = Seq(("early_tx_early_v", "1997-06-01", "1997-06-01"),
+                     ("late_tx_early_v",  "2002-01-01", "1997-06-01"),
+                     ("early_tx_late_v",  "1997-06-01", "2002-01-01"),
+                     ("late_tx_late_v",   "2002-01-01", "2002-01-01"))
+        .toDF("cell", "t_tx", "t_v")
+        .select(col("cell"), col("t_tx").cast("date"), col("t_v").cast("date"))
+      val w = Window.partitionBy("cell", "k")
+        .orderBy(col("valid_from").desc, col("tx_from").desc)
+      base.unionByName(corr).crossJoin(broadcast(grid))
+        .filter(col("tx_from") <= col("t_tx") && col("valid_from") <= col("t_v"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_visible"),
+             sum(when(col("corrected"), 1L).otherwise(0L)).as("n_corrected"),
+             round(FP.qsum(col("price"), 20), 4).as("believed_rev"))
+        .orderBy("cell")
+    }),
+
     // ---- VACUUM planning — the retention pass every versioned lakehouse
     // table needs: which expired row versions are safe to physically
     // delete? A version survives iff it is CURRENT, or VISIBLE to a pinned
@@ -1793,6 +1847,35 @@ object ScaleOps {
         |WHERE eff_from <= DATE '1998-01-01'
         |  AND (eff_to IS NULL OR eff_to > DATE '1998-01-01')
         |ORDER BY custkey""".stripMargin,
+
+    // same version construction (dates + integer day offsets on an
+    // explicit DATE cast) and the same (valid_from, tx_from) pick order
+    "etl_bitemporal" ->
+      s"""WITH vers AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS price,
+         |    CAST(o_orderdate AS DATE) AS valid_from,
+         |    CAST(o_orderdate AS DATE) AS tx_from, FALSE AS corrected
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, o_totalprice + 100.0,
+         |    CAST(o_orderdate AS DATE) + 60, CAST(o_orderdate AS DATE) + 90, TRUE
+         |  FROM orders WHERE o_orderkey % 50 = 0),
+         |grid AS (
+         |  SELECT 'early_tx_early_v' AS cell, DATE '1997-06-01' AS t_tx, DATE '1997-06-01' AS t_v
+         |  UNION ALL SELECT 'late_tx_early_v', DATE '2002-01-01', DATE '1997-06-01'
+         |  UNION ALL SELECT 'early_tx_late_v', DATE '1997-06-01', DATE '2002-01-01'
+         |  UNION ALL SELECT 'late_tx_late_v', DATE '2002-01-01', DATE '2002-01-01'),
+         |picked AS (
+         |  SELECT cell, k, price, corrected,
+         |    row_number() OVER (PARTITION BY cell, k
+         |      ORDER BY valid_from DESC, tx_from DESC) AS rn
+         |  FROM vers CROSS JOIN grid
+         |  WHERE tx_from <= t_tx AND valid_from <= t_v)
+         |SELECT cell, count(*) AS n_visible,
+         |  CAST(sum(CASE WHEN corrected THEN 1 ELSE 0 END) AS BIGINT) AS n_corrected,
+         |  round(${SqlText.qsum("price", 20)}, 4) AS believed_rev
+         |FROM picked WHERE rn = 1
+         |GROUP BY cell ORDER BY cell""".stripMargin,
 
     "etl_scd2" ->
       s"""WITH statez AS (

@@ -770,6 +770,38 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(got == expected, s"bin histogram mismatch: $got vs $expected")
   }
 
+  test("etl_bitemporal: the two-axis truth table holds") {
+    val rows = SparkEntry.queries("etl_bitemporal")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 4, "all four grid cells must be populated")
+    val (ee, le, el, ll) = (rows("early_tx_early_v"), rows("late_tx_early_v"),
+      rows("early_tx_late_v"), rows("late_tx_late_v"))
+    // monotone knowledge: moving either cutoff later can only reveal more
+    assert(ee._1 <= le._1 && ee._1 <= el._1 && le._1 <= ll._1 && el._1 <= ll._1,
+      "visibility not monotone in the cutoffs")
+    assert(ee._2 <= le._2 && ee._2 <= el._2 && le._2 <= ll._2 && el._2 <= ll._2,
+      "corrections not monotone in the cutoffs")
+    // the late-arriving design (tx = +90 > valid = +60) means extending
+    // ONLY transaction time reveals corrections already valid but not yet
+    // known — the axis SCD2 alone cannot distinguish. The exact gap is the
+    // number of corrections whose order date falls in the 30-day
+    // (T−90, T−60] window, recomputed from raw rows.
+    import org.apache.spark.sql.functions.{col, date_add, lit}
+    val window = graft.engine.Tables.load(spark, d, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .filter(date_add(col("o_orderdate").cast("date"), 60) <= lit("1997-06-01").cast("date"))
+      .filter(date_add(col("o_orderdate").cast("date"), 90) > lit("1997-06-01").cast("date"))
+      .count()
+    assert(le._2 - ee._2 == window,
+      s"transaction-axis gap ${le._2 - ee._2} != recomputed $window")
+    // base versions bind on min(T_tx, T_v), so early/early and early/late
+    // see the same base population
+    assert(ee._1 == el._1, "base visibility should bind on the earlier cutoff")
+    // every order is visible at the late/late corner
+    val total = graft.engine.Tables.load(spark, d, "orders").count()
+    assert(ll._1 == total, "late/late must see the whole table")
+  }
+
   test("agg_weighted_median: crossing property replayed from raw rows") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("agg_weighted_median")(spark, d).collect()
