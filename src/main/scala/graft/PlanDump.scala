@@ -281,6 +281,10 @@ object PlanDump {
       "collapse; pred/obs/gap are exact-Long integer roundings — the " +
       "shifted floor division keeps Spark div and DuckDB // identical on " +
       "negative scores."),
+    "st_top_paths" -> ("Path mining: one per-user hash-agg collecting a " +
+      "bounded 5-struct prefix (tiny agg state), one |distinct paths| " +
+      "hash-agg, TakeOrderedAndProject for the top-10 — no corpus-wide " +
+      "window, no explode; share is an exact integer ratio."),
     "etl_bitemporal" -> ("Bitemporal as-of: versions ≈ 1.02× the fact " +
       "table, the 2×2 (T_tx, T_v) grid is a broadcast literal; " +
       "resolution is one window per (cell, key) with the standard " +

@@ -306,6 +306,34 @@ object Temporal {
         .orderBy("user_id")
     }),
 
+    // ---- top event paths (path mining, the product-analytics staple
+    // funnel_conversion can't give): the funnel checks ONE hypothesized
+    // order; path mining discovers which journeys actually dominate. Each
+    // user's first five events (by the (ts, event_id) total order — the
+    // repo-wide deterministic event order) become a ">"-joined path
+    // string; the census ranks the ten most common journeys with their
+    // user share in basis points. Shape: ONE hash-agg per user collecting
+    // a bounded 5-struct prefix (collect_list then sort_array — the
+    // per-user payload is capped, so the agg state is tiny), one
+    // |distinct paths| hash-agg, TakeOrderedAndProject for the top-10.
+    // No window over the corpus, no explode.
+    "st_top_paths" -> ((s, d) => {
+      val users = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("evs"))
+        .select(concat_ws(">",
+          slice(transform(col("evs"), e => e.getField("event_type")), 1, 5))
+          .as("path"))
+      val total = users.agg(count(lit(1)).as("n_users"))
+      users.groupBy("path").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .withColumn("share4", expr("n * 10000 div n_users"))
+        .select("path", "n", "n_users", "share4")
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(10)
+    }),
+
     "funnel_conversion" -> ((s, d) => {
       val ev = t(s, d, "events").select("user_id", "event_type", "ts")
       val t1 = ev.filter(col("event_type") === "view")
@@ -913,6 +941,18 @@ object Temporal {
         |  AND purchase_ts >= view_ts
         |  AND epoch_us(purchase_ts) < epoch_us(view_ts) + 3600000000
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    // identical (ts, event_id) total order and 5-event prefix; shares are
+    // exact integer basis points
+    "st_top_paths" ->
+      """WITH p AS (SELECT user_id,
+        |    array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+        |  FROM events GROUP BY user_id),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM p),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path)
+        |SELECT path, n, n_users, (n * 10000) // n_users AS share4
+        |FROM c CROSS JOIN tot
+        |ORDER BY n DESC, path ASC LIMIT 10""".stripMargin,
 
     "funnel_conversion" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t_view FROM events

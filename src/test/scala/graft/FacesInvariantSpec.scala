@@ -770,6 +770,32 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(got == expected, s"bin histogram mismatch: $got vs $expected")
   }
 
+  test("st_top_paths: prefixes bounded, shares exact, top path replayed") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("st_top_paths")(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "counts not descending")
+    for (r <- rows) {
+      assert(r.getString(0).split(">", -1).length <= 5, "path longer than the 5-event prefix")
+      assert(r.getLong(3) == r.getLong(1) * 10000 / r.getLong(2), "share drift")
+    }
+    // replay every user's 5-event prefix and re-rank
+    val evs = graft.engine.Tables.load(spark, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val paths = evs.groupBy(_._1).map { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).take(5).map(_._4).mkString(">")
+    }.toSeq
+    assert(rows.head.getLong(2) == paths.length, "user total drift")
+    val counts = paths.groupBy(identity).view.mapValues(_.length.toLong)
+    val best = counts.toSeq.map { case (p, n) => (n, p) }
+      .sortBy { case (n, p) => (-n, p) }.head
+    assert(rows.head.getString(0) == best._2 && rows.head.getLong(1) == best._1,
+      "top path disagrees with the replay")
+  }
+
   test("etl_bitemporal: the two-axis truth table holds") {
     val rows = SparkEntry.queries("etl_bitemporal")(spark, d).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
