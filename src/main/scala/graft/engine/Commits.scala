@@ -62,6 +62,8 @@ object Commits {
   def manifestEntries(table: String, v: Int): Seq[String] = {
     val m = manifest(table, v)
     require(m.exists(), s"no manifest for version $v at $table")
+    require(m.length() > 0,
+      s"zero-byte manifest v$v at $table: claimed but never written (crashed commit)")
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.readAllLines(m.toPath).asScala.toSeq.filter(_.nonEmpty)
   }
@@ -87,14 +89,25 @@ object Commits {
 
   /** Attempt to commit manifest `v` listing exactly `files`. Atomic
     * put-if-absent on the manifest name: returns false iff another writer
-    * already owns version `v`. */
+    * already owns version `v`. Content lands via write-temp-then-rename
+    * OVER the claimed name (ADVICE r9): a reader (or crash) in the window
+    * between the claim and the content write must never observe a
+    * half-written manifest — the rename is atomic, and [[manifestEntries]]
+    * rejects a zero-byte manifest so a crashed pre-rename commit fails
+    * loudly instead of silently reading as an empty snapshot. An EMPTY
+    * file set stays representable (its manifest is one newline, not zero
+    * bytes). */
   private def tryCommit(table: String, v: Int, files: Seq[String]): Boolean = {
     val m = manifest(table, v)
     m.getParentFile.mkdirs()
     if (!m.createNewFile()) false
     else {
-      java.nio.file.Files.write(m.toPath,
-        files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val tmp = java.nio.file.Files.createTempFile(logDir(table).toPath, s".v$v-", ".tmp")
+      java.nio.file.Files.write(tmp,
+        (files.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, m.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       true
     }
   }
@@ -158,5 +171,168 @@ object Commits {
     val target = basis + 1
     if (tryCommit(table, target, stagedPaths)) Right(target)
     else Left(Conflict(target, manifest(table, target).getPath))
+  }
+
+  /** DELTA-ACTION log with CHECKPOINT COMPACTION (VERDICT r9 #5) — the
+    * second half of the production transaction-log design. The
+    * full-listing log above makes every manifest a self-contained
+    * snapshot (O(files) metadata per commit); real logs (Delta's JSON
+    * actions, Iceberg's manifest lists) instead commit DELTAS — `+path` /
+    * `-path` action lines, O(changed files) per commit — which makes
+    * commits cheap but forces readers to REPLAY the log from v1. The
+    * published fix is periodic checkpointing: every N versions a reader-
+    * or writer-side job folds the log into one full-listing checkpoint
+    * file, and every subsequent read resolves latest-checkpoint + tail
+    * instead of the whole history. This object implements that protocol
+    * against its own `_alog/` directory (same claim discipline as the
+    * full-listing log: put-if-absent `createNewFile` claim, temp-write +
+    * atomic-rename content), so the two log designs coexist per table
+    * without touching each other's files.
+    *
+    * Layout:
+    * {{{
+    *   table/_alog/v00001.txt    delta manifest: "+rel" / "-rel" lines
+    *   table/_alog/v00004.ckpt   checkpoint: full file listing AT v4
+    * }}}
+    *
+    * Checkpoints are derived state — rewriting one is always safe
+    * (idempotent content), so they need no claim, only atomic rename;
+    * [[resolve]] tolerates a missing or lagging checkpoint (falls back to
+    * longer tails, ultimately full replay). CommitsSpec proves
+    * checkpoint-resolved snapshots ≡ full replay at every version,
+    * including across a conflict-rebase.
+    */
+  object ActionLog {
+    private def logDir(table: String) = new java.io.File(table, "_alog")
+    private def delta(table: String, v: Int) =
+      new java.io.File(logDir(table), f"v$v%05d.txt")
+    private def ckpt(table: String, v: Int) =
+      new java.io.File(logDir(table), f"v$v%05d.ckpt")
+
+    def latestVersion(table: String): Int =
+      Option(logDir(table).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .map(_.getName).filter(_.matches("v\\d{5}\\.txt"))
+        .map(_.substring(1, 6).toInt).maxOption.getOrElse(0)
+
+    /** Action lines of delta `v`: ('+', rel) adds, ('-', rel) removes. */
+    def actions(table: String, v: Int): Seq[(Char, String)] = {
+      val m = delta(table, v)
+      require(m.exists(), s"no delta manifest for version $v at $table")
+      require(m.length() > 0,
+        s"zero-byte delta v$v at $table: claimed but never written (crashed commit)")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(m.toPath).asScala.toSeq.filter(_.nonEmpty)
+        .map(l => (l.charAt(0), l.substring(1)))
+    }
+
+    private def writeAtomic(target: java.io.File, lines: Seq[String]): Unit = {
+      val tmp = java.nio.file.Files.createTempFile(
+        target.getParentFile.toPath, s".${target.getName}-", ".tmp")
+      java.nio.file.Files.write(tmp,
+        (lines.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    /** Put-if-absent claim on delta `v`, then atomic content write —
+      * identical discipline to the full-listing tryCommit. */
+    private def tryCommitDelta(table: String, v: Int,
+                               adds: Seq[String], removes: Seq[String]): Boolean = {
+      val m = delta(table, v)
+      m.getParentFile.mkdirs()
+      if (!m.createNewFile()) false
+      else { writeAtomic(m, removes.map("-" + _) ++ adds.map("+" + _)); true }
+    }
+
+    /** Fold deltas `from+1 .. to` over `base` — order within a manifest:
+      * removes first, then adds (a compaction may re-add under a new
+      * name; re-adding an existing path is rejected as a protocol
+      * violation rather than silently deduped). */
+    private def fold(table: String, base: Set[String], from: Int, to: Int): Set[String] =
+      (from + 1 to to).foldLeft(base) { (acc, v) =>
+        actions(table, v).foldLeft(acc) {
+          case (a, ('-', rel)) =>
+            require(a.contains(rel), s"delta v$v at $table removes unknown $rel"); a - rel
+          case (a, ('+', rel)) =>
+            require(!a.contains(rel), s"delta v$v at $table re-adds live $rel"); a + rel
+          case (_, (op, rel)) =>
+            throw new IllegalArgumentException(s"bad action '$op$rel' in v$v at $table")
+        }
+      }
+
+    /** FULL replay from v1 — the reader cost a checkpoint exists to avoid.
+      * Sorted for deterministic downstream listings. */
+    def replay(table: String, v: Int): Seq[String] =
+      fold(table, Set.empty, 0, v).toSeq.sorted
+
+    /** Write (or refresh) the checkpoint at `v`: the full file listing of
+      * the snapshot at `v`, derived by replay. Idempotent derived state —
+      * atomic rename, no claim needed. */
+    def checkpoint(table: String, v: Int): Unit =
+      writeAtomic(ckpt(table, v), replay(table, v))
+
+    /** Highest checkpoint version ≤ v, 0 if none. */
+    def latestCheckpointAtOrBefore(table: String, v: Int): Int =
+      Option(logDir(table).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .map(_.getName).filter(_.matches("v\\d{5}\\.ckpt"))
+        .map(_.substring(1, 6).toInt).filter(_ <= v).maxOption.getOrElse(0)
+
+    /** THE reader path: snapshot at `v` = latest checkpoint ≤ v + delta
+      * tail. Returns (sorted file set, checkpoint version used — 0 if the
+      * resolve fell back to full replay, tail length folded). */
+    def resolveStats(table: String, v: Int): (Seq[String], Int, Int) = {
+      val cv = latestCheckpointAtOrBefore(table, v)
+      val base: Set[String] =
+        if (cv == 0) Set.empty
+        else {
+          val c = ckpt(table, cv)
+          require(c.length() > 0, s"zero-byte checkpoint v$cv at $table")
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.readAllLines(c.toPath).asScala.toSet.filter(_.nonEmpty)
+        }
+      (fold(table, base, cv, v).toSeq.sorted, cv, v - cv)
+    }
+
+    def resolve(table: String, v: Int): Seq[String] = resolveStats(table, v)._1
+
+    /** Absolute data paths at `v`, checkpoint-resolved. */
+    def snapshotFiles(table: String, v: Int): Seq[String] =
+      resolve(table, v).map(rel => new java.io.File(table, rel).getCanonicalPath)
+
+    def init(table: String, stagedRel: String): Int = {
+      require(latestVersion(table) == 0, s"table $table already action-initialized")
+      require(tryCommitDelta(table, 1, Seq(stagedRel), Seq.empty),
+        s"lost action-log init race on $table")
+      1
+    }
+
+    /** Blind append of `adds`: rebases through conflicts like the
+      * full-listing commitAppend — an append's delta is valid against any
+      * newer snapshot (it read nothing), so on losing the claim it simply
+      * re-targets the next version. */
+    def commitAppend(table: String, basis: Int, adds: Seq[String],
+                     maxAttempts: Int = 10): (Int, Boolean) = {
+      var base = basis
+      var conflicted = false
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        attempt += 1
+        if (tryCommitDelta(table, base + 1, adds, Seq.empty))
+          return (base + 1, conflicted)
+        conflicted = true
+        base = latestVersion(table)
+      }
+      throw new IllegalStateException(s"append could not commit after $maxAttempts attempts")
+    }
+
+    /** Rewrite (compaction shape): remove `removes`, add `adds`, valid
+      * only against the exact snapshot read — aborts on conflict. */
+    def commitRewrite(table: String, basis: Int, adds: Seq[String],
+                      removes: Seq[String]): Either[Conflict, Int] = {
+      val target = basis + 1
+      if (tryCommitDelta(table, target, adds, removes)) Right(target)
+      else Left(Conflict(target, delta(table, target).getPath))
+    }
   }
 }

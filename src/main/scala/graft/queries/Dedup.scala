@@ -918,6 +918,7 @@ object Dedup {
     // equality field drops to clerical review), ghosts below — and the
     // band means ride the 2^20 fixed-point qmean.
     "dd_jw_comparator" -> ((s, d) => {
+      import s.implicits._
       val c = t(s, d, "customer")
       val pairs = c.join(linkSourceB(c),
         col("c_nationkey") === col("b_nationkey") &&
@@ -926,7 +927,18 @@ object Dedup {
         .select(col("c_nationkey").as("nationkey"),
           graft.plans.GraftExtensions.jaroWinkler(col("c_name"), col("b_name")).as("jw"),
           (col("c_custkey") === col("orig_key")).as("is_true"))
-      pairs.groupBy("nationkey")
+      // planted edge band (nationkey −1): empty/one-char pairs gate-prove
+      // the comparator's edge conventions against DuckDB's builtin (ADVICE
+      // r9) — 0.0 for empty-vs-empty AND one-side-empty (probed: DuckDB's
+      // jaro_winkler_similarity returns 0.0 for all three, unlike some
+      // rapidfuzz lineages which return 1.0 for two empties), 1.0 for
+      // identical singletons, 0.85 for the boosted one-char prefix pair
+      val edges = Seq(("", ""), ("a", ""), ("", "a"), ("a", "a"), ("a", "ab"), ("a", "b"))
+        .toDF("ea", "eb")
+        .select(lit(-1).cast("int").as("nationkey"),
+          graft.plans.GraftExtensions.jaroWinkler(col("ea"), col("eb")).as("jw"),
+          lit(false).as("is_true"))
+      pairs.union(edges).groupBy("nationkey")
         .agg(count(lit(1)).as("n_pairs"),
              count(when(col("jw") >= 0.95, 1)).as("n_ge95"),
              count(when(col("jw") >= 0.90 && col("jw") < 0.95, 1)).as("n_90_95"),
@@ -1577,7 +1589,11 @@ object Dedup {
         |    (a.c_custkey = b.orig_key) AS is_true
         |  FROM customer a JOIN b
         |    ON a.c_nationkey = b.b_nationkey AND a.c_mktsegment = b.b_mktsegment
-        |       AND right(a.c_name, 1) = right(b.b_name, 1))
+        |       AND right(a.c_name, 1) = right(b.b_name, 1)
+        |  UNION ALL
+        |  SELECT CAST(-1 AS INTEGER), jaro_winkler_similarity(ea, eb), FALSE
+        |  FROM (VALUES ('', ''), ('a', ''), ('', 'a'),
+        |               ('a', 'a'), ('a', 'ab'), ('a', 'b')) t(ea, eb))
         |SELECT nationkey, count(*) AS n_pairs,
         |  count(*) FILTER (jw >= 0.95) AS n_ge95,
         |  count(*) FILTER (jw >= 0.90 AND jw < 0.95) AS n_90_95,

@@ -336,8 +336,16 @@ object Graph {
     // semantics, measured rather than assumed; denser social graphs
     // peel for many rounds under the identical loop). Per round: one
     // degree hash-agg + two semi-restricting joins on the keys the
-    // previous round just shuffled, localCheckpoint() truncating
-    // lineage; only two counters cross to the driver per round. The
+    // previous round just shuffled, with LAZY localCheckpoints on both
+    // the survivor set and the restricted edges so the round runs as
+    // exactly ONE driver action — the union-agg counter job below
+    // materializes (and lineage-truncates) both snapshots as a side
+    // effect and carries both counters across in a single sync. The
+    // previous shape (eager checkpoint + keep.count() + e.count() =
+    // three driver syncs/round, with the degree agg recomputed in each
+    // join branch AND the count) was the bench's per-round-jitter
+    // amplifier — the r9 verdict's #1 (921 ms warm GC, retried);
+    // graph_lpa_communities proved the one-job-per-round fusion. The
     // oracle unrolls the same five rounds as CTEs.
     "graph_kcore" -> ((s, d) => {
       import s.implicits._
@@ -345,10 +353,14 @@ object Graph {
       val rows = (1 to 5).map { round =>
         val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 30).select(col("src").as("node"))
+          .localCheckpoint(false)
         e = e.join(keep.select(col("node").as("src")), "src")
           .join(keep.select(col("node").as("dst")), "dst")
-          .select("src", "dst").localCheckpoint()
-        (round.toLong, keep.count(), e.count() / 2)
+          .select("src", "dst").localCheckpoint(false)
+        val st = keep.select(lit(1L).as("nk"), lit(0L).as("ne"))
+          .union(e.select(lit(0L).as("nk"), lit(1L).as("ne")))
+          .agg(coalesce(sum("nk"), lit(0L)), coalesce(sum("ne"), lit(0L))).head()
+        (round.toLong, st.getLong(0), st.getLong(1) / 2)
       }
       rows.toDF("round", "n_nodes", "n_edges").orderBy("round")
     }),

@@ -147,11 +147,28 @@ object Temporal {
         .agg(count(lit(1)).as("n_events"),
              min("ts").as("session_start"), max("ts").as("session_end"))
         .select("user_id", "session_start", "session_end", "n_events")
-      repaired.agg(count(lit(1)).as("n_sessions_stream"),
-          sum("n_events").as("n_events_roundtrip"))
-        .crossJoin(batch.agg(count(lit(1)).as("n_sessions_batch")))
-        .crossJoin(repaired.exceptAll(batch).agg(count(lit(1)).as("stream_only")))
-        .crossJoin(batch.exceptAll(repaired).agg(count(lit(1)).as("batch_only")))
+      // census = ONE pass per side: group each side by the full session
+      // identity, full-outer join the two count frames, and derive every
+      // column (including both bag differences — exceptAll semantics:
+      // Σ max(cs−cb, 0) per identity) from that one join. The previous
+      // 4-branch crossJoin referenced `repaired` and `batch` three times
+      // each with no cache, so the stream repair and the batch sessionizer
+      // each re-executed 3× per run and the two exceptAll ops added two
+      // more wide shuffles — the r9 late-round warm drift (0.6 → 2.8 s)
+      // was this recompute tax, not a layout rebuild (StreamingSpec pins
+      // that the fragment layout is read, not rebuilt, on a warm run).
+      val idCols = Seq("user_id", "session_start", "session_end", "n_events")
+      val sCnt = repaired.groupBy(idCols.map(col): _*).agg(count(lit(1)).as("cs"))
+      val bCnt = batch.groupBy(idCols.map(col): _*).agg(count(lit(1)).as("cb"))
+      sCnt.join(bCnt, idCols, "full_outer")
+        .agg(
+          sum(coalesce(col("cs"), lit(0L))).as("n_sessions_stream"),
+          sum(coalesce(col("cb"), lit(0L))).as("n_sessions_batch"),
+          sum(col("n_events") * coalesce(col("cs"), lit(0L))).as("n_events_roundtrip"),
+          sum(greatest(coalesce(col("cs"), lit(0L)) - coalesce(col("cb"), lit(0L)),
+            lit(0L))).as("stream_only"),
+          sum(greatest(coalesce(col("cb"), lit(0L)) - coalesce(col("cs"), lit(0L)),
+            lit(0L))).as("batch_only"))
         .select(col("n_sessions_stream"), col("n_sessions_batch"),
           col("n_events_roundtrip"), col("stream_only"), col("batch_only"),
           (col("stream_only") === 0 && col("batch_only") === 0 &&

@@ -101,6 +101,81 @@ class CommitsSpec extends AnyFunSuite with SharedSparkSpec {
       Commits.shallowClone(src, s"$root/deeper/clone2"))
   }
 
+  test("a claimed-but-never-written manifest fails loudly, not as an empty snapshot (ADVICE r9)") {
+    val t = freshTable()
+    Commits.init(t, Commits.stage(df(0 until 10), t, "base"))
+    // a committed manifest is never zero bytes (content lands via
+    // temp-write + atomic rename over the claim) — so a zero-byte file IS
+    // the crashed-between-claim-and-rename state, simulated directly here
+    val crashed = new java.io.File(s"$t/_log/v00002.txt")
+    assert(crashed.createNewFile(), "simulated crash claim must land")
+    val e = intercept[IllegalArgumentException] {
+      Commits.manifestEntries(t, 2)
+    }
+    assert(e.getMessage.contains("zero-byte"),
+      s"half-written manifest must be rejected loudly, got: ${e.getMessage}")
+    // a latest-version read resolves to the crashed claim and must fail
+    // just as loudly — never silently serve an empty snapshot
+    intercept[IllegalArgumentException] { Commits.read(spark, t) }
+    // the healthy version is unaffected
+    assert(spark.read.parquet(Commits.snapshotFiles(t, 1): _*).count() == 10)
+  }
+
+  test("action log: checkpoint-resolved snapshot ≡ full replay at every version, across a conflict-rebase") {
+    val t = freshTable()
+    val A = Commits.ActionLog
+    A.init(t, Commits.stage(df(0 until 10), t, "base"))
+    A.commitAppend(t, 1, Seq(Commits.stage(df(10 until 30), t, "w2")))
+    // compaction at v3: remove both live files, re-add as one
+    val live = A.resolve(t, 2)
+    assert(live.size == 2)
+    val comp = Commits.stage(df(0 until 30), t, "compact")
+    assert(A.commitRewrite(t, 2, Seq(comp), live).isRight)
+    A.checkpoint(t, 3)
+    // two writers race basis 3: A wins v4 clean, B rebases through to v5
+    val a = Commits.stage(df(30 until 40), t, "wA")
+    val b = Commits.stage(df(40 until 45), t, "wB")
+    assert(A.commitAppend(t, 3, Seq(a)) == ((4, false)))
+    assert(A.commitAppend(t, 3, Seq(b)) == ((5, true)))
+    (1 to 5).foreach { v =>
+      val (files, cv, tail) = A.resolveStats(t, v)
+      assert(files == A.replay(t, v), s"v$v: checkpoint-resolve must equal full replay")
+      if (v >= 3) assert(cv == 3 && tail == v - 3, s"v$v must read ckpt v3 + ${v - 3} deltas")
+      else assert(cv == 0 && tail == v, s"v$v predates the checkpoint: full replay")
+    }
+    assert(spark.read.parquet(A.snapshotFiles(t, 5): _*).count() == 45)
+  }
+
+  test("action log: stale rewrite aborts; earlier snapshots stay time-travel readable") {
+    val t = freshTable()
+    val A = Commits.ActionLog
+    A.init(t, Commits.stage(df(0 until 10), t, "base"))
+    val staleComp = Commits.stage(df(0 until 10), t, "compactStale")
+    val v1Files = A.resolve(t, 1)
+    // a winner moves the table before the compaction commits
+    A.commitAppend(t, 1, Seq(Commits.stage(df(10 until 20), t, "w2")))
+    assert(A.commitRewrite(t, 1, Seq(staleComp), v1Files).isLeft,
+      "a rewrite against a moved basis must abort")
+    assert(A.replay(t, 2).forall(f => !f.contains("compactStale")),
+      "aborted staged files must never surface in any snapshot")
+    assert(spark.read.parquet(A.snapshotFiles(t, 1): _*).count() == 10)
+    assert(spark.read.parquet(A.snapshotFiles(t, 2): _*).count() == 20)
+  }
+
+  test("action log: protocol violations fail loudly — re-add of a live path, remove of an unknown one") {
+    val t = freshTable()
+    val A = Commits.ActionLog
+    val base = Commits.stage(df(0 until 10), t, "base")
+    A.init(t, base)
+    A.commitAppend(t, 1, Seq(base)) // re-adds the live path at v2
+    intercept[IllegalArgumentException] { A.replay(t, 2) }
+    val t2 = freshTable()
+    val A2 = Commits.ActionLog
+    A2.init(t2, Commits.stage(df(0 until 10), t2, "base"))
+    assert(A2.commitRewrite(t2, 1, Seq.empty, Seq("data/never-existed")).isRight)
+    intercept[IllegalArgumentException] { A2.replay(t2, 2) }
+  }
+
   test("contended appends from many stale writers all make progress") {
     val t = freshTable()
     Commits.init(t, Commits.stage(df(0 until 5), t, "base"))
