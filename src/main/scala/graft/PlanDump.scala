@@ -187,8 +187,30 @@ object PlanDump {
       "orphan is read once to prove its row count."),
     "st_repair_roundtrip" -> ("Streamed-fragment repair census: fragments " +
       "(session-count-sized) window once on user_id for the island chain; " +
-      "both exceptAll legs and the count aggregates reduce to 1-row frames " +
-      "crossJoined — the raw events are scanned once for the batch twin."),
+      "each side is grouped ONCE on the full session identity and the " +
+      "whole census (counts + both bag differences) derives from one " +
+      "full-outer join of the two count frames — the raw events are " +
+      "scanned once for the batch twin, nothing recomputes."),
+    "etl_commit_checkpoint" -> ("Delta-action log + checkpoint census: " +
+      "manifests, checkpoints, and the resolve≡replay proof are " +
+      "file-count-sized driver reads (the Delta-log metadata class); " +
+      "table data flows only through the six per-version parquet counts, " +
+      "which union under 1-row crossJoins."),
+    "sim_nndescent" -> ("NN-descent k-NN graph: candidate generation is a " +
+      "self-join of the symmetrized adjacency on the shared PIVOT node " +
+      "(sum-of-degree² rows, never vector×vector); per-node top-k is one " +
+      "window on the node key; rounds localCheckpoint. Exact-kNN ground " +
+      "truth broadcasts the 2% query sample against one corpus scan."),
+    "tx_unigram_tokenizer" -> ("Unigram-LM trainer: ONE corpus pass (word " +
+      "histogram hash-agg); substring candidates, vocab cap, micro-nat " +
+      "costs, and both EM rounds are vocabulary-sized. Viterbi is a " +
+      "mapPartitions over the distinct-word frame with the broadcast " +
+      "cost table — the BPE trie-encode boundary."),
+    "dd_suffix_exact" -> ("Sorted-suffix exact substring dedup: suffixes " +
+      "keyed by their first 8 tokens, range-partitioned + sorted within " +
+      "partitions, adjacent-LCP scan in mapPartitions (m−1 comparisons " +
+      "per shared run, never m²), cross-boundary pairs stitched from the " +
+      "≤2-per-partition marker rows on the driver."),
     "tx_bpe_encode_k500" -> ("Production-k BPE: the floored vocabulary " +
       "collect feeds driver-side training; encode is ONE mapPartitions " +
       "scan with the broadcast rank map and per-partition word→pieces " +

@@ -1018,6 +1018,107 @@ object Dedup {
         .join(partners, Seq("doc_id"), "left")
         .na.fill(0L, Seq("n_partners"))
         .orderBy("doc_id")
+    }),
+
+    // ---- EXACT substring dedup via sorted suffixes (Lee et al. '22's
+    // suffix-array approach, VERDICT r9 #7) — the exact complement to
+    // dd_winnowing: winnowing GUARANTEES detection only for shared runs
+    // ≥ w+k−1 = 6 tokens; this face catches runs of exactly L = 5 (a
+    // planted 5-token mid-document copy the fingerprint stride can miss)
+    // by sorting all token suffixes and scanning ADJACENT entries for
+    // long common prefixes — a shared run of m suffixes costs m−1
+    // adjacent comparisons, never m². Scale shape is the production
+    // suffix-array build: each suffix is keyed by its first K = 8 tokens,
+    // RANGE-partitioned and sorted within partitions, the adjacent-LCP
+    // scan runs in mapPartitions (one pass, no window), and the ≤ 2·parts
+    // per-partition boundary rows come to the driver for the cross-
+    // boundary pass (the FileSkipping metadata class — partition-count-
+    // sized, never data-sized). The census is partition-INVARIANT by
+    // construction (adjacency is a property of the global sort order),
+    // which the oracle proves by replaying the same adjacency with a
+    // plain ordered window: the distributed boundary-stitched scan must
+    // reproduce the global-order answer exactly. Pairs are labeled by
+    // planted family (fam_<bucketA>_<bucketB>: 0 = base, 1 = near-dup,
+    // 2 = exact-dup, 3 = planted substring) or 'collision' — genuinely
+    // repeated 5-grams of the tiny synthetic vocabulary, which exact
+    // substring dedup is SUPPOSED to find.
+    "dd_suffix_exact" -> ((s, d) => {
+      import s.implicits._
+      val L = 5
+      val K = 8
+      val base = corpus(s, d)
+      val planted = base
+        .filter(col("doc_id") % 35 === 0 && col("doc_id") < 1000000)
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 15)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(lit("padx"), col("doc_id").cast("string"),
+            lit(" pady"), col("doc_id").cast("string"), lit(" "),
+            array_join(slice(col("toks"), 11, L), " "),
+            lit(" padz"), col("doc_id").cast("string")).as("text"))
+      val staged = base.select(col("doc_id"), col("text"))
+        .union(planted)
+        .select(col("doc_id"), T.tokens(col("text")).as("toks")).cache()
+      val sfx = staged
+        .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos1"),
+          slice(col("toks"), col("pos") + 1, lit(K)).as("karr"))
+        .withColumn("key", array_join(col("karr"), " "))
+        .select(col("key"), col("doc_id"), col("pos1"), col("karr"))
+        .as[(String, Long, Long, Seq[String])]
+      def lcpOf(a: Seq[String], b: Seq[String]): Int = {
+        var i = 0; val n = math.min(a.length, b.length)
+        while (i < n && a(i) == b(i)) i += 1
+        i
+      }
+      // rows: kind 0 = adjacent pair (da, db, lcp); kind 1/2 = the
+      // partition's first/last suffix (pid, doc, karr) for the boundary pass
+      val local = sfx
+        .repartitionByRange(32, col("key"), col("doc_id"), col("pos1"))
+        .sortWithinPartitions("key", "doc_id", "pos1")
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Int, Long, Long, Int, Seq[String])]
+          var first: (String, Long, Long, Seq[String]) = null
+          var prev: (String, Long, Long, Seq[String]) = null
+          it.foreach { r =>
+            if (first == null) first = r
+            else out += ((0, pid, prev._2, r._2, lcpOf(prev._4, r._4), Seq.empty))
+            prev = r
+          }
+          if (first != null) {
+            out += ((1, pid, first._2, 0L, 0, first._4))
+            out += ((2, pid, prev._2, 0L, 0, prev._4))
+          }
+          out.iterator
+        }
+        .toDF("kind", "pid", "da", "db", "lcp", "karr").cache()
+      val inner = local.filter(col("kind") === 0).select("da", "db", "lcp")
+      // driver-side boundary stitch: ≤ 2 rows per partition
+      val markers = local.filter(col("kind") =!= 0)
+        .select("kind", "pid", "da", "karr").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getSeq[String](3)))
+      val byPid = markers.groupBy(_._2)
+      val pids = byPid.keys.toSeq.sorted
+      val boundary = pids.zip(pids.drop(1)).map { case (p, q) =>
+        val last = byPid(p).find(_._1 == 2).get
+        val head = byPid(q).find(_._1 == 1).get
+        (last._3, head._3, lcpOf(last._4, head._4))
+      }
+      val pairs = inner.union(boundary.toDF("da", "db", "lcp"))
+        .filter(col("lcp") >= L && col("da") =!= col("db"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          col("lcp").cast("long").as("lcp"))
+      pairs.groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_runs"), max("lcp").as("max_lcp"))
+        .withColumn("kind",
+          when(pmod(col("doc_a"), lit(1000000L)) =!= pmod(col("doc_b"), lit(1000000L)),
+            lit("collision"))
+            .otherwise(concat(lit("fam_"), expr("doc_a div 1000000"),
+              lit("_"), expr("doc_b div 1000000"))))
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -1643,6 +1744,43 @@ object Dedup {
          |  (CAST(len(fps) AS BIGINT) * 10000) // n_shingles AS density4,
          |  coalesce(p.n_partners, 0) AS n_partners
          |FROM st LEFT JOIN p ON st.doc_id = p.doc_id
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // the suffix scan replayed as ONE global ordered window — adjacency is
+    // a property of the global sort order, so the Spark side's range-
+    // partitioned scan + driver boundary stitch must reproduce this
+    // answer exactly; the nested-CASE lcp is the same ≤8-token prefix
+    // compare the executor runs
+    "dd_suffix_exact" -> {
+      val L = 5
+      val K = 8
+      val lcpSql = (K to 1 by -1).foldLeft("0") { (inner, i) =>
+        s"(CASE WHEN len(karr) >= $i AND len(nkarr) >= $i AND karr[$i] = nkarr[$i] " +
+          s"THEN 1 + $inner ELSE 0 END)"
+      }
+      s"""$corpusCte,
+         |tk0 AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM docs),
+         |planted AS (SELECT doc_id + 3000000 AS doc_id,
+         |    'padx' || doc_id || ' pady' || doc_id || ' ' ||
+         |    array_to_string(list_slice(toks, 11, ${10 + L}), ' ') || ' padz' || doc_id AS text
+         |  FROM tk0 WHERE doc_id % 35 = 0 AND doc_id < 1000000 AND len(toks) >= 15),
+         |tk AS (SELECT doc_id, toks FROM tk0
+         |       UNION ALL SELECT doc_id, ${S.tokens("text")} FROM planted),
+         |sfx AS (SELECT doc_id, CAST(i AS BIGINT) AS pos1,
+         |    list_slice(toks, CAST(i AS INTEGER), CAST(i + ${K - 1} AS INTEGER)) AS karr,
+         |    array_to_string(list_slice(toks, CAST(i AS INTEGER),
+         |      CAST(i + ${K - 1} AS INTEGER)), ' ') AS key
+         |  FROM tk, range(1, 111) r(i) WHERE i <= len(toks)),
+         |ord AS (SELECT doc_id AS da, pos1, karr,
+         |    lead(doc_id) OVER w AS db, lead(karr) OVER w AS nkarr
+         |  FROM sfx WINDOW w AS (ORDER BY key, doc_id, pos1)),
+         |lc AS (SELECT da, db, $lcpSql AS lcp FROM ord WHERE db IS NOT NULL),
+         |pairs AS (SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b, lcp
+         |  FROM lc WHERE lcp >= $L AND da <> db)
+         |SELECT doc_a, doc_b, count(*) AS n_runs, CAST(max(lcp) AS BIGINT) AS max_lcp,
+         |  CASE WHEN doc_a % 1000000 <> doc_b % 1000000 THEN 'collision'
+         |       ELSE 'fam_' || (doc_a // 1000000) || '_' || (doc_b // 1000000) END AS kind
+         |FROM pairs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+    }
   )
 }

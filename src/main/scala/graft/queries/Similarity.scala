@@ -998,8 +998,13 @@ object Similarity {
       val cnt = e.agg(count(lit(1)).as("n"))
       val ea = e.select(col("vec_id").as("a"), col("v").as("va"))
       val eb = e.select(col("vec_id").as("b"), col("v").as("vb"))
+      // the vector lookup sides are corpus-row-count frames (node-sized,
+      // not candidate-sized) — broadcast them so the candidate frame never
+      // sort-merge-shuffles just to fetch its endpoints' vectors; at 100 TB
+      // the corpus outgrows the broadcast and these become co-partitioned
+      // shuffle joins on the node key (the engine.PageRank layout)
       def withCos(g: DataFrame): DataFrame =
-        g.join(ea, "a").join(eb, "b")
+        g.join(broadcast(ea), "a").join(broadcast(eb), "b")
           .select(col("a"), col("b"), V.cosine(col("va"), col("vb")).as("cos_raw"))
       // hash-seeded ring-stride init: offset_r(i) ∈ [1, n-1] so b ≠ a
       val init = e.select(col("vec_id").as("a"))
@@ -1021,7 +1026,7 @@ object Similarity {
       def census(round: Int, g: DataFrame): DataFrame =
         g.agg(count(lit(1)).as("n_edges"),
             FP.qround(FP.qmean(col("cos_raw")), 4).as("avg_cos"))
-          .crossJoin(g.join(exact, Seq("a", "b")).agg(count(lit(1)).as("hits")))
+          .crossJoin(g.join(broadcast(exact), Seq("a", "b")).agg(count(lit(1)).as("hits")))
           .crossJoin(exact.agg(countDistinct(col("a")).as("ns")))
           .select(lit(round.toLong).as("round"), col("n_edges"), col("avg_cos"),
             (floor(col("hits") * lit(10000.0) / (col("ns") * lit(k)) + lit(0.5))
@@ -1030,9 +1035,12 @@ object Similarity {
       val rows = census(0, g0) +: (1 to 2).map { r =>
         val u = g.select(col("a").as("p"), col("b").as("x"))
           .union(g.select(col("b").as("p"), col("a").as("x"))).distinct()
+        // ONE distinct over candidates ∪ current edges (set-identical to
+        // dedup'ing each side separately — the oracle's two-step DISTINCT
+        // derives the same pool set — at one shuffle less)
         val cand = u.as("u1").join(u.as("u2"), "p")
           .select(col("u1.x").as("a"), col("u2.x").as("b"))
-          .filter(col("a") =!= col("b")).distinct()
+          .filter(col("a") =!= col("b"))
         val pool = cand.union(g.select("a", "b")).distinct()
         g = withCos(pool)
           .withColumn("rn", row_number().over(

@@ -805,6 +805,96 @@ object TextOps {
           (col("nt") < col("n_word_chars")).as("compresses"))
     }),
 
+    // ---- UNIGRAM-LM (SentencePiece-style) tokenizer trainer (VERDICT r9
+    // #4) — the production tokenizer family beside BPE: a substring
+    // vocabulary with probabilities, per-word Viterbi segmentation, and
+    // hard-EM rounds re-estimating piece probabilities from Viterbi usage
+    // (Kudo '18's trainer with the deterministic Viterbi E-step, so every
+    // step replays as exact arithmetic in the oracle). Scale split
+    // (engine/UnigramLM): the corpus is touched by exactly ONE hash-agg
+    // pass (the word histogram); candidate substrings, vocabulary, costs,
+    // Viterbi, and usage re-estimates are all VOCABULARY-sized — which is
+    // how SentencePiece actually trains at corpus scale (on a word
+    // histogram, never raw text). The multi-char piece table is capped
+    // top-2000 by frequency BEFORE the collect (the BpeMinCount
+    // discipline: an enforced driver bound, not an assumption); single-
+    // char pieces are never pruned (alphabet retention with a +1 floor
+    // for unused singles — SentencePiece's required-character rule), so
+    // every word stays segmentable in every round. Viterbi runs in
+    // mapPartitions over the DISTINCT-WORD frame with broadcast integer
+    // micro-nat costs (round(−ln p · 1e6), the tx_perplexity_bucket lpu
+    // pattern — the DP is exact BIGINT addition on both engines);
+    // tie-breaks are (cost, piece count, longest-final-piece), replayed
+    // exactly by the oracle's generated positional DP — 10 unrolled
+    // steps + a 10-step backwalk per round. Report: per-round top-15
+    // multi-char pieces with integer micro-probabilities.
+    "tx_unigram_tokenizer" -> ((s, d) => {
+      import s.implicits._
+      val maxPiece = 4
+      val minFreq = 20L
+      val capV = 2000
+      val wc = t(s, d, "documents")
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .filter(length(col("word")).between(1, 10))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .cache()
+      val pf = wc
+        .select(col("word"), col("cnt"), explode(sequence(lit(1), lit(10))).as("i"))
+        .filter(col("i") <= length(col("word")))
+        .select(col("word"), col("cnt"), col("i"),
+          explode(sequence(lit(1), lit(maxPiece))).as("l"))
+        .filter(col("i") + col("l") <= length(col("word")) + 1)
+        .select(expr("substr(word, i, l)").as("piece"), col("cnt"))
+        .groupBy("piece").agg(sum("cnt").as("freq"))
+      // top-capV multi-char pieces by frequency — vocab-sized global
+      // window, enforced BEFORE any driver collect
+      def capMulti(freqs: DataFrame, fcol: String): DataFrame =
+        freqs.filter(length(col("piece")) > 1 && col(fcol) >= minFreq)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col(fcol).desc, col("piece").asc)))
+          .filter(col("rk") <= capV)
+          .select(col("piece"), col(fcol).as("freq"))
+      val vocab1 = capMulti(pf, "freq")
+        .union(pf.filter(length(col("piece")) === 1).select("piece", "freq"))
+      // micro-nat costs; collect bounded by capV + alphabet
+      def costMap(vocab: DataFrame): Map[String, Long] =
+        vocab.crossJoin(broadcast(vocab.agg(sum("freq").as("tot"))))
+          .select(col("piece"),
+            round(-log(col("freq").cast("double") / col("tot").cast("double"))
+              * lit(1e6)).cast("long").as("cost"))
+          .as[(String, Long)].collect().toMap
+      def estep(costs: Map[String, Long]): DataFrame = {
+        val bc = s.sparkContext.broadcast(costs)
+        wc.select(col("word"), col("cnt")).as[(String, Long)]
+          .mapPartitions { it =>
+            val cm = bc.value
+            it.flatMap { case (w, c) =>
+              graft.engine.UnigramLM.segment(w, cm.get(_), maxPiece)
+                .getOrElse(Seq.empty)
+                .groupBy(identity).iterator
+                .map { case (p, occ) => (p, occ.size.toLong * c) }
+            }
+          }
+          .toDF("piece", "uses")
+          .groupBy("piece").agg(sum("uses").as("n_uses"))
+      }
+      val usage1 = estep(costMap(vocab1)).cache()
+      val vocab2 = capMulti(usage1, "n_uses")
+        .union(vocab1.filter(length(col("piece")) === 1).select("piece")
+          .join(usage1, Seq("piece"), "left")
+          .select(col("piece"), coalesce(col("n_uses"), lit(1L)).as("freq")))
+      val usage2 = estep(costMap(vocab2))
+      def report(r: Int, usage: DataFrame): DataFrame =
+        usage.filter(length(col("piece")) > 1)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n_uses").desc, col("piece").asc)).cast("bigint"))
+          .filter(col("rank") <= 15)
+          .crossJoin(broadcast(usage.agg(sum("n_uses").as("tot"))))
+          .select(lit(r.toLong).as("round"), col("rank"), col("piece"), col("n_uses"),
+            floor(col("n_uses") * lit(1000000.0) / col("tot") + lit(0.5)).as("prob_micro"))
+      report(1, usage1).union(report(2, usage2)).orderBy("round", "rank")
+    }),
+
     // ---- tokenizer SIZING sweep: corpus fertility and emergent piece
     // vocabulary at merge counts k ∈ {1, 3, 5} — the curve a tokenizer
     // owner reads to pick vocab size (fertility falls, piece vocabulary
@@ -2201,6 +2291,88 @@ object TextOps {
     // five unrolled BPE rounds: words{i} is the word-frequency table after
     // merge i; win{i} the round's (count desc, pair asc) argmax; the
     // rewrite is the leftmost-greedy fold described at the query site
+    // the unigram trainer replayed end-to-end: identical word histogram,
+    // substring candidates, capped vocab, micro-nat costs, and — the
+    // heart — the Viterbi DP unrolled POSITIONALLY (best prefix state per
+    // (word, j) via min over the ≤4 in-vocab extensions, tie-broken
+    // ORDER BY cost, np, i exactly like the engine's (cost, pieces,
+    // longest-final-piece) rule) with a 10-step backwalk re-deriving the
+    // chosen pieces, per EM round; all BIGINT arithmetic except the one
+    // -ln per piece (the lpu precedent)
+    "tx_unigram_tokenizer" -> {
+      val maxPiece = 4
+      val minFreq = 20
+      val capV = 2000
+      def dpRound(r: Int, cost: String): String = {
+        val b0 = s"b${r}_0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS cost, 0 AS np, 0 AS i FROM wc)"
+        val steps = (1 to 10).map { j =>
+          val branches = (math.max(0, j - maxPiece) until j).map { i =>
+            s"""SELECT b.word, b.cost + c.cost AS cost, b.np + 1 AS np, $i AS i
+               |      FROM b${r}_$i b JOIN $cost c ON c.piece = substr(b.word, ${i + 1}, ${j - i})
+               |      WHERE length(b.word) >= $j""".stripMargin
+          }.mkString("\n      UNION ALL ")
+          s"""b${r}_$j AS MATERIALIZED (SELECT word, cost, np, i FROM (
+             |  SELECT word, cost, np, i,
+             |    row_number() OVER (PARTITION BY word ORDER BY cost, np, i) AS rn
+             |  FROM ($branches)) WHERE rn = 1)""".stripMargin
+        }
+        val bb = s"bb$r AS MATERIALIZED (" +
+          (1 to 10).map(j => s"SELECT word, $j AS j, i FROM b${r}_$j")
+            .mkString(" UNION ALL ") + ")"
+        val walks = (1 to 10).map { w =>
+          val prev =
+            if (w == 1) "(SELECT word, length(word) AS j FROM wc)"
+            else s"(SELECT word, j FROM wk${r}_${w - 1} WHERE j > 0)"
+          s"""wk${r}_$w AS MATERIALIZED (SELECT w.word, b.i AS j,
+             |  substr(w.word, b.i + 1, w.j - b.i) AS piece
+             |  FROM $prev w JOIN bb$r b ON b.word = w.word AND b.j = w.j)""".stripMargin
+        }
+        val seg = s"seg$r AS MATERIALIZED (" +
+          (1 to 10).map(w => s"SELECT word, piece FROM wk${r}_$w")
+            .mkString(" UNION ALL ") + ")"
+        val usage = s"""usage$r AS MATERIALIZED (SELECT piece, CAST(sum(c.cnt) AS BIGINT) AS n_uses
+           |  FROM seg$r s JOIN wc c USING (word) GROUP BY 1)""".stripMargin
+        (Seq(b0) ++ steps ++ Seq(bb) ++ walks ++ Seq(seg, usage)).mkString(",\n")
+      }
+      def rep(r: Int) =
+        s"""(SELECT CAST($r AS BIGINT) AS round,
+           |  CAST(row_number() OVER (ORDER BY n_uses DESC, piece) AS BIGINT) AS rank,
+           |  piece, n_uses,
+           |  CAST(floor(n_uses * 1000000.0 /
+           |    (SELECT sum(n_uses) FROM usage$r) + 0.5) AS BIGINT) AS prob_micro
+           |  FROM usage$r WHERE length(piece) > 1)""".stripMargin
+      s"""WITH wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+         |  WHERE length(word) BETWEEN 1 AND 10 GROUP BY 1),
+         |sub AS MATERIALIZED (SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece, cnt
+         |  FROM wc, range(1, 11) s(i), range(1, ${maxPiece + 1}) t(l)
+         |  WHERE i <= length(word) AND i + l <= length(word) + 1),
+         |pf AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM sub GROUP BY 1),
+         |vocab1 AS MATERIALIZED (SELECT piece, freq FROM (
+         |    SELECT piece, freq, row_number() OVER (ORDER BY freq DESC, piece) AS rk
+         |    FROM pf WHERE length(piece) > 1 AND freq >= $minFreq) WHERE rk <= $capV
+         |  UNION ALL SELECT piece, freq FROM pf WHERE length(piece) = 1),
+         |c1 AS MATERIALIZED (SELECT piece, CAST(round(-ln(CAST(freq AS DOUBLE) /
+         |    (SELECT CAST(sum(freq) AS DOUBLE) FROM vocab1)) * 1000000) AS BIGINT) AS cost
+         |  FROM vocab1),
+         |${dpRound(1, "c1")},
+         |vocab2 AS MATERIALIZED (SELECT piece, n_uses AS freq FROM (
+         |    SELECT piece, n_uses, row_number() OVER (ORDER BY n_uses DESC, piece) AS rk
+         |    FROM usage1 WHERE length(piece) > 1 AND n_uses >= $minFreq) WHERE rk <= $capV
+         |  UNION ALL
+         |  SELECT v.piece, coalesce(u.n_uses, 1) AS freq
+         |  FROM (SELECT piece FROM vocab1 WHERE length(piece) = 1) v
+         |  LEFT JOIN usage1 u ON u.piece = v.piece),
+         |c2 AS MATERIALIZED (SELECT piece, CAST(round(-ln(CAST(freq AS DOUBLE) /
+         |    (SELECT CAST(sum(freq) AS DOUBLE) FROM vocab2)) * 1000000) AS BIGINT) AS cost
+         |  FROM vocab2),
+         |${dpRound(2, "c2")}
+         |SELECT round, rank, piece, n_uses, prob_micro FROM (
+         |  SELECT * FROM ${rep(1)} t1 WHERE rank <= 15
+         |  UNION ALL SELECT * FROM ${rep(2)} t2 WHERE rank <= 15)
+         |ORDER BY round, rank""".stripMargin
+    },
+
     "tx_bpe_merges" -> {
       def rnd(i: Int) =
         s"""pairs$i AS (SELECT pair, sum(freq) AS n FROM (

@@ -70,7 +70,14 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "tx_bpe_encode" -> Seq(2, 0, 0, 0, 0, 2, 1, 0),
     "tx_edit_distance" -> Seq(1, 0, 0, 0, 0, 0, 1, 0),
     "tx_perplexity_bucket" -> Seq(7, 0, 0, 2, 0, 16, 1, 2),
-    "w6_range_frame" -> Seq(0, 0, 0, 0, 0, 1, 1, 0))
+    "w6_range_frame" -> Seq(0, 0, 0, 0, 0, 1, 1, 0),
+    // r10 additions: the restructured repair census (one full-outer count
+    // join, no exceptAll recomputes) and the four new faces
+    "st_repair_roundtrip" -> Seq(0, 1, 0, 0, 0, 4, 0, 1),
+    "etl_commit_checkpoint" -> Seq(0, 0, 0, 0, 0, 0, 0, 6),
+    "sim_nndescent" -> Seq(3, 0, 0, 6, 0, 3, 0, 9),
+    "tx_unigram_tokenizer" -> Seq(0, 0, 0, 2, 0, 18, 0, 2),
+    "dd_suffix_exact" -> Seq(0, 0, 0, 0, 0, 1, 3, 0))
 
   test("top-20 bench plans match the committed fingerprint corpus") {
     if (sys.env.get("GRAFT_PLANDRIFT_PRINT").contains("1")) {
