@@ -206,6 +206,10 @@ object PlanDump {
       "costs, and both EM rounds are vocabulary-sized. Viterbi is a " +
       "mapPartitions over the distinct-word frame with the broadcast " +
       "cost table — the BPE trie-encode boundary."),
+    "graph_louvain_move" -> ("Louvain move pass: node→community map joins " +
+      "both edge endpoints on the node key, one (src, community) hash-agg " +
+      "for k_iC, per-node argmax window, exact-BIGINT gains; the two Q " +
+      "censuses and the 1-row assembly are the only other exchanges."),
     "dd_suffix_exact" -> ("Sorted-suffix exact substring dedup: suffixes " +
       "keyed by their first 8 tokens, range-partitioned + sorted within " +
       "partitions, adjacent-LCP scan in mapPartitions (m−1 comparisons " +
