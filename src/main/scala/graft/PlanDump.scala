@@ -206,6 +206,15 @@ object PlanDump {
       "costs, and both EM rounds are vocabulary-sized. Viterbi is a " +
       "mapPartitions over the distinct-word frame with the broadcast " +
       "cost table — the BPE trie-encode boundary."),
+    "range_join_binned" -> ("Binned interval join: windows explode to " +
+      "their ≤3 covered 12 h bins, events equi-join on the bin key " +
+      "(broadcast here; hash at scale), exact interval predicate as a " +
+      "post-filter — the manual rewrite of the BroadcastNestedLoopJoin " +
+      "cliff stock Spark plans for pure inequality joins."),
+    "ts_stl_decompose" -> ("Classical STL decomposition: ONE corpus-sized " +
+      "day hash-agg to quantized BIGINTs; the 7-day MA window, dow " +
+      "profile, and residuals all run on the ~days-sized frame — every " +
+      "output column is one IEEE divide of exact integers."),
     "graph_louvain_move" -> ("Louvain move pass: node→community map joins " +
       "both edge endpoints on the node key, one (src, community) hash-agg " +
       "for k_iC, per-node argmax window, exact-BIGINT gains; the two Q " +

@@ -146,6 +146,52 @@ object ScaleOps {
         .orderBy("skey")
     }),
 
+    // ---- BINNED range/interval join — the missing join shape beside
+    // equi (j1–j7), as-of (asof_join), and skew-salted: match each event
+    // to every OVERLAPPING campaign window (ts ∈ [start, end)), the
+    // attribution/enrichment join every event pipeline runs against
+    // promotion/deploy/incident windows. Stock Spark plans a pure
+    // inequality join as BroadcastNestedLoopJoin — per-row predicate
+    // evaluation over rows × windows, the quadratic cliff at 100 TB
+    // (Databricks ships a dedicated range-join optimization for exactly
+    // this; OSS Spark does not, so the manual rewrite IS the scale move).
+    // The binned plan: quantize time into 12 h bins, explode each window
+    // to the bins it covers (windows are 24 h → ≤ 3 bins each), EQUI-join
+    // on the bin key, then post-filter the exact interval predicate — a
+    // hash join whose fan-out is bounded by windows-per-bin, never
+    // rows × windows. Windows deliberately OVERLAP (36 h stride, 24 h
+    // length) so events match 0–2 campaigns and the join is genuinely
+    // many-to-many. THE ORACLE IS THE NAIVE BETWEEN JOIN — the hash gate
+    // is a proof that the binned rewrite is semantics-preserving.
+    "range_join_binned" -> ((s, d) => {
+      import s.implicits._
+      val binUs = 12L * 3600 * 1000000
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("tus"))
+      val t0 = ev.agg(min("tus").as("t0"))
+      val camps = s.range(0, 20).toDF("campaign")
+        .crossJoin(broadcast(t0))
+        .select(col("campaign"),
+          (col("t0") + col("campaign") * lit(36L * 3600 * 1000000)).as("cstart"))
+        .withColumn("cend", col("cstart") + lit(24L * 3600 * 1000000))
+      val campBins = camps.select(col("campaign"), col("cstart"), col("cend"),
+        explode(sequence(expr(s"cstart div $binUs"),
+          expr(s"(cend - 1) div $binUs"))).as("bin"))
+      val joined = ev.withColumn("bin", expr(s"tus div $binUs"))
+        .join(broadcast(campBins), "bin")
+        .filter(col("tus") >= col("cstart") && col("tus") < col("cend"))
+      camps.join(joined.groupBy("campaign")
+          .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"),
+               round(FP.qsum(col("value"), 20), 4).as("sum_value")),
+          Seq("campaign"), "left")
+        .select(col("campaign"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("n_users"), lit(0L)).as("n_users"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("campaign")
+    }),
+
     // ---- Z-order layout key: interleave the low 16 bits of two columns so
     // a range cluster/sort on `zval` co-locates rows close in BOTH
     // dimensions — the lakehouse data-layout move that lets min/max row-group
@@ -2108,6 +2154,25 @@ object ScaleOps {
         |FROM lineitem
         |WHERE l_extendedprice >= 2000.0 AND l_extendedprice <= 15000.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // THE NAIVE INTERVAL JOIN — the binned rewrite must reproduce it
+    // exactly; window arithmetic in BIGINT micros on both engines
+    "range_join_binned" ->
+      s"""WITH m AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+         |camps AS (SELECT i AS campaign,
+         |    t0 + i * ${36L * 3600 * 1000000} AS cstart,
+         |    t0 + i * ${36L * 3600 * 1000000} + ${24L * 3600 * 1000000} AS cend
+         |  FROM range(0, 20) r(i) CROSS JOIN m),
+         |j AS (SELECT c.campaign, count(*) AS n_events,
+         |    count(DISTINCT e.user_id) AS n_users,
+         |    round(${SqlText.qsum("e.value", 20)}, 4) AS sum_value
+         |  FROM camps c JOIN events e
+         |    ON epoch_us(e.ts) >= c.cstart AND epoch_us(e.ts) < c.cend
+         |  GROUP BY 1)
+         |SELECT c.campaign, coalesce(n_events, 0) AS n_events,
+         |  coalesce(n_users, 0) AS n_users,
+         |  coalesce(sum_value, 0.0) AS sum_value
+         |FROM camps c LEFT JOIN j USING (campaign) ORDER BY campaign""".stripMargin,
 
     // identical BIGINT hash arithmetic and EXISTS-formulated membership
     "layout_bloom_skipping" ->

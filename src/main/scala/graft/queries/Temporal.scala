@@ -378,6 +378,45 @@ object Temporal {
              round(FP.qmean(col("value"), 20), 4).as("avg_value"))
         .orderBy("day")),
 
+    // ---- STL-style trend/seasonal/residual decomposition of the daily
+    // value series (the classic decomposition behind capacity forecasts
+    // and anomaly baselines; Cleveland's STL with the loess smoothers
+    // replaced by the centered moving average + per-phase means — the
+    // "classical decomposition" variant, chosen because every step then
+    // stays EXACT integer arithmetic both engines replay): trend = 7-day
+    // centered MA (full windows only), detrended = value − trend,
+    // seasonal = day-of-week mean of detrended, residual = detrended −
+    // seasonal. Exactness chain: the daily series is quantized BIGINT
+    // (Σ floor(value·2²⁰ + ½)); the MA sum, 7·dq − t7, and
+    // d7·s_den − s_num are all exact integers, so every output column is
+    // ONE IEEE divide of exact integers — no float accumulates anywhere,
+    // at any merge order. Scale shape: the corpus-sized work is the one
+    // day hash-agg; the windows and the dow profile run on the
+    // DAYS-sized frame (a global window over ~30 rows is metadata-scale,
+    // unlike w3's data-sized global ranks). dow is pure epoch-day
+    // arithmetic — engine week-start conventions never enter.
+    "ts_stl_decompose" -> ((s, d) => {
+      val P = 1L << 20
+      val daily = t(s, d, "events")
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(sum(FP.q(col("value"), 20).cast("long")).as("dq"))
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("t7", when(count(lit(1)).over(w) === 7, sum(col("dq")).over(w)))
+        .withColumn("d7", col("dq") * 7 - col("t7"))
+        .withColumn("dow", expr("unix_micros(day) div 86400000000 % 7"))
+      val seas = tr.filter(col("d7").isNotNull).groupBy("dow")
+        .agg(sum("d7").as("s_num"), count(lit(1)).as("s_den"))
+      tr.join(broadcast(seas), Seq("dow"), "left")
+        .select(col("day"),
+          FP.qround(col("dq") / lit(P.toDouble), 4).as("value"),
+          FP.qround(col("t7") / lit(7.0 * P), 4).as("trend"),
+          FP.qround(col("s_num") / (col("s_den") * lit(7.0 * P)), 4).as("seasonal"),
+          FP.qround((col("d7") * col("s_den") - col("s_num")) /
+            (col("s_den") * lit(7.0 * P)), 4).as("resid"))
+        .orderBy("day")
+    }),
+
     // ---- seasonal (hour-of-day) decomposition: the per-(event_type, hour)
     // baseline profile plus a residual-outlier census against it — the
     // naive-seasonal model behind traffic dashboards and the anomaly
@@ -992,6 +1031,27 @@ object Temporal {
 
     // the same E[x]/E[x²] fixed-point chain; var and the 2σ cut are single
     // IEEE expressions over engine-identical doubles
+    // the identical exact-integer chain: quantized daily BIGINTs, window
+    // sum, 7·dq − t7, per-dow integer sums — each output is one divide
+    "ts_stl_decompose" ->
+      s"""WITH daily AS (SELECT date_trunc('day', ts) AS day,
+         |    CAST(sum(CAST(floor(value * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS dq
+         |  FROM events GROUP BY 1),
+         |tr AS (SELECT day, dq,
+         |    CASE WHEN count(*) OVER w = 7
+         |         THEN CAST(sum(dq) OVER w AS BIGINT) END AS t7,
+         |    (epoch_us(day) // 86400000000) % 7 AS dow
+         |  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |tr2 AS (SELECT day, dq, t7, dow, dq * 7 - t7 AS d7 FROM tr),
+         |seas AS (SELECT dow, CAST(sum(d7) AS BIGINT) AS s_num,
+         |    CAST(count(*) AS BIGINT) AS s_den
+         |  FROM tr2 WHERE d7 IS NOT NULL GROUP BY 1)
+         |SELECT day, ${S.qround("dq / 1048576.0", 4)} AS value,
+         |  ${S.qround("t7 / 7340032.0", 4)} AS trend,
+         |  ${S.qround("s_num / (s_den * 7340032.0)", 4)} AS seasonal,
+         |  ${S.qround("(d7 * s_den - s_num) / (s_den * 7340032.0)", 4)} AS resid
+         |FROM tr2 LEFT JOIN seas USING (dow) ORDER BY day""".stripMargin,
+
     "ts_seasonal_profile" ->
       s"""WITH prof AS (
          |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n,

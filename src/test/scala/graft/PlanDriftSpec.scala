@@ -78,7 +78,9 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "sim_nndescent" -> Seq(3, 0, 0, 6, 0, 3, 0, 9),
     "tx_unigram_tokenizer" -> Seq(0, 0, 0, 2, 0, 18, 0, 2),
     "dd_suffix_exact" -> Seq(0, 0, 0, 0, 0, 1, 3, 0),
-    "graph_louvain_move" -> Seq(8, 0, 0, 3, 0, 2, 0, 4))
+    "graph_louvain_move" -> Seq(8, 0, 0, 3, 0, 2, 0, 4),
+    "range_join_binned" -> Seq(1, 1, 0, 2, 0, 3, 1, 2),
+    "ts_stl_decompose" -> Seq(1, 0, 0, 0, 0, 2, 0, 2))
 
   test("top-20 bench plans match the committed fingerprint corpus") {
     if (sys.env.get("GRAFT_PLANDRIFT_PRINT").contains("1")) {
