@@ -606,6 +606,53 @@ object Graph {
         .crossJoin(broadcast(s.read.parquet(censusPath)))
         // the 1-row census join does not guarantee the limit's order
         .orderBy(desc("aa"), col("s1"), col("s2"))
+    }),
+
+    // ---- deterministic random-walk corpus (DeepWalk / node2vec, the
+    // corpus-generation step of every graph-embedding pipeline): one
+    // 3-step walk per customer node over the committed symmetric trading
+    // adjacency. The "random" next hop is the neighbor minimizing a
+    // quadratic-free linear hash h(walk, step, dst) mod P — no rand(), so
+    // the walk corpus is reproducible at any partitioning and the DuckDB
+    // oracle replays every hop decision exactly (the tx_mixture_resample
+    // no-rand() discipline). For a fixed (walk, step), h is INJECTIVE in
+    // dst whenever dst < P (P prime, the dst coefficient nonzero mod P),
+    // so argmin-by-h is well-defined; the row_number tiebreak on (h, dst)
+    // makes the choice deterministic even where 100 TB node ids exceed P
+    // and collisions become possible. Scale shape: each step is ONE join
+    // of the O(walks) frontier against the adjacency on the node key —
+    // the key the symedges layout already carries — plus one walk-keyed
+    // window; state never exceeds one row per walk, and a 100 TB run
+    // would simply widen the frontier frame (walks × 1 row), exactly the
+    // Pregel discipline of graph_bfs_layers. Census per step: live walks,
+    // distinct occupied nodes, walks back at their start (possible only
+    // at even steps — the graph is bipartite; the spec pins this), and an
+    // exact node-id checksum.
+    "graph_random_walks" -> ((s, d) => {
+      val P = 1000000007L
+      val adj = symEdges(s, d)
+      val walks0 = adj.filter(col("src") % 2 === 0)
+        .select(col("src").as("walk")).distinct()
+        .withColumn("cur", col("walk"))
+      val steps = (1 to 3).scanLeft(walks0) { (w, step) =>
+        val cand = w.join(adj, col("cur") === col("src"))
+          .select(col("walk"), col("dst"),
+            ((pmod(col("walk"), lit(P)) * 2654435761L
+              + pmod(col("dst"), lit(P)) * 2246822519L + lit(step.toLong)) % P).as("h"))
+        val win = Window.partitionBy("walk").orderBy(col("h"), col("dst"))
+        cand.withColumn("rn", row_number().over(win))
+          .filter(col("rn") === 1)
+          .select(col("walk"), col("dst").as("cur"))
+          .cache() // one row per walk; step i+1 and the census both read it
+      }.drop(1)
+      steps.zipWithIndex.map { case (w, i) =>
+        w.agg(count(lit(1)).as("n_walks"),
+            countDistinct(col("cur")).as("n_nodes"),
+            count(when(col("cur") === col("walk"), 1)).as("n_back"),
+            sum(col("cur")).as("node_sum"))
+          .withColumn("step", lit(i + 1))
+          .select("step", "n_walks", "n_nodes", "n_back", "node_sum")
+      }.reduce(_.union(_)).orderBy("step")
     })
   )
 
@@ -898,6 +945,33 @@ object Graph {
          |  GROUP BY x.dst, y.dst HAVING count(*) >= 3)
          |SELECT s1, s2, common, aa, n_witnesses, n_hubs_dropped, n_wedges_dropped
          |FROM (SELECT * FROM pairs ORDER BY aa DESC, s1, s2 LIMIT 100)
-         |CROSS JOIN census ORDER BY aa DESC, s1, s2""".stripMargin
+         |CROSS JOIN census ORDER BY aa DESC, s1, s2""".stripMargin,
+
+    // three unrolled hop levels, each the identical hash-argmin replay
+    // (row_number over (h, dst) per walk) the engine executes
+    "graph_random_walks" -> {
+      val P = 1000000007L
+      def hop(i: Int, prev: String) =
+        s"""c$i AS (SELECT walk, dst,
+           |  ((walk % $P) * 2654435761 + (dst % $P) * 2246822519 + $i) % $P AS h
+           |  FROM $prev JOIN ed ON ed.src = $prev.cur),
+           |w$i AS (SELECT walk, dst AS cur FROM
+           |  (SELECT walk, dst, row_number() OVER (PARTITION BY walk ORDER BY h, dst) AS rn
+           |   FROM c$i) WHERE rn = 1)""".stripMargin
+      def census(i: Int) =
+        s"""SELECT $i AS step, count(*) AS n_walks, count(DISTINCT cur) AS n_nodes,
+           |  count(CASE WHEN cur = walk THEN 1 END) AS n_back,
+           |  CAST(sum(cur) AS BIGINT) AS node_sum FROM w$i""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |ed AS (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM e0
+         |       UNION ALL SELECT dst * 2 + 1, src * 2 FROM e0),
+         |w0 AS (SELECT DISTINCT src AS walk, src AS cur FROM ed WHERE src % 2 = 0),
+         |${hop(1, "w0")},
+         |${hop(2, "w1")},
+         |${hop(3, "w2")}
+         |SELECT * FROM (${census(1)} UNION ALL ${census(2)} UNION ALL ${census(3)})
+         |ORDER BY step""".stripMargin
+    }
   )
 }

@@ -1297,4 +1297,23 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
       assert((below == 0) == (risk == 0), "rows_at_risk inconsistent with classes_below_l")
     }
   }
+
+  test("graph_random_walks: walks never die, parity pins returns to even steps") {
+    val rows = SparkEntry.queries("graph_random_walks")(spark, d).collect()
+    assert(rows.length == 3, "one census row per step")
+    val nWalks = rows.map(_.getLong(1)).distinct
+    assert(nWalks.length == 1,
+      "every node of the symmetric graph has a neighbor — no walk may die")
+    for (r <- rows) {
+      val (step, n, nodes, back) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nodes >= 1 && nodes <= n, s"step $step: $nodes occupied nodes vs $n walks")
+      // the trading graph is bipartite: a walk can only be back at its
+      // (even, customer-side) start after an even number of hops
+      if (step % 2 == 1) assert(back == 0, s"odd step $step returned $back walks to start")
+    }
+    // step 1 lands on the supplier side: far fewer distinct nodes than walks
+    assert(rows(0).getLong(2) < rows(0).getLong(1),
+      "customers outnumber suppliers — step 1 must collide on the supplier side")
+  }
 }
