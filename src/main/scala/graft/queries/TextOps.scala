@@ -1913,6 +1913,67 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"),
           FP.qround(FP.qmean(col("score")), 4).as("mean_nll"))
         .orderBy("source", "bucket")
+    }),
+
+    // ---- corpus BLEU-2 (Papineni et al. 2002) — the n-gram-overlap
+    // evaluation metric every generation/translation eval harness computes
+    // at corpus scale. Candidates are PLANTED per doc from the reference
+    // tokens (the planted-duplicate discipline): every 7th token dropped,
+    // every 5th reversed — so the metric exercises both the clipped-
+    // precision branch (reversed tokens rarely re-match) and the brevity
+    // penalty (candidates are strictly shorter). Scale shape: the
+    // candidate/reference unigram AND bigram multiset intersections ride
+    // ONE gram-keyed hash-agg — both sides and both orders explode into a
+    // single tagged stream, so the per-doc clipped count min(c_cand,
+    // c_ref) never needs a join; per-source totals are a second,
+    // source-sized agg. All counts are exact BIGINTs; p1/p2 are single
+    // correctly-rounded divides of exact ints (bit-identical both
+    // engines); bleu2's sqrt is correctly rounded IEEE, and its one exp()
+    // call follows the tx_dsir_weights ln() precedent — round(,6) on a
+    // sub-ulp-divergence-risk value, boundary probability measure-zero.
+    "tx_bleu_eval" -> ((s, d) => {
+      val staged = t(s, d, "documents")
+        .withColumn("__ref", T.tokens(col("text")))
+        .withColumn("__cand",
+          filter(
+            transform(col("__ref"), (w, i) =>
+              when((i + 1) % 7 === 0, lit(null).cast("string"))
+                .when((i + 1) % 5 === 0, reverse(w))
+                .otherwise(w)),
+            w => w.isNotNull))
+        .select(col("doc_id"), col("source"), col("__ref"), col("__cand"),
+          T.bigramsFromTokens(col("__ref")).as("__refbg"),
+          T.bigramsFromTokens(col("__cand")).as("__candbg"))
+        .cache() // read twice: the gram stream and the per-source lengths
+      def tagged(c: String, n: Int, cc: Long, cr: Long) =
+        transform(col(c), g => struct(lit(n).as("n"),
+          lit(cc).as("c"), lit(cr).as("r"), g.as("g")))
+      val grams = staged.select(col("source"), col("doc_id"),
+        explode(concat(
+          tagged("__cand", 1, 1L, 0L), tagged("__ref", 1, 0L, 1L),
+          tagged("__candbg", 2, 1L, 0L), tagged("__refbg", 2, 0L, 1L))).as("t"))
+      val clipped = grams
+        .groupBy(col("source"), col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+        .agg(sum(col("t.c")).as("cc"), sum(col("t.r")).as("cr"))
+        .groupBy("source", "n").agg(sum(least(col("cc"), col("cr"))).as("clip"))
+      val clipW = clipped.groupBy("source").agg(
+        sum(when(col("n") === 1, col("clip")).otherwise(0L)).as("clip1"),
+        sum(when(col("n") === 2, col("clip")).otherwise(0L)).as("clip2"))
+      staged.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("__ref"))).as("ref_tokens"),
+          sum(size(col("__cand"))).as("cand_tokens"),
+          sum(size(col("__candbg"))).as("cand_bigrams"))
+        .join(clipW, "source")
+        .withColumn("p1", round(col("clip1").cast("double") / col("cand_tokens"), 6))
+        .withColumn("p2", round(col("clip2").cast("double") / col("cand_bigrams"), 6))
+        .withColumn("bleu2", round(
+          sqrt((col("clip1").cast("double") / col("cand_tokens")) *
+               (col("clip2").cast("double") / col("cand_bigrams"))) *
+            exp(lit(1.0) - col("ref_tokens").cast("double") / col("cand_tokens")), 6))
+        .select("source", "n_docs", "ref_tokens", "cand_tokens", "cand_bigrams",
+          "clip1", "clip2", "p1", "p2", "bleu2")
+        .orderBy("source")
     })
   )
 
@@ -3016,6 +3077,46 @@ object TextOps {
         |  count(DISTINCT ch) AS uniq_chunks,
         |  round(CAST(count(DISTINCT ch) AS DOUBLE) / count(*), 4) AS dedup_ratio
         |FROM (SELECT source, unnest(chunks) AS ch FROM segs)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the identical planted corruption (7th dropped, 5th reversed, applied
+    // on ORIGINAL 1-based positions) and the same fused tagged-gram agg
+    "tx_bleu_eval" ->
+      s"""WITH staged AS (SELECT doc_id, source, toks AS ref,
+         |    list_filter(list_transform(range(1, len(toks) + 1), i ->
+         |      CASE WHEN i % 7 = 0 THEN NULL
+         |           WHEN i % 5 = 0 THEN reverse(toks[i])
+         |           ELSE toks[i] END), w -> w IS NOT NULL) AS cand
+         |  FROM (SELECT doc_id, source, ${S.tokens("text")} AS toks FROM documents)),
+         |bg AS (SELECT doc_id, source, ref, cand,
+         |    CASE WHEN len(ref) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |      list_transform(range(1, len(ref)), i -> ref[i] || ' ' || ref[i+1]) END AS refbg,
+         |    CASE WHEN len(cand) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |      list_transform(range(1, len(cand)), i -> cand[i] || ' ' || cand[i+1]) END AS candbg
+         |  FROM staged),
+         |grams AS (
+         |  SELECT source, doc_id, 1 AS n, unnest(cand) AS g, 1 AS c, 0 AS r FROM bg
+         |  UNION ALL SELECT source, doc_id, 1, unnest(ref), 0, 1 FROM bg
+         |  UNION ALL SELECT source, doc_id, 2, unnest(candbg), 1, 0 FROM bg
+         |  UNION ALL SELECT source, doc_id, 2, unnest(refbg), 0, 1 FROM bg),
+         |clip AS (SELECT source, n, sum(least(cc, cr)) AS clip FROM
+         |    (SELECT source, doc_id, n, g, sum(c) AS cc, sum(r) AS cr FROM grams
+         |     GROUP BY source, doc_id, n, g)
+         |  GROUP BY source, n),
+         |cw AS (SELECT source,
+         |    CAST(sum(CASE WHEN n = 1 THEN clip ELSE 0 END) AS BIGINT) AS clip1,
+         |    CAST(sum(CASE WHEN n = 2 THEN clip ELSE 0 END) AS BIGINT) AS clip2
+         |  FROM clip GROUP BY source),
+         |lens AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(ref)) AS BIGINT) AS ref_tokens,
+         |    CAST(sum(len(cand)) AS BIGINT) AS cand_tokens,
+         |    CAST(sum(CASE WHEN len(cand) < 2 THEN 0 ELSE len(cand) - 1 END) AS BIGINT) AS cand_bigrams
+         |  FROM bg GROUP BY source)
+         |SELECT source, n_docs, ref_tokens, cand_tokens, cand_bigrams, clip1, clip2,
+         |  round(CAST(clip1 AS DOUBLE) / cand_tokens, 6) AS p1,
+         |  round(CAST(clip2 AS DOUBLE) / cand_bigrams, 6) AS p2,
+         |  round(sqrt((CAST(clip1 AS DOUBLE) / cand_tokens) * (CAST(clip2 AS DOUBLE) / cand_bigrams))
+         |        * exp(1.0 - CAST(ref_tokens AS DOUBLE) / cand_tokens), 6) AS bleu2
+         |FROM lens JOIN cw USING (source) ORDER BY source""".stripMargin
   )
 }

@@ -1316,4 +1316,21 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(rows(0).getLong(2) < rows(0).getLong(1),
       "customers outnumber suppliers — step 1 must collide on the supplier side")
   }
+
+  test("tx_bleu_eval: clipped precisions bounded, brevity penalty strictly penalizes") {
+    val rows = SparkEntry.queries("tx_bleu_eval")(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (src, refT, candT, candBg, clip1, clip2, p1, p2, bleu) =
+        (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8), r.getDouble(9))
+      assert(candT < refT, s"$src: dropping every 7th token must shorten candidates")
+      assert(clip1 <= candT && clip2 <= candBg, s"$src: clipped counts exceed candidate grams")
+      assert(p1 > 0 && p1 < 1, s"$src: p1=$p1 — reversal plant must cost some matches")
+      assert(p2 > 0 && p2 < 1, s"$src: p2=$p2")
+      // bp = exp(1 - ref/cand) < 1 since cand < ref, so bleu < sqrt(p1·p2)
+      assert(bleu < math.sqrt(p1 * p2) + 1e-9, s"$src: bleu=$bleu not penalized for brevity")
+      assert(bleu > 0, s"$src: bleu must stay positive")
+    }
+  }
 }
