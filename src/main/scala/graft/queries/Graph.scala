@@ -69,6 +69,36 @@ object Graph {
     s.read.parquet(path)
   }
 
+  /** Degree-weighted symmetric adjacency (src, dst, outdeg) + node frame,
+    * materialized once per sf beside symEdges (VERDICT r8 #1) — shared by
+    * the two rank faces (graph_rank_converged, graph_ppr) so each run
+    * pays only its rank rounds, never the nodes-distinct + edge⋈outdeg
+    * setup stages. outdeg rides the layout, not 1/outdeg: the per-round
+    * rank/outdeg stays a single IEEE divide, bit-identical to the
+    * oracles' replay. */
+  private def weightedLayout(s: SparkSession, d: String): DataFrame = {
+    val tag = graft.engine.Layouts.tag(d)
+    val wPath = s"/tmp/graft_graph/symweighted_$tag"
+    graft.engine.Layouts.ensureCommitted(s, wPath) {
+      val e = symEdges(s, d)
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+        .select(col("src"), col("dst"), col("outdeg"))
+        .coalesce(4).write.mode("overwrite").parquet(wPath)
+    }
+    s.read.parquet(wPath)
+  }
+
+  private def nodesLayout(s: SparkSession, d: String): DataFrame = {
+    val tag = graft.engine.Layouts.tag(d)
+    val nPath = s"/tmp/graft_graph/symnodes_$tag"
+    graft.engine.Layouts.ensureCommitted(s, nPath) {
+      val e = symEdges(s, d)
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct().coalesce(1).write.mode("overwrite").parquet(nPath)
+    }
+    s.read.parquet(nPath)
+  }
+
   /** SSSP's weighted symmetric adjacency (min observed unit price per
     * trading pair, fixed-point 2^8 BIGINT), materialized once per sf: the
     * orders⋈lineitem groupBy that derives it was the dominant per-run cost
@@ -171,22 +201,8 @@ object Graph {
       // bench retries). outdeg rides the layout, not 1/outdeg: the
       // per-round rank/outdeg stays a single IEEE divide, bit-identical
       // to the oracle's replay.
-      val tag = graft.engine.Layouts.tag(d)
-      val wPath = s"/tmp/graft_graph/symweighted_$tag"
-      val nPath = s"/tmp/graft_graph/symnodes_$tag"
-      graft.engine.Layouts.ensureCommitted(s, wPath) {
-        val e = symEdges(s, d)
-        e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-          .select(col("src"), col("dst"), col("outdeg"))
-          .coalesce(4).write.mode("overwrite").parquet(wPath)
-      }
-      graft.engine.Layouts.ensureCommitted(s, nPath) {
-        val e = symEdges(s, d)
-        e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
-          .distinct().coalesce(1).write.mode("overwrite").parquet(nPath)
-      }
       val (ranks, _) = graft.engine.PageRank.runPrepared(
-        s.read.parquet(wPath), s.read.parquet(nPath), rounds = 5, trackDeltas = false)
+        weightedLayout(s, d), nodesLayout(s, d), rounds = 5, trackDeltas = false)
       ranks.filter(col("node") % 2 === 1)
         .select(((col("node") - 1) / 2).cast("bigint").as("s_suppkey"),
           round(col("rank"), 4).as("rank"))
@@ -653,6 +669,52 @@ object Graph {
           .withColumn("step", lit(i + 1))
           .select("step", "n_walks", "n_nodes", "n_back", "node_sum")
       }.reduce(_.union(_)).orderBy("step")
+    }),
+
+    // ---- personalized PageRank (4 rounds, β=0.85) from the nation-3
+    // customer seed set — the proximity score behind "related items"
+    // recommendation and PPR-based graph embeddings (the random-walk
+    // stationary distribution with teleport pinned to the seeds instead
+    // of uniform). Same loop discipline as engine.PageRank.runPrepared
+    // over the SAME committed (src, dst, outdeg) + nodes layouts that
+    // graph_rank_converged reads: per round one co-partitioned edge⋈rank
+    // join + one per-dst qsum aggregate + the node-frame left join that
+    // re-injects (1−β)·seed instead of the uniform floor, localCheckpoint
+    // truncating lineage so plan depth is round-invariant. r0 IS the seed
+    // vector (mass 1 per seed — PPR is scale-invariant, so the 1/|S|
+    // normalization is a constant factor both engines skip identically).
+    // Non-seed nodes can only acquire rank through edges: n_pos in the
+    // census counts the 4-hop reach, and every rank is a qsum fold so the
+    // rounded doubles are engine-identical at any merge order.
+    "graph_ppr" -> ((s, d) => {
+      val W = weightedLayout(s, d)
+      val nodes = nodesLayout(s, d)
+      val seeds = t(s, d, "customer").filter(col("c_nationkey") === 3)
+        .select((col("c_custkey") * 2).as("node"), lit(1.0).as("sv"))
+      val seeded = nodes.join(seeds, Seq("node"), "left")
+        .select(col("node"), coalesce(col("sv"), lit(0.0)).as("sv"))
+        .localCheckpoint()
+      var r = seeded.select(col("node"), col("sv").as("rank"))
+      for (_ <- 1 to 4) {
+        val mass = W.join(r, W("src") === r("node"))
+          .groupBy(col("dst"))
+          .agg(FP.qsum(col("rank") / col("outdeg")).as("mass"))
+        r = seeded.join(mass, seeded("node") === mass("dst"), "left")
+          .select(seeded("node"),
+            ((lit(1.0) - lit(0.85)) * col("sv")
+              + lit(0.85) * coalesce(col("mass"), lit(0.0))).as("rank"))
+          .localCheckpoint()
+      }
+      val census = r.agg(
+        count(when(col("rank") > 0, 1)).as("n_pos"),
+        round(FP.qsum(col("rank")), 4).as("total_mass"))
+      r.withColumn("rank", round(col("rank"), 4))
+        .orderBy(desc("rank"), col("node")).limit(20)
+        .crossJoin(broadcast(census))
+        .select(col("node").cast("bigint").as("node"),
+          when(col("node") % 2 === 0, "customer").otherwise("supplier").as("side"),
+          col("rank"), col("n_pos"), col("total_mass"))
+        .orderBy(desc("rank"), col("node"))
     })
   )
 
@@ -972,6 +1034,39 @@ object Graph {
          |${hop(3, "w2")}
          |SELECT * FROM (${census(1)} UNION ALL ${census(2)} UNION ALL ${census(3)})
          |ORDER BY step""".stripMargin
+    },
+
+    // four unrolled PPR rounds: the rank_converged recurrence with the
+    // uniform (1−β) floor replaced by (1−β)·seed, r0 = the seed vector
+    "graph_ppr" -> {
+      def rnd(i: Int) =
+        s"""r$i AS (SELECT v.node, v.sv,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * v.sv
+           |      + CAST(0.85 AS DOUBLE) * coalesce(m.mass, CAST(0.0 AS DOUBLE)) AS rank
+           |  FROM sv v LEFT JOIN (
+           |    SELECT ed.dst AS node, ${S.qsum("r.rank / outd.outdeg")} AS mass
+           |    FROM ed JOIN outd ON ed.src = outd.src JOIN r${i - 1} r ON r.node = ed.src
+           |    GROUP BY ed.dst) m ON m.node = v.node)"""
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |ed AS (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM e0
+         |       UNION ALL SELECT dst * 2 + 1, src * 2 FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM ed UNION SELECT DISTINCT dst FROM ed),
+         |outd AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+         |seeds AS (SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = 3),
+         |sv AS (SELECT n.node,
+         |    CASE WHEN s.node IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS sv
+         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+         |r0 AS (SELECT node, sv, sv AS rank FROM sv),
+         |${(1 to 4).map(rnd).mkString(",\n")},
+         |census AS (SELECT count(CASE WHEN rank > 0 THEN 1 END) AS n_pos,
+         |    round(${S.qsum("rank")}, 4) AS total_mass FROM r4)
+         |SELECT CAST(node AS BIGINT) AS node,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+         |  rank, n_pos, total_mass
+         |FROM (SELECT node, round(rank, 4) AS rank FROM r4
+         |      ORDER BY round(rank, 4) DESC, node LIMIT 20)
+         |CROSS JOIN census ORDER BY rank DESC, node""".stripMargin
     }
   )
 }

@@ -841,6 +841,58 @@ object Temporal {
                  (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 4)
             .as("acf"))
         .orderBy("lag")
+    }),
+
+    // ---- Holt–Winters additive (α=0.5, β=0.3, γ=0.2, season m=7): the
+    // seasonal completion of ts_holt — level + trend + a 7-slot seasonal
+    // ring learned online (l0 = y1, b0 = 0, seasons start at 0; the
+    // recurrence itself is the semantics the oracle pins, not a textbook
+    // warm-start). Input series are the per-event-type DAILY totals, each
+    // daily y a FixedPoint.qsum so the values ENTERING the sequential fold
+    // are bit-identical on both engines; the fold then runs the identical
+    // IEEE op chain — Scala single pass here, a 9-element [l, b, queue×7]
+    // list_reduce in DuckDB, where the Scala ring index i mod 7 and the
+    // SQL shift-queue visit the same slot at every step. Scale shape: one
+    // hash-agg to days (corpus-sized), then one shuffle keyed by series
+    // id; per-series state is 9 doubles however long the history — the
+    // same mapGroups sequential-recurrence boundary as ts_holt/ts_ewma.
+    // Seasonal columns emit in NEXT-USE order (s_plus1 forecasts
+    // tomorrow), so forecast_next = level + trend + s_plus1.
+    "ts_holt_winters" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(FP.qsum(col("value"), 20).as("y"))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("y"))
+        .as[(String, String, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (et, it) =>
+          val ys = it.toArray.sortBy(_._2).map(_._3)
+          var l = ys.head
+          var b = 0.0
+          val sr = Array.fill(7)(0.0)
+          var i = 0
+          while (i + 1 < ys.length) {
+            val x = ys(i + 1)
+            val sOld = sr(i % 7)
+            val l1 = 0.5 * (x - sOld) + 0.5 * (l + b)
+            b = 0.3 * (l1 - l) + 0.7 * b
+            sr(i % 7) = 0.2 * (x - l1) + 0.8 * sOld
+            l = l1
+            i += 1
+          }
+          val ring = Array.tabulate(7)(j => sr((i + j) % 7))
+          (et, ys.length.toLong, l, b, l + b + ring(0),
+            ring(0), ring(1), ring(2), ring(3), ring(4), ring(5), ring(6))
+        }
+        .toDF("event_type", "n_days", "level", "trend", "forecast_next",
+          "s_plus1", "s_plus2", "s_plus3", "s_plus4", "s_plus5", "s_plus6", "s_plus7")
+        .select(col("event_type") +: col("n_days") +:
+          Seq("level", "trend", "forecast_next", "s_plus1", "s_plus2", "s_plus3",
+            "s_plus4", "s_plus5", "s_plus6", "s_plus7")
+            .map(c => FP.qround(col(c), 4).as(c)): _*)
+        .orderBy("event_type")
     })
   )
 
@@ -1328,6 +1380,36 @@ object Temporal {
         |  (round(CAST(n * sxy - sx * sy AS DOUBLE) /
         |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4)
         |   + 0.0) AS acf
-        |FROM m ORDER BY lag""".stripMargin
+        |FROM m ORDER BY lag""".stripMargin,
+
+    // the Holt–Winters recurrence as a 9-element [l, b, queue×7]
+    // list_reduce — the SQL shift-queue and the Scala ring index i mod 7
+    // visit the same seasonal slot at every step; the level expression is
+    // inlined three times (deterministic, so all three evaluate to the
+    // same double — the ts_holt precedent)
+    "ts_holt_winters" -> {
+      val L = "0.5*(x[1] - acc[3]) + 0.5*(acc[1] + acc[2])"
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${S.qsum("value", 20)} AS y
+         |  FROM events GROUP BY 1, 2),
+         |ag AS (SELECT event_type, list(y ORDER BY day) AS vs, count(*) AS n
+         |  FROM daily GROUP BY event_type),
+         |st AS (SELECT event_type, n,
+         |    list_reduce(
+         |      list_prepend(
+         |        [CAST(vs[1] AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+         |        list_transform(vs[2:len(vs)],
+         |          x -> [CAST(x AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+         |      (acc, x) -> list_concat(
+         |        [$L, 0.3*($L - acc[1]) + 0.7*acc[2]],
+         |        list_concat(acc[4:9], [0.2*(x[1] - ($L)) + 0.8*acc[3]]))) AS s
+         |  FROM ag)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         |  ${S.qround("s[1]", 4)} AS level,
+         |  ${S.qround("s[2]", 4)} AS trend,
+         |  ${S.qround("s[1] + s[2] + s[3]", 4)} AS forecast_next,
+         |  ${(1 to 7).map(j => s"${S.qround(s"s[${j + 2}]", 4)} AS s_plus$j").mkString(",\n         |  ")}
+         |FROM st ORDER BY event_type""".stripMargin
+    }
   )
 }

@@ -1974,6 +1974,77 @@ object TextOps {
         .select("source", "n_docs", "ref_tokens", "cand_tokens", "cand_bigrams",
           "clip1", "clip2", "p1", "p2", "bleu2")
         .orderBy("source")
+    }),
+
+    // ---- WordPiece-style greedy longest-match encode — the third
+    // production tokenizer family beside BPE (tx_bpe_*) and the unigram LM
+    // (tx_unigram_tokenizer): a fixed vocabulary (every corpus character,
+    // for totality, plus the top-60 2..4-char substrings by occurrence-
+    // weighted count, min-count floored) and, per word, the BERT encode
+    // rule — at each position take the LONGEST vocab piece that matches,
+    // emit it, advance by its length. Output is the piece-usage census the
+    // greedy choices induce, which is what the oracle gate pins: a wrong
+    // longest-match tie/ordering anywhere shifts usage counts.
+    //
+    // Scale shape is the dictionary discipline every tokenizer face here
+    // shares: the token STREAM is touched once (one hash-agg to the
+    // distinct-word dictionary with occurrence counts — Heaps-law bounded
+    // no matter the corpus size); everything after is dictionary-sized.
+    // Candidate matches explode (position × 4 prefix lengths) off the
+    // dictionary and equi-join the BROADCAST vocab on piece content (a
+    // truncated prefix can only ever equal a shorter piece, so the join is
+    // self-guarding and the per-position argmax is max(len(piece))). The
+    // greedy walk itself is ONE array fold per dictionary word — the
+    // cursor advances through a per-word step array, acting only when the
+    // fold index equals the cursor (positions only move forward, so one
+    // forward pass replays the whole greedy scan; no iteration, no UDF).
+    // The oracle replays the identical walk as a recursive CTE over the
+    // same jump table.
+    "tx_wordpiece_encode" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(T.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n_occ"))
+        .cache()
+      val multi = words
+        .select(col("n_occ"), explode(concat((2 to 4).map { L =>
+          when(length(col("word")) < L, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), length(col("word")) - (L - 1)),
+              p => col("word").substr(p, lit(L))))
+        }: _*)).as("piece"))
+        .groupBy("piece").agg(sum("n_occ").as("cnt"))
+        .filter(col("cnt") >= 5)
+        .orderBy(desc("cnt"), col("piece")).limit(60)
+      val singles = words
+        .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("piece"))
+        .distinct()
+      val vocab = multi.select("piece").union(singles).distinct()
+      val cands = words
+        .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("p"))
+        .select(col("word"), col("p"),
+          explode(array((1 to 4).map(L => col("word").substr(col("p"), lit(L))): _*))
+            .as("piece"))
+      val jump = cands.join(broadcast(vocab), "piece")
+        .groupBy("word", "p").agg(max(length(col("piece"))).as("step"))
+      val enc = jump
+        .groupBy("word")
+        .agg(transform(sort_array(collect_list(struct(col("p"), col("step")))),
+          j => j.getField("step")).as("steps"))
+        .withColumn("walk", aggregate(
+          sequence(lit(1), size(col("steps"))),
+          struct(lit(1).as("pos"), array().cast("array<string>").as("ps")),
+          (acc, i) => when(i === acc.getField("pos"),
+            struct((acc.getField("pos") + element_at(col("steps"), i)).as("pos"),
+              concat(acc.getField("ps"),
+                array(col("word").substr(i, element_at(col("steps"), i)))).as("ps")))
+            .otherwise(acc)))
+        .select(col("word"), explode(col("walk").getField("ps")).as("piece"))
+      enc.join(words, "word")
+        .groupBy("piece")
+        .agg(countDistinct(col("word")).as("n_words"),
+          sum(col("n_occ")).as("total_usage"))
+        .select(col("piece"), length(col("piece")).cast("bigint").as("plen"),
+          col("n_words"), col("total_usage"))
+        .orderBy(desc("total_usage"), col("piece")).limit(25)
     })
   )
 
@@ -3117,6 +3188,41 @@ object TextOps {
          |  round(CAST(clip2 AS DOUBLE) / cand_bigrams, 6) AS p2,
          |  round(sqrt((CAST(clip1 AS DOUBLE) / cand_tokens) * (CAST(clip2 AS DOUBLE) / cand_bigrams))
          |        * exp(1.0 - CAST(ref_tokens AS DOUBLE) / cand_tokens), 6) AS bleu2
-         |FROM lens JOIN cw USING (source) ORDER BY source""".stripMargin
+         |FROM lens JOIN cw USING (source) ORDER BY source""".stripMargin,
+
+    // identical vocab construction, then the greedy walk replayed as a
+    // recursive CTE over the same (word, pos) -> longest-match jump table
+    "tx_wordpiece_encode" ->
+      s"""WITH RECURSIVE words AS (SELECT word, count(*) AS n_occ
+         |  FROM (SELECT unnest(${S.tokens("text")}) AS word FROM documents) GROUP BY word),
+         |multi AS (SELECT piece, sum(n_occ) AS cnt FROM (
+         |    SELECT unnest(list_concat(list_concat(
+         |      CASE WHEN len(word) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |        list_transform(range(1, len(word)), i -> substr(word, i, 2)) END,
+         |      CASE WHEN len(word) < 3 THEN CAST([] AS VARCHAR[]) ELSE
+         |        list_transform(range(1, len(word) - 1), i -> substr(word, i, 3)) END),
+         |      CASE WHEN len(word) < 4 THEN CAST([] AS VARCHAR[]) ELSE
+         |        list_transform(range(1, len(word) - 2), i -> substr(word, i, 4)) END)) AS piece,
+         |      n_occ
+         |    FROM words) GROUP BY piece HAVING sum(n_occ) >= 5
+         |  ORDER BY cnt DESC, piece LIMIT 60),
+         |singles AS (SELECT DISTINCT unnest(string_split(word, '')) AS piece FROM words),
+         |vocab AS (SELECT piece, len(piece) AS plen FROM
+         |  (SELECT piece FROM multi UNION SELECT piece FROM singles)),
+         |wpos AS (SELECT word, unnest(range(1, len(word) + 1)) AS p FROM words),
+         |jump AS (SELECT word, p, max(v.plen) AS step
+         |  FROM wpos JOIN vocab v ON substr(wpos.word, wpos.p, v.plen) = v.piece
+         |  GROUP BY word, p),
+         |walk(word, p) AS (
+         |  SELECT word, 1 FROM words
+         |  UNION ALL
+         |  SELECT w.word, w.p + j.step FROM walk w JOIN jump j ON j.word = w.word AND j.p = w.p),
+         |pieces AS (SELECT w.word, substr(w.word, w.p, j.step) AS piece
+         |  FROM walk w JOIN jump j ON j.word = w.word AND j.p = w.p)
+         |SELECT piece, CAST(len(piece) AS BIGINT) AS plen,
+         |  count(DISTINCT pc.word) AS n_words,
+         |  CAST(sum(n_occ) AS BIGINT) AS total_usage
+         |FROM pieces pc JOIN words USING (word)
+         |GROUP BY piece ORDER BY total_usage DESC, piece LIMIT 25""".stripMargin
   )
 }

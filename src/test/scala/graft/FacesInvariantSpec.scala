@@ -1333,4 +1333,47 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
       assert(bleu > 0, s"$src: bleu must stay positive")
     }
   }
+
+  test("graph_ppr: teleport mass conserved, seeds hold the floor, reach bounded") {
+    val rows = SparkEntry.queries("graph_ppr")(spark, d).collect()
+    assert(rows.length == 20)
+    val (nPos, totalMass) = (rows.head.getLong(3), rows.head.getDouble(4))
+    // the symmetric graph has no dangling nodes, so each PPR round
+    // conserves total mass exactly: sum(rank) == |seeds ∩ graph| forever
+    val seeds = graft.engine.Tables.load(spark, d, "customer")
+      .filter("c_nationkey = 3").select("c_custkey")
+    val orders = graft.engine.Tables.load(spark, d, "orders")
+      .select(org.apache.spark.sql.functions.col("o_custkey").as("c_custkey")).distinct()
+    val nSeeds = seeds.join(orders, "c_custkey").count()
+    assert(math.abs(totalMass - nSeeds) < 0.01,
+      s"total PPR mass $totalMass drifted from the $nSeeds in-graph seeds")
+    assert(nPos >= nSeeds, "every in-graph seed keeps rank >= 0.15 > 0")
+    for (r <- rows) {
+      val (node, side, rank) = (r.getLong(0), r.getString(1), r.getDouble(2))
+      assert(rank > 0.0, s"node $node in top-20 with nonpositive rank")
+      assert(side == (if (node % 2 == 0) "customer" else "supplier"))
+    }
+  }
+
+  test("ts_holt_winters: forecast decomposes, day counts reconcile, seasons learned") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val rows = SparkEntry.queries("ts_holt_winters")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val days = graft.engine.Tables.load(spark, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val et = r.getString(0)
+      assert(r.getLong(1) == days(et), s"$et: n_days diverges from the raw day count")
+      val (level, trend, fc, s1) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(fc - (level + trend + s1)) < 2e-4,
+        s"$et: forecast $fc != level + trend + s_plus1 = ${level + trend + s1}")
+      // 13+ weekly cycles of data: at least one seasonal slot must have
+      // moved off its zero initialization
+      assert((5 to 11).exists(i => math.abs(r.getDouble(i)) > 1e-6),
+        s"$et: all seasonal slots still at init — the gamma update never ran")
+    }
+  }
 }
