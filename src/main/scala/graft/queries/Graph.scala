@@ -650,16 +650,26 @@ object Graph {
       val walks0 = adj.filter(col("src") % 2 === 0)
         .select(col("src").as("walk")).distinct()
         .withColumn("cur", col("walk"))
+        .localCheckpoint() // stats → AQE broadcasts the walk-sized frontier
+      // argmin-by-(h, dst) as min(struct(h, dst)) — a PARTIAL-AGGREGATING
+      // hash agg, so the candidate fan-out (every neighbor of every
+      // frontier node; supplier hubs make this walks × hundreds) collapses
+      // map-side in the same stage as the join and only one row per walk
+      // ever shuffles. The first cut ranked candidates with a per-walk
+      // row_number window instead: the full fan-out shuffled to the
+      // window sort every step — 6.9 s median at sf0.1 vs 2.1 s for this
+      // shape (same deterministic choice: h is injective in dst below P,
+      // and the struct's lexicographic tiebreak equals the window's
+      // (h, dst) ordering).
       val steps = (1 to 3).scanLeft(walks0) { (w, step) =>
-        val cand = w.join(adj, col("cur") === col("src"))
-          .select(col("walk"), col("dst"),
+        w.join(adj, col("cur") === col("src"))
+          .select(col("walk"), struct(
             ((pmod(col("walk"), lit(P)) * 2654435761L
-              + pmod(col("dst"), lit(P)) * 2246822519L + lit(step.toLong)) % P).as("h"))
-        val win = Window.partitionBy("walk").orderBy(col("h"), col("dst"))
-        cand.withColumn("rn", row_number().over(win))
-          .filter(col("rn") === 1)
-          .select(col("walk"), col("dst").as("cur"))
-          .cache() // one row per walk; step i+1 and the census both read it
+              + pmod(col("dst"), lit(P)) * 2246822519L + lit(step.toLong)) % P).as("h"),
+            col("dst")).as("hd"))
+          .groupBy("walk").agg(min(col("hd")).as("hd"))
+          .select(col("walk"), col("hd.dst").as("cur"))
+          .localCheckpoint() // step i+1 and the census both read it
       }.drop(1)
       steps.zipWithIndex.map { case (w, i) =>
         w.agg(count(lit(1)).as("n_walks"),

@@ -80,7 +80,15 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "dd_suffix_exact" -> Seq(0, 0, 0, 0, 0, 1, 3, 0),
     "graph_louvain_move" -> Seq(8, 0, 0, 3, 0, 2, 0, 4),
     "range_join_binned" -> Seq(1, 1, 0, 2, 0, 3, 1, 2),
-    "ts_stl_decompose" -> Seq(1, 0, 0, 0, 0, 2, 0, 2))
+    "ts_stl_decompose" -> Seq(1, 0, 0, 0, 0, 2, 0, 2),
+    // r10 batch 2: the five new faces — the iterative pair (walks, ppr)
+    // read their localCheckpointed rounds, so the final-frame plans are
+    // join-free census assemblies (the rank_converged/kcore pattern)
+    "graph_random_walks" -> Seq(0, 0, 0, 0, 0, 3, 0, 3),
+    "graph_ppr" -> Seq(0, 0, 0, 1, 0, 0, 0, 1),
+    "tx_bleu_eval" -> Seq(1, 0, 0, 0, 0, 4, 1, 0),
+    "tx_wordpiece_encode" -> Seq(2, 0, 0, 0, 0, 10, 0, 0),
+    "ts_holt_winters" -> Seq(0, 0, 0, 0, 0, 2, 1, 0))
 
   test("top-20 bench plans match the committed fingerprint corpus") {
     if (sys.env.get("GRAFT_PLANDRIFT_PRINT").contains("1")) {
