@@ -374,7 +374,18 @@ object PlanDump {
       "scan-side projection — ZERO shuffle; the ASCII fast path " +
       "(numBytes == numChars → return input, no copy) makes a mostly-" +
       "ASCII corpus free. Oracle = utf8proc vs JDK normalizer, md5-proven " +
-      "per row.")
+      "per row."),
+    "tx_wordpiece_encode" -> ("WordPiece greedy encode, dictionary " +
+      "discipline: the token stream is touched once (one hash-agg to the " +
+      "distinct-word dictionary); candidate matches explode off the " +
+      "dictionary and equi-join the BROADCAST vocab; the greedy scan is " +
+      "one array fold per word — everything after the first agg is " +
+      "dictionary-sized."),
+    "graph_random_walks" -> ("DeepWalk corpus step: per hop, the frontier " +
+      "joins the committed adjacency and the hub-sized candidate fan-out " +
+      "collapses map-side via min(struct(h, dst)) PARTIAL aggregation — " +
+      "one row per walk ever shuffles (measured 3.3× over the window-" +
+      "ranked form).")
   )
 
   def main(args: Array[String]): Unit = {

@@ -1168,6 +1168,47 @@ object Similarity {
              round(FP.qmean(col("sim_k32")), 4).as("avg_sim_k32"),
              round(min("sim_k32"), 4).as("min_sim_k32"))
         .orderBy("label")
+    }),
+
+    // ---- centroid silhouette — the clustering-quality gate a pipeline
+    // runs before trusting k-means output (semantic dedup clusters, IVF
+    // lists, topic shards): per vector, a = distance to its own (nearest)
+    // centroid, b = distance to the nearest OTHER centroid, s = (b−a)/b ∈
+    // [0,1] — small s marks boundary points, per-cluster mean s ranks
+    // cluster cohesion. Uses the same deterministic 2-round Lloyd fit and
+    // the same dist² fold as emb_kmeans_k3, so the oracle replays training
+    // and scoring end to end. Scale shape: centroids broadcast (k rows);
+    // the k×n candidate frame collapses in PARTIAL aggregation carrying at
+    // most k (dist², seed) structs per vector through the one shuffle
+    // (k = 8 — bounded state, the collect is BY CONSTRUCTION k-sized, not
+    // data-sized); census is k rows. With centroid distances b ≥ a always
+    // — the true negative-silhouette regime needs full intra-cluster
+    // distances, which is O(n²) and exactly what this proxy avoids at
+    // 100 TB.
+    "emb_silhouette" -> ((s, d) => {
+      val e = emb(s, d)
+      val (cents, _) = graft.engine.KMeans.lloyd(e, k = 8, rounds = 2,
+        trackInertia = false)
+      val cand = e.crossJoin(broadcast(cents))
+        .withColumn("dist2",
+          aggregate(zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x))
+      cand.groupBy("vec_id")
+        .agg(slice(sort_array(collect_list(struct(col("dist2"), col("seed_id")))),
+          1, 2).as("m"))
+        .select(col("vec_id"),
+          col("m")(0).getField("seed_id").as("cluster"),
+          sqrt(col("m")(0).getField("dist2")).as("a"),
+          sqrt(col("m")(1).getField("dist2")).as("b"))
+        .withColumn("sil",
+          when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+            .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          FP.qround(FP.qmean(col("sil"), 20), 4).as("mean_sil"),
+          round(min(col("sil")), 4).as("min_sil"),
+          round(max(col("sil")), 4).as("max_sil"))
+        .orderBy("cluster")
     })
   )
 
@@ -1931,6 +1972,48 @@ object Similarity {
          |  round(${S.qmean("sim_k16")}, 4) AS avg_sim_k16,
          |  round(${S.qmean("sim_k32")}, 4) AS avg_sim_k32,
          |  round(min(sim_k32), 4) AS min_sim_k32
-         |FROM sims GROUP BY label ORDER BY label""".stripMargin
+         |FROM sims GROUP BY label ORDER BY label""".stripMargin,
+
+    // the emb_kmeans_k3 2-round Lloyd replay, then a full-rank scoring
+    // pass: rn 1/2 per vector = own/nearest-other centroid distances
+    "emb_silhouette" -> {
+      def rnd(i: Int, prev: String) =
+        s"""a$i AS (SELECT e.vec_id, e.v, c.seed_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(e.v, c.c), p -> (p[1]-p[2])*(p[1]-p[2]))),
+           |      (acc, x) -> acc + x) AS dist2
+           |  FROM e CROSS JOIN $prev c),
+           |best$i AS (SELECT vec_id, v, seed_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist2, seed_id) AS rn FROM a$i) WHERE rn = 1),
+           |cd$i AS (SELECT seed_id, dim, ${S.qmean("v[CAST(dim AS INTEGER)]")} AS cval
+           |  FROM best$i, generate_series(1, 64) t(dim) GROUP BY seed_id, dim),
+           |cents$i AS (SELECT seed_id, list(cval ORDER BY dim) AS c FROM cd$i GROUP BY seed_id)"""
+      s"""$embCte,
+         |cents0 AS (SELECT vec_id AS seed_id, v AS c FROM e WHERE vec_id < 8),
+         |${rnd(1, "cents0")},
+         |${rnd(2, "cents1")},
+         |sc AS (SELECT e.vec_id, c.seed_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(e.v, c.c), p -> (p[1]-p[2])*(p[1]-p[2]))),
+         |      (acc, x) -> acc + x) AS dist2
+         |  FROM e CROSS JOIN cents2 c),
+         |two AS (SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN seed_id END) AS cluster,
+         |    sqrt(max(CASE WHEN rn = 1 THEN dist2 END)) AS a,
+         |    sqrt(max(CASE WHEN rn = 2 THEN dist2 END)) AS b
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY dist2, seed_id) AS rn FROM sc)
+         |  WHERE rn <= 2 GROUP BY vec_id),
+         |sil AS (SELECT vec_id, cluster,
+         |    CASE WHEN greatest(a, b) = 0 THEN 0.0
+         |         ELSE (b - a) / greatest(a, b) END AS sil
+         |  FROM two)
+         |SELECT cluster, count(*) AS n,
+         |  ${S.qround(S.qmean("sil", 20), 4)} AS mean_sil,
+         |  round(min(sil), 4) AS min_sil,
+         |  round(max(sil), 4) AS max_sil
+         |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
+    }
   )
 }

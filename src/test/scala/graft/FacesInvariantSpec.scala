@@ -1376,4 +1376,27 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
         s"$et: all seasonal slots still at init — the gamma update never ran")
     }
   }
+
+  test("emb_silhouette: clusters partition the corpus, scores bounded, cohesion visible") {
+    val rows = SparkEntry.queries("emb_silhouette")(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 8, "at most k=8 clusters")
+    val nVecs = graft.engine.Tables.load(spark, d, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == nVecs,
+      "every vector must land in exactly one cluster")
+    for (r <- rows) {
+      val (cl, mean, mn, mx) =
+        (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // centroid silhouette: b >= a by construction, so s in [0, 1]
+      assert(mn >= -1e-9 && mx <= 1.0 + 1e-9, s"cluster $cl: scores out of [0,1]")
+      assert(mn <= mean + 1e-4 && mean <= mx + 1e-4,
+        s"cluster $cl: mean $mean outside [min, max] = [$mn, $mx]")
+    }
+    // the synthetic embeddings are near-uniform, so cohesion is weak but
+    // must be strictly positive (b > a for every point not ON a midplane),
+    // and every cluster must contain at least one boundary point (min ~ 0)
+    assert(rows.forall(_.getDouble(2) > 0.0),
+      "a cluster with zero mean silhouette means scoring collapsed")
+    assert(rows.exists(_.getDouble(4) > 0.1),
+      "no cluster has even one interior point — the Lloyd fit is broken")
+  }
 }
