@@ -124,6 +124,23 @@ object Graph {
     s.read.parquet(path)
   }
 
+  /** Symmetric adjacency as per-node SORTED neighbor arrays — the CSR-ish
+    * layout a random-walk engine actually serves from (one row per node,
+    * neighbors contiguous), materialized once per sf beside the edge
+    * frames. Sorted so an argmin fold's strict `<` tie-break equals the
+    * lexicographic (h, dst) minimum. */
+  private def adjListLayout(s: SparkSession, d: String): DataFrame = {
+    val tag = graft.engine.Layouts.tag(d)
+    val path = s"/tmp/graft_graph/adjlist_$tag"
+    graft.engine.Layouts.ensureCommitted(s, path) {
+      symEdges(s, d)
+        .groupBy(col("src").as("node"))
+        .agg(array_sort(collect_list(col("dst").cast("long"))).as("nbrs"))
+        .coalesce(4).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- degree histogram: how many customers trade with exactly k
     // suppliers. Two cheap aggregations (node count ≪ edge count); the
@@ -647,28 +664,35 @@ object Graph {
     "graph_random_walks" -> ((s, d) => {
       val P = 1000000007L
       val adj = symEdges(s, d)
+      val adjL = adjListLayout(s, d)
       val walks0 = adj.filter(col("src") % 2 === 0)
         .select(col("src").as("walk")).distinct()
-        .withColumn("cur", col("walk"))
+        .withColumn("cur", col("walk").cast("long"))
         .localCheckpoint() // stats → AQE broadcasts the walk-sized frontier
-      // argmin-by-(h, dst) as min(struct(h, dst)) — a PARTIAL-AGGREGATING
-      // hash agg, so the candidate fan-out (every neighbor of every
-      // frontier node; supplier hubs make this walks × hundreds) collapses
-      // map-side in the same stage as the join and only one row per walk
-      // ever shuffles. The first cut ranked candidates with a per-walk
-      // row_number window instead: the full fan-out shuffled to the
-      // window sort every step — 6.9 s median at sf0.1 vs 2.1 s for this
-      // shape (same deterministic choice: h is injective in dst below P,
-      // and the struct's lexicographic tiebreak equals the window's
-      // (h, dst) ordering).
+      // Hop choice = an argmin FOLD over the node's sorted neighbor array
+      // (the CSR-ish adjlist layout): one row in, one row out, the hub
+      // fan-out never materializes as rows at all. Plan iterations, both
+      // measured at sf0.1: (1) per-walk row_number window over the
+      // exploded candidates — the full walks × degree fan-out shuffled to
+      // the window sort every step, 6.9 s median; (2) min(struct(h, dst))
+      // partial agg — fan-out collapses map-side but the join still emits
+      // walks × degree struct rows through the aggregate, 4.7 s median and
+      // the bench's slowest query (5.5 s warm, flat on retry); (3) this
+      // fold — 3 walk⋈adjlist joins with zero per-candidate rows. The
+      // strict `<` keeps the FIRST minimal h, and the array is sorted, so
+      // the choice still equals the lexicographic (h, dst) minimum the
+      // oracle's row_number replays; h stays injective in dst below P.
       val steps = (1 to 3).scanLeft(walks0) { (w, step) =>
-        w.join(adj, col("cur") === col("src"))
-          .select(col("walk"), struct(
-            ((pmod(col("walk"), lit(P)) * 2654435761L
-              + pmod(col("dst"), lit(P)) * 2246822519L + lit(step.toLong)) % P).as("h"),
-            col("dst")).as("hd"))
-          .groupBy("walk").agg(min(col("hd")).as("hd"))
-          .select(col("walk"), col("hd.dst").as("cur"))
+        w.join(adjL, col("cur") === col("node"))
+          .select(col("walk"),
+            aggregate(col("nbrs"),
+              struct(lit(Long.MaxValue).as("h"), lit(-1L).as("dst")),
+              (acc, v) => {
+                val h = (pmod(col("walk"), lit(P)) * 2654435761L
+                  + pmod(v, lit(P)) * 2246822519L + lit(step.toLong)) % P
+                when(h < acc.getField("h"),
+                  struct(h.as("h"), v.as("dst"))).otherwise(acc)
+              }).getField("dst").as("cur"))
           .localCheckpoint() // step i+1 and the census both read it
       }.drop(1)
       steps.zipWithIndex.map { case (w, i) =>
