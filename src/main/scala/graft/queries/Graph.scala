@@ -141,6 +141,53 @@ object Graph {
     s.read.parquet(path)
   }
 
+  /** Hub-capped scored supplier-pair table (s1, s2, common, aa) + its
+    * dropped-witness census, materialized once per sf — link-prediction
+    * scores are a pure function of the snapshot and a recommender
+    * maintains them as a per-data-version artifact (the dd_clusters
+    * CC-label pattern, verdict-blessed r8). Shared by graph_adamic_adar
+    * and graph_jaccard_linkpred; the DuckDB oracles keep recomputing
+    * everything from SQL, so staleness cannot hide.
+    *
+    * HUB CAP (VERDICT r8 #6): a witness's wedge fan-out is C(wdeg, 2), so
+    * one power-law hub quadratically explodes the self-join at scale while
+    * certifying almost nothing (its 1/ln(wdeg) AA weight vanishes) — the
+    * df-cap discipline of the LSH/substring pipelines. Witnesses above the
+    * ceiling are dropped ENTIRELY before the wedge join, and the drop is
+    * visible in the census: at sf0.1 the cap removes 554 of 14,999
+    * witnesses carrying 1.41M of 12.5M wedges (11% of the wedge shuffle).
+    * The array-expansion alternative to the ew⋈ew self-join was MEASURED
+    * SLOWER (7.18 s vs 3.38 s at sf0.1): the quadratic pair fan-out
+    * materializes as per-row array-of-struct allocations instead of
+    * streaming through the codegen'd hash join. */
+  private def aaPairsLayout(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val hubCap = 64
+    val tag = graft.engine.Layouts.tag(d)
+    val pairsPath = s"/tmp/graft_graph/aa_pairs_$tag"
+    val censusPath = s"/tmp/graft_graph/aa_census_$tag"
+    graft.engine.Layouts.ensureCommitted(s, pairsPath) {
+      val e = edges(s, d)
+      val wdeg = e.groupBy("src").agg(count(lit(1)).as("wdeg"))
+      wdeg.agg(
+          count(lit(1)).as("n_witnesses"),
+          sum(when(col("wdeg") > hubCap, 1L).otherwise(0L)).as("n_hubs_dropped"),
+          sum(when(col("wdeg") > hubCap, col("wdeg") * (col("wdeg") - 1) / lit(2))
+            .otherwise(0L)).cast("bigint").as("n_wedges_dropped"))
+        .coalesce(1).write.mode("overwrite").parquet(censusPath)
+      val ew = e.join(wdeg.filter(col("wdeg") <= hubCap), "src")
+      ew.as("x").join(ew.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.dst").as("s1"), col("y.dst").as("s2"),
+          col("x.wdeg").as("wdeg"))
+        .groupBy("s1", "s2")
+        .agg(count(lit(1)).as("common"),
+          round(FP.qsum(lit(1.0) / log(col("wdeg"))), 4).as("aa"))
+        .filter(col("common") >= 3)
+        .coalesce(4).write.mode("overwrite").parquet(pairsPath)
+    }
+    (s.read.parquet(pairsPath), s.read.parquet(censusPath))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- degree histogram: how many customers trade with exactly k
     // suppliers. Two cheap aggregations (node count ≪ edge count); the
@@ -584,61 +631,40 @@ object Graph {
     // sum folds through fixed-point qsum so shuffle-merge order cannot
     // flake the rounded score; top-100 has a total-order tie-break.
     "graph_adamic_adar" -> ((s, d) => {
-      // wedge generation: ew⋈ew self-join on the witness key. The
-      // join-free alternative (collect each witness's sorted supplier
-      // list, expand ordered pairs from the array with nested
-      // transform/slice) was MEASURED SLOWER — 7.18 s vs 3.38 s median at
-      // sf0.1 — because the quadratic pair fan-out materializes as
-      // per-row array-of-struct allocations instead of streaming through
-      // the codegen'd hash join; the self-join's second exchange is the
-      // cheaper half of that trade. Kept the joined form.
-      //
-      // HUB CAP (VERDICT r8 #6): a witness's wedge fan-out is C(wdeg, 2),
-      // so one power-law hub quadratically explodes the self-join at
-      // scale while certifying almost nothing (its 1/ln(wdeg) weight
-      // vanishes) — the same df-cap discipline the LSH/substring pipelines
-      // apply to hot shingles. Witnesses above the ceiling are dropped
-      // ENTIRELY before the wedge join (their wedges never travel), and
-      // the drop is made visible in-row as a census the reader can audit:
-      // at sf0.1 the cap removes 554 of 14,999 witnesses carrying 1.41M of
-      // 12.5M wedges (11% of the wedge shuffle).
-      //
-      // The SCORED PAIR TABLE materializes once per sf (with its census):
-      // link-prediction scores are a pure function of the snapshot and a
-      // recommender maintains them as a per-data-version artifact — the
-      // dd_clusters CC-label pattern (verdict-blessed r8) applied to the
-      // catalog's heaviest remaining per-run wedge join. The DuckDB oracle
-      // keeps recomputing everything from SQL, so staleness cannot hide.
-      val hubCap = 64
-      val tag = graft.engine.Layouts.tag(d)
-      val pairsPath = s"/tmp/graft_graph/aa_pairs_$tag"
-      val censusPath = s"/tmp/graft_graph/aa_census_$tag"
-      graft.engine.Layouts.ensureCommitted(s, pairsPath) {
-        val e = edges(s, d)
-        val wdeg = e.groupBy("src").agg(count(lit(1)).as("wdeg"))
-        wdeg.agg(
-            count(lit(1)).as("n_witnesses"),
-            sum(when(col("wdeg") > hubCap, 1L).otherwise(0L)).as("n_hubs_dropped"),
-            sum(when(col("wdeg") > hubCap, col("wdeg") * (col("wdeg") - 1) / lit(2))
-              .otherwise(0L)).cast("bigint").as("n_wedges_dropped"))
-          .coalesce(1).write.mode("overwrite").parquet(censusPath)
-        val ew = e.join(wdeg.filter(col("wdeg") <= hubCap), "src")
-        ew.as("x").join(ew.as("y"),
-            col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
-          .select(col("x.dst").as("s1"), col("y.dst").as("s2"),
-            col("x.wdeg").as("wdeg"))
-          .groupBy("s1", "s2")
-          .agg(count(lit(1)).as("common"),
-            round(FP.qsum(lit(1.0) / log(col("wdeg"))), 4).as("aa"))
-          .filter(col("common") >= 3)
-          .coalesce(4).write.mode("overwrite").parquet(pairsPath)
-      }
-      s.read.parquet(pairsPath)
+      // wedge generation, hub cap, and the measured array-expansion
+      // rejection all live in aaPairsLayout (shared with
+      // graph_jaccard_linkpred) — this face is a layout read + top-100.
+      val (pairs, census) = aaPairsLayout(s, d)
+      pairs
         .orderBy(desc("aa"), col("s1"), col("s2"))
         .limit(100)
-        .crossJoin(broadcast(s.read.parquet(censusPath)))
+        .crossJoin(broadcast(census))
         // the 1-row census join does not guarantee the limit's order
         .orderBy(desc("aa"), col("s1"), col("s2"))
+    }),
+
+    // ---- neighborhood-Jaccard link prediction — the second classic
+    // common-neighbor score beside Adamic–Adar (AA weights witnesses by
+    // rarity, Jaccard normalizes by the union of neighborhoods, so a pair
+    // of low-degree suppliers with the same 3 customers outranks a pair
+    // of hubs sharing 10). Reads the SAME committed hub-capped pair table
+    // as graph_adamic_adar (one wedge join per snapshot serves every
+    // score) plus the full-edge supplier degrees: `common` counts only
+    // wedges through sub-cap witnesses while degrees are uncapped, so the
+    // reported Jaccard is a LOWER bound on the uncapped score — the same
+    // one-sided trade the hub cap already makes for AA, and the oracle
+    // replays it exactly. Per-run cost: a layout read + two degree joins
+    // + top-100 TakeOrdered.
+    "graph_jaccard_linkpred" -> ((s, d) => {
+      val (pairs, _) = aaPairsLayout(s, d)
+      val sdeg = edges(s, d).groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+      pairs
+        .join(sdeg.select(col("dst").as("s1"), col("deg").as("d1")), "s1")
+        .join(sdeg.select(col("dst").as("s2"), col("deg").as("d2")), "s2")
+        .withColumn("jaccard", round(
+          col("common") / (col("d1") + col("d2") - col("common")).cast("double"), 4))
+        .select("s1", "s2", "common", "d1", "d2", "jaccard")
+        .orderBy(desc("jaccard"), col("s1"), col("s2")).limit(100)
     }),
 
     // ---- deterministic random-walk corpus (DeepWalk / node2vec, the
@@ -1042,6 +1068,22 @@ object Graph {
          |SELECT s1, s2, common, aa, n_witnesses, n_hubs_dropped, n_wedges_dropped
          |FROM (SELECT * FROM pairs ORDER BY aa DESC, s1, s2 LIMIT 100)
          |CROSS JOIN census ORDER BY aa DESC, s1, s2""".stripMargin,
+
+    // the same hub-capped pair table replayed from SQL, joined to the
+    // UNCAPPED supplier degrees — the engine's one-sided lower-bound trade
+    "graph_jaccard_linkpred" ->
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |wdeg AS (SELECT src, count(*) AS wdeg FROM e GROUP BY src),
+         |ew AS (SELECT src, dst, wdeg FROM e JOIN wdeg USING (src) WHERE wdeg <= 64),
+         |pairs AS (SELECT x.dst AS s1, y.dst AS s2, count(*) AS common
+         |  FROM ew x JOIN ew y ON x.src = y.src AND x.dst < y.dst
+         |  GROUP BY x.dst, y.dst HAVING count(*) >= 3),
+         |sdeg AS (SELECT dst, count(*) AS deg FROM e GROUP BY dst)
+         |SELECT s1, s2, common, d1.deg AS d1, d2.deg AS d2,
+         |  round(common / CAST(d1.deg + d2.deg - common AS DOUBLE), 4) AS jaccard
+         |FROM pairs JOIN sdeg d1 ON d1.dst = s1 JOIN sdeg d2 ON d2.dst = s2
+         |ORDER BY jaccard DESC, s1, s2 LIMIT 100""".stripMargin,
 
     // three unrolled hop levels, each the identical hash-argmin replay
     // (row_number over (h, dst) per walk) the engine executes

@@ -1399,4 +1399,19 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(rows.exists(_.getDouble(4) > 0.1),
       "no cluster has even one interior point — the Lloyd fit is broken")
   }
+
+  test("graph_jaccard_linkpred: scores reconcile with capped commons and raw degrees") {
+    val rows = SparkEntry.queries("graph_jaccard_linkpred")(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (s1, s2, common, d1, d2, j) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(s1 < s2, s"pair not ordered: ($s1, $s2)")
+      // common counts only sub-cap wedges, so it is bounded by BOTH raw degrees
+      assert(common <= math.min(d1, d2), s"($s1,$s2) common=$common exceeds a degree")
+      val expect = common.toDouble / (d1 + d2 - common)
+      assert(math.abs(j - expect) < 5e-5, s"($s1,$s2) jaccard=$j, recomputed $expect")
+      assert(j > 0 && j <= 1.0)
+    }
+  }
 }
