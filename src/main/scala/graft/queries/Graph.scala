@@ -667,6 +667,82 @@ object Graph {
         .orderBy(desc("jaccard"), col("s1"), col("s2")).limit(100)
     }),
 
+    // ---- sampled-and-bounded Brandes betweenness — the classic
+    // centrality the family still lacked (degree/PageRank/HITS rank
+    // IMPORTANCE; betweenness ranks BROKERAGE: the nodes whose removal
+    // disconnects shortest-path traffic). Full Brandes is one BFS per
+    // node — O(V·E), out of the question at scale — so production runs
+    // the standard two-axis approximation replayed here exactly: SAMPLED
+    // sources (the 4 smallest nation-3 supplier nodes, deterministic) and
+    // BOUNDED depth (4 hops — on this diameter-~4 graph that is near-
+    // exact; on a larger one it becomes k-bounded betweenness). Forward
+    // phase: 4 Pregel rounds carrying (source, node, σ) where σ = exact
+    // BIGINT shortest-path counts — candidates sum σ over the previous
+    // frontier, an anti-join against the visited set keeps only the new
+    // level (the BFS DAG property: all shorter paths were found first).
+    // Backward phase: 3 rounds of Brandes' dependency accumulation
+    // δ(v) = Σ_w σ_v·(1+δ(w))/σ_w over dist-descending levels, each one
+    // co-partitioned join + FixedPoint.qsum fold (order-free, so the
+    // rounded centralities are engine-identical at any shuffle order).
+    // State is O(sources × nodes) rows; every round is lineage-truncated.
+    // The oracle unrolls all 7 rounds as CTEs over the same edge frame.
+    "graph_betweenness" -> ((s, d) => {
+      val adj = symEdges(s, d)
+      val sources = t(s, d, "supplier").filter(col("s_nationkey") === 3)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+        .orderBy("node").limit(4)
+      // LAZY localCheckpoints throughout (the graph_kcore fusion lesson):
+      // eager ones make every round a separate driver action — 16 jobs of
+      // mostly fixed overhead, measured 16.6 s median at sf0.1; lazy ones
+      // materialize in the single final action's cascade while still
+      // truncating lineage (5.9 s), and the broadcast hints below finish
+      // the job (3.0 s). State frames are source×node-sized.
+      var level = sources.select(col("node").as("s0"), col("node").as("v"),
+        lit(1L).as("sigma")).localCheckpoint(false)
+      var all = level.withColumn("dist", lit(0)).localCheckpoint(false)
+      // explicit broadcast hints: lazy checkpoints carry no size stats, so
+      // without them the planner shuffles the EDGE SET into every round's
+      // join — the frontier/visited/delta frames are the provably small
+      // sides (≤ sources × nodes) at any data scale, the adjacency streams
+      for (t <- 1 to 4) {
+        val cand = broadcast(level).join(adj, level("v") === adj("src"))
+          .groupBy(col("s0"), col("dst").as("v"))
+          .agg(sum(col("sigma")).as("sigma"))
+        level = cand.join(broadcast(all), Seq("s0", "v"), "left_anti")
+          .localCheckpoint(false)
+        all = all.union(level.withColumn("dist", lit(t))).localCheckpoint(false)
+      }
+      // backward: δ = 0 at the depth bound, then accumulate down-level
+      var delta = all.filter(col("dist") === 4)
+        .select(col("s0"), col("v"), lit(0.0).as("delta"))
+      val deltas = (3 to 1 by -1).map { t =>
+        val lower = all.filter(col("dist") === t)
+          .select(col("s0"), col("v"), col("sigma"))
+        val upper = all.filter(col("dist") === t + 1)
+          .select(col("s0").as("us0"), col("v").as("uv"), col("sigma").as("usigma"))
+          .join(delta.select(col("s0").as("us0"), col("v").as("uv"), col("delta")),
+            Seq("us0", "uv"))
+        val contrib = broadcast(lower).join(adj, lower("v") === adj("src"))
+          .join(broadcast(upper), col("us0") === lower("s0") && col("uv") === col("dst"))
+          .groupBy(lower("s0"), lower("v"))
+          .agg(FP.qsum(col("sigma").cast("double") * (lit(1.0) + col("delta"))
+            / col("usigma")).as("delta"))
+        delta = lower.select(col("s0"), col("v"))
+          .join(contrib, Seq("s0", "v"), "left")
+          .select(col("s0"), col("v"),
+            coalesce(col("delta"), lit(0.0)).as("delta"))
+          .localCheckpoint(false)
+        delta
+      }
+      deltas.reduce(_.union(_))
+        .groupBy("v")
+        .agg(count(lit(1)).as("n_sources"), FP.qsum(col("delta")).as("bc"))
+        .select(col("v").cast("bigint").as("node"),
+          when(col("v") % 2 === 0, "customer").otherwise("supplier").as("side"),
+          round(col("bc"), 4).as("bc"), col("n_sources"))
+        .orderBy(desc("bc"), col("node")).limit(20)
+    }),
+
     // ---- deterministic random-walk corpus (DeepWalk / node2vec, the
     // corpus-generation step of every graph-embedding pipeline): one
     // 3-step walk per customer node over the committed symmetric trading
@@ -1068,6 +1144,53 @@ object Graph {
          |SELECT s1, s2, common, aa, n_witnesses, n_hubs_dropped, n_wedges_dropped
          |FROM (SELECT * FROM pairs ORDER BY aa DESC, s1, s2 LIMIT 100)
          |CROSS JOIN census ORDER BY aa DESC, s1, s2""".stripMargin,
+
+    // forward levels c/l/a unrolled 4 deep (σ sums + anti-join against
+    // the visited set), then the 3 backward dependency levels with the
+    // identical qsum fold and zero-fill
+    "graph_betweenness" -> {
+      def fwd(i: Int) =
+        s"""c$i AS (SELECT s0, ed.dst AS v, CAST(sum(sigma) AS BIGINT) AS sigma
+           |  FROM l${i - 1} JOIN ed ON ed.src = l${i - 1}.v GROUP BY s0, ed.dst),
+           |l$i AS (SELECT c.* FROM c$i c LEFT JOIN a${i - 1} p ON p.s0 = c.s0 AND p.v = c.v
+           |        WHERE p.v IS NULL),
+           |a$i AS (SELECT * FROM a${i - 1} UNION ALL SELECT s0, v, sigma, $i FROM l$i)""".stripMargin
+      def bwd(t: Int) =
+        s"""d$t AS (SELECT lo.s0, lo.v, coalesce(q.delta, CAST(0.0 AS DOUBLE)) AS delta
+           |  FROM (SELECT s0, v, sigma FROM a4 WHERE dist = $t) lo
+           |  LEFT JOIN (
+           |    SELECT lo2.s0, lo2.v,
+           |      ${S.qsum("CAST(lo2.sigma AS DOUBLE) * (1.0 + up.delta) / up.usigma")} AS delta
+           |    FROM (SELECT s0, v, sigma FROM a4 WHERE dist = $t) lo2
+           |    JOIN ed ON ed.src = lo2.v
+           |    JOIN (SELECT u.s0, u.v, u.sigma AS usigma, d.delta
+           |          FROM (SELECT s0, v, sigma FROM a4 WHERE dist = ${t + 1}) u
+           |          JOIN d${t + 1} d ON d.s0 = u.s0 AND d.v = u.v) up
+           |      ON up.s0 = lo2.s0 AND up.v = ed.dst
+           |    GROUP BY lo2.s0, lo2.v) q ON q.s0 = lo.s0 AND q.v = lo.v)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |ed AS (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM e0
+         |       UNION ALL SELECT dst * 2 + 1, src * 2 FROM e0),
+         |srcs AS (SELECT node FROM
+         |  (SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_nationkey = 3)
+         |  ORDER BY node LIMIT 4),
+         |l0 AS (SELECT node AS s0, node AS v, CAST(1 AS BIGINT) AS sigma FROM srcs),
+         |a0 AS (SELECT s0, v, sigma, 0 AS dist FROM l0),
+         |${fwd(1)},
+         |${fwd(2)},
+         |${fwd(3)},
+         |${fwd(4)},
+         |d4 AS (SELECT s0, v, CAST(0.0 AS DOUBLE) AS delta FROM a4 WHERE dist = 4),
+         |${bwd(3)},
+         |${bwd(2)},
+         |${bwd(1)}
+         |SELECT CAST(v AS BIGINT) AS node,
+         |  CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+         |  round(${S.qsum("delta")}, 4) AS bc, count(*) AS n_sources
+         |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+         |GROUP BY v ORDER BY bc DESC, node LIMIT 20""".stripMargin
+    },
 
     // the same hub-capped pair table replayed from SQL, joined to the
     // UNCAPPED supplier degrees — the engine's one-sided lower-bound trade

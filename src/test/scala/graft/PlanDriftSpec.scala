@@ -90,7 +90,8 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "tx_wordpiece_encode" -> Seq(2, 0, 0, 0, 0, 10, 0, 0),
     "ts_holt_winters" -> Seq(0, 0, 0, 0, 0, 2, 1, 0),
     "emb_silhouette" -> Seq(0, 0, 0, 1, 0, 2, 1, 0),
-    "graph_jaccard_linkpred" -> Seq(2, 0, 0, 0, 0, 2, 0, 0))
+    "graph_jaccard_linkpred" -> Seq(2, 0, 0, 0, 0, 2, 0, 0),
+    "graph_betweenness" -> Seq(0, 0, 0, 0, 0, 1, 0, 0))
 
   test("top-20 bench plans match the committed fingerprint corpus") {
     if (sys.env.get("GRAFT_PLANDRIFT_PRINT").contains("1")) {
