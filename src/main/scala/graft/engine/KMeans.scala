@@ -55,7 +55,13 @@ object KMeans {
       s"k-means seeds empty: no rows with vec_id < $k (seed contract needs ids from 0)")
     val inertia = Seq.newBuilder[Double]
     for (_ <- 1 to rounds) {
-      val a = assign(e, cents).localCheckpoint() // one distributed pass, reused twice below
+      // fixed-round callers (trackInertia = false) fuse the loop into one
+      // action cascade with LAZY checkpoints (the engine.PageRank lesson:
+      // the per-round driver sync was the cost, not the work) — the
+      // inertia-tracking path keeps eager ones, its per-round read
+      // materializes anyway. assign() already broadcasts the k-row
+      // centroid side explicitly, so no stats are needed mid-cascade.
+      val a = assign(e, cents).localCheckpoint(trackInertia) // reused twice below
       if (trackInertia) inertia += a.agg(sum("dist2")).head.getDouble(0)
       cents = a
         .select(col("cluster"), posexplode(col("v")))
@@ -68,7 +74,7 @@ object KMeans {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
           s => s.getField("cv")).as("c"))
         .select(col("cluster").as("seed_id"), col("c"))
-        .localCheckpoint() // k rows; truncates the round's lineage
+        .localCheckpoint(trackInertia) // k rows; truncates the round's lineage
     }
     (cents, inertia.result())
   }

@@ -72,21 +72,30 @@ object PageRank {
     require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
     // empty graph would otherwise surface as an NPE reading the delta agg
     require(weighted.limit(1).count() == 1, "page-rank needs a non-empty edge frame")
-    var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint()
+    // Fixed-round callers (trackDeltas = false) run the whole loop as ONE
+    // action cascade: LAZY localCheckpoints still truncate lineage when
+    // they materialize, but the per-round driver sync disappears — the
+    // graph_betweenness fusion lesson. Lazy checkpoints carry no size
+    // stats for AQE, so the two provably node-frame-bounded join sides
+    // get explicit broadcast hints (for eager/delta-tracking callers the
+    // hints codify what AQE already chose from the checkpoint stats).
+    // Delta-tracking callers keep eager checkpoints — their per-round
+    // delta read forces materialization anyway.
+    var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(trackDeltas)
     val deltas = Seq.newBuilder[Double]
     for (_ <- 1 to rounds) {
       val contribs = weighted
-        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .join(broadcast(ranks.select(col("node").as("src"), col("rank"))), "src")
         .groupBy(col("dst").as("node"))
         // fixed-point mass sum: exact BIGINT partials make every round's
         // ranks bit-identical at any partitioning (and to the catalog
         // face's DuckDB twin), where sum(double) would drift an ulp with
         // shuffle-merge order and compound across rounds
         .agg(FixedPoint.qsum(col("rank") / col("outdeg")).as("mass"))
-      val next = nodes.join(contribs, Seq("node"), "left")
+      val next = nodes.join(broadcast(contribs), Seq("node"), "left")
         .select(col("node"),
           (lit(1 - damping) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(trackDeltas)
       if (trackDeltas)
         deltas += next.join(ranks.select(col("node"), col("rank").as("prev")), "node")
           .agg(max(abs(col("rank") - col("prev")))).head.getDouble(0)

@@ -827,19 +827,23 @@ object Graph {
       val nodes = nodesLayout(s, d)
       val seeds = t(s, d, "customer").filter(col("c_nationkey") === 3)
         .select((col("c_custkey") * 2).as("node"), lit(1.0).as("sv"))
+      // one-action-cascade loop (the engine.PageRank/graph_betweenness
+      // fusion): lazy checkpoints kill the per-round driver sync, and the
+      // rank/mass frames — provably node-frame-bounded at any scale — get
+      // explicit broadcast hints since lazy checkpoints carry no AQE stats
       val seeded = nodes.join(seeds, Seq("node"), "left")
         .select(col("node"), coalesce(col("sv"), lit(0.0)).as("sv"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       var r = seeded.select(col("node"), col("sv").as("rank"))
       for (_ <- 1 to 4) {
-        val mass = W.join(r, W("src") === r("node"))
+        val mass = W.join(broadcast(r), W("src") === r("node"))
           .groupBy(col("dst"))
           .agg(FP.qsum(col("rank") / col("outdeg")).as("mass"))
-        r = seeded.join(mass, seeded("node") === mass("dst"), "left")
+        r = seeded.join(broadcast(mass), seeded("node") === mass("dst"), "left")
           .select(seeded("node"),
             ((lit(1.0) - lit(0.85)) * col("sv")
               + lit(0.85) * coalesce(col("mass"), lit(0.0))).as("rank"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       val census = r.agg(
         count(when(col("rank") > 0, 1)).as("n_pos"),

@@ -1014,7 +1014,10 @@ object Similarity {
           ((col("a") + ((col("a") * lit(2654435761L)) % lit(1000000007L)
             + col("r") * lit(40503L)) % (col("n") - 1) + 1) % col("n")).as("b"))
         .distinct()
-      val g0 = withCos(init).localCheckpoint()
+      // lazy checkpoints: no per-round driver read exists (the censuses
+      // union into ONE final action), so the whole 2-round build runs as
+      // one cascade — the engine.PageRank fusion lesson
+      val g0 = withCos(init).localCheckpoint(false)
       // exact kNN ground truth on the 2% sample — the recall denominator
       val exact = eb.crossJoin(broadcast(ea.filter(col("a") % 50 === 0)))
         .filter(col("a") =!= col("b"))
@@ -1022,7 +1025,7 @@ object Similarity {
         .withColumn("rn", row_number().over(
           Window.partitionBy("a").orderBy(col("cos_raw").desc, col("b").asc)))
         .filter(col("rn") <= k)
-        .select("a", "b").localCheckpoint()
+        .select("a", "b").localCheckpoint(false)
       def census(round: Int, g: DataFrame): DataFrame =
         g.agg(count(lit(1)).as("n_edges"),
             FP.qround(FP.qmean(col("cos_raw")), 4).as("avg_cos"))
@@ -1046,7 +1049,7 @@ object Similarity {
           .withColumn("rn", row_number().over(
             Window.partitionBy("a").orderBy(col("cos_raw").desc, col("b").asc)))
           .filter(col("rn") <= k).select("a", "b", "cos_raw")
-          .localCheckpoint()
+          .localCheckpoint(false)
         census(r, g)
       }
       rows.reduce(_.union(_)).orderBy("round")
