@@ -112,6 +112,22 @@ object Commits {
     }
   }
 
+  /** Idempotent exactly-once append for streaming sinks (the Delta
+    * txnAppId/txnVersion mechanic): micro-batch N maps to ONE fixed
+    * manifest version, so a batch replayed after a sink restart
+    * re-attempts the SAME version and loses the put-if-absent claim —
+    * the sink skips it, turning the source's at-least-once delivery into
+    * end-to-end exactly-once. Unlike [[commitAppend]] there is no rebase:
+    * the version IS the batch identity, and batches commit in order (the
+    * predecessor manifest must exist). Returns false iff `version` was
+    * already committed — the replay path, taken before any content is
+    * written, so a rejected replay has zero side effects on the log. */
+  def commitExactlyOnce(table: String, version: Int, stagedPaths: Seq[String]): Boolean = {
+    require(version >= 2, s"version 1 belongs to init, got $version")
+    val prev = manifestEntries(table, version - 1)
+    tryCommit(table, version, prev ++ stagedPaths)
+  }
+
   /** Initialize version 1 from a staged path. Fails if the table exists. */
   def init(table: String, stagedPath: String): Int = {
     require(latestVersion(table) == 0, s"table $table already initialized")

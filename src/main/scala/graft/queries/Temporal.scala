@@ -30,6 +30,64 @@ object Temporal {
           .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** One-time exactly-once-sink scenario (Layouts.ensure + atomic rename
+    * publish, the ckptScenario pattern): a REAL file-watch streaming query
+    * delivers the events corpus in 3 deterministic micro-batches to a
+    * foreachBatch sink that stages each batch and claims manifest version
+    * batchId + 2 through [[graft.engine.Commits.commitExactlyOnce]] — the
+    * Delta txnVersion mechanic. The builder then simulates the restart
+    * replay: re-attempting batch 1's version with its own staged path must
+    * LOSE the put-if-absent claim, proving the sink de-duplicates
+    * at-least-once delivery into exactly-once table state. */
+  private def eosScenario(s: SparkSession, d: String): String = {
+    val C = graft.engine.Commits
+    val table = s"/tmp/graft_eos/tbl_${graft.engine.Layouts.tag(d)}"
+    graft.engine.Layouts.ensure(s, table)(new java.io.File(table).exists()) {
+      val work = table + ".build-" + java.util.UUID.randomUUID().toString.take(8)
+      val src = table + ".src-" + java.util.UUID.randomUUID().toString.take(8)
+      val P = 1000000007L
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val batched = ev.withColumn("batch",
+        pmod(col("event_id"), lit(P)) * 2654435761L % P % 3)
+      (0 to 2).foreach { b =>
+        batched.filter(col("batch") === b).drop("batch")
+          .coalesce(1).write.parquet(s"$src/staged/b$b")
+      }
+      val watchDir = new java.io.File(src, "in")
+      watchDir.mkdirs()
+      C.init(work, C.stage(ev.limit(0), work, "base"))
+      val schema = s.read.parquet(s"$src/staged/b0").schema
+      val q = s.readStream.schema(schema).parquet(watchDir.getPath)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+          val staged = C.stage(df, work, s"b$batchId")
+          require(C.commitExactlyOnce(work, batchId.toInt + 2, Seq(staged)),
+            s"first delivery of batch $batchId must win version ${batchId + 2}")
+          ()
+        }
+        .option("checkpointLocation", s"$src/ckpt")
+        .start()
+      (0 to 2).foreach { b =>
+        val f = new java.io.File(s"$src/staged/b$b").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(watchDir, f"b$b.parquet").toPath)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // restart replay: batch 1 re-delivered → same version, claim must fail
+      val b1staged = C.manifestEntries(work, 3).diff(C.manifestEntries(work, 2))
+      require(!C.commitExactlyOnce(work, 3, b1staged),
+        "a replayed micro-batch must lose the version claim")
+      require(C.latestVersion(work) == 4, "3 batches over init must land at v4")
+      require(new java.io.File(work).renameTo(new java.io.File(table)),
+        s"atomic publish of $work failed")
+    }
+    table
+  }
+
   val queries: Map[String, Q] = Map(
     // tumbling 1-hour event-time window × event_type (streaming: identical
     // groupBy(window(...)) with withWatermark — see graft.streaming).
@@ -174,6 +232,39 @@ object Temporal {
           (col("stream_only") === 0 && col("batch_only") === 0 &&
             col("n_sessions_stream") === col("n_sessions_batch"))
             .as("roundtrip_exact"))
+    }),
+
+    // ---- exactly-once streaming sink (Delta txnVersion / Iceberg WAP
+    // mechanic over engine.Commits): a real foreachBatch query committed
+    // the 3-micro-batch events corpus with one put-if-absent manifest
+    // version per batch, and the builder proved a replayed batch loses its
+    // claim (see eosScenario) — at-least-once delivery, exactly-once table
+    // state. The face re-attempts the batch-1 replay on EVERY run (a pure
+    // metadata op: the claim fails before any content write, so repeated
+    // runs leave zero garbage) and audits the per-version ledger:
+    // file/row counts must reconcile with the deterministic batch split,
+    // and the v4 row must EARN exactly_once by matching the full corpus
+    // count — a duplicated or dropped batch breaks it. Scale shape:
+    // metadata-sized log reads + one snapshot scan per version; at 100 TB
+    // the sink's per-batch cost is one manifest claim regardless of data
+    // volume, which is the entire point of the mechanic.
+    "st_exactly_once_sink" -> ((s, d) => {
+      val C = graft.engine.Commits
+      val table = eosScenario(s, d)
+      val b1staged = C.manifestEntries(table, 3).diff(C.manifestEntries(table, 2))
+      val replayRejected = !C.commitExactlyOnce(table, 3, b1staged)
+      (1 to 4).map { v =>
+        val files = C.snapshotFiles(table, v)
+        s.read.parquet(files: _*).agg(count(lit(1)).as("n_rows"))
+          .select(lit(v.toLong).as("version"),
+            lit(files.size.toLong).as("n_files"), col("n_rows"))
+      }.reduce(_.union(_))
+        .crossJoin(broadcast(t(s, d, "events").agg(count(lit(1)).as("__n_events"))))
+        .select(col("version"), col("n_files"), col("n_rows"),
+          lit(replayRejected).as("replay_rejected"),
+          (col("version") =!= 4 || col("n_rows") === col("__n_events"))
+            .as("exactly_once"))
+        .orderBy("version")
     }),
 
     // keyed dedup-keep-earliest (streaming twin: dropDuplicates within
@@ -899,6 +990,25 @@ object Temporal {
   private val S = SqlText
 
   val oracles: Map[String, String] = Map(
+    // ledger recomputed from the deterministic batch split; TRUE literals
+    // are invariants the Spark side must EARN (the deletion-vector
+    // literal-0 discipline): a lost claim, a duplicated batch, or a
+    // dropped row breaks replay_rejected / exactly_once / n_rows
+    "st_exactly_once_sink" ->
+      """WITH b AS (SELECT (event_id % 1000000007) * 2654435761 % 1000000007 % 3 AS b
+        |  FROM events),
+        |g AS (SELECT count(CASE WHEN b = 0 THEN 1 END) AS c0,
+        |             count(CASE WHEN b = 1 THEN 1 END) AS c1,
+        |             count(*) AS ct FROM b),
+        |v(version, n_files) AS (VALUES (1, 1), (2, 2), (3, 3), (4, 4))
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(n_files AS BIGINT) AS n_files,
+        |  CAST(CASE version WHEN 1 THEN 0 WHEN 2 THEN c0
+        |       WHEN 3 THEN c0 + c1 ELSE ct END AS BIGINT) AS n_rows,
+        |  TRUE AS replay_rejected,
+        |  TRUE AS exactly_once
+        |FROM v CROSS JOIN g ORDER BY version""".stripMargin,
+
     "st_hourly_window" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
         |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS we,

@@ -187,4 +187,25 @@ class CommitsSpec extends AnyFunSuite with SharedSparkSpec {
     assert(results.head._2 == false && results.tail.forall(_._2 == true))
     assert(Commits.read(spark, t).count() == 10)
   }
+
+  test("exactly-once sink: first delivery wins its version, replays lose, order enforced") {
+    val t = freshTable()
+    Commits.init(t, Commits.stage(df(0 until 0), t, "base"))
+    val b0 = Commits.stage(df(0 until 10), t, "b0")
+    val b1 = Commits.stage(df(10 until 15), t, "b1")
+    assert(Commits.commitExactlyOnce(t, 2, Seq(b0)), "batch 0 first delivery wins v2")
+    // out-of-order micro-batch: its predecessor version doesn't exist yet
+    intercept[IllegalArgumentException] {
+      Commits.commitExactlyOnce(t, 4, Seq(b1))
+    }
+    assert(Commits.commitExactlyOnce(t, 3, Seq(b1)), "batch 1 first delivery wins v3")
+    // restart replays: both batches re-delivered — claims fail, no content
+    // is written, and the table state is byte-identical
+    val before = Commits.manifestEntries(t, 3)
+    assert(!Commits.commitExactlyOnce(t, 2, Seq(b0)), "replayed batch 0 must lose")
+    assert(!Commits.commitExactlyOnce(t, 3, Seq(b1)), "replayed batch 1 must lose")
+    assert(Commits.manifestEntries(t, 3) == before, "a lost claim must not touch the log")
+    assert(Commits.latestVersion(t) == 3)
+    assert(Commits.read(spark, t).count() == 15, "exactly-once: no duplicates, no losses")
+  }
 }

@@ -91,7 +91,8 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "ts_holt_winters" -> Seq(0, 0, 0, 0, 0, 2, 1, 0),
     "emb_silhouette" -> Seq(0, 0, 0, 1, 0, 2, 1, 0),
     "graph_jaccard_linkpred" -> Seq(2, 0, 0, 0, 0, 2, 0, 0),
-    "graph_betweenness" -> Seq(0, 0, 0, 0, 0, 1, 0, 0))
+    "graph_betweenness" -> Seq(0, 0, 0, 0, 0, 1, 0, 0),
+    "st_exactly_once_sink" -> Seq(0, 0, 0, 1, 0, 0, 0, 5))
 
   test("top-20 bench plans match the committed fingerprint corpus") {
     if (sys.env.get("GRAFT_PLANDRIFT_PRINT").contains("1")) {
