@@ -49,11 +49,18 @@ object Commits {
   private def manifest(table: String, v: Int) =
     new java.io.File(logDir(table), f"v$v%05d.txt")
 
-  /** Highest committed version, 0 if none (an empty table). */
+  /** Highest DURABLY committed version, 0 if none (an empty table). A
+    * zero-byte manifest is a claim whose content write never landed (a
+    * commit that crashed between the put-if-absent claim and the atomic
+    * content rename) — it is not a commit, so readers must not resolve to
+    * it (ADVICE r10): the snapshot they'd see doesn't exist. The claim
+    * itself stays on disk; only the owning exactly-once writer may heal it
+    * (see [[commitExactlyOnce]], where the version IS the batch identity
+    * and the content is therefore re-derivable). */
   def latestVersion(table: String): Int =
     Option(logDir(table).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .map(_.getName).filter(_.matches("v\\d{5}\\.txt"))
-      .map(_.substring(1, 6).toInt).maxOption.getOrElse(0)
+      .filter(f => f.getName.matches("v\\d{5}\\.txt") && f.length() > 0)
+      .map(_.getName.substring(1, 6).toInt).maxOption.getOrElse(0)
 
   /** Manifest entries at version `v` — paths RELATIVE to the table root
     * (the Delta log convention), so the whole table directory stays
@@ -97,19 +104,20 @@ object Commits {
     * loudly instead of silently reading as an empty snapshot. An EMPTY
     * file set stays representable (its manifest is one newline, not zero
     * bytes). */
+  private def writeManifest(table: String, m: java.io.File, files: Seq[String]): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(logDir(table).toPath, s".${m.getName}-", ".tmp")
+    java.nio.file.Files.write(tmp,
+      (files.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, m.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def tryCommit(table: String, v: Int, files: Seq[String]): Boolean = {
     val m = manifest(table, v)
     m.getParentFile.mkdirs()
     if (!m.createNewFile()) false
-    else {
-      val tmp = java.nio.file.Files.createTempFile(logDir(table).toPath, s".v$v-", ".tmp")
-      java.nio.file.Files.write(tmp,
-        (files.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, m.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      true
-    }
+    else { writeManifest(table, m, files); true }
   }
 
   /** Idempotent exactly-once append for streaming sinks (the Delta
@@ -119,13 +127,51 @@ object Commits {
     * the sink skips it, turning the source's at-least-once delivery into
     * end-to-end exactly-once. Unlike [[commitAppend]] there is no rebase:
     * the version IS the batch identity, and batches commit in order (the
-    * predecessor manifest must exist). Returns false iff `version` was
-    * already committed — the replay path, taken before any content is
-    * written, so a rejected replay has zero side effects on the log. */
+    * predecessor manifest must be durable). Returns false iff `version`
+    * was already DURABLY committed — its manifest exists with content —
+    * so a rejected replay has zero side effects on the log.
+    *
+    * Crash healing (ADVICE r10): a sink that crashed BETWEEN the
+    * put-if-absent claim and the atomic content rename leaves a zero-byte
+    * manifest — a claim with no commit. The replayed batch then loses the
+    * claim, and pre-heal it would have been skipped as "already
+    * committed" with its data never published and the log wedged on an
+    * unreadable manifest. Because the version IS the batch identity, the
+    * replay carries the same batch content the crashed attempt held, so
+    * healing is safe and idempotent for the fixed batch: rewrite the
+    * zero-byte manifest's content via the same temp-write + ATOMIC_MOVE
+    * and report the commit as won. (The crashed attempt's staged dir is
+    * orphaned — never referenced by any manifest — exactly like a
+    * rewrite loser's.) */
   def commitExactlyOnce(table: String, version: Int, stagedPaths: Seq[String]): Boolean = {
     require(version >= 2, s"version 1 belongs to init, got $version")
     val prev = manifestEntries(table, version - 1)
-    tryCommit(table, version, prev ++ stagedPaths)
+    commitExactlyOnceAs(table, version, prev ++ stagedPaths)
+  }
+
+  /** Exactly-once REPLACE commit — the copy-on-write MERGE twin of
+    * [[commitExactlyOnce]]: manifest `version` lists exactly `files` (the
+    * full post-merge snapshot) instead of predecessor ++ staged. Same
+    * claim + crash-heal discipline; same contract (false ⇔ `version`
+    * already durably committed). Used by the streaming CDC upsert sink,
+    * where each micro-batch's MERGE output is a complete new table state
+    * derived deterministically from (predecessor state, batch). */
+  def commitExactlyOnceReplace(table: String, version: Int, files: Seq[String]): Boolean = {
+    require(version >= 2, s"version 1 belongs to init, got $version")
+    require(manifest(table, version - 1).length() > 0,
+      s"predecessor v${version - 1} of $table not durably committed")
+    commitExactlyOnceAs(table, version, files)
+  }
+
+  private def commitExactlyOnceAs(table: String, version: Int, files: Seq[String]): Boolean = {
+    if (tryCommit(table, version, files)) true
+    else {
+      val m = manifest(table, version)
+      // claim exists: durable commit → replay, skip. Zero-byte → the
+      // crashed-commit window; heal with this (identical) batch's content.
+      if (m.length() > 0) false
+      else { writeManifest(table, m, files); true }
+    }
   }
 
   /** Initialize version 1 from a staged path. Fails if the table exists. */

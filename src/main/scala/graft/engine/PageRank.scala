@@ -76,23 +76,31 @@ object PageRank {
     // action cascade: LAZY localCheckpoints still truncate lineage when
     // they materialize, but the per-round driver sync disappears — the
     // graph_betweenness fusion lesson. Lazy checkpoints carry no size
-    // stats for AQE, so the two provably node-frame-bounded join sides
-    // get explicit broadcast hints (for eager/delta-tracking callers the
-    // hints codify what AQE already chose from the checkpoint stats).
-    // Delta-tracking callers keep eager checkpoints — their per-round
-    // delta read forces materialization anyway.
+    // stats for AQE, so on THAT path only the two node-frame-bounded join
+    // sides get explicit broadcast hints. Delta-tracking callers keep
+    // eager checkpoints (their per-round delta read forces
+    // materialization anyway) and stay HINT-FREE (ADVICE r10): their
+    // checkpoints give AQE real sizes, and a forced hint would override
+    // AQE's size-based fallback — on a graph whose node frame exceeds the
+    // broadcast limit the hinted plan fails where the unhinted one
+    // shuffles. The lazy-path hint carries the same caveat: it is valid
+    // only while the node frame fits the broadcast budget (the catalog
+    // graphs, by orders of magnitude); a 100 TB-node caller should run
+    // with trackDeltas = true or keep ranks co-partitioned with the
+    // adjacency on the node key.
+    def hinted(df: DataFrame): DataFrame = if (trackDeltas) df else broadcast(df)
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(trackDeltas)
     val deltas = Seq.newBuilder[Double]
     for (_ <- 1 to rounds) {
       val contribs = weighted
-        .join(broadcast(ranks.select(col("node").as("src"), col("rank"))), "src")
+        .join(hinted(ranks.select(col("node").as("src"), col("rank"))), "src")
         .groupBy(col("dst").as("node"))
         // fixed-point mass sum: exact BIGINT partials make every round's
         // ranks bit-identical at any partitioning (and to the catalog
         // face's DuckDB twin), where sum(double) would drift an ulp with
         // shuffle-merge order and compound across rounds
         .agg(FixedPoint.qsum(col("rank") / col("outdeg")).as("mass"))
-      val next = nodes.join(broadcast(contribs), Seq("node"), "left")
+      val next = nodes.join(hinted(contribs), Seq("node"), "left")
         .select(col("node"),
           (lit(1 - damping) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
         .localCheckpoint(trackDeltas)

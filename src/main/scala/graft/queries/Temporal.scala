@@ -39,51 +39,89 @@ object Temporal {
     * replay: re-attempting batch 1's version with its own staged path must
     * LOSE the put-if-absent claim, proving the sink de-duplicates
     * at-least-once delivery into exactly-once table state. */
+  /** `processAllAvailable` with a hard deadline (ADVICE r10): it can block
+    * indefinitely (e.g. a staged file the source never picks up), and a
+    * scenario builder must fail loudly rather than hang the session. */
+  private[queries] def drainWithin(q: org.apache.spark.sql.streaming.StreamingQuery,
+                                   timeoutSec: Int = 120): Unit = {
+    val worker = new Thread(() => q.processAllAvailable())
+    worker.setDaemon(true)
+    worker.start()
+    worker.join(timeoutSec * 1000L)
+    if (worker.isAlive) {
+      q.stop()
+      throw new IllegalStateException(
+        s"stream did not drain within ${timeoutSec}s — scenario aborted")
+    }
+  }
+
+  /** Recursive best-effort delete for scenario scratch dirs. */
+  private[queries] def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
   private def eosScenario(s: SparkSession, d: String): String = {
     val C = graft.engine.Commits
     val table = s"/tmp/graft_eos/tbl_${graft.engine.Layouts.tag(d)}"
-    graft.engine.Layouts.ensure(s, table)(new java.io.File(table).exists()) {
+    // The whole scenario — staging, a real streaming query, the replay
+    // probes — runs OUTSIDE the JVM-wide layout lock (ADVICE r10: a
+    // blocked processAllAvailable inside Layouts.ensure would wedge every
+    // other layout build in the session); only the exists-check + atomic
+    // rename publish take the lock. A concurrent builder losing the
+    // rename race discards its work dir — the published scenario is
+    // deterministic, so either copy is THE table.
+    if (!new java.io.File(table).exists()) {
       val work = table + ".build-" + java.util.UUID.randomUUID().toString.take(8)
       val src = table + ".src-" + java.util.UUID.randomUUID().toString.take(8)
-      val P = 1000000007L
-      val ev = t(s, d, "events")
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      val batched = ev.withColumn("batch",
-        pmod(col("event_id"), lit(P)) * 2654435761L % P % 3)
-      (0 to 2).foreach { b =>
-        batched.filter(col("batch") === b).drop("batch")
-          .coalesce(1).write.parquet(s"$src/staged/b$b")
-      }
-      val watchDir = new java.io.File(src, "in")
-      watchDir.mkdirs()
-      C.init(work, C.stage(ev.limit(0), work, "base"))
-      val schema = s.read.parquet(s"$src/staged/b0").schema
-      val q = s.readStream.schema(schema).parquet(watchDir.getPath)
-        .writeStream
-        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                         batchId: Long) =>
-          val staged = C.stage(df, work, s"b$batchId")
-          require(C.commitExactlyOnce(work, batchId.toInt + 2, Seq(staged)),
-            s"first delivery of batch $batchId must win version ${batchId + 2}")
-          ()
+      try {
+        val P = 1000000007L
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        val batched = ev.withColumn("batch",
+          pmod(col("event_id"), lit(P)) * 2654435761L % P % 3)
+        (0 to 2).foreach { b =>
+          batched.filter(col("batch") === b).drop("batch")
+            .coalesce(1).write.parquet(s"$src/staged/b$b")
         }
-        .option("checkpointLocation", s"$src/ckpt")
-        .start()
-      (0 to 2).foreach { b =>
-        val f = new java.io.File(s"$src/staged/b$b").listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(watchDir, f"b$b.parquet").toPath)
-        q.processAllAvailable()
+        val watchDir = new java.io.File(src, "in")
+        watchDir.mkdirs()
+        C.init(work, C.stage(ev.limit(0), work, "base"))
+        val schema = s.read.parquet(s"$src/staged/b0").schema
+        val q = s.readStream.schema(schema).parquet(watchDir.getPath)
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           batchId: Long) =>
+            val staged = C.stage(df, work, s"b$batchId")
+            require(C.commitExactlyOnce(work, batchId.toInt + 2, Seq(staged)),
+              s"first delivery of batch $batchId must win version ${batchId + 2}")
+            ()
+          }
+          .option("checkpointLocation", s"$src/ckpt")
+          .start()
+        try {
+          (0 to 2).foreach { b =>
+            val f = new java.io.File(s"$src/staged/b$b").listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(watchDir, f"b$b.parquet").toPath)
+            drainWithin(q)
+          }
+        } finally q.stop()
+        // restart replay: batch 1 re-delivered → same version, claim must fail
+        val b1staged = C.manifestEntries(work, 3).diff(C.manifestEntries(work, 2))
+        require(!C.commitExactlyOnce(work, 3, b1staged),
+          "a replayed micro-batch must lose the version claim")
+        require(C.latestVersion(work) == 4, "3 batches over init must land at v4")
+        graft.engine.Layouts.ensure(s, table)(new java.io.File(table).exists()) {
+          require(new java.io.File(work).renameTo(new java.io.File(table)),
+            s"atomic publish of $work failed")
+        }
+      } finally {
+        rmTree(new java.io.File(src))
+        val w = new java.io.File(work)
+        if (w.exists()) rmTree(w) // race loser or failed build — never published
       }
-      q.stop()
-      // restart replay: batch 1 re-delivered → same version, claim must fail
-      val b1staged = C.manifestEntries(work, 3).diff(C.manifestEntries(work, 2))
-      require(!C.commitExactlyOnce(work, 3, b1staged),
-        "a replayed micro-batch must lose the version claim")
-      require(C.latestVersion(work) == 4, "3 batches over init must land at v4")
-      require(new java.io.File(work).renameTo(new java.io.File(table)),
-        s"atomic publish of $work failed")
     }
     table
   }

@@ -114,11 +114,37 @@ class CommitsSpec extends AnyFunSuite with SharedSparkSpec {
     }
     assert(e.getMessage.contains("zero-byte"),
       s"half-written manifest must be rejected loudly, got: ${e.getMessage}")
-    // a latest-version read resolves to the crashed claim and must fail
-    // just as loudly — never silently serve an empty snapshot
-    intercept[IllegalArgumentException] { Commits.read(spark, t) }
-    // the healthy version is unaffected
+    // the crashed claim is NOT a durable commit: readers resolve past it
+    // to the last real snapshot instead of crashing on (or worse, silently
+    // serving) a manifest that was never written (ADVICE r10)
+    assert(Commits.latestVersion(t) == 1,
+      "a zero-byte claim must not count as the latest version")
+    assert(Commits.read(spark, t).count() == 10)
     assert(spark.read.parquet(Commits.snapshotFiles(t, 1): _*).count() == 10)
+  }
+
+  test("exactly-once sink crash heal: a replay after a claim-then-crash publishes the batch (ADVICE r10)") {
+    val t = freshTable()
+    Commits.init(t, Commits.stage(df(0 until 0), t, "base"))
+    val b0 = Commits.stage(df(0 until 10), t, "b0")
+    assert(Commits.commitExactlyOnce(t, 2, Seq(b0)))
+    // batch 1's first attempt claims v3 then crashes before the content
+    // rename — exactly the zero-byte window tryCommit leaves
+    assert(new java.io.File(s"$t/_log/v00003.txt").createNewFile())
+    assert(Commits.latestVersion(t) == 2, "the crashed claim is not durable")
+    // the restarted sink replays batch 1 with a fresh staged copy; pre-heal
+    // this returned false (batch silently dropped) and wedged the log
+    val b1replay = Commits.stage(df(10 until 15), t, "b1-replay")
+    assert(Commits.commitExactlyOnce(t, 3, Seq(b1replay)),
+      "the replay of a crashed (never-durable) commit must WIN, not skip")
+    assert(Commits.latestVersion(t) == 3)
+    assert(Commits.manifestEntries(t, 3).contains(b1replay))
+    assert(Commits.read(spark, t).count() == 15, "healed log serves the full state")
+    // a SECOND replay of the same batch now loses: the heal was the commit
+    val b1again = Commits.stage(df(10 until 15), t, "b1-again")
+    assert(!Commits.commitExactlyOnce(t, 3, Seq(b1again)),
+      "after the heal, further replays are ordinary durable-claim losses")
+    assert(Commits.read(spark, t).count() == 15)
   }
 
   test("action log: checkpoint-resolved snapshot ≡ full replay at every version, across a conflict-rebase") {
