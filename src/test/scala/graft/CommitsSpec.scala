@@ -234,4 +234,37 @@ class CommitsSpec extends AnyFunSuite with SharedSparkSpec {
     assert(Commits.latestVersion(t) == 3)
     assert(Commits.read(spark, t).count() == 15, "exactly-once: no duplicates, no losses")
   }
+
+  test("exactly-once REPLACE (CDC merge): versions carry whole states, replays leave state unchanged") {
+    val t = freshTable()
+    Commits.init(t, Commits.stage(df(0 until 0), t, "base"))
+    // batch 0 merges to a 10-key state, batch 1 rewrites it to a 7-key one
+    val s0 = Commits.stage(df(0 until 10), t, "m0")
+    val s1 = Commits.stage(df(0 until 7), t, "m1")
+    assert(Commits.commitExactlyOnceReplace(t, 2, Seq(s0)))
+    assert(Commits.commitExactlyOnceReplace(t, 3, Seq(s1)))
+    assert(Commits.read(spark, t).count() == 7, "replace: the manifest IS the new state")
+    assert(spark.read.parquet(Commits.snapshotFiles(t, 2): _*).count() == 10,
+      "older versions stay time-travel readable")
+    // restart replay: batch 1 re-merged into a fresh staged copy — the
+    // claim must lose and the published state must not move
+    val before = Commits.manifestEntries(t, 3)
+    val s1replay = Commits.stage(df(0 until 7), t, "m1-replay")
+    assert(!Commits.commitExactlyOnceReplace(t, 3, Seq(s1replay)),
+      "a replayed CDC batch must lose its version claim")
+    assert(Commits.manifestEntries(t, 3) == before, "the lost claim touched the manifest")
+    assert(Commits.read(spark, t).count() == 7)
+    // crash heal applies to replace commits too: a zero-byte v4 claim is
+    // healed by the replay instead of wedging the log
+    assert(new java.io.File(s"$t/_log/v00004.txt").createNewFile())
+    val s2 = Commits.stage(df(0 until 3), t, "m2-replay")
+    assert(Commits.commitExactlyOnceReplace(t, 4, Seq(s2)),
+      "the replay of a crashed replace commit must win via the heal")
+    assert(Commits.read(spark, t).count() == 3)
+    // a replace whose predecessor is not durable must refuse loudly
+    assert(new java.io.File(s"$t/_log/v00006.txt").createNewFile())
+    intercept[IllegalArgumentException] {
+      Commits.commitExactlyOnceReplace(t, 7, Seq(s2))
+    }
+  }
 }

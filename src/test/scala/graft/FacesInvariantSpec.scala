@@ -1414,4 +1414,95 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
       assert(j > 0 && j <= 1.0)
     }
   }
+
+  test("graph_louvain_levels: lossless contraction, level 1 ≡ the move face, communities shrink") {
+    val rows = SparkEntry.queries("graph_louvain_levels")(spark, d)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val Seq(l1, l2) = rows.toSeq
+    // THE Louvain invariant: contracting communities into weighted
+    // super-nodes (intra edges → self-loops) preserves Q exactly — the
+    // level-2 before-census must equal the level-1 after-census bit-for-bit
+    assert(l1.getDouble(6) == l2.getDouble(5),
+      s"contraction must preserve Q: q_after(1)=${l1.getDouble(6)} vs q_before(2)=${l2.getDouble(5)}")
+    // level 1 IS graph_louvain_move (same pass, w=1): the two faces must
+    // agree column-for-column
+    val mv = SparkEntry.queries("graph_louvain_move")(spark, d).collect().head
+    assert(l1.getLong(1) == mv.getLong(0), "n_moved must match the move face")
+    assert(l1.getDouble(5) == mv.getDouble(4) && l1.getDouble(6) == mv.getDouble(5),
+      "level-1 Q census must match the move face")
+    for (r <- rows) {
+      assert(r.getLong(4) <= r.getLong(3), "moves can only merge communities")
+      if (r.getLong(1) > 0) assert(r.getLong(2) > 0, "selected moves all had positive gain")
+    }
+    // the coarse pass must still find merges worth making on this corpus,
+    // and (deterministic regression pin) improve Q at level 2
+    assert(l2.getLong(1) > 0, "level 2 must move at least one super-node here")
+    assert(l2.getDouble(6) >= l2.getDouble(5), "level-2 pass must not drop Q on this corpus")
+  }
+
+  test("sim_graph_search: best-cos and recall provably monotone across rounds, budget bounded") {
+    val rows = SparkEntry.queries("sim_graph_search")(spark, d)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 5L))
+    val best = rows.map(_.getDouble(2)); val rec = rows.map(_.getDouble(3))
+    // beams only ever improve: a member is displaced only by a strictly
+    // better candidate, and a better-cos candidate displacing an exact-
+    // top-k member must itself be in the exact top-k
+    assert(best.zip(best.tail).forall { case (a, b) => a <= b },
+      "per-query best cos is monotone in rounds")
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      "recall is monotone in rounds")
+    for (r <- rows) {
+      // pool ≤ queries × beam × (1 + out-degree k): 10 × 8 × 9 at sf0.001
+      assert(r.getLong(1) <= 720, s"round ${r.getLong(0)} scored ${r.getLong(1)} > budget")
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+    }
+  }
+
+  test("sim_beam_sweep: recall/work monotone in beam width; width 8 ≡ the search face's round 3") {
+    val rows = SparkEntry.queries("sim_beam_sweep")(spark, d)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L, 8L))
+    val ns = rows.map(_.getLong(1)); val rec = rows.map(_.getDouble(3))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a < b },
+      "a wider beam strictly widens the scored pool here")
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      "recall is monotone in beam width on this corpus")
+    // width 8 at 3 rounds is exactly the search face's round-3 census
+    val s3 = SparkEntry.queries("sim_graph_search")(spark, d)
+      .collect().find(_.getLong(0) == 3L).get
+    val w8 = rows.last
+    assert(w8.getLong(1) == s3.getLong(1) && w8.getDouble(2) == s3.getDouble(2)
+      && w8.getDouble(3) == s3.getDouble(3),
+      "sweep(beam=8) must reproduce sim_graph_search round 3 exactly")
+  }
+
+  test("st_cdc_upsert: replay rejected every run, keyed state bounded by the user universe") {
+    val rows = SparkEntry.queries("st_cdc_upsert")(spark, d)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    assert(rows.forall(_.getBoolean(3)), "the replayed batch-1 claim must lose on every run")
+    val users = graft.engine.Tables.load(spark, d, "events")
+      .select("user_id").distinct().count()
+    for (r <- rows) {
+      assert(r.getLong(1) > 0, "each version holds live keys")
+      assert(r.getLong(1) <= users, "keys bounded by the user universe")
+    }
+    // final state: one row per user whose lexicographic-max change is an
+    // upsert — recomputed directly against the raw change derivation
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val P = 1000000007L
+    val ch = graft.engine.Tables.load(spark, d, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        when(col("event_id") % 10 === 0, "D").otherwise("U").as("op"))
+      .withColumn("batch", pmod(col("event_id"), lit(P)) * 2654435761L % P % 3)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("batch").desc, col("ts").desc, col("event_id").desc)
+    val expect = ch.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "U").count()
+    assert(rows.last.getLong(1) == expect,
+      s"v4 keyed state ${rows.last.getLong(1)} != recomputed LWW state $expect")
+  }
 }

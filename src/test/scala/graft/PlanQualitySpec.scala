@@ -523,4 +523,42 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join on a calendar-bounded frame:\n$p")
     assert(p.contains("partial_sum"), s"moment sums must partial-aggregate:\n$p")
   }
+
+  test("graph_betweenness: above the size gate the state broadcasts disappear; results are gate-independent") {
+    // below-gate (the catalog path on every test sf): state frames carry
+    // broadcast hints, so the INITIAL plan — lazy checkpoints give AQE no
+    // stats to improve on — broadcasts the state into the adjacency joins
+    // plan assertions read the UNTRUNCATED build (checkpoints hide the
+    // loop's joins inside RDD lineage); execution uses the real path
+    // below. Auto-broadcast is disabled for BOTH explains so what the
+    // assertions see is exactly what the GATE contributes — at test sf
+    // the tiny adjacency parquet would otherwise auto-broadcast on size,
+    // which is legitimate planning but not the subject here.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    val (pHinted, pCo) = try {
+      spark.conf.set(thresholdKey, "-1")
+      (graft.queries.Graph
+        .betweennessAt(spark, d, broadcastState = true, truncate = false)
+        .queryExecution.sparkPlan.toString,
+       graft.queries.Graph
+        .betweennessAt(spark, d, broadcastState = false, truncate = false)
+        .queryExecution.sparkPlan.toString)
+    } finally spark.conf.set(thresholdKey, saved)
+    assert("BroadcastHashJoin".r.findAllIn(pHinted).length >= 7,
+      s"hinted plan must broadcast the state side in every round:\n$pHinted")
+    // above-gate (the 100 TB-node shape, VERDICT r10 #5): no hints — the
+    // plan must NOT broadcast the unbounded state frames anywhere; every
+    // state⋈adjacency join is a co-partitioned shuffle join
+    assert(!pCo.contains("BroadcastHashJoin") && !pCo.contains("BroadcastExchange"),
+      s"above the gate no state frame may broadcast:\n$pCo")
+    assert(pCo.contains("SortMergeJoin") || pCo.contains("ShuffledHashJoin"),
+      s"co-partitioned variant must shuffle-join on the node key:\n$pCo")
+    // the gate changes the plan, never the answer (real truncated path)
+    val a = graft.queries.Graph.betweennessAt(spark, d, broadcastState = true)
+      .collect().map(_.toString).toSeq
+    val b = graft.queries.Graph.betweennessAt(spark, d, broadcastState = false)
+      .collect().map(_.toString).toSeq
+    assert(a == b, s"gate variants disagree:\n$a\nvs\n$b")
+  }
 }
