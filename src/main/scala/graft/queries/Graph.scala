@@ -585,7 +585,23 @@ object Graph {
     // graph_lpa_communities proved the one-job-per-round fusion. The
     // oracle unrolls the same five rounds as CTEs.
     "graph_kcore" -> ((s, d) => {
-      import s.implicits._
+      // ALL FIVE ROUNDS IN ONE ACTION (r11, the rank_converged /
+      // betweenness fusion finishing what r10's per-round union-agg
+      // started): the survivor set and restricted edges are LAZY
+      // checkpoints consumed twice each — by the next round and by the
+      // round's 1-row counter frame — so materialization happens exactly
+      // once per frame inside the single final cascade, and the 5 driver
+      // syncs/run disappear. Those syncs were the remaining retry magnet:
+      // at a ~2 s warm cost each sync is a host-noise sampling point, and
+      // the driver rounds (r9, r10) re-sampled kcore into retries that
+      // all 16 archived builder runs never showed. Measured here at
+      // sf0.1: 5-sync shape 3.06 s warm median → fused 1.4 s.
+      // NO broadcast hints on the survivor set, measured (sf0.1, same
+      // noisy-host window): hinted 3.01 s median vs unhinted 2.37 — ten
+      // per-run broadcast exchanges (2 joins × 5 rounds, each a driver
+      // collect + build + distribute) cost more than sort-merging a
+      // 240k-row edge frame across 32 partitions ever does, and the
+      // restriction joins land on keys the previous round just shuffled.
       var e = symEdges(s, d).localCheckpoint()
       val rows = (1 to 5).map { round =>
         val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -594,12 +610,11 @@ object Graph {
         e = e.join(keep.select(col("node").as("src")), "src")
           .join(keep.select(col("node").as("dst")), "dst")
           .select("src", "dst").localCheckpoint(false)
-        val st = keep.select(lit(1L).as("nk"), lit(0L).as("ne"))
-          .union(e.select(lit(0L).as("nk"), lit(1L).as("ne")))
-          .agg(coalesce(sum("nk"), lit(0L)), coalesce(sum("ne"), lit(0L))).head()
-        (round.toLong, st.getLong(0), st.getLong(1) / 2)
+        keep.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(e.agg((count(lit(1)) / 2).cast("long").as("n_edges")))
+          .select(lit(round.toLong).as("round"), col("n_nodes"), col("n_edges"))
       }
-      rows.toDF("round", "n_nodes", "n_edges").orderBy("round")
+      rows.reduce(_.union(_)).orderBy("round")
     }),
 
     // ---- label-propagation community detection (Raghavan '07), the
