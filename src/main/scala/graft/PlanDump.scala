@@ -228,11 +228,12 @@ object PlanDump {
       "collect feeds driver-side training; encode is ONE mapPartitions " +
       "scan with the broadcast rank map and per-partition word→pieces " +
       "memo — no shuffle until the 1-row census aggregate."),
-    "dd_prefix_filter" -> ("PPJoin prefix-filtered similarity join: hashed " +
-      "4-token shingles (BIGINT keys), df table joined back for the " +
-      "rarity rank, prefix self-join on low-df keys only, exact-Jaccard " +
-      "verify confined to candidates — the exact-threshold alternative " +
-      "to banded minhash, zero recall loss."),
+    "dd_prefix_filter" -> ("PPJoin prefix-filtered similarity join, r11: " +
+      "the hashed 4-gram table and its df-ranked prefix are committed " +
+      "per-sf layouts (the index a production pipeline maintains at " +
+      "write time); the per-run plan is the index READ path — prefix " +
+      "self-join on low-df keys, exact-Jaccard verify confined to " +
+      "candidates. Exact-threshold alternative to banded minhash."),
     "agg_gini_concentration" -> ("Two-phase distributed rank: monotone " +
       "⌊√rq⌋ buckets, cumulative offsets over the value-domain-bounded " +
       "bucket frame (broadcast back), within-bucket row_number — no " +
@@ -385,7 +386,37 @@ object PlanDump {
       "joins the committed adjacency and the hub-sized candidate fan-out " +
       "collapses map-side via min(struct(h, dst)) PARTIAL aggregation — " +
       "one row per walk ever shuffles (measured 3.3× over the window-" +
-      "ranked form).")
+      "ranked form)."),
+    "sim_graph_search" -> ("kNN-graph beam search (the ANN serving read " +
+      "path): per round ONE join of the O(queries × beam) frontier " +
+      "against the committed k-out-degree graph on the node key, " +
+      "re-score with broadcast vector lookups, one query-keyed rank " +
+      "window — scored rows ≤ queries × beam × (k+1), never corpus-" +
+      "sized; the whole 5-round search is one lazy-checkpoint cascade."),
+    "graph_louvain_levels" -> ("Two-level Louvain: weighted move pass " +
+      "(all lookup sides node-/community-bounded and broadcast, one " +
+      "data-sized hash-agg), community contraction as ONE groupBy on the " +
+      "mapped endpoints, second pass on the communities²-bounded coarse " +
+      "graph — each level shrinks the frame the next one touches."),
+    "graph_kcore" -> ("k-core peel, r11 fusion: all five rounds run as ONE " +
+      "action cascade — survivor sets and restricted edges are lazy " +
+      "checkpoints consumed by both the next round and the round's 1-row " +
+      "counter frame; the final plan is counter crossJoins over " +
+      "checkpointed rounds, zero per-round driver syncs."),
+    "st_cdc_upsert" -> ("Streaming CDC upsert audit: per-version keyed " +
+      "states read straight off the exactly-once manifest log; the " +
+      "replay probe re-attempts batch 1's version claim each run (a " +
+      "metadata put-if-absent, no data motion) — the three 1-row " +
+      "censuses union under SinglePartition exchanges only."),
+    "etl_change_data_feed" -> ("Change data feed: consecutive CDC states " +
+      "full-outer-joined on the key (sort-merge — CDF diffs two " +
+      "unbounded snapshots, nothing is broadcast-safe at scale); insert/" +
+      "update/delete classification collapses map-side."),
+    "dd_decontaminate" -> ("13-gram benchmark decontamination: the " +
+      "benchmark gram set BROADCASTS into the streaming corpus scan (the " +
+      "standard decontamination join), per-doc distinct counts collapse " +
+      "map-side, per-step-mod Horner hashes keep both engines in exact " +
+      "integer agreement.")
   )
 
   def main(args: Array[String]): Unit = {

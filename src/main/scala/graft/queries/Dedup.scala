@@ -620,6 +620,42 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
+    // ---- benchmark DECONTAMINATION (the 13-gram overlap rule of GPT-3 /
+    // PaLM: Brown '20 §4, Chowdhery '22 App. C): before training, every
+    // corpus doc sharing any 13-token gram with an evaluation benchmark
+    // is flagged — the one dedup variant whose misses show up directly as
+    // inflated eval numbers. Eval set here = base docs with doc_id % 97 =
+    // 0 (benchmark-sized by construction); train = everything else
+    // INCLUDING the planted +1M/+2M dup ids, so the census provably
+    // catches the planted copies of eval members. 13-grams are rolling
+    // Horner hashes over the fused tokenHashes with a mod EVERY step
+    // (13 unreduced steps would overflow BIGINT; per-step mod keeps both
+    // engines in exact integer agreement). Scale shape: the benchmark
+    // gram set is tiny at any corpus scale — it BROADCASTS into the train
+    // scan (the standard decontamination join: corpus streams, benchmark
+    // rides along), the per-doc distinct counts collapse map-side, and
+    // nothing is ever all-pairs.
+    "dd_decontaminate" -> ((s, d) => {
+      val fold = (2 to 13).foldLeft("element_at(__th, i)")((acc, j) =>
+        s"($acc * 131 + element_at(__th, i + ${j - 1})) % 1000000007L")
+      val g13 = when(size(col("__th")) < 13, array().cast("array<long>"))
+        .otherwise(expr(s"transform(sequence(1, size(__th) - 12), i -> $fold)"))
+      val grams = corpus(s, d)
+        .withColumn("__th", T.tokenHashes(col("text")))
+        .select(col("doc_id"), array_distinct(g13).as("g"))
+        .cache()
+        .select(col("doc_id"), explode(col("g")).as("gram"))
+      val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 1000000
+      val evalG = grams.filter(isEval)
+        .select(col("gram"), col("doc_id").as("eval_id"))
+      grams.filter(!isEval)
+        .join(broadcast(evalG), "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct("gram").as("n_shared_grams"),
+             countDistinct("eval_id").as("n_eval_docs"))
+        .orderBy("doc_id")
+    }),
+
     // asymmetric shingle CONTAINMENT |A∩B|/|A| (and /|B|): catches
     // doc-inside-doc duplication that symmetric Jaccard misses — a short
     // doc fully embedded in a long one scores low Jaccard but containment
@@ -1462,6 +1498,27 @@ object Dedup {
          |          CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS BIGINT), 4) AS jaccard
          |  FROM cand JOIN grams ga ON cand.a = ga.doc_id JOIN grams gb ON cand.b = gb.doc_id)
          |CROSS JOIN cen WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    // the same per-step-mod Horner fold over 13 tokens, the same eval/
+    // train split on the variant-extended corpus
+    "dd_decontaminate" -> {
+      val fold = (2 to 13).foldLeft("th[i]")((acc, j) =>
+        s"($acc * 131 + th[i + ${j - 1}]) % 1000000007")
+      s"""$corpusCte,
+         |th AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM docs),
+         |g AS (SELECT DISTINCT doc_id, gram FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(th) - 11),
+         |    i -> $fold)) AS gram
+         |  FROM th WHERE len(th) >= 13)),
+         |ev AS (SELECT gram, doc_id AS eval_id FROM g
+         |  WHERE doc_id % 97 = 0 AND doc_id < 1000000)
+         |SELECT g.doc_id,
+         |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_grams,
+         |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+         |FROM g JOIN ev USING (gram)
+         |WHERE NOT (g.doc_id % 97 = 0 AND g.doc_id < 1000000)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "dd_containment" ->
       s"""$sigsCte,

@@ -429,6 +429,36 @@ object Temporal {
         .orderBy("version")
     }),
 
+    // ---- lakehouse CHANGE DATA FEED over the CDC table (the Delta CDF /
+    // Iceberg changelog read): downstream consumers don't want each
+    // version's full state, they want WHAT CHANGED between consecutive
+    // versions — inserts, updates, deletes, per key. Derived here the way
+    // a CDF reader without stored change files must: version v's state
+    // full-outer-joined with v−1's on the key (event_id identifies the
+    // winning row, so "update" = both present with different ids).
+    // Scale shape: one key-partitioned full-outer join per version pair —
+    // both sides are keyed state snapshots, co-partitioned on user_id by
+    // the read; counts collapse map-side. The oracle re-derives both
+    // versions' winners from the raw change log and diffs them in SQL.
+    "etl_change_data_feed" -> ((s, d) => {
+      val C = graft.engine.Commits
+      val table = cdcScenario(s, d)
+      (3 to 4).map { v =>
+        val prev = s.read.parquet(C.snapshotFiles(table, v - 1): _*)
+          .select(col("user_id"), col("event_id").as("pid"))
+        val cur = s.read.parquet(C.snapshotFiles(table, v): _*)
+          .select(col("user_id"), col("event_id").as("cid"))
+        prev.join(cur, Seq("user_id"), "full_outer")
+          .agg(sum(when(col("pid").isNull, 1L).otherwise(0L)).as("n_insert"),
+               sum(when(col("pid").isNotNull && col("cid").isNotNull &&
+                 col("pid") =!= col("cid"), 1L).otherwise(0L)).as("n_update"),
+               sum(when(col("cid").isNull, 1L).otherwise(0L)).as("n_delete"),
+               sum(when(col("pid") === col("cid"), 1L).otherwise(0L)).as("n_unchanged"))
+          .select(lit(v.toLong).as("version"), col("n_insert"), col("n_update"),
+            col("n_delete"), col("n_unchanged"))
+      }.reduce(_.union(_)).orderBy("version")
+    }),
+
     // keyed dedup-keep-earliest (streaming twin: dropDuplicates within
     // watermark). Key = (user_id, event_type); keep the first-by-event-time.
     "st_dedup_first" -> ((s, d) => {
@@ -1191,6 +1221,35 @@ object Temporal {
          |  TRUE AS replay_rejected
          |FROM st WHERE rn = 1 AND op = 'U'
          |GROUP BY version ORDER BY version""".stripMargin,
+
+    // winners per (version, key) from the raw change log, pivoted to
+    // (prev, cur) per version pair, then classified — the CDF without
+    // stored change files
+    "etl_change_data_feed" ->
+      s"""WITH ch AS (SELECT event_id, ts, user_id,
+         |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         |    (event_id % 1000000007) * 2654435761 % 1000000007 % 3 AS batch
+         |  FROM events),
+         |w AS (SELECT v.version, ch.user_id, ch.event_id, ch.op,
+         |    row_number() OVER (PARTITION BY v.version, ch.user_id
+         |      ORDER BY ch.batch DESC, ch.ts DESC, ch.event_id DESC) AS rn
+         |  FROM (VALUES (2), (3), (4)) v(version)
+         |  JOIN ch ON ch.batch <= v.version - 2),
+         |st AS (SELECT version, user_id, event_id FROM w
+         |  WHERE rn = 1 AND op = 'U'),
+         |pairs AS (SELECT vv.version, st.user_id,
+         |    max(CASE WHEN st.version = vv.version - 1 THEN st.event_id END) AS pid,
+         |    max(CASE WHEN st.version = vv.version THEN st.event_id END) AS cid
+         |  FROM (VALUES (3), (4)) vv(version)
+         |  JOIN st ON st.version IN (vv.version, vv.version - 1)
+         |  GROUP BY 1, 2)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(sum(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+         |  CAST(sum(CASE WHEN pid IS NOT NULL AND cid IS NOT NULL
+         |       AND pid <> cid THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+         |  CAST(sum(CASE WHEN cid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+         |  CAST(sum(CASE WHEN pid = cid THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+         |FROM pairs GROUP BY version ORDER BY version""".stripMargin,
 
     "st_hourly_window" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,

@@ -60,7 +60,7 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     // r9: reads the per-sf scored-pair layout — only the 1-row census BNLJ
     "graph_adamic_adar" -> Seq(0, 0, 0, 1, 0, 0, 0, 0),
     "graph_bfs_layers" -> Seq(0, 0, 0, 0, 0, 1, 1, 0),
-    "graph_kcore" -> Seq(0, 0, 0, 0, 0, 0, 1, 0),
+    "graph_kcore" -> Seq(0, 0, 0, 5, 0, 0, 0, 10),
     "graph_rank_converged" -> Seq(0, 0, 0, 0, 0, 0, 1, 0),
     "graph_sssp_bounded" -> Seq(0, 0, 0, 0, 0, 0, 1, 0),
     "json_map_explode" -> Seq(0, 0, 0, 0, 0, 0, 1, 0),
@@ -92,7 +92,18 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "emb_silhouette" -> Seq(0, 0, 0, 1, 0, 2, 1, 0),
     "graph_jaccard_linkpred" -> Seq(2, 0, 0, 0, 0, 2, 0, 0),
     "graph_betweenness" -> Seq(0, 0, 0, 0, 0, 1, 0, 0),
-    "st_exactly_once_sink" -> Seq(0, 0, 0, 1, 0, 0, 0, 5))
+    "st_exactly_once_sink" -> Seq(0, 0, 0, 1, 0, 0, 0, 5),
+    // r11 additions: the fused kcore (one action cascade — counter
+    // crossJoins over checkpointed rounds), the layout-read prefix
+    // filter, the kNN-graph search family, two-level Louvain, and the
+    // CDC table's two readers
+    "dd_prefix_filter" -> Seq(4, 0, 0, 1, 0, 2, 1, 1),
+    "dd_decontaminate" -> Seq(1, 0, 0, 0, 0, 2, 1, 0),
+    "sim_graph_search" -> Seq(6, 0, 0, 18, 0, 12, 0, 24),
+    "sim_beam_sweep" -> Seq(3, 0, 0, 9, 0, 6, 0, 12),
+    "graph_louvain_levels" -> Seq(19, 0, 0, 6, 0, 9, 0, 8),
+    "st_cdc_upsert" -> Seq(0, 0, 0, 0, 0, 0, 0, 3),
+    "etl_change_data_feed" -> Seq(0, 2, 0, 0, 0, 4, 0, 2))
 
   test("top-20 bench plans match the committed fingerprint corpus") {
     if (sys.env.get("GRAFT_PLANDRIFT_PRINT").contains("1")) {
