@@ -99,8 +99,8 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     // CDC table's two readers
     "dd_prefix_filter" -> Seq(4, 0, 0, 1, 0, 2, 1, 1),
     "dd_decontaminate" -> Seq(1, 0, 0, 0, 0, 2, 1, 0),
-    "sim_graph_search" -> Seq(6, 0, 0, 18, 0, 12, 0, 24),
-    "sim_beam_sweep" -> Seq(3, 0, 0, 9, 0, 6, 0, 12),
+    "sim_graph_search" -> Seq(6, 0, 0, 0, 0, 6, 0, 6),
+    "sim_beam_sweep" -> Seq(3, 0, 0, 0, 0, 3, 0, 3),
     "graph_louvain_levels" -> Seq(19, 0, 0, 6, 0, 9, 0, 8),
     "st_cdc_upsert" -> Seq(0, 0, 0, 0, 0, 0, 0, 3),
     "etl_change_data_feed" -> Seq(0, 2, 0, 0, 0, 4, 0, 2))
