@@ -35,17 +35,24 @@ object Bfs {
     * unreachable in `maxRounds` hops are absent (callers mirroring a
     * bounded recursive-CTE oracle must use the same bound on both sides).
     * Stops early as soon as a frontier comes back empty. */
-  def run(edges: DataFrame, seeds: DataFrame, maxRounds: Int): DataFrame = {
+  /** `earlyExit = false` runs the FIXED round count as one lazy-
+    * checkpoint action cascade: no per-round empty-frontier count crosses
+    * to the driver, and rounds past exhaustion are empty-frame no-ops —
+    * the right trade for callers whose oracle twin is a bounded unrolled
+    * CTE (graph_bfs_layers) on graphs known to fill the bound. Results
+    * are identical either way (an empty frontier adds nothing). */
+  def run(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
+          earlyExit: Boolean = true): DataFrame = {
     require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")
     // materialize the edge frame once: it joins into every round and a lazy
     // plan (fact⋈fact distinct) would re-execute per round — the
     // PageRank.run lesson
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     var settled = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).localCheckpoint(earlyExit)
     var frontier = settled
     var round = 0
-    while (round < maxRounds && frontier.limit(1).count() == 1) {
+    while (round < maxRounds && (!earlyExit || frontier.limit(1).count() == 1)) {
       round += 1
       val next = frontier
         .join(e, frontier("node") === e("src"))
@@ -56,8 +63,8 @@ object Bfs {
         .distinct()
         .join(settled, Seq("node"), "left_anti")
         .withColumn("dist", lit(round.toLong))
-        .localCheckpoint()
-      settled = settled.union(next).localCheckpoint()
+        .localCheckpoint(earlyExit)
+      settled = settled.union(next).localCheckpoint(earlyExit)
       frontier = next
     }
     settled

@@ -442,7 +442,10 @@ object Graph {
     "graph_bfs_layers" -> ((s, d) => {
       val seeds = t(s, d, "supplier").filter(col("s_nationkey") === 3)
         .select((col("s_suppkey") * 2 + 1).as("node"))
-      graft.engine.Bfs.run(symEdges(s, d), seeds, maxRounds = 6)
+      // earlyExit=false: the bounded-CTE oracle twin runs the fixed 6
+      // rounds anyway, so the fused one-action cascade (no per-round
+      // empty-frontier count) is both semantics-identical and sync-free
+      graft.engine.Bfs.run(symEdges(s, d), seeds, maxRounds = 6, earlyExit = false)
         .groupBy("dist")
         .agg(count(when(col("node") % 2 === 0, 1)).as("n_customers"),
              count(when(col("node") % 2 === 1, 1)).as("n_suppliers"))
@@ -636,7 +639,11 @@ object Graph {
     // row crosses to the driver per round (kcore discipline). The oracle
     // unrolls the same four rounds as CTEs.
     "graph_lpa_communities" -> ((s, d) => {
-      import s.implicits._
+      // ALL FOUR ROUNDS IN ONE ACTION (r11, the kcore fusion): label
+      // snapshots are LAZY checkpoints consumed by the next round and the
+      // round's 1-row counter frame; the four per-round head() syncs —
+      // the jitter amplifier the bench retries punish — disappear into
+      // the single final cascade.
       val e = symEdges(s, d)
       var labels = e.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")).localCheckpoint()
@@ -650,16 +657,15 @@ object Graph {
           .groupBy("src").agg(min(col("lbl")).as("lbl"))
           .select(col("src").as("node"), col("lbl"))
         val prev = labels
-        labels = labels.filter(col("node") % 2 =!= p).union(upd).localCheckpoint()
-        // both per-round counters from ONE job over the two materialized
-        // label snapshots (node-count-sized broadcast join) — per-round
-        // driver sync is the jitter amplifier the bench retries punish
-        val st = labels.join(broadcast(prev.withColumnRenamed("lbl", "prev")), "node")
-          .agg(sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)).as("mv"),
-               countDistinct("lbl").as("nc")).head()
-        (round.toLong, st.getLong(0), st.getLong(1))
+        labels = labels.filter(col("node") % 2 =!= p).union(upd)
+          .localCheckpoint(false)
+        labels.join(broadcast(prev.withColumnRenamed("lbl", "prev")), "node")
+          .agg(sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)).as("n_moved"),
+               countDistinct("lbl").as("n_communities"))
+          .select(lit(round.toLong).as("round"),
+            col("n_moved"), col("n_communities"))
       }
-      rows.toDF("round", "n_moved", "n_communities").orderBy("round")
+      rows.reduce(_.union(_)).orderBy("round")
     }),
 
     // ---- modularity census (Newman's Q) of the nation-induced partition
