@@ -244,6 +244,31 @@ object Graph {
     betweennessPlan(symEdges(s, d), sources, broadcastState, truncate)
   }
 
+  /** Co-supply edges (u < v): suppliers sharing a (part, ship-month),
+    * materialized once per sf (same rationale as `edges`: the
+    * (part,month) self-join was the dominant per-run cost and its output
+    * is a deterministic artifact of the snapshot; a committed parquet
+    * layout is also race-free where the earlier localCheckpoint answer to
+    * the 6–42 s cache-race variance was not). Shared by graph_triangles
+    * and graph_truss_support. */
+  private def cosupplyLayout(s: SparkSession, d: String): DataFrame = {
+    val tag = graft.engine.Layouts.tag(d)
+    val path = s"/tmp/graft_graph/cosupply_$tag"
+    graft.engine.Layouts.ensureCommitted(s, path) {
+      val sp = t(s, d, "lineitem")
+        .select(col("l_partkey").as("pk"),
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("m"),
+          col("l_suppkey").as("sk")).distinct()
+      sp.as("a").join(sp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.m") === col("b.m") &&
+            col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+        .coalesce(4)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   private def nodesLayout(s: SparkSession, d: String): DataFrame = {
     val tag = graft.engine.Layouts.tag(d)
     val nPath = s"/tmp/graft_graph/symnodes_$tag"
@@ -505,33 +530,63 @@ object Graph {
     // triangles with the simpler id-ordering — orientation choice cannot
     // change the count.
     "graph_triangles" -> ((s, d) => {
-      // co-supply edges materialized once per sf (same rationale as
-      // `edges`: the (part,month) self-join was the dominant per-run cost
-      // and its output is a deterministic artifact of the snapshot). The
-      // earlier localCheckpoint answer to the 6-42 s cache-race variance
-      // is subsumed: a committed parquet layout is race-free by
-      // construction and also survives across sessions.
-      val tag = graft.engine.Layouts.tag(d)
-      val path = s"/tmp/graft_graph/cosupply_$tag"
-      graft.engine.Layouts.ensureCommitted(s, path) {
-        val sp = t(s, d, "lineitem")
-          .select(col("l_partkey").as("pk"),
-            (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("m"),
-            col("l_suppkey").as("sk")).distinct()
-        sp.as("a").join(sp.as("b"),
-            col("a.pk") === col("b.pk") && col("a.m") === col("b.m") &&
-              col("a.sk") < col("b.sk"))
-          .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
-          .coalesce(4)
-          .write.mode("overwrite").parquet(path)
-      }
-      val e = s.read.parquet(path)
+      val e = cosupplyLayout(s, d)
       graft.engine.Triangles.census(e)
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
           // 3·closed / all wedges — a ratio of exact integers, so the
           // rounded double is the same on both engines at any merge order
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4)
             .as("clustering"))
+    }),
+
+    // ---- k-truss SUPPORT census (Cohen '08) — the edge-level cohesion
+    // metric beside the graph-level triangle count: an edge's support is
+    // the number of triangles it closes, and the k-truss keeps edges with
+    // support ≥ k−2 (here the 4-truss marker), the community-core filter
+    // denser than k-core (which only needs degree). One pass, no peel
+    // iteration — the move-pass/louvain precedent: the census IS the
+    // first peel's input, and the histogram shows where the truss knife
+    // would cut. Scale shape: triangles are rooted ONCE at their lowest-
+    // degree-rank edge via the oriented adjacency intersection (the
+    // engine.Triangles discipline — O(√|E|) out-lists, wedge set never
+    // materialized); each rooted triangle emits its 3 canonical edges
+    // (O(triangles) rows), support is one hash-agg on the edge key, and
+    // the histogram is value-bounded. The oracle re-derives support from
+    // the plain a<b<c three-way join.
+    "graph_truss_support" -> ((s, d) => {
+      val e = cosupplyLayout(s, d).cache()
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val ed = e
+        .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+      val lowFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val or = ed.select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("src"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
+      val adj = or.groupBy(col("src").as("n"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val triEdges = or
+        .join(adj.select(col("n").as("src"), col("nbrs").as("srcN")), Seq("src"))
+        .join(adj.select(col("n").as("dst"), col("nbrs").as("dstN")), Seq("dst"), "left")
+        .filter(col("dstN").isNotNull)
+        .select(col("src"), col("dst"),
+          explode(array_intersect(col("srcN"), col("dstN"))).as("c"))
+        .select(explode(array(
+          struct(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v")),
+          struct(least(col("src"), col("c")).as("u"),
+            greatest(col("src"), col("c")).as("v")),
+          struct(least(col("dst"), col("c")).as("u"),
+            greatest(col("dst"), col("c")).as("v")))).as("t"))
+        .select(col("t.u").as("u"), col("t.v").as("v"))
+      val support = triEdges.groupBy("u", "v").agg(count(lit(1)).as("support"))
+      e.join(support, Seq("u", "v"), "left")
+        .select(coalesce(col("support"), lit(0L)).as("support"))
+        .groupBy("support").agg(count(lit(1)).as("n_edges"))
+        .withColumn("in_4truss", col("support") >= 2)
+        .orderBy("support")
     }),
 
     // ---- bipartite projection / co-occurrence: project the user↔event_type
@@ -1237,6 +1292,27 @@ object Graph {
         |  round(3.0 * n_triangles /
         |    (SELECT CAST(sum(dg * (dg - 1)) / 2 AS BIGINT) FROM deg), 4) AS clustering
         |FROM tri""".stripMargin,
+
+    // per-edge support from the plain ordered three-way join: each
+    // triangle (a<b<c) credits its three edges, all already in u<v form
+    "graph_truss_support" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey AS pk,
+        |    year(l_shipdate) * 100 + month(l_shipdate) AS m, l_suppkey AS sk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |      FROM sp a JOIN sp b ON a.pk = b.pk AND a.m = b.m AND a.sk < b.sk),
+        |tris AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |supp AS (SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
+        |    SELECT a AS u, b AS v FROM tris
+        |    UNION ALL SELECT a, c FROM tris
+        |    UNION ALL SELECT b, c FROM tris) GROUP BY 1, 2)
+        |SELECT support, CAST(count(*) AS BIGINT) AS n_edges,
+        |  support >= 2 AS in_4truss
+        |FROM (SELECT coalesce(s.support, 0) AS support
+        |      FROM e LEFT JOIN supp s USING (u, v))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same 4 relaxations unrolled as CTE levels with min-collapse at
     // each — never the recursive path enumeration (171 s vs 0.6 s)

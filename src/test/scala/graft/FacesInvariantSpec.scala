@@ -1415,6 +1415,22 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("graph_truss_support: support mass is exactly 3 triangles per triangle, edge census complete") {
+    val rows = SparkEntry.queries("graph_truss_support")(spark, d).collect()
+    assert(rows.nonEmpty)
+    // every triangle credits exactly its 3 edges, so the support-weighted
+    // histogram mass must equal 3 × the triangle census of the SAME
+    // committed co-supply layout (cross-face accounting)
+    val tri = SparkEntry.queries("graph_triangles")(spark, d).collect().head
+    val supportMass = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(supportMass == 3 * tri.getLong(2),
+      s"support mass $supportMass != 3 x ${tri.getLong(2)} triangles")
+    val nEdges = rows.map(_.getLong(1)).sum
+    assert(nEdges == tri.getLong(1), "histogram must cover every edge exactly once")
+    for (r <- rows)
+      assert(r.getBoolean(2) == (r.getLong(0) >= 2), "4-truss marker is support >= 2")
+  }
+
   test("graph_louvain_levels: lossless contraction, level 1 ≡ the move face, communities shrink") {
     val rows = SparkEntry.queries("graph_louvain_levels")(spark, d)
       .collect().sortBy(_.getLong(0))
