@@ -539,6 +539,34 @@ object Graph {
             .as("clustering"))
     }),
 
+    // ---- degree ASSORTATIVITY (Newman '02): the Pearson correlation of
+    // endpoint degrees over the edge sample — do hubs trade with hubs
+    // (r > 0, social-network mixing) or with the periphery (r < 0, the
+    // hub-and-spoke shape bipartite commerce graphs usually show)? One
+    // pass: degree hash-agg, two node-keyed degree lookups onto the edge
+    // frame, ONE moments aggregate — every sum an exact BIGINT (m·Σxy
+    // peaks ~6e16 at sf0.1; a 100 TB run scales the moments into the
+    // qsum fixed-point domain instead), the final r a fixed IEEE chain
+    // on those integers, parenthesization-pinned to the oracle.
+    "graph_assortativity" -> ((s, d) => {
+      val e = symEdges(s, d)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("dg"))
+      val p = e
+        .join(deg.select(col("src"), col("dg").as("du")), "src")
+        .join(deg.select(col("src").as("dst"), col("dg").as("dv")), "dst")
+      p.agg(count(lit(1)).as("m"),
+          sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+          sum(col("du") * col("dv")).as("sxy"),
+          sum(col("du") * col("du")).as("sx2"),
+          sum(col("dv") * col("dv")).as("sy2"))
+        .select(col("m").as("n_edges"),
+          round(col("sx").cast("double") / col("m"), 4).as("avg_deg"),
+          round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("m") * col("sx2") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("m") * col("sy2") - col("sy") * col("sy")).cast("double"))), 6)
+            .as("assortativity"))
+    }),
+
     // ---- k-truss SUPPORT census (Cohen '08) — the edge-level cohesion
     // metric beside the graph-level triangle count: an edge's support is
     // the number of triangles it closes, and the k-truss keeps edges with
@@ -1292,6 +1320,27 @@ object Graph {
         |  round(3.0 * n_triangles /
         |    (SELECT CAST(sum(dg * (dg - 1)) / 2 AS BIGINT) FROM deg), 4) AS clustering
         |FROM tri""".stripMargin,
+
+    // the same exact-BIGINT moment sums, the same parenthesization
+    "graph_assortativity" ->
+      """WITH edges AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |sym AS (SELECT c*2 AS src, sp*2+1 AS dst FROM edges
+        |        UNION ALL SELECT sp*2+1 AS src, c*2 AS dst FROM edges),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(du) AS BIGINT) AS sx, CAST(sum(dv) AS BIGINT) AS sy,
+        |    CAST(sum(du * dv) AS BIGINT) AS sxy,
+        |    CAST(sum(du * du) AS BIGINT) AS sx2,
+        |    CAST(sum(dv * dv) AS BIGINT) AS sy2
+        |  FROM (SELECT d1.dg AS du, d2.dg AS dv
+        |        FROM sym JOIN deg d1 ON sym.src = d1.src
+        |                 JOIN deg d2 ON sym.dst = d2.src))
+        |SELECT m AS n_edges, round(CAST(sx AS DOUBLE) / m, 4) AS avg_deg,
+        |  round(CAST(m * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(m * sx2 - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(m * sy2 - sy * sy AS DOUBLE))), 6) AS assortativity
+        |FROM t""".stripMargin,
 
     // per-edge support from the plain ordered three-way join: each
     // triangle (a<b<c) credits its three edges, all already in u<v form
