@@ -603,6 +603,26 @@ object TextOps {
         .orderBy(col("tf").desc, col("tok").asc)
         .limit(25)),
 
+    // ---- word BURSTINESS (Church & Gale '95): cf/df — how many times a
+    // word repeats within the documents it appears in at all. Function
+    // words spread evenly (burst ≈ cf/df ≈ corpus-uniform), topical/
+    // boilerplate words clump (high burst) — the signal quality filters
+    // use to separate topic terms from template residue, and adaptive LMs
+    // use for caching. One explode + ONE hash-agg (tf and df partial-
+    // aggregate map-side together); the df ≥ 5 floor keeps hapax noise
+    // out; burst is one divide on exact BIGINTs (reproducible to the
+    // digit at any merge order). Top-20 by (burst, word) total order.
+    "tx_burstiness" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("__toks")).cache()
+        .select(col("doc_id"), explode(col("__toks")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("cf"), countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 5)
+        .withColumn("burst", round(col("cf") / col("df").cast("double"), 4))
+        .orderBy(col("burst").desc, col("tok").asc)
+        .limit(20)),
+
     // first BPE merge selection: count adjacent CHARACTER pairs inside every
     // word across the corpus and rank merge candidates — iterating exactly
     // this query (merge the winner, recount) IS byte-pair-encoding tokenizer
@@ -2426,6 +2446,15 @@ object TextOps {
       s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM (SELECT doc_id, unnest(${S.tokens("text")}) AS tok FROM documents)
          |GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT 25""".stripMargin,
+
+    // one divide on exact BIGINTs; same df floor, same total order
+    "tx_burstiness" ->
+      s"""SELECT tok, cf, df, round(CAST(cf AS DOUBLE) / df, 4) AS burst
+         |FROM (SELECT tok, count(*) AS cf, count(DISTINCT doc_id) AS df
+         |      FROM (SELECT doc_id, unnest(${S.tokens("text")}) AS tok FROM documents)
+         |      GROUP BY tok)
+         |WHERE df >= 5
+         |ORDER BY burst DESC, tok ASC LIMIT 20""".stripMargin,
 
     "tx_bpe_first_merge" ->
       s"""WITH words AS (SELECT unnest(${S.tokens("text")}) AS tok FROM documents),
