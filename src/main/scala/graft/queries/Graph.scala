@@ -561,7 +561,9 @@ object Graph {
           sum(col("dv") * col("dv")).as("sy2"))
         .select(col("m").as("n_edges"),
           round(col("sx").cast("double") / col("m"), 4).as("avg_deg"),
-          round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          // qround: r is negative on this graph — canonicalize so a tiny
+          // negative rounding to zero can never hash-split as -0.0 vs +0.0
+          FP.qround((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
             (sqrt((col("m") * col("sx2") - col("sx") * col("sx")).cast("double")) *
              sqrt((col("m") * col("sy2") - col("sy") * col("sy")).cast("double"))), 6)
             .as("assortativity"))
@@ -1337,9 +1339,9 @@ object Graph {
         |        FROM sym JOIN deg d1 ON sym.src = d1.src
         |                 JOIN deg d2 ON sym.dst = d2.src))
         |SELECT m AS n_edges, round(CAST(sx AS DOUBLE) / m, 4) AS avg_deg,
-        |  round(CAST(m * sxy - sx * sy AS DOUBLE) /
+        |  (round(CAST(m * sxy - sx * sy AS DOUBLE) /
         |    (sqrt(CAST(m * sx2 - sx * sx AS DOUBLE)) *
-        |     sqrt(CAST(m * sy2 - sy * sy AS DOUBLE))), 6) AS assortativity
+        |     sqrt(CAST(m * sy2 - sy * sy AS DOUBLE))), 6) + 0.0) AS assortativity
         |FROM t""".stripMargin,
 
     // per-edge support from the plain ordered three-way join: each
