@@ -416,7 +416,16 @@ object PlanDump {
       "benchmark gram set BROADCASTS into the streaming corpus scan (the " +
       "standard decontamination join), per-doc distinct counts collapse " +
       "map-side, per-step-mod Horner hashes keep both engines in exact " +
-      "integer agreement.")
+      "integer agreement."),
+    "graph_truss_support" -> ("k-truss support census: triangles rooted " +
+      "once at their lowest-degree-rank edge (oriented adjacency " +
+      "intersection, O(sqrt E) out-lists, no wedge materialization), 3 " +
+      "canonical edges emitted per triangle, support = one hash-agg on " +
+      "the edge key, histogram value-bounded."),
+    "graph_assortativity" -> ("Degree assortativity: degree hash-agg, two " +
+      "node-keyed lookups onto the edge frame, ONE exact-BIGINT moments " +
+      "aggregate; r is a parenthesization-pinned IEEE chain, qround'd " +
+      "(negative on this graph).")
   )
 
   def main(args: Array[String]): Unit = {

@@ -1415,6 +1415,34 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("graph_assortativity: r bounded, edge count matches the adjacency, disassortative here") {
+    val r = SparkEntry.queries("graph_assortativity")(spark, d).collect().head
+    assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0, "Pearson r is bounded")
+    assert(r.getDouble(2) < 0,
+      "bipartite hub-and-spoke commerce must be degree-disassortative")
+    assert(r.getDouble(1) > 0)
+    // ordered-edge count = 2 × distinct (customer, supplier) trading pairs
+    val pairs = graft.engine.Tables.load(spark, d, "orders")
+      .join(graft.engine.Tables.load(spark, d, "lineitem"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().count()
+    assert(r.getLong(0) == 2 * pairs,
+      s"edge sample ${r.getLong(0)} != 2 x $pairs trading pairs")
+  }
+
+  test("tx_burstiness: burst >= 1 by definition, df floor respected, ordering total") {
+    val rows = SparkEntry.queries("tx_burstiness")(spark, d).collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      assert(r.getLong(1) >= r.getLong(2), "cf >= df always (a doc counts once in df)")
+      assert(r.getDouble(3) >= 1.0, "burst = cf/df >= 1")
+      assert(r.getLong(2) >= 5, "df floor")
+    }
+    val bursts = rows.map(_.getDouble(3))
+    assert(bursts.zip(bursts.tail).forall { case (a, b) => a >= b }, "sorted by burst desc")
+  }
+
   test("graph_truss_support: support mass is exactly 3 triangles per triangle, edge census complete") {
     val rows = SparkEntry.queries("graph_truss_support")(spark, d).collect()
     assert(rows.nonEmpty)
