@@ -27,6 +27,29 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** The census over a PREPARED orientation: `or` = the degree-oriented
+    * edge frame (src, dst), `adj` = its sorted out-adjacency (n, nbrs) —
+    * for callers that maintain the orientation as a committed per-snapshot
+    * artifact (the graph_triangles/graph_truss_support layouts), so each
+    * run pays only the intersection walk, never the degree agg + rank
+    * compare + collect_list rebuild. Same counting as [[census]]. */
+  def censusPrepared(e0: DataFrame, or: DataFrame, adj: DataFrame): DataFrame = {
+    val e = e0.select(col("u"), col("v"))
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val tri = or
+      .join(adj.select(col("n").as("src"), col("nbrs").as("srcN")), Seq("src"))
+      .join(adj.select(col("n").as("dst"), col("nbrs").as("dstN")), Seq("dst"), "left")
+      .select(when(col("dstN").isNull, lit(0L))
+        .otherwise(size(array_intersect(col("srcN"), col("dstN"))).cast("bigint")).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+    val shape = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("dg") * (col("dg") - 1)) / 2).cast("bigint").as("n_wedges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    shape.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
+  }
+
   /** One-row frame: n_nodes, n_edges, n_wedges (unordered paths of length
     * 2, the clustering denominator), n_triangles. */
   def census(e0: DataFrame): DataFrame = {

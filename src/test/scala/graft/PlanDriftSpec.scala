@@ -104,7 +104,7 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "graph_louvain_levels" -> Seq(19, 0, 0, 6, 0, 9, 0, 8),
     "st_cdc_upsert" -> Seq(0, 0, 0, 0, 0, 0, 0, 3),
     "etl_change_data_feed" -> Seq(0, 2, 0, 0, 0, 4, 0, 2),
-    "graph_truss_support" -> Seq(9, 0, 0, 0, 0, 10, 1, 0))
+    "graph_truss_support" -> Seq(2, 1, 0, 0, 0, 3, 1, 0))
 
   test("top-20 bench plans match the committed fingerprint corpus") {
     if (sys.env.get("GRAFT_PLANDRIFT_PRINT").contains("1")) {
