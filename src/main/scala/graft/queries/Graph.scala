@@ -1488,8 +1488,8 @@ object Graph {
     // cannot drift through float division
     "graph_kcore" -> {
       def rnd(i: Int) =
-        s"""k$i AS (SELECT src AS node FROM e${i - 1} GROUP BY src HAVING count(*) >= 30),
-           |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+        s"""k$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1} GROUP BY src HAVING count(*) >= 30),
+           |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
            |  JOIN k$i a ON e.src = a.node JOIN k$i b ON e.dst = b.node)""".stripMargin
       def row(i: Int) =
         s"""SELECT CAST($i AS BIGINT) AS round,
@@ -1497,7 +1497,7 @@ object Graph {
            |  (SELECT count(*) // 2 FROM e$i) AS n_edges""".stripMargin
       s"""WITH e00 AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |e0 AS (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM e00
+         |e0 AS MATERIALIZED (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM e00
          |       UNION ALL SELECT dst * 2 + 1, src * 2 FROM e00),
          |${(1 to 5).map(rnd).mkString(",\n")}
          |${(1 to 5).map(row).mkString("\nUNION ALL\n")}
@@ -1515,7 +1515,7 @@ object Graph {
            |m$i AS (SELECT node, max(c) AS mc FROM c$i GROUP BY node),
            |u$i AS (SELECT c.node, min(c.lbl) AS lbl FROM c$i c
            |  JOIN m$i m ON c.node = m.node AND c.c = m.mc GROUP BY c.node),
-           |l$i AS (SELECT node, lbl FROM l${i - 1} WHERE node % 2 <> $p
+           |l$i AS MATERIALIZED (SELECT node, lbl FROM l${i - 1} WHERE node % 2 <> $p
            |        UNION ALL SELECT node, lbl FROM u$i)""".stripMargin
       }
       def row(i: Int) =
@@ -1555,13 +1555,13 @@ object Graph {
     // identical qsum fold and zero-fill
     "graph_betweenness" -> {
       def fwd(i: Int) =
-        s"""c$i AS (SELECT s0, ed.dst AS v, CAST(sum(sigma) AS BIGINT) AS sigma
+        s"""c$i AS MATERIALIZED (SELECT s0, ed.dst AS v, CAST(sum(sigma) AS BIGINT) AS sigma
            |  FROM l${i - 1} JOIN ed ON ed.src = l${i - 1}.v GROUP BY s0, ed.dst),
-           |l$i AS (SELECT c.* FROM c$i c LEFT JOIN a${i - 1} p ON p.s0 = c.s0 AND p.v = c.v
+           |l$i AS MATERIALIZED (SELECT c.* FROM c$i c LEFT JOIN a${i - 1} p ON p.s0 = c.s0 AND p.v = c.v
            |        WHERE p.v IS NULL),
-           |a$i AS (SELECT * FROM a${i - 1} UNION ALL SELECT s0, v, sigma, $i FROM l$i)""".stripMargin
+           |a$i AS MATERIALIZED (SELECT * FROM a${i - 1} UNION ALL SELECT s0, v, sigma, $i FROM l$i)""".stripMargin
       def bwd(t: Int) =
-        s"""d$t AS (SELECT lo.s0, lo.v, coalesce(q.delta, CAST(0.0 AS DOUBLE)) AS delta
+        s"""d$t AS MATERIALIZED (SELECT lo.s0, lo.v, coalesce(q.delta, CAST(0.0 AS DOUBLE)) AS delta
            |  FROM (SELECT s0, v, sigma FROM a4 WHERE dist = $t) lo
            |  LEFT JOIN (
            |    SELECT lo2.s0, lo2.v,
