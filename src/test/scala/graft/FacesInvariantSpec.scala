@@ -1415,6 +1415,23 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("etl_change_data_feed reconciles with st_cdc_upsert: keys(v) = keys(v-1) + inserts - deletes") {
+    val cdf = SparkEntry.queries("etl_change_data_feed")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val keys = SparkEntry.queries("st_cdc_upsert")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (v <- 3L to 4L) {
+      val (ins, upd, del, unch) = cdf(v)
+      assert(keys(v) == keys(v - 1) + ins - del,
+        s"v$v: ${keys(v)} != ${keys(v - 1)} + $ins - $del")
+      // every key at v is accounted for exactly once by the CDF classes
+      assert(keys(v) == ins + upd + unch,
+        s"v$v: current keys ${keys(v)} != insert $ins + update $upd + unchanged $unch")
+      assert(keys(v - 1) == del + upd + unch,
+        s"v$v: prior keys ${keys(v - 1)} != delete $del + update $upd + unchanged $unch")
+    }
+  }
+
   test("graph_assortativity: r bounded, edge count matches the adjacency, disassortative here") {
     val r = SparkEntry.queries("graph_assortativity")(spark, d).collect().head
     assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0, "Pearson r is bounded")
