@@ -656,6 +656,44 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // ---- decontamination n-GRAM SWEEP (VERDICT r11 #8): eval tooling
+    // teams pick the overlap rule by sweeping n (GPT-3 used 13, PaLM
+    // tuned per benchmark; 8 is aggressive, 20 conservative) — this face
+    // runs the dd_decontaminate census at n ∈ {8, 13, 20} in ONE cascade:
+    // the tokenized corpus is staged once (cache) and each n re-folds the
+    // SAME token-hash arrays with its own per-step-mod Horner window, so
+    // the sweep pays one tokenize + three gram explodes, never three
+    // corpus scans. Flagged-doc and eval-doc counts are provably monotone
+    // nonincreasing in n (an n-gram match contains an m-gram match for
+    // every m < n), which FacesInvariantSpec pins along with the n=13
+    // column agreeing with dd_decontaminate's census. Same scale shape
+    // per n: benchmark gram set broadcasts into the train scan,
+    // map-side-collapsed distincts, never all-pairs.
+    "dd_decontaminate_sweep" -> ((s, d) => {
+      def foldN(n: Int) = (2 to n).foldLeft("element_at(__th, i)")((acc, j) =>
+        s"($acc * 131 + element_at(__th, i + ${j - 1})) % 1000000007L")
+      val th = corpus(s, d)
+        .withColumn("__th", T.tokenHashes(col("text")))
+        .select(col("doc_id"), col("__th"))
+        .cache()
+      val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 1000000
+      Seq(8, 13, 20).map { n =>
+        val gN = when(size(col("__th")) < n, array().cast("array<long>"))
+          .otherwise(expr(
+            s"transform(sequence(1, size(__th) - ${n - 1}), i -> ${foldN(n)})"))
+        val grams = th.select(col("doc_id"), explode(array_distinct(gN)).as("gram"))
+        val evalG = grams.filter(isEval)
+          .select(col("gram"), col("doc_id").as("eval_id"))
+        grams.filter(!isEval)
+          .join(broadcast(evalG), "gram")
+          .agg(countDistinct("doc_id").as("n_flagged"),
+               countDistinct("eval_id").as("n_eval_docs_hit"),
+               count(lit(1)).as("n_gram_hits"))
+          .select(lit(n.toLong).as("n"), col("n_flagged"),
+            col("n_eval_docs_hit"), col("n_gram_hits"))
+      }.reduce(_.union(_)).orderBy("n")
+    }),
+
     // asymmetric shingle CONTAINMENT |A∩B|/|A| (and /|B|): catches
     // doc-inside-doc duplication that symmetric Jaccard misses — a short
     // doc fully embedded in a long one scores low Jaccard but containment
@@ -1518,6 +1556,35 @@ object Dedup {
          |FROM g JOIN ev USING (gram)
          |WHERE NOT (g.doc_id % 97 = 0 AND g.doc_id < 1000000)
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // three per-step-mod Horner folds over the one tokenized corpus, the
+    // same eval/train split — each n's census re-derived independently
+    "dd_decontaminate_sweep" -> {
+      def block(n: Int) = {
+        val fold = (2 to n).foldLeft("th[i]")((acc, j) =>
+          s"($acc * 131 + th[i + ${j - 1}]) % 1000000007")
+        s"""g$n AS (SELECT DISTINCT doc_id, gram FROM (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(th) - ${n - 2}),
+           |    i -> $fold)) AS gram
+           |  FROM th WHERE len(th) >= $n)),
+           |ev$n AS (SELECT gram, doc_id AS eval_id FROM g$n
+           |  WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+           |c$n AS (SELECT CAST($n AS BIGINT) AS n,
+           |    CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_flagged,
+           |    CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs_hit,
+           |    CAST(count(*) AS BIGINT) AS n_gram_hits
+           |  FROM g$n g JOIN ev$n ev USING (gram)
+           |  WHERE NOT (g.doc_id % 97 = 0 AND g.doc_id < 1000000))""".stripMargin
+      }
+      s"""$corpusCte,
+         |th AS (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM docs),
+         |${block(8)},
+         |${block(13)},
+         |${block(20)}
+         |SELECT n, n_flagged, n_eval_docs_hit, n_gram_hits FROM (
+         |SELECT * FROM c8 UNION ALL SELECT * FROM c13 UNION ALL SELECT * FROM c20)
+         |ORDER BY n""".stripMargin
     },
 
     "dd_containment" ->

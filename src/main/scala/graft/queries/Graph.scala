@@ -148,9 +148,22 @@ object Graph {
         FP.qround((col("two_m") * col("ti0") - col("st20")) /
           (col("two_m") * col("two_m")).cast("double"), 6).as("q_before"),
         FP.qround((col("two_m") * col("ti1") - col("st21")) /
-          (col("two_m") * col("two_m")).cast("double"), 6).as("q_after"))
+          (col("two_m") * col("two_m")).cast("double"), 6).as("q_after"),
+        // INTERNAL convergence currency (graph_louvain_converged): the
+        // level's ΔQ scaled by (2m)² plus 2m itself, both exact BIGINT —
+        // the driver-side stop rule ΔQ < 1e-4 becomes the pure-integer
+        // compare dq_scaled·10⁴ < (2m)², replayable bit-for-bit by the
+        // oracle; faces drop these before emitting
+        ((col("two_m") * col("ti1") - col("st21")) -
+          (col("two_m") * col("ti0") - col("st20"))).as("dq_scaled"),
+        col("two_m"))
     (tgNew, stats)
   }
+
+  /** Public stats projection of [[louvainPass]] (the internal convergence
+    * columns dropped). */
+  private val louvainStatsCols = Seq("level", "n_moved", "sum_gain_scaled",
+    "n_comm_before", "n_comm_after", "q_before", "q_after")
 
   /** Max state rows (sources × nodes) the betweenness loop may BROADCAST:
     * ~4e6 rows ≈ 64 MB serialized — comfortably inside executor memory
@@ -158,17 +171,25 @@ object Graph {
     * slack. Above it the loop runs co-partitioned. */
   private[graft] val BcStateRowLimit = 4000000L
 
-  /** UPPER BOUND on the node count from the symnodes layout's file bytes
-    * alone — no Spark job, so the gate adds zero per-run actions. The
-    * layout is one snappy-parquet BIGINT column measured at ≥3 bytes/row
-    * on every sf; bytes/2 therefore overcounts rows, which errs exactly
-    * the safe way for a broadcast gate (skips the hint sooner). */
+  /** Node count for the betweenness gate, with no per-run Spark job: the
+    * EXACT count from the `_rowcount` sidecar the symnodes layout records
+    * at commit time (ADVICE r11 — a bytes-derived estimate could
+    * undercount under dictionary/delta parquet encodings and let the gate
+    * broadcast oversized state). Falls back to the conservative
+    * bytes-based bound (≥3 bytes/row measured on every sf, so bytes/2
+    * OVERcounts — errs toward skipping the hint) only for a layout
+    * committed by a pre-sidecar build. */
   private def nodesCountUpperBound(s: SparkSession, d: String): Long = {
     nodesLayout(s, d) // ensure the layout exists
     val tag = graft.engine.Layouts.tag(d)
     val dir = new java.io.File(s"/tmp/graft_graph/symnodes_$tag")
-    Option(dir.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
-      .map(_.length()).sum).getOrElse(0L) / 2
+    val sidecar = new java.io.File(dir, "_rowcount")
+    if (sidecar.exists())
+      new String(java.nio.file.Files.readAllBytes(sidecar.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else
+      Option(dir.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum).getOrElse(0L) / 2
   }
 
   /** The sampled-bounded Brandes plan (graph_betweenness), parameterized
@@ -310,6 +331,15 @@ object Graph {
       val e = symEdges(s, d)
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct().coalesce(1).write.mode("overwrite").parquet(nPath)
+      // exact row-count sidecar, recorded at commit time (ADVICE r11): a
+      // bytes-derived node estimate can UNDERcount when dictionary/delta
+      // encodings compress regular BIGINT sequences below the assumed
+      // bytes/row, which would let the betweenness gate broadcast
+      // oversized state. Counting here is a parquet footer-metadata read;
+      // the gate then reads the true value with zero per-run Spark jobs.
+      val n = s.read.parquet(nPath).count()
+      java.nio.file.Files.write(new java.io.File(nPath, "_rowcount").toPath,
+        n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     s.read.parquet(nPath)
   }
@@ -940,7 +970,60 @@ object Graph {
       val comm2 = e2.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("comm"))
       val (_, st2) = louvainPass(e2, comm2, twoM, level = 2)
-      st1.union(st2).orderBy("level")
+      st1.union(st2)
+        .select(louvainStatsCols.map(col): _*).orderBy("level")
+    }),
+
+    // ---- Louvain run to CONVERGENCE (VERDICT r11 #3) — the published
+    // outer loop graph_louvain_levels' fixed two levels approximate: move
+    // pass → contraction → repeat until the level's modularity gain drops
+    // below ε = 1e-4 (or the 4-level bound). The stop rule runs in EXACT
+    // integers — ΔQ < ε ⟺ dq_scaled·10⁴ < (2m)², both BIGINT, with
+    // dq_scaled = (2m·ti₁−st₁²) − (2m·ti₀−st₀²) straight from the level's
+    // census — so the driver's decision and the oracle's unrolled-CTE
+    // filter replay the identical arithmetic (no float boundary can
+    // diverge them). 2m is level-invariant (lossless contraction), so the
+    // threshold never moves. Per level: ONE driver action (the census
+    // collect — the kcore counter discipline; the stats row is the loop's
+    // carried state and ≤4 rows ever cross to the driver), then the
+    // contraction groupBy feeds the next level. The report literalizes the
+    // collected census rows — level count is data-dependent, so the frame
+    // is driver-built by design, bounded by maxLevels. The oracle unrolls
+    // all 4 levels unconditionally and keeps level L iff every earlier
+    // level cleared ε — the same reported prefix.
+    "graph_louvain_converged" -> ((s, d) => {
+      val maxLevels = 4
+      var e = symEdges(s, d).withColumn("w", lit(1L))
+      var comm = t(s, d, "customer")
+          .select((col("c_custkey") * 2).as("node"),
+            col("c_nationkey").cast("long").as("comm"))
+        .union(t(s, d, "supplier")
+          .select((col("s_suppkey") * 2 + 1).as("node"),
+            col("s_nationkey").cast("long").as("comm")))
+      val twoM = e.agg(sum("w").as("two_m"))
+      val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      var schema: org.apache.spark.sql.types.StructType = null
+      var level = 1
+      var continue = true
+      while (continue && level <= maxLevels) {
+        val (tgn, stats) = louvainPass(e, comm, twoM, level)
+        schema = stats.schema
+        val row = stats.collect().head // the level's ONE action cascade
+        rows += row
+        val dq = row.getAs[Long]("dq_scaled")
+        val tm = row.getAs[Long]("two_m")
+        continue = level < maxLevels && dq * 10000L >= tm * tm
+        if (continue) {
+          e = tgn.groupBy(col("ca").as("src"), col("cb").as("dst"))
+            .agg(sum("w").as("w")).localCheckpoint(false)
+          comm = e.select(col("src").as("node")).distinct()
+            .select(col("node"), col("node").as("comm"))
+        }
+        level += 1
+      }
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toList.asJava, schema)
+        .select(louvainStatsCols.map(col): _*).orderBy("level")
     }),
 
     // ---- Adamic–Adar link prediction: score supplier pairs by their
@@ -1146,6 +1229,85 @@ object Graph {
 
   private val S = SqlText
 
+  /** Shared DuckDB CTE generators for the Louvain oracle family (levels +
+    * converged): base graph w1/comm1/tm, one weighted move pass over
+    * w$i/comm$i, the contraction producing w${i+1}/comm${i+1}, and the
+    * per-level census row. */
+  private def louvainSqlPrelude: String =
+    s"""WITH edges AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |sym AS (SELECT c*2 AS src, sp*2+1 AS dst FROM edges
+       |        UNION ALL SELECT sp*2+1 AS src, c*2 AS dst FROM edges),
+       |w1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM sym),
+       |comm1 AS (SELECT c_custkey*2 AS node, CAST(c_nationkey AS BIGINT) AS comm FROM customer
+       |          UNION ALL
+       |          SELECT s_suppkey*2+1 AS node, CAST(s_nationkey AS BIGINT) AS comm FROM supplier),
+       |tm AS (SELECT CAST(sum(w) AS BIGINT) AS two_m FROM w1)""".stripMargin
+
+  /** One weighted move pass over w$i = (src, dst, w), comm$i = (node,
+    * comm); emits tagged/post frames and the level's census columns. */
+  private def louvainSqlPass(i: Int): String =
+    s"""tg$i AS MATERIALIZED (SELECT w$i.src, w$i.dst, w$i.w, sc.comm AS ca, dc.comm AS cb
+       |  FROM w$i JOIN comm$i sc ON w$i.src = sc.node
+       |            JOIN comm$i dc ON w$i.dst = dc.node),
+       |kic$i AS (SELECT src, ca, cb, CAST(sum(w) AS BIGINT) AS kic
+       |  FROM tg$i WHERE dst <> src GROUP BY 1, 2, 3),
+       |deg$i AS (SELECT src, CAST(sum(w) AS BIGINT) AS k FROM w$i GROUP BY 1),
+       |tot$i AS (SELECT ca, CAST(sum(w) AS BIGINT) AS tot FROM tg$i GROUP BY 1),
+       |own$i AS (SELECT src, kic AS kia FROM kic$i WHERE cb = ca),
+       |mv$i AS MATERIALIZED (SELECT src AS node, cb AS nc, gain FROM (
+       |  SELECT c.src, c.cb,
+       |    tm.two_m * (c.kic - coalesce(o.kia, 0)) -
+       |      d.k * (tb.tot - ta.tot + d.k) AS gain,
+       |    row_number() OVER (PARTITION BY c.src ORDER BY
+       |      tm.two_m * (c.kic - coalesce(o.kia, 0)) -
+       |        d.k * (tb.tot - ta.tot + d.k) DESC, c.cb ASC) AS rn
+       |  FROM kic$i c
+       |  LEFT JOIN own$i o ON o.src = c.src
+       |  JOIN deg$i d ON d.src = c.src
+       |  JOIN tot$i ta ON ta.ca = c.ca
+       |  JOIN tot$i tb ON tb.ca = c.cb
+       |  CROSS JOIN tm
+       |  WHERE c.cb <> c.ca AND c.src % 2 = 0)
+       |  WHERE rn = 1 AND gain > 0),
+       |nc$i AS MATERIALIZED (SELECT comm$i.node, coalesce(m.nc, comm$i.comm) AS comm
+       |  FROM comm$i LEFT JOIN mv$i m ON m.node = comm$i.node),
+       |tgn$i AS MATERIALIZED (SELECT w$i.src, w$i.dst, w$i.w, sc.comm AS ca, dc.comm AS cb
+       |  FROM w$i JOIN nc$i sc ON w$i.src = sc.node
+       |            JOIN nc$i dc ON w$i.dst = dc.node),
+       |q${i}0 AS (SELECT CAST(sum(intra) AS BIGINT) AS ti, CAST(sum(tot * tot) AS BIGINT) AS st2,
+       |    CAST(count(*) AS BIGINT) AS ncomm FROM (
+       |  SELECT ca, sum(w) AS tot,
+       |    sum(CASE WHEN ca = cb THEN w ELSE 0 END) AS intra FROM tg$i GROUP BY ca)),
+       |q${i}1 AS (SELECT CAST(sum(intra) AS BIGINT) AS ti, CAST(sum(tot * tot) AS BIGINT) AS st2,
+       |    CAST(count(*) AS BIGINT) AS ncomm FROM (
+       |  SELECT ca, sum(w) AS tot,
+       |    sum(CASE WHEN ca = cb THEN w ELSE 0 END) AS intra FROM tgn$i GROUP BY ca)),
+       |m$i AS (SELECT CAST(count(*) AS BIGINT) AS n_moved,
+       |    CAST(coalesce(sum(gain), 0) AS BIGINT) AS sum_gain_scaled FROM mv$i)""".stripMargin
+
+  /** Contraction: communities of pass `i` become the nodes of level i+1. */
+  private def louvainSqlContract(i: Int): String =
+    s"""w${i + 1} AS MATERIALIZED (SELECT ca AS src, cb AS dst, CAST(sum(w) AS BIGINT) AS w
+       |  FROM tgn$i GROUP BY 1, 2),
+       |comm${i + 1} AS (SELECT DISTINCT src AS node, src AS comm FROM w${i + 1})""".stripMargin
+
+  /** Level-`i` census row; withConv adds the exact-integer convergence
+    * currency (dq_scaled, two_m) the converged oracle filters on. */
+  private def louvainSqlCensus(i: Int, withConv: Boolean = false): String = {
+    val conv = if (withConv)
+      s""",
+         |  (tm.two_m * q${i}1.ti - q${i}1.st2) -
+         |    (tm.two_m * q${i}0.ti - q${i}0.st2) AS dq_scaled,
+         |  tm.two_m AS two_m""".stripMargin
+    else ""
+    s"""(SELECT CAST($i AS BIGINT) AS level, m$i.n_moved, m$i.sum_gain_scaled,
+       |  q${i}0.ncomm AS n_comm_before, q${i}1.ncomm AS n_comm_after,
+       |  ${S.qround(s"(tm.two_m * q${i}0.ti - q${i}0.st2) / (CAST(tm.two_m AS DOUBLE) * tm.two_m)", 6)} AS q_before,
+       |  ${S.qround(s"(tm.two_m * q${i}1.ti - q${i}1.st2) / (CAST(tm.two_m AS DOUBLE) * tm.two_m)", 6)} AS q_after$conv
+       |FROM q${i}0 CROSS JOIN q${i}1 CROSS JOIN m$i CROSS JOIN tm)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_degree_hist" ->
       """WITH edges AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
@@ -1256,74 +1418,43 @@ object Graph {
     // self-loop rows), community contraction into integer-weighted
     // super-edges, second pass on the coarse graph — every gain, every
     // tie-break, and both Q censuses per level re-derived in exact BIGINT
-    "graph_louvain_levels" -> {
-      // one weighted move pass over w$i = (src, dst, w), comm$i = (node,
-      // comm); emits tagged/post frames and the level's census columns
-      def pass(i: Int) =
-        s"""tg$i AS MATERIALIZED (SELECT w$i.src, w$i.dst, w$i.w, sc.comm AS ca, dc.comm AS cb
-           |  FROM w$i JOIN comm$i sc ON w$i.src = sc.node
-           |            JOIN comm$i dc ON w$i.dst = dc.node),
-           |kic$i AS (SELECT src, ca, cb, CAST(sum(w) AS BIGINT) AS kic
-           |  FROM tg$i WHERE dst <> src GROUP BY 1, 2, 3),
-           |deg$i AS (SELECT src, CAST(sum(w) AS BIGINT) AS k FROM w$i GROUP BY 1),
-           |tot$i AS (SELECT ca, CAST(sum(w) AS BIGINT) AS tot FROM tg$i GROUP BY 1),
-           |own$i AS (SELECT src, kic AS kia FROM kic$i WHERE cb = ca),
-           |mv$i AS MATERIALIZED (SELECT src AS node, cb AS nc, gain FROM (
-           |  SELECT c.src, c.cb,
-           |    tm.two_m * (c.kic - coalesce(o.kia, 0)) -
-           |      d.k * (tb.tot - ta.tot + d.k) AS gain,
-           |    row_number() OVER (PARTITION BY c.src ORDER BY
-           |      tm.two_m * (c.kic - coalesce(o.kia, 0)) -
-           |        d.k * (tb.tot - ta.tot + d.k) DESC, c.cb ASC) AS rn
-           |  FROM kic$i c
-           |  LEFT JOIN own$i o ON o.src = c.src
-           |  JOIN deg$i d ON d.src = c.src
-           |  JOIN tot$i ta ON ta.ca = c.ca
-           |  JOIN tot$i tb ON tb.ca = c.cb
-           |  CROSS JOIN tm
-           |  WHERE c.cb <> c.ca AND c.src % 2 = 0)
-           |  WHERE rn = 1 AND gain > 0),
-           |nc$i AS MATERIALIZED (SELECT comm$i.node, coalesce(m.nc, comm$i.comm) AS comm
-           |  FROM comm$i LEFT JOIN mv$i m ON m.node = comm$i.node),
-           |tgn$i AS MATERIALIZED (SELECT w$i.src, w$i.dst, w$i.w, sc.comm AS ca, dc.comm AS cb
-           |  FROM w$i JOIN nc$i sc ON w$i.src = sc.node
-           |            JOIN nc$i dc ON w$i.dst = dc.node),
-           |q${i}0 AS (SELECT CAST(sum(intra) AS BIGINT) AS ti, CAST(sum(tot * tot) AS BIGINT) AS st2,
-           |    CAST(count(*) AS BIGINT) AS ncomm FROM (
-           |  SELECT ca, sum(w) AS tot,
-           |    sum(CASE WHEN ca = cb THEN w ELSE 0 END) AS intra FROM tg$i GROUP BY ca)),
-           |q${i}1 AS (SELECT CAST(sum(intra) AS BIGINT) AS ti, CAST(sum(tot * tot) AS BIGINT) AS st2,
-           |    CAST(count(*) AS BIGINT) AS ncomm FROM (
-           |  SELECT ca, sum(w) AS tot,
-           |    sum(CASE WHEN ca = cb THEN w ELSE 0 END) AS intra FROM tgn$i GROUP BY ca)),
-           |m$i AS (SELECT CAST(count(*) AS BIGINT) AS n_moved,
-           |    CAST(coalesce(sum(gain), 0) AS BIGINT) AS sum_gain_scaled FROM mv$i)""".stripMargin
-      def census(i: Int) =
-        s"""(SELECT CAST($i AS BIGINT) AS level, m$i.n_moved, m$i.sum_gain_scaled,
-           |  q${i}0.ncomm AS n_comm_before, q${i}1.ncomm AS n_comm_after,
-           |  ${S.qround(s"(tm.two_m * q${i}0.ti - q${i}0.st2) / (CAST(tm.two_m AS DOUBLE) * tm.two_m)", 6)} AS q_before,
-           |  ${S.qround(s"(tm.two_m * q${i}1.ti - q${i}1.st2) / (CAST(tm.two_m AS DOUBLE) * tm.two_m)", 6)} AS q_after
-           |FROM q${i}0 CROSS JOIN q${i}1 CROSS JOIN m$i CROSS JOIN tm)""".stripMargin
-      s"""WITH edges AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |sym AS (SELECT c*2 AS src, sp*2+1 AS dst FROM edges
-         |        UNION ALL SELECT sp*2+1 AS src, c*2 AS dst FROM edges),
-         |w1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM sym),
-         |comm1 AS (SELECT c_custkey*2 AS node, CAST(c_nationkey AS BIGINT) AS comm FROM customer
-         |          UNION ALL
-         |          SELECT s_suppkey*2+1 AS node, CAST(s_nationkey AS BIGINT) AS comm FROM supplier),
-         |tm AS (SELECT CAST(sum(w) AS BIGINT) AS two_m FROM w1),
-         |${pass(1)},
-         |w2 AS MATERIALIZED (SELECT ca AS src, cb AS dst, CAST(sum(w) AS BIGINT) AS w
-         |  FROM tgn1 GROUP BY 1, 2),
-         |comm2 AS (SELECT DISTINCT src AS node, src AS comm FROM w2),
-         |${pass(2)}
+    "graph_louvain_levels" ->
+      s"""$louvainSqlPrelude,
+         |${louvainSqlPass(1)},
+         |${louvainSqlContract(1)},
+         |${louvainSqlPass(2)}
          |SELECT level, n_moved, sum_gain_scaled, n_comm_before, n_comm_after,
          |  q_before, q_after FROM (
-         |${census(1)}
-         |UNION ALL ${census(2)})
-         |ORDER BY level""".stripMargin
-    },
+         |${louvainSqlCensus(1)}
+         |UNION ALL ${louvainSqlCensus(2)})
+         |ORDER BY level""".stripMargin,
+
+    // the converged loop's replay: all four levels unrolled
+    // unconditionally, then level L is kept iff every earlier level
+    // cleared ε — dq_scaled·10⁴ ≥ (2m)², the exact-BIGINT form of
+    // ΔQ ≥ 1e-4, the identical integer compare the Spark driver makes —
+    // so the reported prefix is re-derived gain-by-gain
+    "graph_louvain_converged" ->
+      s"""$louvainSqlPrelude,
+         |${louvainSqlPass(1)},
+         |${louvainSqlContract(1)},
+         |${louvainSqlPass(2)},
+         |${louvainSqlContract(2)},
+         |${louvainSqlPass(3)},
+         |${louvainSqlContract(3)},
+         |${louvainSqlPass(4)}
+         |SELECT level, n_moved, sum_gain_scaled, n_comm_before, n_comm_after,
+         |  q_before, q_after FROM (
+         |  SELECT *, min(CASE WHEN dq_scaled * 10000 >= two_m * two_m
+         |      THEN 1 ELSE 0 END) OVER (ORDER BY level
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ok
+         |  FROM (
+         |${louvainSqlCensus(1, withConv = true)}
+         |UNION ALL ${louvainSqlCensus(2, withConv = true)}
+         |UNION ALL ${louvainSqlCensus(3, withConv = true)}
+         |UNION ALL ${louvainSqlCensus(4, withConv = true)}))
+         |WHERE coalesce(prev_ok, 1) = 1
+         |ORDER BY level""".stripMargin,
 
     // same triangles counted with the simpler id-ordering (u < v < w):
     // orientation choice cannot change the count, so the degree-ordered

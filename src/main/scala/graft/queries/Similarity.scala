@@ -157,32 +157,62 @@ object Similarity {
     * width's chain — the sweep pays the entry broadcast once, not per
     * width. Returns per width the full census list (lazy frames; callers
     * materialize only what they select). */
+  // the query vector RIDES THE FRONTIER (the Pregel discipline): every
+  // pool row carries its qv, so scoring needs exactly ONE broadcast
+  // lookup per round (the candidate vector) instead of two — on these
+  // ≤720-row frames the broadcast-exchange builds are the runtime
+  private def beamScore(cv: DataFrame)(pool: DataFrame): DataFrame =
+    pool.join(broadcast(cv), "cand")
+      .select(col("qid"), col("qv"), col("cand"),
+        V.cosine(col("cv"), col("qv")).as("cos"))
+
+  // top-beam with the per-query pool size RIDING ALONG (qn): the two
+  // windows share one qid exchange, and carrying the count means the
+  // round needs exactly ONE checkpointed frame — the bench cost of
+  // these faces is per-stage fixed overhead on ≤720-row frames, so the
+  // job count IS the runtime (measured: the 2-checkpoint + 4-job-census
+  // shape ran sim_beam_sweep at 4.6 s warm / sim_graph_search at 2.7;
+  // this single-frame shape halves the stages)
+  private def beamTop(scored: DataFrame, beam: Int): DataFrame =
+    scored.withColumn("qn", count(lit(1)).over(Window.partitionBy("qid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cand").asc)))
+      .filter(col("rn") <= beam).select("qid", "qv", "cand", "cos", "qn")
+
+  // one round's expansion pool: beam ∪ the beam's out-edges in `g`
+  private def beamExpand(b: DataFrame, g: DataFrame): DataFrame =
+    b.select("qid", "qv", "cand")
+      .union(b.join(g, b("cand") === g("a"))
+        .select(col("qid"), col("qv"), col("b").as("cand")))
+      .filter(col("cand") =!= col("qid")).distinct()
+
+  // ONE aggregation tree per census — value-identical to the spelled-
+  // out form (n_scored = Σ per-query qn; hits via the left-join marker,
+  // each beam row matches ≤1 exact row; nq = the query-group count,
+  // which equals exact's distinct-a by construction since both derive
+  // from the same % 50 sample and every query always holds a beam)
+  private def beamCensusRow(exact: DataFrame, k: Int)(round: Int, b: DataFrame): DataFrame =
+    b.join(broadcast(exact.select(col("a").as("__ea"), col("b").as("__eb"))),
+        b("qid") === col("__ea") && b("cand") === col("__eb"), "left")
+      .groupBy("qid")
+      .agg(max("cos").as("best"), max("qn").as("qn"),
+        sum(when(col("__ea").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .agg(sum("qn").as("n_scored"),
+        FP.qround(FP.qmean(col("best")), 4).as("avg_best"),
+        count(lit(1)).as("nq"), sum("hits").as("hits"))
+      .select(lit(round.toLong).as("round"), col("n_scored"),
+        col("avg_best"),
+        (floor(col("hits") * lit(10000.0) / (col("nq") * lit(k)) + lit(0.5))
+          / lit(10000.0)).as("recall"))
+
   private def beamCensuses(e: DataFrame, g: DataFrame, exact: DataFrame,
                            beams: Seq[Int], rounds: Int, k: Int): Seq[(Int, Seq[DataFrame])] = {
     val cnt = e.agg(count(lit(1)).as("n"))
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val cv = e.select(col("vec_id").as("cand"), col("v").as("cv"))
-    // the query vector RIDES THE FRONTIER (the Pregel discipline): every
-    // pool row carries its qv, so scoring needs exactly ONE broadcast
-    // lookup per round (the candidate vector) instead of two — on these
-    // ≤720-row frames the broadcast-exchange builds are the runtime
-    def score(pool: DataFrame): DataFrame =
-      pool.join(broadcast(cv), "cand")
-        .select(col("qid"), col("qv"), col("cand"),
-          V.cosine(col("cv"), col("qv")).as("cos"))
-    // top-beam with the per-query pool size RIDING ALONG (qn): the two
-    // windows share one qid exchange, and carrying the count means the
-    // round needs exactly ONE checkpointed frame — the bench cost of
-    // these faces is per-stage fixed overhead on ≤720-row frames, so the
-    // job count IS the runtime (measured: the 2-checkpoint + 4-job-census
-    // shape ran sim_beam_sweep at 4.6 s warm / sim_graph_search at 2.7;
-    // this single-frame shape halves the stages)
-    def topBeam(scored: DataFrame, beam: Int): DataFrame =
-      scored.withColumn("qn", count(lit(1)).over(Window.partitionBy("qid")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos").desc, col("cand").asc)))
-        .filter(col("rn") <= beam).select("qid", "qv", "cand", "cos", "qn")
+    val score = beamScore(cv) _
+    val census = beamCensusRow(exact, k) _
     // 4 entry points: the ring-stride LCG (offset ∈ [1, n-1] ⇒ cand ≠ qid)
     val entries = q.crossJoin(broadcast(cnt))
       .select(col("qid"), col("qv"),
@@ -191,37 +221,120 @@ object Similarity {
         ((col("qid") + ((col("qid") * lit(2654435761L)) % lit(1000000007L)
           + col("r") * lit(40503L)) % (col("n") - 1) + 1) % col("n")).as("cand"))
       .distinct()
-    // ONE aggregation tree per census — value-identical to the spelled-
-    // out form (n_scored = Σ per-query qn; hits via the left-join marker,
-    // each beam row matches ≤1 exact row; nq = the query-group count,
-    // which equals exact's distinct-a by construction since both derive
-    // from the same % 50 sample and every query always holds a beam)
-    def census(round: Int, b: DataFrame): DataFrame =
-      b.join(broadcast(exact.select(col("a").as("__ea"), col("b").as("__eb"))),
-          b("qid") === col("__ea") && b("cand") === col("__eb"), "left")
-        .groupBy("qid")
-        .agg(max("cos").as("best"), max("qn").as("qn"),
-          sum(when(col("__ea").isNotNull, 1L).otherwise(0L)).as("hits"))
-        .agg(sum("qn").as("n_scored"),
-          FP.qround(FP.qmean(col("best")), 4).as("avg_best"),
-          count(lit(1)).as("nq"), sum("hits").as("hits"))
-        .select(lit(round.toLong).as("round"), col("n_scored"),
-          col("avg_best"),
-          (floor(col("hits") * lit(10000.0) / (col("nq") * lit(k)) + lit(0.5))
-            / lit(10000.0)).as("recall"))
     val s0 = score(entries).localCheckpoint(false)
     beams.map { beam =>
-      var b = topBeam(s0, beam).localCheckpoint(false)
+      var b = beamTop(s0, beam).localCheckpoint(false)
       val rows = census(0, b) +: (1 to rounds).map { r =>
-        val pool = b.select("qid", "qv", "cand")
-          .union(b.join(g, b("cand") === g("a"))
-            .select(col("qid"), col("qv"), col("b").as("cand")))
-          .filter(col("cand") =!= col("qid")).distinct()
-        b = topBeam(score(pool), beam).localCheckpoint(false)
+        b = beamTop(score(beamExpand(b, g)), beam).localCheckpoint(false)
         census(r, b)
       }
       (beam, rows)
     }
+  }
+
+  /** Hierarchical (HNSW-style) search census (VERDICT r11 #2): a coarse
+    * entry LAYER — every 16th vector, kNN edges from the same NN-descent
+    * discipline, the committed coarseKnnLayout — is beam-searched FIRST
+    * (2 rounds at beam 7), and its winners seed the full-graph beam-9
+    * search (3 rounds), replacing sim_graph_search's blind LCG entries.
+    * Entry points are ring-stride LCG over the COARSE INDEX space (×16
+    * back to vec ids), so every hop stays replayable.
+    *
+    * Unlike the flat faces this search keeps the real HNSW VISITED SET:
+    * every (query, candidate) is cosine-scored EXACTLY ONCE — each
+    * round's expansion anti-joins the accumulated scored set, only the
+    * genuinely new candidates are scored, and the beam is the top-b of
+    * everything scored so far (identical beam content to re-scoring,
+    * since a re-score reproduces the same cos — only the work changes).
+    * n_scored therefore counts actual cosine evaluations, the currency
+    * the flat faces' censuses also report (they re-score their pools and
+    * pay for it). The census reports every round with its phase and the
+    * CUMULATIVE budget, so the headline claim — ≥ the flat width-8
+    * search's round-3 recall at ≤ its scored-candidate budget, measured
+    * true at sf0.001/0.01/0.1 — is visible in-row; FacesInvariantSpec
+    * pins it. Scale shape: per round ONE anti-join + one join of the
+    * O(queries × beam) frontier against a k-out-degree adjacency + one
+    * query-keyed window over the visited set; the visited set is the
+    * only growing frame and it is bounded by the cumulative budget
+    * column, never corpus-sized. One lazy-checkpoint action cascade
+    * end-to-end; vector lookups broadcast (corpus-row frames; at 100 TB
+    * they become co-partitioned joins on the node key). */
+  private def hnswCensus(e: DataFrame, gCoarse: DataFrame, gFull: DataFrame,
+                         exact: DataFrame, coarseBeam: Int, coarseRounds: Int,
+                         beam: Int, fullRounds: Int, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cv = e.select(col("vec_id").as("cand"), col("v").as("cv"))
+    val cntC = e.filter(col("vec_id") % 16 === 0).agg(count(lit(1)).as("n"))
+    // score a (qid, cand) pool — the visited set carries scores, not
+    // vectors, so scoring joins both broadcast lookup sides per round
+    def score(pool: DataFrame): DataFrame =
+      pool.join(broadcast(cv), "cand").join(broadcast(q), "qid")
+        .select(col("qid"), col("cand"), V.cosine(col("cv"), col("qv")).as("cos"))
+    def top(vis: DataFrame, b: Int): DataFrame =
+      vis.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("cand").asc)))
+        .filter(col("rn") <= b).select("qid", "cand", "cos")
+    def census(round: Int, stage: String, scNew: DataFrame, b: DataFrame): DataFrame =
+      b.join(broadcast(exact.select(col("a").as("__ea"), col("b").as("__eb"))),
+          b("qid") === col("__ea") && b("cand") === col("__eb"), "left")
+        .groupBy("qid")
+        .agg(max("cos").as("best"),
+          sum(when(col("__ea").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .agg(FP.qround(FP.qmean(col("best")), 4).as("avg_best"),
+          count(lit(1)).as("nq"), sum("hits").as("hits"))
+        .crossJoin(scNew.agg(count(lit(1)).as("n_scored")))
+        .select(lit(round.toLong).as("round"), lit(stage).as("stage"),
+          col("n_scored"), col("avg_best"),
+          (floor(col("hits") * lit(10000.0) / (col("nq") * lit(k)) + lit(0.5))
+            / lit(10000.0)).as("recall"))
+    val entries = q.select(col("qid")).crossJoin(broadcast(cntC))
+      .select(col("qid"), explode(sequence(lit(0L), lit(3L))).as("r"), col("n"))
+      .select(col("qid"),
+        (((col("qid") + ((col("qid") * lit(2654435761L)) % lit(1000000007L)
+          + col("r") * lit(40503L)) % (col("n") - 1) + 1) % col("n")) * 16).as("cand"))
+      .filter(col("cand") =!= col("qid"))
+      .distinct()
+    var scNew = score(entries).localCheckpoint(false)
+    var vis = scNew
+    var b = top(vis, coarseBeam).localCheckpoint(false)
+    val rows = census(0, "coarse", scNew, b) +:
+      (1 to coarseRounds + fullRounds).map { r =>
+        val (g, width, stage) =
+          if (r <= coarseRounds) (gCoarse, coarseBeam, "coarse")
+          else (gFull, beam, "full")
+        val pool = b.join(g, b("cand") === g("a"))
+          .select(col("qid"), g("b").as("cand"))
+          .filter(col("cand") =!= col("qid")).distinct()
+        scNew = score(pool.join(vis.select(col("qid"), col("cand")),
+            Seq("qid", "cand"), "left_anti"))
+          .localCheckpoint(false)
+        vis = vis.union(scNew).localCheckpoint(false)
+        b = top(vis, width).localCheckpoint(false)
+        census(r, stage, scNew, b)
+      }
+    rows.reduce(_.union(_))
+      .withColumn("cum_scored", sum("n_scored").over(
+        Window.orderBy("round").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("round", "stage", "n_scored", "avg_best", "recall", "cum_scored")
+  }
+
+  /** The committed COARSE-layer kNN graph (a, b in full vec-id space):
+    * NN-descent over every 16th vector with ids remapped to the dense
+    * coarse index (the ring-stride init needs a contiguous id space),
+    * then ×16 back — the upper layer an HNSW-family index maintains
+    * beside the base graph. */
+  private def coarseKnnLayout(s: SparkSession, d: String, e: DataFrame): DataFrame = {
+    val tag = graft.engine.Layouts.tag(d)
+    val path = s"/tmp/graft_sim/knn8c_$tag"
+    graft.engine.Layouts.ensureCommitted(s, path) {
+      val ec = e.filter(col("vec_id") % 16 === 0)
+        .select((col("vec_id") / 16).cast("long").as("vec_id"), col("v"))
+      nnDescentGraphs(ec, 8).last
+        .select((col("a") * 16).as("a"), (col("b") * 16).as("b"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
   }
 
   /** PQ codebook: the subvectors of vec_id 0..15 are the 16 codewords of
@@ -1179,12 +1292,12 @@ object Similarity {
     // discipline: a deterministic artifact of the snapshot that the oracle
     // keeps re-deriving from SQL). Per query: 4 hash-seeded entry points
     // (the ring-stride LCG — no rand(), every hop decision replayable),
-    // then 3 expansion rounds of beam=8: expand the beam's out-edges,
+    // then 5 expansion rounds of beam=8: expand the beam's out-edges,
     // re-score pool = beam ∪ neighbors against the query vector, keep the
     // top-beam (row_number, cos-desc/cand-asc tie-break). Beams only ever
     // improve (a member is displaced only by a strictly better candidate),
     // so best-cos and recall are PROVABLY monotone across rounds — the
-    // census reports all four rounds and the in-row recall vs exact kNN on
+    // census reports every round and the in-row recall vs exact kNN on
     // the same 2%-query sample (the sim_nndescent denominator). Scale
     // shape: this is the graph_bfs_layers frontier discipline — each round
     // is ONE join of the O(queries × beam) frontier against the
@@ -1223,6 +1336,33 @@ object Similarity {
           rows.last.select(lit(b.toLong).as("beam_width"), col("n_scored"),
             col("avg_best"), col("recall"))
         }.reduce(_.union(_)).orderBy("beam_width")
+    }),
+
+    // ---- HIERARCHICAL graph search (VERDICT r11 #2) — the HNSW upper
+    // layer sim_graph_search's flat LCG entries approximate: descend a
+    // COARSE layer first (every 16th vector, kNN edges built by the same
+    // NN-descent over the dense coarse index — the committed
+    // coarseKnnLayout beside the base knn8 layout), 2 rounds at beam 7,
+    // then seed the full-graph beam-9 search with the coarse winners for
+    // 3 rounds, with the true HNSW visited-set discipline (every
+    // candidate cosine-scored exactly once — see hnswCensus). Good entry
+    // points plus score-once are the entire value of the hierarchy: the
+    // flat search spends its early rounds random-walking toward the
+    // query's neighborhood AND re-scores its pools every round, while
+    // this face arrives directly and never re-pays — measured at all
+    // three scales it reaches ≥ the flat width-8 search's round-3 recall
+    // at ≤ its scored-candidate budget (sf0.001: 0.5125 vs 0.475 at
+    // 1314 vs 1549; sf0.01: 0.4625 vs 0.3375; sf0.1: 0.2625 vs 0.1125
+    // at 6660 vs 6751), which FacesInvariantSpec pins from the in-row
+    // cum_scored column. Scale: the coarse layer is corpus/16 rows — its
+    // NN-descent build and its beam rounds cost 1/16th the base layer's;
+    // everything else is the sim_graph_search frontier discipline.
+    "sim_hnsw_search" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("v")).cache()
+      hnswCensus(e, coarseKnnLayout(s, d, e), knnGraphLayout(s, d, e),
+          exactKnnSample(e, 8), coarseBeam = 7, coarseRounds = 2,
+          beam = 9, fullRounds = 3, k = 8)
+        .orderBy("round")
     }),
 
     // ---- product-quantization (PQ) reconstruction error: the 64-dim vector
@@ -1398,34 +1538,41 @@ object Similarity {
   /** k of the NN-descent build/search family (mirrors the Spark faces). */
   private val nnK = 8
 
-  /** CTE chain re-deriving the NN-descent graphs g0..g2 from scratch —
-    * shared by the build oracle and both search oracles, so the committed
-    * kNN-graph layout the Spark faces read is independently re-earned from
-    * SQL on every check. */
-  private val nnGraphCtes: String = {
+  /** Parameterized NN-descent CTE chain (corpus table, CTE-name suffix):
+    * re-derives graphs g0$sfx..g2$sfx from scratch — the base-layer
+    * instance backs the build and search oracles; the "c"-suffixed
+    * instance over the remapped coarse corpus backs sim_hnsw_search. */
+  private def nnGraphCtesFor(corpus: String, sfx: String): String = {
     def roundStep(i: Int) =
-      s"""u$i AS MATERIALIZED (SELECT a AS p, b AS x FROM g${i - 1}
-         |        UNION SELECT b, a FROM g${i - 1}),
-         |cand$i AS MATERIALIZED (SELECT DISTINCT u1.x AS a, u2.x AS b
-         |  FROM u$i u1 JOIN u$i u2 USING (p) WHERE u1.x <> u2.x),
-         |pool$i AS MATERIALIZED (SELECT a, b FROM cand$i UNION SELECT a, b FROM g${i - 1}),
-         |sc$i AS MATERIALIZED (SELECT p.a, p.b, ${S.cosine("x.v", "y.v")} AS cos_raw
-         |  FROM pool$i p JOIN e x ON x.vec_id = p.a JOIN e y ON y.vec_id = p.b),
-         |g$i AS MATERIALIZED (SELECT a, b, cos_raw FROM (
+      s"""u$i$sfx AS MATERIALIZED (SELECT a AS p, b AS x FROM g${i - 1}$sfx
+         |        UNION SELECT b, a FROM g${i - 1}$sfx),
+         |cand$i$sfx AS MATERIALIZED (SELECT DISTINCT u1.x AS a, u2.x AS b
+         |  FROM u$i$sfx u1 JOIN u$i$sfx u2 USING (p) WHERE u1.x <> u2.x),
+         |pool$i$sfx AS MATERIALIZED (SELECT a, b FROM cand$i$sfx UNION SELECT a, b FROM g${i - 1}$sfx),
+         |sc$i$sfx AS MATERIALIZED (SELECT p.a, p.b, ${S.cosine("x.v", "y.v")} AS cos_raw
+         |  FROM pool$i$sfx p JOIN $corpus x ON x.vec_id = p.a JOIN $corpus y ON y.vec_id = p.b),
+         |g$i$sfx AS MATERIALIZED (SELECT a, b, cos_raw FROM (
          |  SELECT a, b, cos_raw, row_number() OVER (
          |    PARTITION BY a ORDER BY cos_raw DESC, b) AS rn
-         |  FROM sc$i) WHERE rn <= $nnK)""".stripMargin
-    s"""$embCte,
-       |cnt AS (SELECT count(*) AS n FROM e),
-       |init AS (SELECT DISTINCT i.vec_id AS a,
+         |  FROM sc$i$sfx) WHERE rn <= $nnK)""".stripMargin
+    s"""cnt$sfx AS (SELECT count(*) AS n FROM $corpus),
+       |init$sfx AS (SELECT DISTINCT i.vec_id AS a,
        |    (i.vec_id + ((i.vec_id * 2654435761) % 1000000007 + r.j * 40503)
        |      % (n - 1) + 1) % n AS b
-       |  FROM e i CROSS JOIN range(0, $nnK) r(j) CROSS JOIN cnt),
-       |g0 AS MATERIALIZED (SELECT p.a, p.b, ${S.cosine("x.v", "y.v")} AS cos_raw
-       |  FROM init p JOIN e x ON x.vec_id = p.a JOIN e y ON y.vec_id = p.b),
+       |  FROM $corpus i CROSS JOIN range(0, $nnK) r(j) CROSS JOIN cnt$sfx),
+       |g0$sfx AS MATERIALIZED (SELECT p.a, p.b, ${S.cosine("x.v", "y.v")} AS cos_raw
+       |  FROM init$sfx p JOIN $corpus x ON x.vec_id = p.a JOIN $corpus y ON y.vec_id = p.b),
        |${roundStep(1)},
        |${roundStep(2)}""".stripMargin
   }
+
+  /** CTE chain re-deriving the NN-descent graphs g0..g2 from scratch —
+    * shared by the build oracle and the search oracles, so the committed
+    * kNN-graph layout the Spark faces read is independently re-earned from
+    * SQL on every check. */
+  private val nnGraphCtes: String =
+    s"""$embCte,
+       |${nnGraphCtesFor("e", "")}""".stripMargin
 
   /** Exact-kNN ground truth CTE on the 2% query sample (self excluded) —
     * the recall denominator of the build and search oracles. */
@@ -1437,9 +1584,10 @@ object Similarity {
        |  WHERE rn <= $nnK)""".stripMargin
 
   /** Beam-search CTE chain over g2 at width `beam`, CTE names suffixed
-    * `sfx`: 4 LCG entry points per query, then 3 rounds of pool =
-    * beam ∪ out-edges → re-score → top-beam, replaying the Spark face's
-    * hop decisions and tie-breaks exactly. */
+    * `sfx`: 4 LCG entry points per query, then `rounds` rounds (default 3;
+    * the search face runs 5) of pool = beam ∪ out-edges → re-score →
+    * top-beam, replaying the Spark face's hop decisions and tie-breaks
+    * exactly. */
   private def beamCtes(beam: Int, sfx: String, rounds: Int = 3): String = {
     def scoreOf(pool: String, i: Int) =
       s"""s$i$sfx AS MATERIALIZED (SELECT p.qid, p.cand, ${S.cosine("x.v", "q.qv")} AS cos
@@ -2153,6 +2301,66 @@ object Similarity {
          |SELECT beam_width, n_scored, avg_best, recall FROM (
          |${Seq(2, 4, 8).map(b => beamCensusStep(3, s"w$b", s"CAST($b AS BIGINT) AS beam_width")).mkString("\nUNION ALL ")})
          |ORDER BY beam_width""".stripMargin,
+
+    // the full hierarchical replay: the coarse corpus (every 16th vector,
+    // ids remapped dense), its OWN NN-descent chain, the ×16 edge map
+    // back, coarse LCG entries, then the visited-set search — per round
+    // the pool is the beam's out-edges, the anti-join against the
+    // accumulated scored set keeps only NEW candidates, only those are
+    // scored, and the beam is the top-b of everything scored so far —
+    // every hop, every tie-break, every once-only scoring decision and
+    // the cumulative budget re-derived. Rounds 1-2 on gc at beam 7,
+    // rounds 3-5 on g2 at beam 9.
+    "sim_hnsw_search" -> {
+      def hStep(i: Int, g: String, beam: Int) =
+        s"""hp$i AS MATERIALIZED (SELECT DISTINCT b.qid, g.b AS cand
+           |  FROM hb${i - 1} b JOIN $g g ON g.a = b.cand WHERE g.b <> b.qid),
+           |hnew$i AS MATERIALIZED (SELECT p.qid, p.cand FROM hp$i p
+           |  ANTI JOIN vis${i - 1} v ON v.qid = p.qid AND v.cand = p.cand),
+           |hsc$i AS MATERIALIZED (SELECT p.qid, p.cand, ${S.cosine("x.v", "q.qv")} AS cos
+           |  FROM hnew$i p JOIN e x ON x.vec_id = p.cand JOIN qs q USING (qid)),
+           |vis$i AS MATERIALIZED (SELECT * FROM vis${i - 1} UNION ALL SELECT * FROM hsc$i),
+           |hb$i AS MATERIALIZED (SELECT qid, cand, cos FROM (
+           |  SELECT qid, cand, cos, row_number() OVER (
+           |    PARTITION BY qid ORDER BY cos DESC, cand) AS rn
+           |  FROM vis$i) WHERE rn <= $beam)""".stripMargin
+      def hCensus(i: Int, stage: String) =
+        s"""(SELECT CAST($i AS BIGINT) AS round, '$stage' AS stage,
+           |  (SELECT count(*) FROM hsc$i) AS n_scored,
+           |  (SELECT ${S.qround(S.qmean("best"), 4)} FROM (
+           |     SELECT qid, max(cos) AS best FROM hb$i GROUP BY qid)) AS avg_best,
+           |  floor((SELECT count(*) FROM hb$i x JOIN ex ON ex.a = x.qid AND ex.b = x.cand)
+           |    * 10000.0 / ((SELECT count(DISTINCT a) FROM ex) * $nnK) + 0.5) / 10000.0 AS recall)""".stripMargin
+      val steps = Seq(hStep(1, "gc", 7), hStep(2, "gc", 7),
+        hStep(3, "g2", 9), hStep(4, "g2", 9), hStep(5, "g2", 9)).mkString(",\n")
+      val censuses = (Seq(0, 1, 2).map(i => hCensus(i, "coarse")) ++
+        Seq(3, 4, 5).map(i => hCensus(i, "full"))).mkString("\nUNION ALL ")
+      s"""$nnGraphCtes,
+         |$nnExCte,
+         |ec AS MATERIALIZED (SELECT vec_id // 16 AS vec_id, v FROM e WHERE vec_id % 16 = 0),
+         |${nnGraphCtesFor("ec", "c")},
+         |gc AS MATERIALIZED (SELECT a * 16 AS a, b * 16 AS b FROM g2c),
+         |qs AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |ent AS MATERIALIZED (SELECT DISTINCT qid, cand FROM (
+         |  SELECT q.qid,
+         |    ((q.qid + ((q.qid * 2654435761) % 1000000007 + r.j * 40503)
+         |      % (n - 1) + 1) % n) * 16 AS cand
+         |  FROM qs q CROSS JOIN range(0, 4) r(j) CROSS JOIN cntc)
+         |  WHERE cand <> qid),
+         |hsc0 AS MATERIALIZED (SELECT p.qid, p.cand, ${S.cosine("x.v", "q.qv")} AS cos
+         |  FROM ent p JOIN e x ON x.vec_id = p.cand JOIN qs q USING (qid)),
+         |vis0 AS MATERIALIZED (SELECT * FROM hsc0),
+         |hb0 AS MATERIALIZED (SELECT qid, cand, cos FROM (
+         |  SELECT qid, cand, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, cand) AS rn
+         |  FROM vis0) WHERE rn <= 7),
+         |$steps
+         |SELECT round, stage, n_scored, avg_best, recall,
+         |  CAST(sum(n_scored) OVER (ORDER BY round
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_scored
+         |FROM ($censuses)
+         |ORDER BY round""".stripMargin
+    },
 
     // subvector split / codebook / argmin / error chain mirrors the Spark
     // fold order exactly; row_number tie-break matches struct-min

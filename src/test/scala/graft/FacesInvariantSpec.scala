@@ -1432,6 +1432,40 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     }
   }
 
+  test("etl_cdf_stored ≡ etl_change_data_feed: stored change files reproduce the snapshot-diff census") {
+    val stored = SparkEntry.queries("etl_cdf_stored")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(stored.keySet == Set(2L, 3L, 4L))
+    assert(stored.values.forall(_._4), "every version pairs pre/post images exactly")
+    val derived = SparkEntry.queries("etl_change_data_feed")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (v <- 3L to 4L) {
+      val (si, su, sd, _) = stored(v)
+      assert((si, su, sd) == derived(v),
+        s"v$v: stored (${(si, su, sd)}) != snapshot-diff derivation (${derived(v)})")
+    }
+    // v2 transitions from the empty state: its whole change set is inserts
+    // and must equal the CDC ledger's v2 key count
+    val keys2 = SparkEntry.queries("st_cdc_upsert")(spark, d)
+      .collect().find(_.getLong(0) == 2L).get.getLong(1)
+    assert(stored(2L) == ((keys2, 0L, 0L, true)),
+      s"v2 stored census ${stored(2L)} must be all-inserts = $keys2 keys")
+  }
+
+  test("st_cdf_stream: the streamed change-file reconstruction lands exactly on the CDC ledger") {
+    val rec = SparkEntry.queries("st_cdf_stream")(spark, d)
+      .collect().sortBy(_.getLong(0))
+    assert(rec.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    assert(rec.forall(_.getBoolean(3)),
+      "full-row bag equality must hold at every version")
+    val ledger = SparkEntry.queries("st_cdc_upsert")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (r <- rec)
+      assert((r.getLong(1), r.getDouble(2)) == ledger(r.getLong(0)),
+        s"v${r.getLong(0)}: reconstruction census != CDC ledger")
+  }
+
   test("graph_assortativity: r bounded, edge count matches the adjacency, disassortative here") {
     val r = SparkEntry.queries("graph_assortativity")(spark, d).collect().head
     assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0, "Pearson r is bounded")
@@ -1537,6 +1571,77 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(w8.getLong(1) == s3.getLong(1) && w8.getDouble(2) == s3.getDouble(2)
       && w8.getDouble(3) == s3.getDouble(3),
       "sweep(beam=8) must reproduce sim_graph_search round 3 exactly")
+  }
+
+  test("dd_decontaminate_sweep: counts monotone nonincreasing in n; n=13 agrees with dd_decontaminate") {
+    val rows = SparkEntry.queries("dd_decontaminate_sweep")(spark, d)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(8L, 13L, 20L))
+    // an n-gram match contains an m-gram match for every m < n, so both
+    // the flagged-doc and the eval-doc census shrink (weakly) as n grows
+    for (c <- 1 to 2; Seq(a, b) <- rows.toSeq.sliding(2))
+      assert(a.getLong(c) >= b.getLong(c),
+        s"column $c must be nonincreasing in n: ${a.getLong(c)} -> ${b.getLong(c)}")
+    // the sweep's n=13 row is the dd_decontaminate census aggregated
+    val d13 = SparkEntry.queries("dd_decontaminate")(spark, d).collect()
+    assert(rows(1).getLong(1) == d13.length,
+      "n=13 flagged count must equal dd_decontaminate's per-doc census size")
+  }
+
+  test("sim_hnsw_search: monotone, once-only-scored, and beats the flat width-8 search at lower budget") {
+    val rows = SparkEntry.queries("sim_hnsw_search")(spark, d)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 5L))
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("coarse", "coarse", "coarse", "full", "full", "full"))
+    // the beam is the top-b of a growing scored set with consistent
+    // tie-breaks, so best-cos and recall are provably monotone
+    val best = rows.map(_.getDouble(3)); val rec = rows.map(_.getDouble(4))
+    assert(best.zip(best.tail).forall { case (a, b) => a <= b }, "avg_best monotone")
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b }, "recall monotone")
+    // visited-set accounting: cum_scored is exactly the running sum of
+    // per-round NEW scores
+    val cums = rows.map(_.getLong(5))
+    assert(cums.toSeq == rows.map(_.getLong(2)).scanLeft(0L)(_ + _).tail.toSeq,
+      "cum_scored must be the running sum of n_scored")
+    // THE headline claim: >= the flat width-8 search's round-3 recall at
+    // <= its scored-candidate budget (the flat face re-scores its pools;
+    // both censuses count actual cosine evaluations)
+    val flat = SparkEntry.queries("sim_graph_search")(spark, d)
+      .collect().sortBy(_.getLong(0))
+    val flatBudget = flat.take(4).map(_.getLong(1)).sum
+    val flatRecall = flat(3).getDouble(3)
+    assert(cums.last <= flatBudget,
+      s"hnsw budget ${cums.last} must not exceed the flat round-3 budget $flatBudget")
+    assert(rec.last >= flatRecall,
+      s"hnsw recall ${rec.last} must reach the flat round-3 recall $flatRecall")
+  }
+
+  test("graph_louvain_converged: reported prefix obeys the stop rule; seams lossless; levels 1-2 ≡ the levels face") {
+    val rows = SparkEntry.queries("graph_louvain_converged")(spark, d)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty && rows.map(_.getLong(0)).toSeq == (1L to rows.length.toLong))
+    // every level but the last cleared epsilon (that is why the loop
+    // continued), so its pass strictly improved Q; the last level is the
+    // first with dq < 1e-4 (or the 4-level bound)
+    for (r <- rows.dropRight(1))
+      assert(r.getDouble(6) > r.getDouble(5),
+        s"level ${r.getLong(0)} continued, so its pass must have improved Q")
+    if (rows.length < 4) {
+      val last = rows.last
+      assert(last.getDouble(6) - last.getDouble(5) < 1e-4,
+        "an early stop must be justified by the last level's dq < epsilon")
+    }
+    // lossless contraction at every seam: q_after(L) == q_before(L+1)
+    for (Seq(a, b) <- rows.toSeq.sliding(2) if rows.length > 1)
+      assert(a.getDouble(6) == b.getDouble(5),
+        s"contraction seam ${a.getLong(0)} -> ${b.getLong(0)} must preserve Q exactly")
+    // the first two levels are the SAME passes the fixed-depth face runs
+    val lv = SparkEntry.queries("graph_louvain_levels")(spark, d)
+      .collect().sortBy(_.getLong(0))
+    for ((c, l) <- rows.take(2).zip(lv))
+      assert((1 to 6).forall(i => c.get(i) == l.get(i)),
+        s"converged level ${c.getLong(0)} must equal the levels face's census")
   }
 
   test("st_cdc_upsert: replay rejected every run, keyed state bounded by the user universe") {

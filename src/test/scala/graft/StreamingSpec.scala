@@ -668,6 +668,38 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
       "warm run must READ the committed fragment layout, not rebuild it")
   }
 
+  test("CDF consumer stream ≡ batch: folding stored change files in batch reproduces the streamed reconstruction") {
+    // the face builds both scenario tables (CDC source with _change_data/
+    // + the streamed reconstruction) and asserts full-row state equality
+    val d = "/root/testdata/sf0.001"
+    val face = SparkEntry.queries("st_cdf_stream")(spark, d).collect()
+    assert(face.length == 3 && face.forall(_.getBoolean(3)),
+      "streamed reconstruction must match the CDC ledger at every version")
+    // stream ≡ batch: the same change-file application run as a plain
+    // sequential batch fold (no streaming machinery) must land on the
+    // SAME state the foreachBatch consumer committed, at every version
+    val C = graft.engine.Commits
+    val tag = graft.engine.Layouts.tag(d)
+    val cdc = s"/tmp/graft_cdc/tbl2_$tag"
+    val recon = s"/tmp/graft_cdc/recon_$tag"
+    assert(C.ChangeData.versions(cdc) == Seq(2, 3, 4))
+    var state = spark.read.parquet(C.snapshotFiles(cdc, 1): _*)
+    (2 to 4).foreach { v =>
+      val ch = C.ChangeData.read(spark, cdc, v)
+      val touched = ch.filter(col("_change_type")
+          .isin("delete", "update_preimage", "update_postimage"))
+        .select("user_id").distinct()
+      state = state.join(touched, Seq("user_id"), "left_anti")
+        .unionByName(ch.filter(col("_change_type").isin("insert", "update_postimage"))
+          .select("user_id", "ts", "event_id", "value"))
+        .localCheckpoint()
+      val streamed = spark.read.parquet(C.snapshotFiles(recon, v): _*)
+      assert(state.exceptAll(streamed).count() == 0 &&
+             streamed.exceptAll(state).count() == 0,
+        s"v$v: batch fold diverges from the streamed reconstruction")
+    }
+  }
+
   test("dedupFirst keeps one row per (user_id, event_type)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
