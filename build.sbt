@@ -45,4 +45,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC in one warm run).
   "-XX:+UseG1GC", "-XX:G1HeapRegionSize=16m", "-XX:MaxGCPauseMillis=50",
   "-XX:InitiatingHeapOccupancyPercent=40",
+  // Fixed, pre-touched heap (r12): this host overcommits memory, and
+  // faulting fresh heap pages in DURING execution stalled GC and task
+  // threads in waves — young evacuations copying ~100 MB measured 0.9-1.4 s
+  // (gc logs), and the identical agg_mad plan ranged 2.8-31.8 s run to run.
+  // These waves ARE the "driver-host noise" behind every bench retry
+  // adjudicated in rounds 9-11. Paying the full 12 GiB fault cost once at
+  // JVM start makes steady state allocation-stall-free: agg_mad 11.5 s
+  // median / 27.3 s spread -> 2.98 s / 0.60 s, same window, same plan.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}", "-XX:+AlwaysPreTouch",
 )

@@ -1389,14 +1389,22 @@ object Relational {
     }),
 
     // ---- W6: RANGE frame (value-based window — deterministic under ties,
-    // unlike ROWS frames).
+    // unlike ROWS frames). PARTITION KEY IS THE SCALE LEVER (VERDICT r11
+    // #6, measured): partitioned by o_orderstatus (3 values) every frame
+    // spanned a ~50k-row slab on 3 tasks, and Spark's sliding aggregate
+    // frame has no retraction — it RECOMPUTES the full frame per row, so
+    // cost is n × avg-frame-size (~600 rows here), ~2.0 s warm at sf0.1
+    // and a single-slab skew bomb at 100 TB. Re-keyed per ENTITY
+    // (o_custkey: ~10k groups, frames of ~a dozen rows), the same RANGE
+    // semantics cost n × tiny and parallelize with entity count —
+    // the shape a value-banded window must have at scale.
     "w6_range_frame" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
         .rangeBetween(-1000L, 1000L)
       t(s, d, "orders")
         .withColumn("nearby_sum", round(sum("o_totalprice").over(w), 4))
         .withColumn("nearby_n", count(lit(1)).over(w))
-        .select("o_orderkey", "o_orderstatus", "o_totalprice", "nearby_sum", "nearby_n")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "nearby_sum", "nearby_n")
         .orderBy("o_orderkey")
     }),
 
@@ -2212,10 +2220,10 @@ object Relational {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "w6_range_frame" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
         |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING), 4) AS nearby_sum,
-        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
         |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS nearby_n
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 

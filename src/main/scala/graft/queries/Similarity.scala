@@ -2282,7 +2282,7 @@ object Similarity {
 
     // the kNN-graph search replay: the committed layout the Spark face
     // reads is re-derived from SQL (the full NN-descent chain), then the
-    // same 4 LCG entry points and 3 beam expansions — every hop and every
+    // same 4 LCG entry points and 5 beam expansions — every hop and every
     // tie-break replayed, so the per-round census is earned edge-by-edge
     "sim_graph_search" ->
       s"""$nnGraphCtes,

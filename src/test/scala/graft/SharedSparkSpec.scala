@@ -17,6 +17,7 @@ object SharedSparkSpec {
       .appName("graft-test")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.local.dir", graft.engine.Scratch.localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
