@@ -531,10 +531,16 @@ object Graph {
     "graph_bfs_layers" -> ((s, d) => {
       val seeds = t(s, d, "supplier").filter(col("s_nationkey") === 3)
         .select((col("s_suppkey") * 2 + 1).as("node"))
-      // earlyExit=false: the bounded-CTE oracle twin runs the fixed 6
-      // rounds anyway, so the fused one-action cascade (no per-round
-      // empty-frontier count) is both semantics-identical and sync-free
-      graft.engine.Bfs.run(symEdges(s, d), seeds, maxRounds = 6, earlyExit = false)
+      // earlyExit=true (re-measured r12 after the heap fix): this graph
+      // settles by hop 3, so rounds 4-6 are empty-frame no-ops — but even
+      // an empty round schedules its 3 exchange stages (~0.25 s each).
+      // r11 chose the sync-free fused cascade because per-round counts
+      // were host-noise sampling points under the GC waves; with the
+      // pre-touched heap the counts are cheap and skipping the 3 dead
+      // rounds wins: lazy-fused 3.33 s min vs early-exit 2.58 s, same
+      // window. Results identical either way (an empty frontier adds
+      // nothing; the oracle's bounded CTE past exhaustion adds nothing).
+      graft.engine.Bfs.run(symEdges(s, d), seeds, maxRounds = 6, earlyExit = true)
         .groupBy("dist")
         .agg(count(when(col("node") % 2 === 0, 1)).as("n_customers"),
              count(when(col("node") % 2 === 1, 1)).as("n_suppliers"))

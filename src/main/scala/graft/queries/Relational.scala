@@ -709,11 +709,21 @@ object Relational {
     // sort of the fact. The same fit-broadcast-transform shape as
     // emb_whitening — at 100 TB the second pass is embarrassingly parallel.
     "agg_winsorize" -> ((s, d) => {
-      val bands = t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(percentile(col("l_extendedprice"), lit(0.05)).as("p05"),
-             percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
-      t(s, d, "lineitem")
+      // exact percentiles via engine.Quantiles (r12): the built-in
+      // percentile() buffers every distinct value per group in executor
+      // memory (ObjectHashAggregate, off-codegen — the measured ~1 s of
+      // this face's 2.4 s standing cost and an OOM at 100 TB); the
+      // two-phase bucketed selection holds only a bucket histogram and
+      // gathers the two target buckets. Identical interpolation
+      // arithmetic, bit-identical result (CORRECTNESS row unchanged).
+      val base = t(s, d, "lineitem")
+        .select("l_returnflag", "l_extendedprice").cache()
+      val qs = graft.engine.Quantiles.exact(
+        base, "l_returnflag", "l_extendedprice", Seq(0.05, 0.95), 64.0)
+      val bands = qs.groupBy("l_returnflag")
+        .agg(max(when(col("__p") === 0.05, col("__q"))).as("p05"),
+             max(when(col("__p") === 0.95, col("__q"))).as("p95"))
+      base
         .join(broadcast(bands), "l_returnflag")
         .withColumn("w", least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
         .groupBy("l_returnflag")
@@ -778,32 +788,37 @@ object Relational {
 
     "agg_mad" -> ((s, d) => {
       // Exact MAD is irreducibly two-pass (the deviation column needs the
-      // median first), but both passes share ONE cached 2-column
-      // projection instead of re-scanning + re-decoding the parquet
-      // (VERDICT r8 #4); the cached frame is 2 columns of the fact, freed
-      // with the session's cache manager. At 100 TB the same move is
-      // "materialize the projected columns once" — the second pass stays
-      // embarrassingly parallel either way. MEASURED at sf0.1 (QProbe ×5):
-      // 2.36 s median before, 2.27 s with the shared cache — the residual
-      // is the two exact-percentile aggregates themselves (~1 s each over
-      // 600k rows: the per-group value buffer every exact quantile
-      // needs), which no pass structure removes. Going below that means
-      // approx_percentile, which changes semantics — kept exact;
-      // sketch_quantiles is the catalog's approximate face of exactly
-      // that trade, bound-checked against this kind of exact pass.
+      // median first); the passes share cached narrow projections instead
+      // of re-scanning the parquet (VERDICT r8 #4). Both exact medians
+      // run through engine.Quantiles' two-phase bucketed selection (r12)
+      // instead of percentile()'s per-group value buffer — the buffer was
+      // the measured ~1 s/pass residual at sf0.1 AND an executor OOM at
+      // 100 TB (it holds every distinct value of a group in memory);
+      // the selection's state is a bucket histogram. Bit-identical
+      // interpolation, so the CORRECTNESS row is unchanged; the dev frame
+      // is cached because the selection scans its input twice.
       val base = t(s, d, "lineitem")
         .select("l_returnflag", "l_extendedprice").cache()
-      val med = base
-        .groupBy("l_returnflag")
-        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"))
-      base
+      val med = graft.engine.Quantiles.exact(
+          base, "l_returnflag", "l_extendedprice", Seq(0.5), 64.0)
+        .select(col("l_returnflag"), col("__q").as("med"))
+      val dev = base
         .join(broadcast(med), "l_returnflag")
-        .withColumn("dev", abs(col("l_extendedprice") - col("med")))
+        .select(col("l_returnflag"),
+          abs(col("l_extendedprice") - col("med")).as("dev")).cache()
+      val mad = graft.engine.Quantiles.exact(
+          dev, "l_returnflag", "dev", Seq(0.5), 64.0)
+        .select(col("l_returnflag"), col("__q").as("mad"))
+      base
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-             round(first(col("med")), 4).as("median_price"),
-             round(percentile(col("dev"), lit(0.5)), 4).as("mad"),
-             round(stddev_pop(col("l_extendedprice")), 4).as("stddev"))
+             round(stddev_pop(col("l_extendedprice")), 4).as("stddev0"))
+        .join(broadcast(med), "l_returnflag")
+        .join(broadcast(mad), "l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          round(col("med"), 4).as("median_price"),
+          round(col("mad"), 4).as("mad"),
+          col("stddev0").as("stddev"))
         .orderBy("l_returnflag")
     }),
 

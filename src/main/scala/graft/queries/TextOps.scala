@@ -1478,12 +1478,24 @@ object TextOps {
     // per-doc re-aggregate; novelty4 is an exact integer ratio. Never
     // doc×doc, and no window over the corpus — first-occurrence is a
     // commutative MIN, so map-side partial aggregation collapses it.
+    // Grams ride as per-step-mod HORNER HASHES over the fused tokenHashes
+    // (the dd_decontaminate discipline, r12): the gram shuffle — paid
+    // twice, once into the first-occurrence hash-agg and once joining
+    // back — carries 8-byte BIGINTs instead of ~25-byte 3-token strings,
+    // and the gram build is one codegen'd array fold with no string
+    // concat. Exact-integer agreement with the oracle's identical fold;
+    // occurrence counts are representation-independent (the
+    // FacesInvariantSpec recount pins them).
     "tx_ngram_novelty" -> ((s, d) => {
       val staged = t(s, d, "documents")
-        .select(col("doc_id"), T.tokens(col("text")).as("__toks")).cache()
-      val grams = staged
-        .select(col("doc_id"), T.ngramsFromTokens(col("__toks"), 3).as("__g"))
-        .select(col("doc_id"), explode(col("__g")).as("gram"))
+        .select(col("doc_id"), T.tokenHashes(col("text")).as("__th")).cache()
+      val g3 = when(size(col("__th")) < 3, array().cast("array<long>"))
+        .otherwise(expr(
+          """transform(sequence(1, size(__th) - 2),
+            |  i -> ((element_at(__th, i) * 131 + element_at(__th, i + 1))
+            |        % 1000000007L * 131 + element_at(__th, i + 2))
+            |       % 1000000007L)""".stripMargin))
+      val grams = staged.select(col("doc_id"), explode(g3).as("gram"))
       val firstSeen = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
       grams.join(firstSeen, "gram")
         .groupBy("doc_id")
@@ -2955,9 +2967,10 @@ object TextOps {
     // same gram construction; first-occurrence is min(doc_id) per gram
     "tx_ngram_novelty" ->
       s"""WITH g AS (
-         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-         |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS gram
-         |  FROM (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents)),
+         |  SELECT doc_id, unnest(CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[])
+         |    ELSE list_transform(range(1, len(th) - 1),
+         |      i -> ((th[i] * 131 + th[i + 1]) % 1000000007 * 131 + th[i + 2]) % 1000000007) END) AS gram
+         |  FROM (SELECT doc_id, ${S.tokenHashes("text")} AS th FROM documents)),
          |fs AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
          |SELECT doc_id, count(*) AS n_grams,
          |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,

@@ -50,8 +50,8 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
   // TPC-H shapes are broadcast-star chains, and the IVF-PQ funnel is
   // the one legitimately wide plan (staged candidate funnels).
   private val expected: Map[String, Seq[Int]] = Map(
-    "agg_mad" -> Seq(1, 0, 0, 0, 0, 2, 1, 0),
-    "agg_winsorize" -> Seq(1, 0, 0, 0, 0, 2, 1, 0),
+    "agg_mad" -> Seq(9, 3, 0, 0, 0, 17, 1, 0),
+    "agg_winsorize" -> Seq(2, 1, 0, 0, 0, 6, 1, 0),
     "dd_simhash_near" -> Seq(1, 0, 0, 0, 0, 1, 1, 0),
     "dd_span_mask" -> Seq(2, 0, 0, 0, 0, 4, 1, 0),
     "dd_substring_spans" -> Seq(1, 0, 0, 0, 0, 3, 1, 0),
@@ -104,7 +104,19 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "graph_louvain_levels" -> Seq(19, 0, 0, 6, 0, 9, 0, 8),
     "st_cdc_upsert" -> Seq(0, 0, 0, 0, 0, 0, 0, 3),
     "etl_change_data_feed" -> Seq(0, 2, 0, 0, 0, 4, 0, 2),
-    "graph_truss_support" -> Seq(2, 1, 0, 0, 0, 3, 1, 0))
+    "graph_truss_support" -> Seq(2, 1, 0, 0, 0, 3, 1, 0),
+    // r12 additions: the five post-r11-verdict faces, the re-keyed range
+    // frame, the hashed-gram novelty, and the Quantiles-backed agg pair
+    // (fingerprints above)
+    // louvain_converged reports literalized per-level census rows (the
+    // level count is data-dependent), so its FINAL plan is a local scan —
+    // the per-level cascades run at collect time
+    "graph_louvain_converged" -> Seq(0, 0, 0, 0, 0, 0, 0, 0),
+    "sim_hnsw_search" -> Seq(6, 0, 0, 6, 0, 6, 0, 12),
+    "etl_cdf_stored" -> Seq(0, 0, 0, 0, 0, 1, 1, 0),
+    "st_cdf_stream" -> Seq(0, 0, 0, 6, 0, 6, 0, 9),
+    "dd_decontaminate_sweep" -> Seq(3, 0, 0, 0, 0, 3, 0, 3),
+    "tx_ngram_novelty" -> Seq(1, 0, 0, 0, 0, 2, 1, 0))
 
   test("top-20 bench plans match the committed fingerprint corpus") {
     if (sys.env.get("GRAFT_PLANDRIFT_PRINT").contains("1")) {

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Quantiles
+
+/** engine/Quantiles (two-phase bucketed exact selection) must be
+  * BIT-IDENTICAL to the built-in exact percentile() — the whole point is
+  * replacing percentile()'s per-group value buffer (executor memory grows
+  * with the value domain) without moving a single output bit, so the
+  * DuckDB-oracle faces that migrated onto it (agg_mad, agg_winsorize)
+  * keep their hash matches. Seeded samples, same convention as
+  * FixedPointSpec. */
+class QuantilesSpec extends AnyFunSuite with SharedSparkSpec {
+
+  private def sample(seed: Long, n: Int): Seq[(String, Double)] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(n) {
+      val g = s"g${rnd.nextInt(3)}"
+      // mix of scales, negatives, and deliberate exact duplicates
+      val v = rnd.nextInt(4) match {
+        case 0 => rnd.nextDouble() * 1e5
+        case 1 => -rnd.nextDouble() * 1e3
+        case 2 => rnd.nextInt(50).toDouble // heavy duplication
+        case _ => rnd.nextGaussian() * 7.25
+      }
+      (g, v)
+    }
+  }
+
+  private val ps = Seq(0.0, 0.05, 0.5, 0.95, 1.0)
+
+  test("property: exact() is bit-identical to percentile() across seeds, widths, partitionings") {
+    import spark.implicits._
+    for (seed <- 1L to 5L; width <- Seq(0.7, 64.0, 1e4); parts <- Seq(1, 7)) {
+      val base = sample(seed, 501).toDF("g", "v").repartition(parts).cache()
+      val got = Quantiles.exact(base, "g", "v", ps, width)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val want = base.groupBy("g")
+        .agg(percentile(col("v"), typedLit(ps)).as("qs"))
+        .collect().flatMap { r =>
+          val qs = r.getSeq[Double](1)
+          ps.zipWithIndex.map { case (p, i) => (r.getString(0), p) -> qs(i) }
+        }.toMap
+      base.unpersist()
+      assert(got.keySet == want.keySet, s"seed=$seed width=$width parts=$parts")
+      for ((k, w) <- want)
+        assert(java.lang.Double.doubleToLongBits(got(k)) ==
+          java.lang.Double.doubleToLongBits(w),
+          s"seed=$seed width=$width parts=$parts key=$k: got ${got(k)} want $w")
+    }
+  }
+
+  test("edges: single-row group, two-row interpolation, all-equal values") {
+    import spark.implicits._
+    val base = (Seq(("a", 42.0)) ++ Seq(("b", 1.0), ("b", 2.0)) ++
+      Seq.fill(9)(("c", 7.0))).toDF("g", "v").cache()
+    val got = Quantiles.exact(base, "g", "v", Seq(0.5), 10.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == Map("a" -> 42.0, "b" -> 1.5, "c" -> 7.0))
+  }
+}
