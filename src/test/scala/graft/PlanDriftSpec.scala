@@ -77,7 +77,8 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "etl_commit_checkpoint" -> Seq(0, 0, 0, 0, 0, 0, 0, 6),
     "sim_nndescent" -> Seq(3, 0, 0, 6, 0, 3, 0, 9),
     "tx_unigram_tokenizer" -> Seq(0, 0, 0, 2, 0, 18, 0, 2),
-    "dd_suffix_exact" -> Seq(0, 0, 0, 0, 0, 1, 3, 0),
+    // r12: the suffix sort moved into the committed layout build
+    "dd_suffix_exact" -> Seq(0, 0, 0, 0, 0, 1, 1, 0),
     "graph_louvain_move" -> Seq(8, 0, 0, 3, 0, 2, 0, 4),
     "range_join_binned" -> Seq(1, 1, 0, 2, 0, 3, 1, 2),
     "ts_stl_decompose" -> Seq(1, 0, 0, 0, 0, 2, 0, 2),
@@ -86,7 +87,8 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     // join-free census assemblies (the rank_converged/kcore pattern)
     "graph_random_walks" -> Seq(0, 0, 0, 0, 0, 3, 0, 3),
     "graph_ppr" -> Seq(0, 0, 0, 1, 0, 0, 0, 1),
-    "tx_bleu_eval" -> Seq(1, 0, 0, 0, 0, 4, 1, 0),
+    // r12: +1 broadcast — doc→source rejoined after the lean gram agg
+    "tx_bleu_eval" -> Seq(2, 0, 0, 0, 0, 4, 1, 0),
     "tx_wordpiece_encode" -> Seq(2, 0, 0, 0, 0, 10, 0, 0),
     "ts_holt_winters" -> Seq(0, 0, 0, 0, 0, 2, 1, 0),
     "emb_silhouette" -> Seq(0, 0, 0, 1, 0, 2, 1, 0),
