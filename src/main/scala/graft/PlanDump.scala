@@ -461,6 +461,12 @@ object PlanDump {
       "— the HNSW upper-layer descent; every candidate scored exactly " +
       "once (visited-set discipline), recall ≥ flat width-8 at lower " +
       "scored-candidate budget, pinned in-row."),
+    "agg_median_per_entity" -> ("Exact per-supplier medians at entity " +
+      "cardinality — the group count where percentile()'s per-group " +
+      "value buffer stops being viable; engine/Quantiles' two-phase " +
+      "bucketed selection: codegen bucket histogram, metadata-sized rank " +
+      "locate, target-buckets-only gather — state never depends on row " +
+      "count."),
     "dd_decontaminate_sweep" -> ("n-gram decontamination sweep (8/13/20): " +
       "one tokenize stages the corpus, each n re-folds the same token-" +
       "hash arrays with its own per-step-mod Horner window; benchmark " +

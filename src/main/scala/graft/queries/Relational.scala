@@ -1177,6 +1177,34 @@ object Relational {
              count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
+    // ---- exact medians at ENTITY cardinality — the group count where
+    // agg_percentile_exact's "exact is affordable when groups are few"
+    // caveat flips and the built-in percentile() stops being viable: its
+    // per-group buffer holds every distinct value, so thousands of
+    // entity groups × large value domains is an executor OOM at scale.
+    // engine/Quantiles' two-phase bucketed selection (one codegen bucket
+    // histogram, bounded by value-domain/width; a metadata-sized rank
+    // locate; a target-buckets-only gather) computes the same
+    // interpolated quantiles with state that never depends on row count
+    // — the face is the catalog-level proof the engine runs at per-
+    // supplier granularity, not just agg_mad's 3 flags. Output: per-
+    // supplier median and p90 of line prices with the lineage count;
+    // the oracle recomputes with quantile_cont (interpolation agrees to
+    // ≤1 ulp — see Quantiles scaladoc — and round(,4) absorbs it).
+    "agg_median_per_entity" -> ((s, d) => {
+      val base = t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice")).cache()
+      val qs = graft.engine.Quantiles.exact(
+        base, "l_suppkey", "l_extendedprice", Seq(0.5, 0.9), 64.0)
+      val bands = qs.groupBy("l_suppkey")
+        .agg(round(max(when(col("__p") === 0.5, col("__q"))), 4).as("median"),
+             round(max(when(col("__p") === 0.9, col("__q"))), 4).as("p90"))
+      base.groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+        .join(bands, "l_suppkey")
+        .select("l_suppkey", "n", "median", "p90")
+        .orderBy("l_suppkey")
+    }),
+
     // ---- exact WEIGHTED median (quantity-weighted price per return
     // flag): the robust center that treats a 50-unit line as 50 votes —
     // what "median price" actually means for inventory/revenue questions,
@@ -1936,6 +1964,12 @@ object Relational {
         |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS gini,
         |  round(CAST(topq AS DOUBLE) / CAST(tq AS DOUBLE), 4) AS top10_share
         |FROM tot, top""".stripMargin,
+
+    "agg_median_per_entity" ->
+      """SELECT l_suppkey, count(*) AS n,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "agg_mad" ->
       """WITH med AS (SELECT l_returnflag,

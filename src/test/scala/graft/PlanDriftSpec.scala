@@ -52,9 +52,11 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
   private val expected: Map[String, Seq[Int]] = Map(
     "agg_mad" -> Seq(9, 3, 0, 0, 0, 17, 1, 0),
     "agg_winsorize" -> Seq(2, 1, 0, 0, 0, 6, 1, 0),
-    "dd_simhash_near" -> Seq(1, 0, 0, 0, 0, 1, 1, 0),
-    "dd_span_mask" -> Seq(2, 0, 0, 0, 0, 4, 1, 0),
-    "dd_substring_spans" -> Seq(1, 0, 0, 0, 0, 3, 1, 0),
+    // r12: banded candidates committed as a layout — read + filter + sort
+    "dd_simhash_near" -> Seq(0, 0, 0, 0, 0, 0, 1, 0),
+    // r12: the span pipeline committed as a layout shared with the report
+    "dd_span_mask" -> Seq(1, 0, 0, 0, 0, 2, 1, 0),
+    "dd_substring_spans" -> Seq(0, 0, 0, 0, 0, 0, 1, 0),
     "f2_format_mmssms" -> Seq(0, 0, 0, 0, 0, 0, 1, 0),
     "f8_safe_seconds" -> Seq(0, 0, 0, 0, 0, 0, 1, 0),
     // r9: reads the per-sf scored-pair layout — only the 1-row census BNLJ
@@ -118,7 +120,8 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "etl_cdf_stored" -> Seq(0, 0, 0, 0, 0, 1, 1, 0),
     "st_cdf_stream" -> Seq(0, 0, 0, 6, 0, 6, 0, 9),
     "dd_decontaminate_sweep" -> Seq(3, 0, 0, 0, 0, 3, 0, 3),
-    "tx_ngram_novelty" -> Seq(1, 0, 0, 0, 0, 2, 1, 0))
+    "tx_ngram_novelty" -> Seq(1, 0, 0, 0, 0, 2, 1, 0),
+    "agg_median_per_entity" -> Seq(2, 1, 0, 0, 0, 6, 1, 0))
 
   test("top-20 bench plans match the committed fingerprint corpus") {
     if (sys.env.get("GRAFT_PLANDRIFT_PRINT").contains("1")) {
