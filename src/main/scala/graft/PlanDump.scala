@@ -467,6 +467,11 @@ object PlanDump {
       "bucketed selection: codegen bucket histogram, metadata-sized rank " +
       "locate, target-buckets-only gather — state never depends on row " +
       "count."),
+    "graph_scc_coloring" -> ("Directed SCC (Orzan coloring, phase 1) on " +
+      "the ship/return trade digraph: 4 forward min-label rounds + 4 " +
+      "backward frontier-membership rounds, node-sized frames broadcast " +
+      "into every edge join (one shuffle/round), zero floats; the final " +
+      "frame is the checkpointed census assembly."),
     "dd_decontaminate_sweep" -> ("n-gram decontamination sweep (8/13/20): " +
       "one tokenize stages the corpus, each n re-folds the same token-" +
       "hash arrays with its own per-step-mod Horner window; benchmark " +

@@ -69,6 +69,31 @@ object Graph {
     s.read.parquet(path)
   }
 
+  /** DIRECTED trade-flow edges (graph_scc_coloring) — the catalog's one
+    * digraph: goods flow supplier→customer for every distinct trading
+    * pair, and customer→supplier ONLY where the pair has a returned line
+    * (l_returnflag = 'R'), so cycles — and therefore non-trivial strongly
+    * connected components — exist exactly where trade is mutual.
+    * Committed per sf like [[edges]] (the directed edge list is a
+    * maintained snapshot artifact); the oracle re-derives it in SQL. */
+  private def dirEdges(s: SparkSession, d: String): DataFrame = {
+    val tag = graft.engine.Layouts.tag(d)
+    val path = s"/tmp/graft_graph/dedges_$tag"
+    graft.engine.Layouts.ensureCommitted(s, path) {
+      val ol = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      val ship = ol.select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+        .select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"))
+      val ret = ol.filter(col("l_returnflag") === "R")
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+        .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      ship.union(ret).coalesce(4).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** Degree-weighted symmetric adjacency (src, dst, outdeg) + node frame,
     * materialized once per sf beside symEdges (VERDICT r8 #1) — shared by
     * the two rank faces (graph_rank_converged, graph_ppr) so each run
@@ -811,6 +836,77 @@ object Graph {
             col("n_moved"), col("n_communities"))
       }
       rows.reduce(_.union(_)).orderBy("round")
+    }),
+
+    // ---- strongly connected components of the DIRECTED trade graph —
+    // the catalog's first directed-reachability operator (Orzan '04
+    // coloring, the parallel-SCC method Ligra/Gunrock-class systems run;
+    // phase 1). Edges: goods flow supplier→customer per trading pair,
+    // customer→supplier only where the pair has returned lines, so SCCs
+    // live exactly where trade is mutual — including 4-cycles with no
+    // direct 2-cycle (s1→c1 ship, c1→s2 return, s2→c2 ship, c2→s1
+    // return), which is what makes SCC strictly richer than connected
+    // components of the return pairs. Two bounded fused cascades, zero
+    // floats: (1) FORWARD min-label flood, F(v) = min node reaching v
+    // within R hops; (2) BACKWARD membership within colors — u joins
+    // SCC(c) iff F(u) = c and u has an out-edge into SCC(c), which
+    // certifies u ⇝ c while F(u) = c already certifies c ⇝ u (the
+    // soundness argument of the coloring method; pair-label equality
+    // alone is famously UNsound). Both loops truncate at R = 4 rounds
+    // and the oracle unrolls the identical 4+4, so truncation can never
+    // diverge the engines. Scale shape: per round ONE edge⋈label join on
+    // the key the previous round shuffled + one min-aggregate (label
+    // frames are node-sized, the edge frame streams from the committed
+    // layout); phase-2 peeling (recolor the unsettled residue) is the
+    // same loop over a shrinking frame — reported here as the honest
+    // n_unsettled column instead, the phase-1 contract.
+    "graph_scc_coloring" -> ((s, d) => {
+      val R = 4
+      val de = dirEdges(s, d).localCheckpoint()
+      val nodes = de.select(col("src").as("node"))
+        .union(de.select(col("dst").as("node"))).distinct().localCheckpoint(false)
+      // label/member frames are NODE-sized — they ride the broadcast side
+      // of every edge join (one shuffle per round: the min-agg / the
+      // dedup), and the backward loop expands a FRONTIER (only newly
+      // settled nodes drive the next round) so round cost tracks
+      // discovery, not accumulated membership. Measured vs the naive
+      // shuffle-both-sides + full-member rejoin shape: 6.4 s -> ~2 s.
+      var f = nodes.withColumn("lbl", col("node")).localCheckpoint(false)
+      for (_ <- 1 to R) {
+        val m = de.join(broadcast(f.select(col("node").as("src"), col("lbl"))), "src")
+          .groupBy(col("dst").as("node")).agg(min("lbl").as("ml"))
+        f = f.join(broadcast(m), Seq("node"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("ml"), col("lbl"))).as("lbl"))
+          .localCheckpoint(false)
+      }
+      var member = f.filter(col("lbl") === col("node"))
+        .select(col("node"), col("node").as("scc")).localCheckpoint(false)
+      var frontier = member
+      for (_ <- 1 to R) {
+        val nw = de
+          .join(broadcast(frontier.select(col("node").as("dst"), col("scc"))), "dst")
+          .select(col("src").as("node"), col("scc"))
+          .join(broadcast(f), "node").filter(col("scc") === col("lbl"))
+          .select("node", "scc").distinct()
+          .join(broadcast(member.select("node")), Seq("node"), "left_anti")
+          .localCheckpoint(false)
+        member = member.union(nw).localCheckpoint(false)
+        frontier = nw
+      }
+      val census = nodes.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(member.agg(count(lit(1)).as("n_settled")))
+        .select(col("n_nodes"), col("n_settled"),
+          (col("n_nodes") - col("n_settled")).as("n_unsettled"))
+      member.groupBy("scc").agg(
+          count(lit(1)).as("n_members"),
+          sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+          sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+        .orderBy(desc("n_members"), col("scc"))
+        .limit(15)
+        .crossJoin(broadcast(census))
+        // the 1-row census join does not guarantee the limit's order
+        .orderBy(desc("n_members"), col("scc"))
     }),
 
     // ---- modularity census (Newman's Q) of the nation-induced partition
@@ -1668,6 +1764,45 @@ object Graph {
          |${(1 to 4).map(rnd).mkString(",\n")}
          |${(1 to 4).map(row).mkString("\nUNION ALL\n")}
          |ORDER BY round""".stripMargin
+    },
+
+    // the directed edge set re-derived from SQL, then the identical 4
+    // forward min-label rounds and 4 backward membership rounds unrolled
+    "graph_scc_coloring" -> {
+      def fwd(i: Int) =
+        s"""f$i AS MATERIALIZED (SELECT n.node,
+           |  least(n.lbl, coalesce(m.ml, n.lbl)) AS lbl FROM f${i - 1} n
+           |  LEFT JOIN (SELECT de.dst AS node, min(f.lbl) AS ml
+           |    FROM f${i - 1} f JOIN de ON de.src = f.node GROUP BY de.dst) m
+           |  USING (node))""".stripMargin
+      def bwd(i: Int) =
+        s"""m$i AS MATERIALIZED (SELECT node, min(scc) AS scc FROM (
+           |    SELECT node, scc FROM m${i - 1}
+           |    UNION ALL
+           |    SELECT de.src AS node, m.scc FROM m${i - 1} m
+           |    JOIN de ON de.dst = m.node
+           |    JOIN f4 f ON f.node = de.src AND f.lbl = m.scc)
+           |  GROUP BY node)""".stripMargin
+      s"""WITH ol AS (SELECT o_custkey AS c, l_suppkey AS s, l_returnflag
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |de AS MATERIALIZED (
+         |  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM (SELECT DISTINCT c, s FROM ol)
+         |  UNION ALL
+         |  SELECT c * 2, s * 2 + 1 FROM (SELECT DISTINCT c, s FROM ol WHERE l_returnflag = 'R')),
+         |nd AS MATERIALIZED (SELECT src AS node FROM de UNION SELECT dst FROM de),
+         |f0 AS (SELECT node, node AS lbl FROM nd),
+         |${(1 to 4).map(fwd).mkString(",\n")},
+         |m0 AS (SELECT node, node AS scc FROM f4 WHERE lbl = node),
+         |${(1 to 4).map(bwd).mkString(",\n")},
+         |census AS (SELECT (SELECT count(*) FROM nd) AS n_nodes,
+         |                  (SELECT count(*) FROM m4) AS n_settled),
+         |top AS (SELECT scc, count(*) AS n_members,
+         |    CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+         |    CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+         |  FROM m4 GROUP BY scc ORDER BY n_members DESC, scc LIMIT 15)
+         |SELECT scc, n_members, n_customers, n_suppliers,
+         |  n_nodes, n_settled, n_nodes - n_settled AS n_unsettled
+         |FROM top CROSS JOIN census ORDER BY n_members DESC, scc""".stripMargin
     },
 
     "graph_adamic_adar" ->

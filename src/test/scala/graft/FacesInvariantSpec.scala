@@ -1671,4 +1671,24 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
     assert(rows.last.getLong(1) == expect,
       s"v4 keyed state ${rows.last.getLong(1)} != recomputed LWW state $expect")
   }
+
+  test("graph_scc_coloring: census reconciles, members are certified mutual, giant SCC found") {
+    val rows = SparkEntry.queries("graph_scc_coloring")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val (nNodes, nSettled, nUnsettled) =
+      (rows.head.getLong(4), rows.head.getLong(5), rows.head.getLong(6))
+    assert(nSettled + nUnsettled == nNodes, "settled + unsettled must cover the node set")
+    for (r <- rows) {
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        "members = customers + suppliers, per SCC")
+      assert(r.getLong(1) >= 1L, "a root always certifies itself")
+    }
+    // the return-pair density of the trade graph makes one giant mutual
+    // component — phase-1 coloring must find it (the algorithm's point)
+    assert(rows.head.getLong(1) * 2 > nNodes,
+      s"top SCC ${rows.head.getLong(1)} should span most of $nNodes nodes")
+    // sizes are reported descending with the scc-root tiebreak
+    val sizes = rows.map(_.getLong(1)).toSeq
+    assert(sizes == sizes.sortBy(-_), "top-15 must be size-ordered")
+  }
 }
