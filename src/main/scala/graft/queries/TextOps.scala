@@ -22,6 +22,64 @@ object TextOps {
     * apply the identical HAVING floor in their training CTEs. */
   val BpeMinCount = 2
 
+  /** Per-source clipped-match census shared by tx_bleu_eval (precision
+    * view) and tx_rouge_eval (recall view) — ONE definition of the
+    * candidate corruption, gram hashing, and clipping so the two eval
+    * faces provably score the same matches. The gram stream is the one
+    * data-sized shuffle: no source string rides it (doc_id → source is a
+    * broadcast map joined back after the clip agg collapses the stream to
+    * distinct (doc, n, gram) rows), and the cand/ref indicator pair packs
+    * into ONE long (cand += 1, ref += 2^20 — per-doc gram counts are
+    * ≪ 2^20, so the two sums never carry). */
+  private def evalClipCensus(s: SparkSession, d: String): DataFrame = {
+    val P = 1000000007L
+    def bigramHashes(uh: Column): Column =
+      when(size(uh) < 2, array().cast("array<bigint>")).otherwise(
+        zip_with(slice(uh, lit(1), size(uh) - 1), slice(uh, lit(2), size(uh) - 1),
+          (a, b) => (a * 131L + b) % P))
+    val staged = t(s, d, "documents")
+      .withColumn("__ref", T.tokens(col("text")))
+      .withColumn("__cand",
+        filter(
+          transform(col("__ref"), (w, i) =>
+            when((i + 1) % 7 === 0, lit(null).cast("string"))
+              .when((i + 1) % 5 === 0, reverse(w))
+              .otherwise(w)),
+          w => w.isNotNull))
+      .withColumn("__refh", transform(col("__ref"), w => T.wordHash(w)))
+      .withColumn("__candh", transform(col("__cand"), w => T.wordHash(w)))
+      .select(col("doc_id"), col("source"),
+        size(col("__ref")).as("__nref"), size(col("__cand")).as("__ncand"),
+        col("__refh"), col("__candh"),
+        bigramHashes(col("__refh")).as("__refbg"),
+        bigramHashes(col("__candh")).as("__candbg"))
+      .cache() // read twice: the gram stream and the per-source lengths
+    def tagged(c: String, n: Int, enc: Long) =
+      transform(col(c), g => struct(lit(n).as("n"), lit(enc).as("e"), g.as("g")))
+    val docSrc = staged.select(col("doc_id"), col("source"))
+    val grams = staged.select(col("doc_id"),
+      explode(concat(
+        tagged("__candh", 1, 1L), tagged("__refh", 1, 1L << 20),
+        tagged("__candbg", 2, 1L), tagged("__refbg", 2, 1L << 20))).as("t"))
+    val clipped = grams
+      .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(sum(col("t.e")).as("e"))
+      .withColumn("cc", expr("e % 1048576"))
+      .withColumn("cr", expr("e div 1048576"))
+      .join(broadcast(docSrc), "doc_id")
+      .groupBy("source", "n").agg(sum(least(col("cc"), col("cr"))).as("clip"))
+    val clipW = clipped.groupBy("source").agg(
+      sum(when(col("n") === 1, col("clip")).otherwise(0L)).as("clip1"),
+      sum(when(col("n") === 2, col("clip")).otherwise(0L)).as("clip2"))
+    staged.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nref")).as("ref_tokens"),
+        sum(col("__ncand")).as("cand_tokens"),
+        sum(size(col("__refbg"))).as("ref_bigrams"),
+        sum(size(col("__candbg"))).as("cand_bigrams"))
+      .join(clipW, "source")
+  }
+
   val queries: Map[String, Q] = Map(
     // token counting: raw whitespace split vs non-empty tokens + char length.
     "tx_token_count" -> ((s, d) =>
@@ -1969,58 +2027,8 @@ object TextOps {
     // engines); bleu2's sqrt is correctly rounded IEEE, and its one exp()
     // call follows the tx_dsir_weights ln() precedent — round(,6) on a
     // sub-ulp-divergence-risk value, boundary probability measure-zero.
-    "tx_bleu_eval" -> ((s, d) => {
-      val P = 1000000007L
-      def bigramHashes(uh: Column): Column =
-        when(size(uh) < 2, array().cast("array<bigint>")).otherwise(
-          zip_with(slice(uh, lit(1), size(uh) - 1), slice(uh, lit(2), size(uh) - 1),
-            (a, b) => (a * 131L + b) % P))
-      val staged = t(s, d, "documents")
-        .withColumn("__ref", T.tokens(col("text")))
-        .withColumn("__cand",
-          filter(
-            transform(col("__ref"), (w, i) =>
-              when((i + 1) % 7 === 0, lit(null).cast("string"))
-                .when((i + 1) % 5 === 0, reverse(w))
-                .otherwise(w)),
-            w => w.isNotNull))
-        .withColumn("__refh", transform(col("__ref"), w => T.wordHash(w)))
-        .withColumn("__candh", transform(col("__cand"), w => T.wordHash(w)))
-        .select(col("doc_id"), col("source"),
-          size(col("__ref")).as("__nref"), size(col("__cand")).as("__ncand"),
-          col("__refh"), col("__candh"),
-          bigramHashes(col("__refh")).as("__refbg"),
-          bigramHashes(col("__candh")).as("__candbg"))
-        .cache() // read twice: the gram stream and the per-source lengths
-      // the gram stream is the one data-sized shuffle here — keep its rows
-      // LEAN (r12): no source string rides it (doc_id → source is a
-      // broadcast-sized map joined back after the clip agg collapses the
-      // stream to distinct (doc, n, gram) rows), and the cand/ref
-      // indicator pair packs into ONE long (cand += 1, ref += 2^20 —
-      // per-doc gram counts are ≪ 2^20, so the two sums never carry).
-      def tagged(c: String, n: Int, enc: Long) =
-        transform(col(c), g => struct(lit(n).as("n"), lit(enc).as("e"), g.as("g")))
-      val docSrc = staged.select(col("doc_id"), col("source"))
-      val grams = staged.select(col("doc_id"),
-        explode(concat(
-          tagged("__candh", 1, 1L), tagged("__refh", 1, 1L << 20),
-          tagged("__candbg", 2, 1L), tagged("__refbg", 2, 1L << 20))).as("t"))
-      val clipped = grams
-        .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
-        .agg(sum(col("t.e")).as("e"))
-        .withColumn("cc", expr("e % 1048576"))
-        .withColumn("cr", expr("e div 1048576"))
-        .join(broadcast(docSrc), "doc_id")
-        .groupBy("source", "n").agg(sum(least(col("cc"), col("cr"))).as("clip"))
-      val clipW = clipped.groupBy("source").agg(
-        sum(when(col("n") === 1, col("clip")).otherwise(0L)).as("clip1"),
-        sum(when(col("n") === 2, col("clip")).otherwise(0L)).as("clip2"))
-      staged.groupBy("source").agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("__nref")).as("ref_tokens"),
-          sum(col("__ncand")).as("cand_tokens"),
-          sum(size(col("__candbg"))).as("cand_bigrams"))
-        .join(clipW, "source")
+    "tx_bleu_eval" -> ((s, d) =>
+      evalClipCensus(s, d)
         .withColumn("p1", round(col("clip1").cast("double") / col("cand_tokens"), 6))
         .withColumn("p2", round(col("clip2").cast("double") / col("cand_bigrams"), 6))
         .withColumn("bleu2", round(
@@ -2029,6 +2037,29 @@ object TextOps {
             exp(lit(1.0) - col("ref_tokens").cast("double") / col("cand_tokens")), 6))
         .select("source", "n_docs", "ref_tokens", "cand_tokens", "cand_bigrams",
           "clip1", "clip2", "p1", "p2", "bleu2")
+        .orderBy("source")),
+
+    // ---- ROUGE-N: the RECALL-oriented half of the eval pair (Lin '04)
+    // — BLEU asks how much of the CANDIDATE the reference certifies,
+    // ROUGE asks how much of the REFERENCE the candidate recovers; eval
+    // pipelines report both because each is blind to the other's failure
+    // (a one-word candidate has perfect BLEU-1 precision and terrible
+    // ROUGE-1 recall). Same corruption, same grams, and the SAME clipped
+    // match counts — both faces read the one evalClipCensus definition,
+    // so the gram/clip rules provably cannot drift between them — only
+    // the normalization differs: recall divides by reference mass, and
+    // ROUGE-2 F1 is the harmonic mean of the two views. Float discipline:
+    // each score is a fixed-parenthesization IEEE chain replayed
+    // verbatim by the oracle, round(,6).
+    "tx_rouge_eval" -> ((s, d) => {
+      val c = evalClipCensus(s, d)
+      val p2 = col("clip2").cast("double") / col("cand_bigrams")
+      val r2 = col("clip2").cast("double") / col("ref_bigrams")
+      c.select(col("source"), col("n_docs"), col("ref_tokens"),
+          col("ref_bigrams"), col("clip1"), col("clip2"),
+          round(col("clip1").cast("double") / col("ref_tokens"), 6).as("rouge1_r"),
+          round(r2, 6).as("rouge2_r"),
+          round(lit(2.0) * p2 * r2 / (p2 + r2), 6).as("rouge2_f"))
         .orderBy("source")
     }),
 
@@ -2105,6 +2136,46 @@ object TextOps {
   )
 
   private val S = SqlText
+
+  /** The tx_bleu_eval / tx_rouge_eval shared CTE chain (candidate
+    * corruption, gram hashing, clipping, per-source lengths) — the SQL
+    * twin of [[evalClipCensus]], one definition for both eval oracles. */
+  private lazy val evalClipCtes: String =
+    s"""staged AS (SELECT doc_id, source, toks AS ref,
+       |    list_filter(list_transform(range(1, len(toks) + 1), i ->
+       |      CASE WHEN i % 7 = 0 THEN NULL
+       |           WHEN i % 5 = 0 THEN reverse(toks[i])
+       |           ELSE toks[i] END), w -> w IS NOT NULL) AS cand
+       |  FROM (SELECT doc_id, source, ${S.tokens("text")} AS toks FROM documents)),
+       |hashed AS (SELECT doc_id, source, len(ref) AS nref, len(cand) AS ncand,
+       |    list_transform(ref, w -> ${S.wordHash("w")}) AS refh,
+       |    list_transform(cand, w -> ${S.wordHash("w")}) AS candh
+       |  FROM staged),
+       |bg AS (SELECT doc_id, source, nref, ncand, refh, candh,
+       |    CASE WHEN len(refh) < 2 THEN CAST([] AS BIGINT[]) ELSE
+       |      list_transform(range(1, len(refh)), i -> (refh[i] * 131 + refh[i+1]) % 1000000007) END AS refbg,
+       |    CASE WHEN len(candh) < 2 THEN CAST([] AS BIGINT[]) ELSE
+       |      list_transform(range(1, len(candh)), i -> (candh[i] * 131 + candh[i+1]) % 1000000007) END AS candbg
+       |  FROM hashed),
+       |grams AS (
+       |  SELECT source, doc_id, 1 AS n, unnest(candh) AS g, 1 AS c, 0 AS r FROM bg
+       |  UNION ALL SELECT source, doc_id, 1, unnest(refh), 0, 1 FROM bg
+       |  UNION ALL SELECT source, doc_id, 2, unnest(candbg), 1, 0 FROM bg
+       |  UNION ALL SELECT source, doc_id, 2, unnest(refbg), 0, 1 FROM bg),
+       |clip AS (SELECT source, n, sum(least(cc, cr)) AS clip FROM
+       |    (SELECT source, doc_id, n, g, sum(c) AS cc, sum(r) AS cr FROM grams
+       |     GROUP BY source, doc_id, n, g)
+       |  GROUP BY source, n),
+       |cw AS (SELECT source,
+       |    CAST(sum(CASE WHEN n = 1 THEN clip ELSE 0 END) AS BIGINT) AS clip1,
+       |    CAST(sum(CASE WHEN n = 2 THEN clip ELSE 0 END) AS BIGINT) AS clip2
+       |  FROM clip GROUP BY source),
+       |lens AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(nref) AS BIGINT) AS ref_tokens,
+       |    CAST(sum(ncand) AS BIGINT) AS cand_tokens,
+       |    CAST(sum(CASE WHEN nref < 2 THEN 0 ELSE nref - 1 END) AS BIGINT) AS ref_bigrams,
+       |    CAST(sum(CASE WHEN ncand < 2 THEN 0 ELSE ncand - 1 END) AS BIGINT) AS cand_bigrams
+       |  FROM bg GROUP BY source)""".stripMargin
 
   /** tx_bpe_encode / tx_bpe_fertility shared oracle machinery: the five
     * BPE training rounds as CTEs (win1..win5 joined in as scalars) and the
@@ -3219,45 +3290,24 @@ object TextOps {
     // the identical planted corruption (7th dropped, 5th reversed, applied
     // on ORIGINAL 1-based positions) and the same fused tagged-gram agg
     "tx_bleu_eval" ->
-      s"""WITH staged AS (SELECT doc_id, source, toks AS ref,
-         |    list_filter(list_transform(range(1, len(toks) + 1), i ->
-         |      CASE WHEN i % 7 = 0 THEN NULL
-         |           WHEN i % 5 = 0 THEN reverse(toks[i])
-         |           ELSE toks[i] END), w -> w IS NOT NULL) AS cand
-         |  FROM (SELECT doc_id, source, ${S.tokens("text")} AS toks FROM documents)),
-         |hashed AS (SELECT doc_id, source, len(ref) AS nref, len(cand) AS ncand,
-         |    list_transform(ref, w -> ${S.wordHash("w")}) AS refh,
-         |    list_transform(cand, w -> ${S.wordHash("w")}) AS candh
-         |  FROM staged),
-         |bg AS (SELECT doc_id, source, nref, ncand, refh, candh,
-         |    CASE WHEN len(refh) < 2 THEN CAST([] AS BIGINT[]) ELSE
-         |      list_transform(range(1, len(refh)), i -> (refh[i] * 131 + refh[i+1]) % 1000000007) END AS refbg,
-         |    CASE WHEN len(candh) < 2 THEN CAST([] AS BIGINT[]) ELSE
-         |      list_transform(range(1, len(candh)), i -> (candh[i] * 131 + candh[i+1]) % 1000000007) END AS candbg
-         |  FROM hashed),
-         |grams AS (
-         |  SELECT source, doc_id, 1 AS n, unnest(candh) AS g, 1 AS c, 0 AS r FROM bg
-         |  UNION ALL SELECT source, doc_id, 1, unnest(refh), 0, 1 FROM bg
-         |  UNION ALL SELECT source, doc_id, 2, unnest(candbg), 1, 0 FROM bg
-         |  UNION ALL SELECT source, doc_id, 2, unnest(refbg), 0, 1 FROM bg),
-         |clip AS (SELECT source, n, sum(least(cc, cr)) AS clip FROM
-         |    (SELECT source, doc_id, n, g, sum(c) AS cc, sum(r) AS cr FROM grams
-         |     GROUP BY source, doc_id, n, g)
-         |  GROUP BY source, n),
-         |cw AS (SELECT source,
-         |    CAST(sum(CASE WHEN n = 1 THEN clip ELSE 0 END) AS BIGINT) AS clip1,
-         |    CAST(sum(CASE WHEN n = 2 THEN clip ELSE 0 END) AS BIGINT) AS clip2
-         |  FROM clip GROUP BY source),
-         |lens AS (SELECT source, count(*) AS n_docs,
-         |    CAST(sum(nref) AS BIGINT) AS ref_tokens,
-         |    CAST(sum(ncand) AS BIGINT) AS cand_tokens,
-         |    CAST(sum(CASE WHEN ncand < 2 THEN 0 ELSE ncand - 1 END) AS BIGINT) AS cand_bigrams
-         |  FROM bg GROUP BY source)
+      s"""WITH $evalClipCtes
          |SELECT source, n_docs, ref_tokens, cand_tokens, cand_bigrams, clip1, clip2,
          |  round(CAST(clip1 AS DOUBLE) / cand_tokens, 6) AS p1,
          |  round(CAST(clip2 AS DOUBLE) / cand_bigrams, 6) AS p2,
          |  round(sqrt((CAST(clip1 AS DOUBLE) / cand_tokens) * (CAST(clip2 AS DOUBLE) / cand_bigrams))
          |        * exp(1.0 - CAST(ref_tokens AS DOUBLE) / cand_tokens), 6) AS bleu2
+         |FROM lens JOIN cw USING (source) ORDER BY source""".stripMargin,
+
+    // same CTE chain as tx_bleu_eval (the shared clip census), recall
+    // normalization + the ROUGE-2 F harmonic replayed with the face's
+    // exact parenthesization
+    "tx_rouge_eval" ->
+      s"""WITH $evalClipCtes
+         |SELECT source, n_docs, ref_tokens, ref_bigrams, clip1, clip2,
+         |  round(CAST(clip1 AS DOUBLE) / ref_tokens, 6) AS rouge1_r,
+         |  round(CAST(clip2 AS DOUBLE) / ref_bigrams, 6) AS rouge2_r,
+         |  round(2.0 * (CAST(clip2 AS DOUBLE) / cand_bigrams) * (CAST(clip2 AS DOUBLE) / ref_bigrams)
+         |        / ((CAST(clip2 AS DOUBLE) / cand_bigrams) + (CAST(clip2 AS DOUBLE) / ref_bigrams)), 6) AS rouge2_f
          |FROM lens JOIN cw USING (source) ORDER BY source""".stripMargin,
 
     // identical vocab construction, then the greedy walk replayed as a
