@@ -150,6 +150,43 @@ object Bench {
     val total = results.map(_.warm).sum
     val coldTotal = results.map(_.cold).sum
 
+    // PER-QUERY REGRESSION GUARD (VERDICT r12 #6): the r12 heap/tmpfs fix
+    // made per-query warm times trustworthy for the first time — freeze
+    // them. BENCH_BUDGET.json carries each query's committed quiet-window
+    // warm time at the graded sf; any warm time above BudgetFactor× its
+    // budget is flagged in the output JSON ("budget_flags") and in
+    // bench_detail.json, so a plan regression can never hide behind the
+    // retired "host noise" adjudication again. Budgets are sf-specific:
+    // the guard only arms when this run's sf matches the file's "_sf".
+    // New queries without a budget row pass silently (they get one when
+    // the budget is next regenerated — see QPROBE_r13).
+    val BudgetFactor = 1.5
+    val budgetFlags: Seq[String] = try {
+      val bp = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "BENCH_BUDGET.json"))
+      if (!java.nio.file.Files.exists(bp)) Seq.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(bp), "UTF-8")
+        val kv = """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r
+        val sfRe = """"_sf"\s*:\s*"([^"]+)"""".r
+        val budgetSf = sfRe.findFirstMatchIn(txt).map(_.group(1))
+        if (!budgetSf.contains(sfDir)) Seq.empty
+        else {
+          val budgets = kv.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filterNot(_._1.startsWith("_")).toMap
+          results.flatMap { r =>
+            budgets.get(r.name).filter(b => r.warm > BudgetFactor * b).map { b =>
+              System.err.println(
+                f"[bench] BUDGET ${r.name}%-28s warm=${r.warm}%8.3fs budget=$b%8.3fs (${r.warm / b}%4.2fx)")
+              r.name
+            }
+          }
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] budget check failed: $e"); Seq.empty }
+
     // bench_detail.json: full per-query diagnostics + worst-5 breakdown.
     // Written to a file so it survives regardless of what stdout capture keeps.
     try {
@@ -157,6 +194,8 @@ object Bench {
       val detail = new StringBuilder
       detail ++= "{\n  \"retried\": ["
       detail ++= retriedNames.map("\"" + _ + "\"").mkString(",")
+      detail ++= "],\n  \"budget_flags\": ["
+      detail ++= budgetFlags.map("\"" + _ + "\"").mkString(",")
       detail ++= "],\n  \"worst5\": [\n"
       detail ++= worst.map(r =>
         s"""    {"name":"${r.name}","warm":${ms(r.warm)},"cold":${ms(r.cold)},"gcWarmMs":${r.gcWarmMs},"codegenWarmCompiles":${r.cgWarmCompiles}}"""
@@ -185,7 +224,7 @@ object Bench {
 
     // Full line first (humans / detail), short self-contained line LAST —
     // the driver's tail capture must always end on a complete JSON object.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","cold_total":${ms(coldTotal)},"sf":"$sfDir","retried":[${retriedNames.map("\"" + _ + "\"").mkString(",")}],"queries":$qs}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","cold_total":${ms(coldTotal)},"sf":"$sfDir","retried":[${retriedNames.map("\"" + _ + "\"").mkString(",")}],"budget_flags":[${budgetFlags.map("\"" + _ + "\"").mkString(",")}],"queries":$qs}""")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","cold_total":${ms(coldTotal)},"n":${results.size},"retried":${retriedNames.size}}""")
     spark.stop()
   }

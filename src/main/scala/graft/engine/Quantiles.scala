@@ -44,9 +44,26 @@ object Quantiles {
   /** Exact per-group quantiles of `v` at probabilities `ps`.
     * Returns one row per (group, p): (`g`, "__p", "__q").
     * `base` should be cached by the caller — it is scanned twice. */
-  def exact(base: DataFrame, g: String, v: String, ps: Seq[Double],
-            width: Double): DataFrame = {
+  /** Rows one bucket's step-3 gather may hold before the skew guard
+    * trips: past this, `width` is mis-sized for the distribution (e.g.
+    * more rows of one exact value than any width disperses) and the
+    * single-task sort_array gather would be row-count-sized — the exact
+    * failure mode this engine exists to avoid. Overridable per call for
+    * tests; ~1e6 doubles ≈ 8 MB per task, comfortably in-memory. */
+  val GatherRowLimit = 1000000L
+
+  def exact(base0: DataFrame, g: String, v: String, ps: Seq[Double],
+            width: Double, gatherLimit: Long = GatherRowLimit): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    // width <= 0 would silently degenerate every value into one bucket
+    // (or NaN buckets) — fail loudly instead (ADVICE r12)
+    require(width > 0, s"need bucket width > 0, got $width")
+    // match Percentile's null-IGNORING semantics (ADVICE r12): without
+    // this, null-valued rows enter the histogram (count(lit(1)) counts
+    // them into a null bucket and n) while sort_array(collect_list(v))
+    // drops them — ranks shift and element_at can miss. Current catalog
+    // callers pass non-null columns; the helper is a general primitive.
+    val base = base0.filter(col(v).isNotNull)
     val bkt = floor(col(v) / lit(width)).cast("long")
     // 1. bucket histogram (codegen hash-agg; partial agg collapses
     // map-side). LAZY-checkpointed, like `located` below: both frames fan
@@ -87,8 +104,20 @@ object Quantiles {
       .select(col(g), col("__p"), col("__h"), col("__side"),
         col("__b"), (col("__r") - col("__before")).cast("int").as("__off"))
       .localCheckpoint(false)
-    // 3. gather ONLY the target buckets, sort each, index the exact rank
+    // 3. gather ONLY the target buckets, sort each, index the exact rank.
+    // RUNTIME skew guard (ADVICE r12 — the scaladoc note alone detected
+    // nothing): the histogram already carries every bucket's count, so a
+    // target bucket past the gather budget fails LOUDLY with the count
+    // instead of quietly OOMing a task at 100 TB. The guard rides inside
+    // the consumed __b column (a pruned side column would be optimized
+    // away); assert_true returns NULL on pass, so the when() is identity.
     val targets = located.select(col(g), col("__b")).distinct()
+      .join(cnts, Seq(g, "__b"))
+      .select(col(g), when(assert_true(col("__c") <= lit(gatherLimit),
+          concat(lit(s"Quantiles.exact: a target bucket exceeds the gather budget $gatherLimit"),
+            lit(" (count="), col("__c").cast("string"),
+            lit(") — reduce `width` for this distribution")))
+          .isNull, col("__b")).as("__b"))
     val vals = base.select(col(g), bkt.as("__b"), col(v))
       .join(broadcast(targets), Seq(g, "__b"))
       .groupBy(col(g), col("__b"))

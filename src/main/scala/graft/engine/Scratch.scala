@@ -15,16 +15,53 @@ package graft.engine
   * sets. Catalog layouts under /tmp/graft_* stay on disk on purpose:
   * they are cross-process persistent artifacts, not scratch.
   *
+  * Guard rails (ADVICE r12): tmpfs competes with the pre-touched 12 GiB
+  * heap for physical RAM on a memory-overcommitted host, so /dev/shm is
+  * chosen only when it currently has comfortable headroom
+  * ([[MinShmFreeBytes]]) — below that, spills degrade gracefully to disk
+  * instead of ENOSPC / the OOM killer mid-run. Stale `graft_spark`
+  * contents from killed JVMs occupy RAM until someone deletes them, so
+  * resolution sweeps previous runs' subtrees first (each process writes
+  * under its own pid-tagged subdir; a live process's dir is younger than
+  * the sweep's age floor and is left alone).
+  *
   * Falls back to the JVM default when no tmpfs is present so the mains
   * still run on hosts without /dev/shm.
   */
 object Scratch {
+
+  /** Require this much free space on /dev/shm before electing it: the
+    * full catalog's worst observed concurrent spill footprint is well
+    * under 2 GiB, doubled for margin. */
+  val MinShmFreeBytes: Long = 4L * 1024 * 1024 * 1024
+
+  /** Delete a previous run's scratch subtree if it has been idle this
+    * long (its JVM is dead or wedged either way). */
+  val StaleAgeMs: Long = 30L * 60 * 1000
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   lazy val localDir: String = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) {
-      val d = new java.io.File(shm, "graft_spark")
-      d.mkdirs()
-      d.getAbsolutePath
+      val root = new java.io.File(shm, "graft_spark")
+      // sweep stale siblings from killed JVMs — tmpfs bytes are RAM
+      val now = System.currentTimeMillis()
+      val old = root.listFiles()
+      if (old != null)
+        old.filter(d => now - d.lastModified() > StaleAgeMs)
+          .foreach(deleteRecursively)
+      val free = shm.getUsableSpace
+      if (free >= MinShmFreeBytes) {
+        val d = new java.io.File(root, s"pid${ProcessHandle.current().pid()}")
+        d.mkdirs()
+        d.deleteOnExit()
+        d.getAbsolutePath
+      } else sys.props.getOrElse("java.io.tmpdir", "/tmp")
     } else sys.props.getOrElse("java.io.tmpdir", "/tmp")
   }
 }

@@ -386,4 +386,52 @@ class CommitsSpec extends AnyFunSuite with SharedSparkSpec {
       assert(rec == snap, s"v$v: change-file fold must reproduce the snapshot")
     }
   }
+
+  test("change-data vacuum: marker-first horizon, monotone + idempotent; vacuumed versions stay derivable from snapshots (VERDICT r12 #7)") {
+    import spark.implicits._
+    val t = freshTable()
+    val CD = Commits.ChangeData
+    def state(ids: Seq[(Long, Long)]) = ids.toDF("id", "val")
+    val versions = Seq(
+      2 -> Seq(1L -> 10L, 2L -> 20L),
+      3 -> Seq(1L -> 11L, 3L -> 30L),
+      4 -> Seq(3L -> 30L))
+    Commits.init(t, Commits.stage(state(Seq.empty), t, "base"))
+    versions.foreach { case (v, rows) =>
+      val staged = Commits.stage(state(rows), t, s"m$v")
+      assert(Commits.commitExactlyOnceReplace(t, v, Seq(staged)))
+      // minimal change rows (content irrelevant to the vacuum mechanics)
+      assert(CD.publish(state(rows)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(v.toLong)), t, v))
+    }
+    assert(CD.vacuumHorizon(t) == 0, "an unvacuumed table has horizon 0")
+    // vacuum below v4: exactly v2/v3 removed, marker lands at 4
+    assert(CD.vacuum(t, keepFrom = 4) == Seq(2, 3))
+    assert(CD.vacuumHorizon(t) == 4)
+    assert(CD.versions(t) == Seq(4), "v4 must survive the horizon")
+    assert(!CD.exists(t, 2) && !CD.exists(t, 3))
+    // idempotent; and the horizon can only move FORWARD (a lagging
+    // retention job must not resurrect a lower floor)
+    assert(CD.vacuum(t, keepFrom = 4).isEmpty)
+    assert(CD.vacuum(t, keepFrom = 2).isEmpty)
+    assert(CD.vacuumHorizon(t) == 4, "horizon is monotone")
+    // the surviving change file still reads O(changes)
+    assert(CD.read(spark, t, 4).count() == versions.last._2.length)
+    // the vacuumed transitions remain fully derivable from snapshots —
+    // the information-loss-free property retention relies on: v2→v3
+    // diff re-derived and checked against the known transition
+    val prev = spark.read.parquet(Commits.snapshotFiles(t, 2): _*)
+      .select(col("id"), col("val").as("pval"))
+    val cur = spark.read.parquet(Commits.snapshotFiles(t, 3): _*)
+    val j = cur.join(prev, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("pval").isNull, "insert")
+          .when(col("val").isNull, "delete")
+          .when(col("val") =!= col("pval"), "update")
+          .otherwise("unchanged").as("ct"))
+      .as[(Long, String)].collect().toMap
+    assert(j == Map(1L -> "update", 2L -> "delete", 3L -> "insert"),
+      "the v2->v3 transition must remain derivable after its change file is vacuumed")
+  }
 }

@@ -122,7 +122,9 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "dd_decontaminate_sweep" -> Seq(3, 0, 0, 0, 0, 3, 0, 3),
     "tx_ngram_novelty" -> Seq(1, 0, 0, 0, 0, 2, 1, 0),
     "agg_median_per_entity" -> Seq(2, 1, 0, 0, 0, 6, 1, 0),
-    "graph_scc_coloring" -> Seq(0, 0, 0, 2, 0, 1, 0, 2))
+    // r13: phase-2 peeling — the residue recolor adds its settled-count
+    // census (one more 1-row BNLJ + single-partition exchange pair)
+    "graph_scc_coloring" -> Seq(0, 0, 0, 4, 0, 1, 0, 4))
 
   test("top-20 bench plans match the committed fingerprint corpus") {
     if (sys.env.get("GRAFT_PLANDRIFT_PRINT").contains("1")) {

@@ -561,4 +561,86 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
       .collect().map(_.toString).toSeq
     assert(a == b, s"gate variants disagree:\n$a\nvs\n$b")
   }
+
+  /** Shared gate-pin harness (VERDICT r12 #1, the betweenness precedent)
+    * for every face that hints node-sized state frames: explains the
+    * hinted and co-partitioned variants with auto-broadcast DISABLED (so
+    * what the assertions see is exactly what the gate contributes — at
+    * test sf the tiny frames would otherwise auto-broadcast on size,
+    * legitimate planning but not the subject), asserts the hint drives
+    * every state broadcast below the gate and none above it, then proves
+    * the gate changes the plan, never the answer, on the real truncated
+    * execution path. The cache is cleared per variant: a cached subplan
+    * from one variant must not substitute into the other's plan. */
+  private def pinGate(name: String,
+                      planAt: Boolean => org.apache.spark.sql.DataFrame,
+                      execAt: Boolean => org.apache.spark.sql.DataFrame,
+                      minHintedBhj: Int): Unit = {
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    def planOf(hinted: Boolean): String = {
+      spark.sharedState.cacheManager.clearCache()
+      planAt(hinted).queryExecution.sparkPlan.toString
+    }
+    val (pHinted, pCo) = try {
+      spark.conf.set(thresholdKey, "-1")
+      (planOf(true), planOf(false))
+    } finally spark.conf.set(thresholdKey, saved)
+    assert("BroadcastHashJoin".r.findAllIn(pHinted).length >= minHintedBhj,
+      s"$name: hinted plan must broadcast the node-sized state in every round:\n$pHinted")
+    // the 1-row census/two_m crossJoins legitimately stay BNLJ-broadcast
+    // at any scale — the subject is the node-sized equi-join state
+    assert(!pCo.contains("BroadcastHashJoin"),
+      s"$name: above the gate no state frame may broadcast-hash-join:\n$pCo")
+    assert(pCo.contains("SortMergeJoin") || pCo.contains("ShuffledHashJoin"),
+      s"$name: co-partitioned variant must shuffle-join on the node key:\n$pCo")
+    spark.sharedState.cacheManager.clearCache()
+    val a = execAt(true).collect().map(_.toString).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val b = execAt(false).collect().map(_.toString).toSeq
+    assert(a == b, s"$name: gate variants disagree:\n$a\nvs\n$b")
+  }
+
+  test("graph_scc_coloring: node-state hints gated; co-partitioned above; gate-independent results") {
+    // explain one phase (an untruncated two-phase plan squares the
+    // unrolled lineage); the hint routing is identical per phase
+    pinGate("graph_scc_coloring",
+      h => graft.queries.Graph.sccColoringAt(spark, d, h, truncate = false, phases = 1),
+      h => graft.queries.Graph.sccColoringAt(spark, d, h),
+      // forward: 2 hints × 4 rounds; backward: 3 hints × 4 rounds
+      minHintedBhj = 20)
+  }
+
+  test("graph_lpa_communities: label-table hints gated; co-partitioned above; gate-independent results") {
+    pinGate("graph_lpa_communities",
+      h => graft.queries.Graph.lpaAt(spark, d, h, truncate = false),
+      h => graft.queries.Graph.lpaAt(spark, d, h),
+      // 4 rounds × (edge⋈labels + census prev-join)
+      minHintedBhj = 8)
+  }
+
+  test("graph_louvain_move: lookup-side hints gated; co-partitioned above; gate-independent results") {
+    pinGate("graph_louvain_move",
+      h => graft.queries.Graph.louvainMoveAt(spark, d, h, truncate = false),
+      h => graft.queries.Graph.louvainMoveAt(spark, d, h),
+      // own/deg/tot_a/tot_b on the move frame + the newComm map + the
+      // tagged endpoint joins
+      minHintedBhj = 7)
+  }
+
+  test("graph_rank_converged: lazy-path rank hints gated; co-partitioned above; gate-independent results") {
+    pinGate("graph_rank_converged",
+      h => graft.queries.Graph.rankConvergedAt(spark, d, h, truncate = false),
+      h => graft.queries.Graph.rankConvergedAt(spark, d, h),
+      // 5 rounds × (edge⋈rank + node⋈mass)
+      minHintedBhj = 10)
+  }
+
+  test("graph_ppr: rank/mass hints gated; co-partitioned above; gate-independent results") {
+    pinGate("graph_ppr",
+      h => graft.queries.Graph.pprAt(spark, d, h, truncate = false),
+      h => graft.queries.Graph.pprAt(spark, d, h),
+      // 4 rounds × (edge⋈rank + seeded⋈mass) + the seed left join
+      minHintedBhj = 8)
+  }
 }

@@ -59,4 +59,42 @@ class QuantilesSpec extends AnyFunSuite with SharedSparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(got == Map("a" -> 42.0, "b" -> 1.5, "c" -> 7.0))
   }
+
+  test("nulls are IGNORED, matching percentile() (ADVICE r12)") {
+    import spark.implicits._
+    // nulls interleave with real values: percentile() skips them; exact()
+    // must too (pre-fix they entered the histogram and shifted ranks)
+    val base = Seq(("a", Some(1.0)), ("a", None), ("a", Some(2.0)),
+        ("a", None), ("a", Some(3.0)), ("b", None), ("b", Some(5.0)))
+      .toDF("g", "v").cache()
+    val got = Quantiles.exact(base, "g", "v", Seq(0.5), 10.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == Map("a" -> 2.0, "b" -> 5.0))
+    val want = base.groupBy("g")
+      .agg(percentile(col("v"), lit(0.5)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want, "null semantics must match the built-in")
+  }
+
+  test("width must be positive; oversized bucket trips the gather guard (ADVICE r12)") {
+    import spark.implicits._
+    val base = Seq.fill(50)(("a", 7.0)).toDF("g", "v").cache()
+    intercept[IllegalArgumentException] {
+      Quantiles.exact(base, "g", "v", Seq(0.5), 0.0)
+    }
+    // 50 identical values land in ONE bucket — a gather budget of 10
+    // must fail loudly (runtime skew guard), not silently gather 50
+    val ex = intercept[Exception] {
+      Quantiles.exact(base, "g", "v", Seq(0.5), 1.0, gatherLimit = 10L).collect()
+    }
+    // the guard message may sit on a nested cause (task-failure wrapping)
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("gather budget"),
+      s"expected the skew-guard message, got: $msgs")
+    // at the default budget the same frame still answers exactly
+    val ok = Quantiles.exact(base, "g", "v", Seq(0.5), 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(ok == Map("a" -> 7.0))
+  }
 }
