@@ -83,6 +83,41 @@ object Streams extends Serializable {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** Benchmark DECONTAMINATION flagging (VERDICT r12 #8) — the
+    * dd_decontaminate 13-gram overlap rule as ONE reusable transform, so
+    * the streaming ingestion path and the batch census provably apply the
+    * identical rule: per incoming document, the distinct per-step-mod
+    * Horner 13-grams joined against the BROADCAST benchmark gram set
+    * (`evalGrams`: (gram, eval_id) — benchmark-sized at any corpus scale,
+    * the standard decontamination join: corpus streams, benchmark rides
+    * along), then a per-doc census. Flagging is per-document independent,
+    * so applying this to each micro-batch of arriving train shards
+    * (foreachBatch) yields exactly the batch answer — StreamingSpec pins
+    * stream ≡ batch over a MemoryStream. Returns only flagged docs:
+    * (doc_id, n_shared_grams, n_eval_docs). */
+  private val gram13: org.apache.spark.sql.Column = {
+    val fold = (2 to 13).foldLeft("element_at(__th, i)")((acc, j) =>
+      s"($acc * 131 + element_at(__th, i + ${j - 1})) % 1000000007L")
+    when(size(col("__th")) < 13, array().cast("array<long>"))
+      .otherwise(expr(s"transform(sequence(1, size(__th) - 12), i -> $fold)"))
+  }
+
+  private def docGrams(docs: DataFrame): DataFrame = docs
+    .withColumn("__th", graft.engine.TextFunctions.tokenHashes(col("text")))
+    .select(col("doc_id"), explode(array_distinct(gram13)).as("gram"))
+
+  /** The benchmark's distinct 13-gram set (gram, eval_id) — derived by the
+    * IDENTICAL fold the flagging applies, so set and probe can't drift. */
+  def benchmarkGrams(evalDocs: DataFrame): DataFrame =
+    docGrams(evalDocs).select(col("gram"), col("doc_id").as("eval_id"))
+
+  def flagContaminated(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    docGrams(docs)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("n_shared_grams"),
+           countDistinct("eval_id").as("n_eval_docs"))
+
   /** First-failing-rule classification — the streaming face of the batch
     * catalog query `etl_quarantine` (same rule order; the Event schema has
     * no JSON payload, so the props rule doesn't apply here). */

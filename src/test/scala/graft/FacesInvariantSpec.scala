@@ -1638,6 +1638,20 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
       s"hnsw recall ${rec.last} must reach the flat round-3 recall $flatRecall")
   }
 
+  test("dd_decontaminate_stream: streamed per-shard flags ≡ the batch census, shard routing correct") {
+    val streamed = SparkEntry.queries("dd_decontaminate_stream")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val batch = SparkEntry.queries("dd_decontaminate")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.keySet == batch.keySet,
+      "the stream must flag exactly the docs the batch census flags")
+    for ((id, (b, sh, ev)) <- streamed) {
+      assert(b == id % 3, s"doc $id landed in micro-batch $b, expected ${id % 3}")
+      assert((sh, ev) == batch(id), s"doc $id: stream counts differ from batch")
+    }
+  }
+
   test("sim_hnsw_levels: monotone, once-only-scored, dominates the 2-layer face (recall >=, budget <=)") {
     val rows = SparkEntry.queries("sim_hnsw_levels")(spark, d)
       .collect().sortBy(_.getLong(0))

@@ -198,6 +198,44 @@ class StreamingSpec extends AnyFunSuite with SharedSparkSpec {
     assert(out.groupBy("user_id", "event_type").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("flagContaminated per micro-batch ≡ one batch pass (streaming decontamination, VERDICT r12 #8)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one planted 13-token gram shared by the benchmark doc and two train
+    // docs; doc 2 is clean, doc 4 is too short to carry any 13-gram
+    val gram = (1 to 13).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (1L, s"alpha $gram beta"),
+      (2L, "totally unrelated text with its own distinct words only here now"),
+      (3L, s"$gram tail"),
+      (4L, "short"))
+    val evalGrams = Streams.benchmarkGrams(
+      Seq((97L, s"prefix $gram suffix")).toDF("doc_id", "text"))
+      .cache()
+    // stream: two micro-batches through foreachBatch, flags accumulated
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        got ++= Streams.flagContaminated(df, evalGrams)
+          .as[(Long, Long, Long)].collect()
+        ()
+      }.start()
+    mem.addData(train.take(2): _*); q.processAllAvailable()
+    mem.addData(train.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    // batch twin: the identical transform over the whole train set at once
+    val batch = Streams.flagContaminated(train.toDF("doc_id", "text"), evalGrams)
+      .as[(Long, Long, Long)].collect()
+    assert(got.sorted.toSeq == batch.sorted.toSeq,
+      "per-micro-batch flags must equal the single-batch flags")
+    // and the flags are the right ones: docs 1 and 3 carry the planted gram
+    assert(got.map(_._1).sorted == Seq(1L, 3L))
+    assert(got.forall(r => r._2 >= 1L && r._3 == 1L),
+      "each flagged doc shares >= 1 gram with exactly the one benchmark doc")
+  }
+
   test("stream-static enrich matches the batch broadcast join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
