@@ -1582,6 +1582,100 @@ object ScaleOps {
             greatest(lit(2.0), col("exact_parts") * 0.10)).as("within_bound"))
         .orderBy("l_returnflag")),
 
+    // ---- KMV / THETA sketch SET OPERATIONS (Bar-Yossef '02 k-minimum-
+    // values; the Apache DataSketches theta family): union, intersection,
+    // and difference ESTIMATES over two key sets from k-row sketches —
+    // the cross-corpus overlap question (how much of snapshot B is
+    // already in A?) answered WITHOUT a distinct-join. Unlike the HLL
+    // faces (whose binary registers the oracle can only bound-check),
+    // KMV is FULLY REPLAYABLE: the sketch is the k smallest hash values
+    // of the distinct keys — a deterministic artifact DuckDB re-derives
+    // bit-for-bit, so every retained count, theta, and estimate is
+    // hash-gated, not just bounded. Set algebra is the standard theta
+    // discipline: θ = min of the operand thetas, operate on retained
+    // values BELOW θ, estimate = n/θ (base sketches use the unbiased
+    // (k−1)/θ); sub-k sketches have θ = 1 and are exact, so the same
+    // code path degrades gracefully to exact counting on small sets
+    // (sf0.001 exercises the exact branch, sf0.01+ the estimating one).
+    // Scale shape: each sketch is ONE distinct + TakeOrdered (mergeable
+    // per-partition top-k partials — the production form persists these
+    // k-row frames per corpus snapshot and answers any pairwise overlap
+    // from sketches alone, O(k) per question); the exact truth columns
+    // ride ONE hash-agg with per-key year flags, shown beside the
+    // estimates so the error is visible in-row.
+    "sketch_kmv_setops" -> ((s, d) => {
+      val P = 1000000007L
+      val K = 256
+      val o = t(s, d, "orders")
+      def retained(yr: Int) = o.filter(year(col("o_orderdate")) === yr)
+        .select((pmod(col("o_custkey"), lit(P)) * 2654435761L % P).as("h"))
+        .distinct().orderBy("h").limit(K).localCheckpoint(false)
+      val ra = retained(1995)
+      val rb = retained(1996)
+      def base(r: DataFrame, sfx: String) = r
+        .agg(count(lit(1)).as("n"), max("h").as("hk"))
+        .select(col("n").as(s"n$sfx"),
+          when(col("n") < K, lit(1.0))
+            .otherwise(col("hk") / lit(P.toDouble)).as(s"t$sfx"))
+      val sa = base(ra, "a")
+      val sb = base(rb, "b")
+      val t0f = sa.crossJoin(sb)
+        .select(least(col("ta"), col("tb")).as("t0")).localCheckpoint(false)
+      // union: retain below θ0, trim to K (the DataSketches theta-union)
+      val below = ra.union(rb).distinct()
+        .crossJoin(broadcast(t0f)).filter(col("h") < col("t0") * P)
+        .select("h").localCheckpoint(false)
+      val un = below.agg(count(lit(1)).as("n_below"))
+      val ru = below.orderBy("h").limit(K)
+      val su = ru.agg(count(lit(1)).as("nu"), max("h").as("hku"))
+        .crossJoin(un).crossJoin(broadcast(t0f))
+        .select(col("nu"),
+          when(col("n_below") > K, col("hku") / lit(P.toDouble))
+            .otherwise(col("t0")).as("tu"))
+      // intersection / difference: set ops on the retained frames, below θ0
+      def derived(r: DataFrame) = r
+        .crossJoin(broadcast(t0f)).filter(col("h") < col("t0") * P)
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(t0f))
+      val si = derived(ra.intersect(rb))
+      val sd = derived(ra.except(rb))
+      // ONE exact hash-agg: per-custkey year flags → every truth column
+      val ex = o.filter(year(col("o_orderdate")).isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(max(when(year(col("o_orderdate")) === 1995, 1).otherwise(0)).as("ina"),
+             max(when(year(col("o_orderdate")) === 1996, 1).otherwise(0)).as("inb"))
+        .agg(sum("ina").cast("bigint").as("xa"),
+             sum("inb").cast("bigint").as("xb"),
+             count(lit(1)).as("xu"),
+             sum(col("ina") * col("inb")).cast("bigint").as("xi"),
+             sum(col("ina") * (lit(1) - col("inb"))).cast("bigint").as("xd"))
+        .localCheckpoint(false)
+      Seq(
+        sa.crossJoin(broadcast(ex)).select(lit("a").as("op"),
+          col("na").cast("bigint").as("n_retained"), round(col("ta"), 6).as("theta"),
+          round(when(col("na") < K, col("na").cast("double"))
+            .otherwise(lit((K - 1).toDouble) / col("ta")), 4).as("estimate"),
+          col("xa").as("exact")),
+        sb.crossJoin(broadcast(ex)).select(lit("b").as("op"),
+          col("nb").cast("bigint").as("n_retained"), round(col("tb"), 6).as("theta"),
+          round(when(col("nb") < K, col("nb").cast("double"))
+            .otherwise(lit((K - 1).toDouble) / col("tb")), 4).as("estimate"),
+          col("xb").as("exact")),
+        su.crossJoin(broadcast(ex)).select(lit("union").as("op"),
+          col("nu").cast("bigint").as("n_retained"), round(col("tu"), 6).as("theta"),
+          round(col("nu").cast("double") / col("tu"), 4).as("estimate"),
+          col("xu").as("exact")),
+        si.crossJoin(broadcast(ex)).select(lit("intersect").as("op"),
+          col("n").cast("bigint").as("n_retained"), round(col("t0"), 6).as("theta"),
+          round(col("n").cast("double") / col("t0"), 4).as("estimate"),
+          col("xi").as("exact")),
+        sd.crossJoin(broadcast(ex)).select(lit("diff_a_only").as("op"),
+          col("n").cast("bigint").as("n_retained"), round(col("t0"), 6).as("theta"),
+          round(col("n").cast("double") / col("t0"), 4).as("estimate"),
+          col("xd").as("exact"))
+      ).reduce(_.unionByName(_)).orderBy("op")
+    }),
+
     // ---- the mergeable-sketch TABLE pattern (Apache DataSketches HLL,
     // SPARK-16484 family): per-priority sketches of the customer set are
     // built ONCE as binary partials, then re-aggregated with hll_union_agg
@@ -2492,6 +2586,68 @@ object ScaleOps {
         |  count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the whole KMV pipeline re-derived: identical hash, min-k retention,
+    // theta algebra, and estimator arithmetic (every parenthesization
+    // matched) — the one sketch face whose ESTIMATES are hash-gated, not
+    // bound-checked, because KMV is a deterministic function of the set
+    "sketch_kmv_setops" -> {
+      val P = 1000000007L
+      s"""WITH pa AS (SELECT DISTINCT (o_custkey % $P) * 2654435761 % $P AS h
+         |  FROM orders WHERE year(o_orderdate) = 1995),
+         |pb AS (SELECT DISTINCT (o_custkey % $P) * 2654435761 % $P AS h
+         |  FROM orders WHERE year(o_orderdate) = 1996),
+         |ra AS (SELECT h FROM pa ORDER BY h LIMIT 256),
+         |rb AS (SELECT h FROM pb ORDER BY h LIMIT 256),
+         |sa AS (SELECT count(*) AS n,
+         |    CASE WHEN count(*) < 256 THEN CAST(1.0 AS DOUBLE)
+         |         ELSE max(h) / CAST($P AS DOUBLE) END AS t FROM ra),
+         |sb AS (SELECT count(*) AS n,
+         |    CASE WHEN count(*) < 256 THEN CAST(1.0 AS DOUBLE)
+         |         ELSE max(h) / CAST($P AS DOUBLE) END AS t FROM rb),
+         |t0 AS (SELECT least(sa.t, sb.t) AS t0 FROM sa, sb),
+         |below AS (SELECT h FROM (SELECT h FROM ra UNION SELECT h FROM rb) c, t0
+         |  WHERE h < t0.t0 * $P),
+         |nb AS (SELECT count(*) AS n_below FROM below),
+         |ru AS (SELECT h FROM below ORDER BY h LIMIT 256),
+         |su AS (SELECT count(*) AS nu, max(h) AS hku FROM ru),
+         |tu AS (SELECT su.nu,
+         |    CASE WHEN nb.n_below > 256 THEN su.hku / CAST($P AS DOUBLE)
+         |         ELSE t0.t0 END AS tu FROM su, nb, t0),
+         |ib AS (SELECT count(*) AS n FROM
+         |  (SELECT h FROM ra INTERSECT SELECT h FROM rb) x, t0
+         |  WHERE x.h < t0.t0 * $P),
+         |db AS (SELECT count(*) AS n FROM
+         |  (SELECT h FROM ra EXCEPT SELECT h FROM rb) x, t0
+         |  WHERE x.h < t0.t0 * $P),
+         |fl AS (SELECT o_custkey,
+         |    max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS ina,
+         |    max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS inb
+         |  FROM orders WHERE year(o_orderdate) IN (1995, 1996) GROUP BY 1),
+         |ex AS (SELECT CAST(sum(ina) AS BIGINT) AS xa, CAST(sum(inb) AS BIGINT) AS xb,
+         |    count(*) AS xu, CAST(sum(ina * inb) AS BIGINT) AS xi,
+         |    CAST(sum(ina * (1 - inb)) AS BIGINT) AS xd FROM fl)
+         |SELECT * FROM (
+         |  SELECT 'a' AS op, CAST(sa.n AS BIGINT) AS n_retained,
+         |    round(sa.t, 6) AS theta,
+         |    round(CASE WHEN sa.n < 256 THEN CAST(sa.n AS DOUBLE)
+         |          ELSE 255.0 / sa.t END, 4) AS estimate, ex.xa AS exact
+         |  FROM sa, ex
+         |  UNION ALL
+         |  SELECT 'b', CAST(sb.n AS BIGINT), round(sb.t, 6),
+         |    round(CASE WHEN sb.n < 256 THEN CAST(sb.n AS DOUBLE)
+         |          ELSE 255.0 / sb.t END, 4), ex.xb FROM sb, ex
+         |  UNION ALL
+         |  SELECT 'union', CAST(tu.nu AS BIGINT), round(tu.tu, 6),
+         |    round(CAST(tu.nu AS DOUBLE) / tu.tu, 4), ex.xu FROM tu, ex
+         |  UNION ALL
+         |  SELECT 'intersect', CAST(ib.n AS BIGINT), round(t0.t0, 6),
+         |    round(CAST(ib.n AS DOUBLE) / t0.t0, 4), ex.xi FROM ib, t0, ex
+         |  UNION ALL
+         |  SELECT 'diff_a_only', CAST(db.n AS BIGINT), round(t0.t0, 6),
+         |    round(CAST(db.n AS DOUBLE) / t0.t0, 4), ex.xd FROM db, t0, ex)
+         |ORDER BY op""".stripMargin
+    },
 
     // exact per-group and global distincts; both sketch bounds asserted
     // literally TRUE (the sketch-oracle pattern: a drifting estimate

@@ -1638,6 +1638,29 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
       s"hnsw recall ${rec.last} must reach the flat round-3 recall $flatRecall")
   }
 
+  test("sketch_kmv_setops: set algebra consistent, estimates inside the KMV error envelope") {
+    val rows = SparkEntry.queries("sketch_kmv_setops")(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("a", "b", "union", "intersect", "diff_a_only"))
+    val (_, _, _, xa) = rows("a"); val (_, _, _, xb) = rows("b")
+    val (_, _, _, xu) = rows("union"); val (_, _, _, xi) = rows("intersect")
+    val (_, _, _, xd) = rows("diff_a_only")
+    // the exact truth columns obey inclusion–exclusion by construction
+    assert(xa + xb - xi == xu, "exact I-E must reconcile")
+    assert(xa - xi == xd, "exact difference must reconcile")
+    for ((op, (n, theta, est, exact)) <- rows) {
+      assert(theta > 0 && theta <= 1.0, s"$op: theta=$theta out of range")
+      assert(n >= 0 && est >= 0, s"$op: negative census")
+      // k=256 ⇒ RSE ≈ 1/√(k−2) ≈ 6.3%; 4σ + small-count slack covers the
+      // derived ops (their variance scales with the UNION, not their own
+      // size). Exact-regime rows (theta = 1) must be exactly right.
+      if (theta == 1.0) assert(est == exact.toDouble, s"$op: exact regime must be exact")
+      else assert(math.abs(est - exact) <= math.max(5.0, 0.25 * xu),
+        s"$op: estimate $est too far from exact $exact")
+    }
+  }
+
   test("dd_decontaminate_stream: streamed per-shard flags ≡ the batch census, shard routing correct") {
     val streamed = SparkEntry.queries("dd_decontaminate_stream")(spark, d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
