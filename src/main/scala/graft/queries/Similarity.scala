@@ -1458,6 +1458,56 @@ object Similarity {
         .orderBy("round")
     }),
 
+    // ---- TRIPLET mining — the index-confined complement of
+    // sim_hard_negatives (that face is the DPR/ANCE broadcast-query
+    // miner: top-5 negatives by brute cosine over the corpus; this one
+    // is the TRIPLET assembler a contrastive trainer consumes): for
+    // every anchor, the highest-cosine SAME-label candidate is the
+    // positive, the highest-cosine DIFFERENT-label candidate is the
+    // hard negative, and pos−neg is the margin the loss trains against.
+    // Miners that scan all pairs are exactly what breaks at 100 TB, so
+    // candidates are confined to the anchor's 2-HOP NEIGHBORHOOD in the
+    // committed kNN index (≤ k + k² per anchor, the standard ANN-backed
+    // mining shape; the index is the same knn8 layout the search faces
+    // read). Per anchor ONE candidate pool join
+    // + one (qid, same-label?) window; vector lookups broadcast
+    // (corpus-row frames — at 100 TB they become co-partitioned joins on
+    // the node key). The census carries pool sizes so starved anchors
+    // (no same-label candidate in 2 hops) are visible, not silent; the
+    // oracle re-derives the graph from SQL and replays every tie-break.
+    "sim_triplet_mining" -> ((s, d) => {
+      val e = emb(s, d).cache()
+      val g = knnGraphLayout(s, d, e.select(col("vec_id"), col("v")))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"),
+          col("label").cast("bigint").as("q_label"), col("v").as("qv"))
+      val h1 = g.select(col("a").as("qid"), col("b").as("cand"))
+      val h2 = h1.join(g.select(col("a").as("cand"), col("b").as("cand2")), "cand")
+        .select(col("qid"), col("cand2").as("cand"))
+      val pool = h1.union(h2).filter(col("cand") =!= col("qid")).distinct()
+      val scored = pool
+        .join(broadcast(q), "qid")
+        .join(broadcast(e.select(col("vec_id").as("cand"),
+          col("label").cast("bigint").as("c_label"), col("v").as("cv"))), "cand")
+        .select(col("qid"), col("q_label"), col("cand"), col("c_label"),
+          V.cosine(col("qv"), col("cv")).as("cos"))
+        .withColumn("is_pos", col("c_label") === col("q_label"))
+      val rk = scored.withColumn("rn", row_number().over(
+        Window.partitionBy("qid", "is_pos").orderBy(col("cos").desc, col("cand").asc)))
+      rk.groupBy("qid", "q_label")
+        .agg(count(lit(1)).as("n_cands"),
+          sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos_cands"),
+          max(when(col("rn") === 1 && col("is_pos"), col("cand"))).as("pos_id"),
+          max(when(col("rn") === 1 && col("is_pos"), col("cos"))).as("__pc"),
+          max(when(col("rn") === 1 && !col("is_pos"), col("cand"))).as("neg_id"),
+          max(when(col("rn") === 1 && !col("is_pos"), col("cos"))).as("__nc"))
+        .select(col("qid"), col("q_label"), col("n_cands"), col("n_pos_cands"),
+          col("pos_id"), round(col("__pc"), 4).as("pos_cos"),
+          col("neg_id"), round(col("__nc"), 4).as("neg_cos"),
+          round(col("__pc") - col("__nc"), 4).as("margin"))
+        .orderBy("qid")
+    }),
+
     // ---- product-quantization (PQ) reconstruction error: the 64-dim vector
     // splits into 8 subvectors of 8 dims; each subvector snaps to its
     // nearest of 4 per-subspace codewords (deterministic codebook: the
@@ -2433,6 +2483,33 @@ object Similarity {
          |UNION ALL ${censusStep(2)})
          |ORDER BY round""".stripMargin
     },
+
+    // the 2-hop pool, both per-(anchor, side) argmaxes, and the margin
+    // replayed over the SQL-re-derived graph; margin computed from the
+    // UNROUNDED cosines, rounded once (the face's parenthesization)
+    "sim_triplet_mining" ->
+      s"""$nnGraphCtes,
+         |h1 AS (SELECT a AS qid, b AS cand FROM g2),
+         |h2 AS (SELECT h1.qid, g2.b AS cand FROM h1 JOIN g2 ON g2.a = h1.cand),
+         |pool AS (SELECT DISTINCT qid, cand FROM
+         |  (SELECT * FROM h1 UNION ALL SELECT * FROM h2) WHERE cand <> qid),
+         |qs AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS q_label, v AS qv
+         |  FROM e WHERE vec_id % 50 = 0),
+         |sc AS (SELECT p.qid, q.q_label, p.cand, CAST(c.label AS BIGINT) AS c_label,
+         |    ${S.cosine("q.qv", "c.v")} AS cos
+         |  FROM pool p JOIN qs q USING (qid) JOIN e c ON c.vec_id = p.cand),
+         |rk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY qid, (c_label = q_label) ORDER BY cos DESC, cand) AS rn
+         |  FROM sc)
+         |SELECT qid, q_label, count(*) AS n_cands,
+         |  CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_cands,
+         |  max(CASE WHEN rn = 1 AND c_label = q_label THEN cand END) AS pos_id,
+         |  round(max(CASE WHEN rn = 1 AND c_label = q_label THEN cos END), 4) AS pos_cos,
+         |  max(CASE WHEN rn = 1 AND c_label <> q_label THEN cand END) AS neg_id,
+         |  round(max(CASE WHEN rn = 1 AND c_label <> q_label THEN cos END), 4) AS neg_cos,
+         |  round(max(CASE WHEN rn = 1 AND c_label = q_label THEN cos END)
+         |      - max(CASE WHEN rn = 1 AND c_label <> q_label THEN cos END), 4) AS margin
+         |FROM rk GROUP BY 1, 2 ORDER BY qid""".stripMargin,
 
     // the kNN-graph search replay: the committed layout the Spark face
     // reads is re-derived from SQL (the full NN-descent chain), then the

@@ -1638,6 +1638,35 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
       s"hnsw recall ${rec.last} must reach the flat round-3 recall $flatRecall")
   }
 
+  test("sim_triplet_mining: sides labeled correctly, pools bounded by the 2-hop index, margin reconciles") {
+    val rows = SparkEntry.queries("sim_triplet_mining")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val labels = graft.engine.Tables.load(spark, d, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    for (r <- rows) {
+      val (qid, qLabel, nCands, nPos) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(labels(qid) == qLabel, s"anchor $qid label mismatch")
+      // 2-hop pool on a k=8 graph: ≤ 8 + 64 candidates per anchor
+      assert(nCands <= 72 && nPos <= nCands, s"$qid: pool out of bounds")
+      if (nPos > 0) {
+        assert(!r.isNullAt(4) && labels(r.getLong(4)) == qLabel,
+          s"$qid: positive must share the anchor's label")
+      }
+      if (nPos < nCands) {
+        assert(!r.isNullAt(6) && labels(r.getLong(6)) != qLabel,
+          s"$qid: hard negative must differ in label")
+      }
+      if (nPos > 0 && nPos < nCands) {
+        // margin is computed from unrounded cosines — the rounded columns
+        // reconcile within one rounding step
+        assert(math.abs(r.getDouble(8) - (r.getDouble(5) - r.getDouble(7))) <= 1e-4 + 1e-9,
+          s"$qid: margin must reconcile with pos_cos - neg_cos")
+      }
+    }
+  }
+
   test("sketch_kmv_setops: set algebra consistent, estimates inside the KMV error envelope") {
     val rows = SparkEntry.queries("sketch_kmv_setops")(spark, d).collect()
       .map(r => r.getString(0) ->
