@@ -153,14 +153,25 @@ object Bench {
     // PER-QUERY REGRESSION GUARD (VERDICT r12 #6): the r12 heap/tmpfs fix
     // made per-query warm times trustworthy for the first time — freeze
     // them. BENCH_BUDGET.json carries each query's committed quiet-window
-    // warm time at the graded sf; any warm time above BudgetFactor× its
-    // budget is flagged in the output JSON ("budget_flags") and in
-    // bench_detail.json, so a plan regression can never hide behind the
-    // retired "host noise" adjudication again. Budgets are sf-specific:
-    // the guard only arms when this run's sf matches the file's "_sf".
-    // New queries without a budget row pass silently (they get one when
-    // the budget is next regenerated — see QPROBE_r13).
+    // warm time at the graded sf; regressions are flagged in the output
+    // JSON ("budget_flags") and in bench_detail.json, so a plan
+    // regression can never hide behind the retired "host noise"
+    // adjudication again. The flag rule is WINDOW-CALIBRATED (measured
+    // r13: a globally 1.16×-inflated window flagged 35 unchanged queries
+    // under a naive fixed 1.5× — absolute barrier-stall noise hits small
+    // queries as big ratios): the run's median warm/budget ratio over
+    // all budgeted queries estimates the window's inflation (clamped
+    // ≥1 so a fast window never hides a regression), and a query flags
+    // only when it exceeds BOTH 1.5× its inflation-adjusted budget AND
+    // a 0.75 s absolute excess (the scale a plan regression at sf0.1
+    // actually shows; both committed r13 runs flag zero, while the one
+    // observed 2.7× in-bench transient still trips it). Budgets are
+    // sf-specific: the guard arms only when this run's sf matches the
+    // file's "_sf"; new queries without a row pass silently until the
+    // next regeneration (tools/make_budget.py).
     val BudgetFactor = 1.5
+    val BudgetExcessSec = 0.75
+    var budgetInflation = 1.0
     val budgetFlags: Seq[String] = try {
       val bp = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "BENCH_BUDGET.json"))
@@ -175,15 +186,17 @@ object Bench {
           val budgets = kv.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filterNot(_._1.startsWith("_")).toMap
+          val ratios = results.flatMap(r => budgets.get(r.name).map(r.warm / _))
+          if (ratios.nonEmpty) {
+            val s = ratios.sorted
+            budgetInflation = math.max(1.0, s(s.length / 2))
+          }
           results.flatMap { r =>
-            // 0.5 s floor: sub-0.3 s queries are stage-scheduling-floor
-            // dominated and jitter past 1.5x without any plan change
-            // (measured r13: mm_audio_energy 0.19→0.31 in-bench, 0.27
-            // isolated median) — a regression that matters shows >0.5 s
-            budgets.get(r.name)
-              .filter(b => r.warm > math.max(0.5, BudgetFactor * b)).map { b =>
+            budgets.get(r.name).map(_ * budgetInflation).filter(b =>
+              r.warm > math.max(0.5, BudgetFactor * b) &&
+                r.warm - b > BudgetExcessSec).map { b =>
               System.err.println(
-                f"[bench] BUDGET ${r.name}%-28s warm=${r.warm}%8.3fs budget=$b%8.3fs (${r.warm / b}%4.2fx)")
+                f"[bench] BUDGET ${r.name}%-28s warm=${r.warm}%8.3fs adj-budget=$b%8.3fs (${r.warm / b}%4.2fx)")
               r.name
             }
           }
@@ -229,7 +242,7 @@ object Bench {
 
     // Full line first (humans / detail), short self-contained line LAST —
     // the driver's tail capture must always end on a complete JSON object.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","cold_total":${ms(coldTotal)},"sf":"$sfDir","retried":[${retriedNames.map("\"" + _ + "\"").mkString(",")}],"budget_flags":[${budgetFlags.map("\"" + _ + "\"").mkString(",")}],"queries":$qs}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","cold_total":${ms(coldTotal)},"sf":"$sfDir","retried":[${retriedNames.map("\"" + _ + "\"").mkString(",")}],"budget_flags":[${budgetFlags.map("\"" + _ + "\"").mkString(",")}],"budget_window_inflation":${ms(budgetInflation)},"queries":$qs}""")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","cold_total":${ms(coldTotal)},"n":${results.size},"retried":${retriedNames.size}}""")
     spark.stop()
   }
