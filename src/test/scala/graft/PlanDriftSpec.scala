@@ -128,7 +128,18 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "agg_median_per_entity" -> Seq(3, 1, 0, 0, 0, 6, 1, 0),
     // r13: phase-2 peeling — the residue recolor adds its settled-count
     // census (one more 1-row BNLJ + single-partition exchange pair)
-    "graph_scc_coloring" -> Seq(0, 0, 0, 4, 0, 1, 0, 4))
+    "graph_scc_coloring" -> Seq(0, 0, 0, 4, 0, 1, 0, 4),
+    // r13 additions: the 8-round layer-stack search assembles its 8
+    // census rows from checkpointed rounds (1-row BNLJ + single-partition
+    // exchange per row; the broadcast-hash joins are the per-row
+    // exact-hit markers); triplet mining is pool + two broadcast lookups
+    // + one window; kmv's plan is the 5-op union of 1-row sketch frames
+    // (BNLJ-heavy by design, every frame ≤ k rows); rouge-L is one
+    // mapPartitions DP + one per-source hash-agg — join-free
+    "sim_hnsw_levels" -> Seq(8, 0, 0, 8, 0, 8, 0, 16),
+    "tx_rouge_lcs" -> Seq(0, 0, 0, 0, 0, 1, 1, 0),
+    "sketch_kmv_setops" -> Seq(2, 0, 0, 11, 0, 2, 0, 5),
+    "sim_triplet_mining" -> Seq(3, 0, 0, 0, 0, 3, 1, 0))
 
   test("top-20 bench plans match the committed fingerprint corpus") {
     if (sys.env.get("GRAFT_PLANDRIFT_PRINT").contains("1")) {
