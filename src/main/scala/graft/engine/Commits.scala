@@ -366,13 +366,30 @@ object Commits {
 
     /** Retention floor: versions below it may have had their change files
       * vacuumed — readers must route them to the snapshot-diff fallback
-      * (etl_change_data_feed's derivation). 0 = never vacuumed. */
+      * (etl_change_data_feed's derivation). 0 = never vacuumed.
+      *
+      * Durability (ADVICE r13): the marker is published by temp-write +
+      * ATOMIC_MOVE (below), so a reader can never observe a torn write.
+      * An EMPTY marker is still tolerated as 0 — the artifact of a
+      * pre-atomic writer's truncate-then-crash, and safe: the marker is
+      * written BEFORE any delete, so a crash that lost the marker also
+      * lost the deletes and every change file is still readable. Any
+      * other unparsable content is NOT a known crash shape — fail loudly
+      * with the repair path rather than silently routing readers. */
     def vacuumHorizon(table: String): Int = {
       val f = horizonFile(table)
-      if (f.exists())
-        new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-      else 0
+      if (!f.exists()) 0
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (txt.isEmpty) 0
+        else if (txt.forall(_.isDigit)) txt.toInt
+        else throw new IllegalStateException(
+          s"corrupt vacuum-horizon marker ${f.getPath} (content: '$txt'); " +
+            "repair: delete the marker to fall back to horizon 0 (all " +
+            "still-present change files remain readable) or rewrite it " +
+            "with the intended integer horizon")
+      }
     }
 
     /** VACUUM change files below the retention horizon (VERDICT r12 #7 —
@@ -390,8 +407,16 @@ object Commits {
       val newHorizon = math.max(vacuumHorizon(table), keepFrom)
       val f = horizonFile(table)
       f.getParentFile.mkdirs()
-      java.nio.file.Files.write(f.toPath,
+      // temp-write + ATOMIC_MOVE (ADVICE r13): a crash mid-write must not
+      // leave a truncated marker that bricks every subsequent read — the
+      // same build-then-rename discipline the change-file publisher uses
+      val tmp = new java.io.File(f.getParentFile,
+        s".${f.getName}.${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp.toPath,
         newHorizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val victims = versions(table).filter(_ < newHorizon)
       victims.foreach(v => rmTree(dir(table, v)))
       victims

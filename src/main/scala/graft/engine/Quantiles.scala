@@ -63,6 +63,17 @@ object Quantiles {
     // them into a null bucket and n) while sort_array(collect_list(v))
     // drops them — ranks shift and element_at can miss. Current catalog
     // callers pass non-null columns; the helper is a general primitive.
+    //
+    // DOCUMENTED divergence for ALL-null groups (ADVICE r13): a group
+    // whose every value is null has no surviving row here, so it emits
+    // NO output rows, while the built-in `percentile()` emits (g, null).
+    // This is the natural contract of a two-scan selection (the group
+    // never reaches the histogram) and the cheap one — resurrecting such
+    // groups would cost a third pass over `base0` purely to discover
+    // them. Callers that need percentile()'s (g, null) rows left-join
+    // this result back to their own group frame. QuantilesSpec pins both
+    // halves: interleaved nulls match the built-in bit-for-bit;
+    // all-null groups are absent here and null-row there.
     val base = base0.filter(col(v).isNotNull)
     val bkt = floor(col(v) / lit(width)).cast("long")
     // 1. bucket histogram (codegen hash-agg; partial agg collapses

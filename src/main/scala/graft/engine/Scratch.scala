@@ -45,15 +45,37 @@ object Scratch {
     f.delete(): Unit
   }
 
+  /** True iff the pid encoded in a `pidNNN` scratch dir name belongs to a
+    * LIVE process. The mtime age floor alone is not a liveness test
+    * (ADVICE r13): a directory's lastModified updates only on direct-child
+    * creation, and Spark creates its blockmgr / spark-scratch children at JVM
+    * start then writes INSIDE them — so any JVM running longer than
+    * [[StaleAgeMs]] looks idle by mtime, and a concurrently starting graft
+    * process would delete its live shuffle/spill dirs mid-run. Dir names
+    * that don't parse as `pidNNN` (legacy layouts) fall back to the age
+    * floor alone. */
+  private def ownerAlive(d: java.io.File): Boolean =
+    d.getName match {
+      case s if s.startsWith("pid") && s.drop(3).forall(_.isDigit) &&
+          s.length > 3 =>
+        try ProcessHandle.of(s.drop(3).toLong)
+          .map[Boolean](_.isAlive).orElse(false)
+        catch { case _: NumberFormatException => false }
+      case _ => false
+    }
+
   lazy val localDir: String = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) {
       val root = new java.io.File(shm, "graft_spark")
-      // sweep stale siblings from killed JVMs — tmpfs bytes are RAM
+      // sweep stale siblings from killed JVMs — tmpfs bytes are RAM.
+      // A dir is swept only when its owner pid is DEAD and the age floor
+      // has passed (the floor keeps a just-started sibling's dir safe in
+      // the window before its first child appears).
       val now = System.currentTimeMillis()
       val old = root.listFiles()
       if (old != null)
-        old.filter(d => now - d.lastModified() > StaleAgeMs)
+        old.filter(d => now - d.lastModified() > StaleAgeMs && !ownerAlive(d))
           .foreach(deleteRecursively)
       val free = shm.getUsableSpace
       if (free >= MinShmFreeBytes) {

@@ -38,6 +38,29 @@ class CatalogHygieneSpec extends AnyFunSuite {
         dups.map { case (n, fs) => s"$n in ${fs.map(_._2).mkString("+")}" }.mkString("; "))
   }
 
+  // the other half of the r13 shadowing class (ADVICE r13): duplicate keys
+  // in the ORACLE map also collapse silently (last wins) and pass the
+  // key-set cross-check, since sets carry no multiplicity. Count every
+  // `"name" ->` arrow entry in the catalog sources per face key: a face
+  // with an oracle must appear exactly twice (one query def, one oracle
+  // def), an oracle-less face exactly once — any extra occurrence is a
+  // shadowing definition in one of the two maps.
+  private val arrowRe = """"([A-Za-z0-9_]+)"\s*->""".r
+
+  test("no face key is arrow-defined more times than (query + oracle) — duplicate oracle keys shadow silently too") {
+    val counts = queryFiles.flatMap(f => arrowRe.findAllMatchIn(read(f)).map(_.group(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val over = (q ++ o).toSeq.sorted.flatMap { name =>
+      val expected = (if (q(name)) 1 else 0) + (if (o(name)) 1 else 0)
+      val got = counts.getOrElse(name, 0)
+      if (got > expected) Some(s"$name: $got arrow defs, expected $expected") else None
+    }
+    assert(over.isEmpty,
+      s"face keys with surplus map entries (a duplicate silently shadows): ${over.mkString("; ")}")
+  }
+
   test("every oracle key names a live query; oracle-less faces are the known rows-only set") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

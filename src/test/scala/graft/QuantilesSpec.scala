@@ -76,6 +76,25 @@ class QuantilesSpec extends AnyFunSuite with SharedSparkSpec {
     assert(got == want, "null semantics must match the built-in")
   }
 
+  test("ALL-null groups are dropped — the documented divergence from percentile() (ADVICE r13)") {
+    import spark.implicits._
+    // group "z" holds ONLY nulls: the built-in returns (z, null); exact()
+    // documents that the group emits no row (it never reaches the
+    // histogram) — pin both behaviors so the divergence stays exactly
+    // this wide and a silent semantics change in either direction is loud
+    val base = Seq(("a", Some(1.0)), ("a", Some(3.0)),
+        ("z", None: Option[Double]), ("z", None))
+      .toDF("g", "v").cache()
+    val got = Quantiles.exact(base, "g", "v", Seq(0.5), 10.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == Map("a" -> 2.0), "all-null group must be absent, survivors exact")
+    val builtin = base.groupBy("g")
+      .agg(percentile(col("v"), lit(0.5)).as("q"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(builtin == Map("a" -> Some(2.0), "z" -> None),
+      "the built-in keeps the all-null group as a null row — the contract exact() documents diverging from")
+  }
+
   test("width must be positive; oversized bucket trips the gather guard (ADVICE r12)") {
     import spark.implicits._
     val base = Seq.fill(50)(("a", 7.0)).toDF("g", "v").cache()
