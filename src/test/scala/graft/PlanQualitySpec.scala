@@ -643,4 +643,49 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
       // 4 rounds × (edge⋈rank + seeded⋈mass) + the seed left join
       minHintedBhj = 8)
   }
+
+  // ---- the ANN module's corpus-row hints (VERDICT r13 #1 — the twin of
+  // the graph gate, one module over): same pinGate harness, same contract.
+  // The ground-truth corpus×sample crossJoin stays a broadcast-NLJ below
+  // the gate and falls to the planner's cartesian above it — the subject
+  // of the BHJ assertions is the equi-join lookup frames.
+
+  test("sim_nndescent: endpoint-lookup hints gated; co-partitioned above; gate-independent results") {
+    pinGate("sim_nndescent",
+      h => graft.queries.Similarity.nndescentAt(spark, d, h, truncate = false),
+      h => graft.queries.Similarity.nndescentAt(spark, d, h),
+      // 3 scored graphs × (⋈ea + ⋈eb) + 3 recall censuses ⋈exact
+      minHintedBhj = 9)
+  }
+
+  test("sim_hnsw_levels: layer-search lookup hints gated; co-partitioned above; gate-independent results") {
+    // explain a 1-round-per-layer schedule (an untruncated 8-round stack
+    // squares the visited-set lineage); the hint routing is identical per
+    // round. Execution runs the face's committed schedule on both sides.
+    pinGate("sim_hnsw_levels",
+      h => graft.queries.Similarity.hnswLevelsAt(spark, d, l2b = 5, l1b = 7,
+        l1r = 1, l0b = 9, l0r = 1, l0e = 8, entries = 3,
+        bcVec = Some(h), truncate = false),
+      h => graft.queries.Similarity.hnswLevelsAt(spark, d, l2b = 5, l1b = 7,
+        l1r = 1, l0b = 9, l0r = 5, l0e = 8, entries = 3, bcVec = Some(h)),
+      // 4 scoring rounds × (⋈cv + ⋈q) + 4 censuses ⋈exact
+      minHintedBhj = 12)
+  }
+
+  test("sim_triplet_mining: anchor/candidate lookup hints gated; co-partitioned above; gate-independent results") {
+    pinGate("sim_triplet_mining",
+      h => graft.queries.Similarity.tripletMiningAt(spark, d, h),
+      h => graft.queries.Similarity.tripletMiningAt(spark, d, h),
+      // pool ⋈ anchor-frame + pool ⋈ candidate-frame
+      minHintedBhj = 2)
+  }
+
+  test("sim_index_insert: edge-rescore/beam/census lookup hints gated; co-partitioned above; gate-independent results") {
+    pinGate("sim_index_insert",
+      h => graft.queries.Similarity.indexInsertAt(spark, d, h, truncate = false),
+      h => graft.queries.Similarity.indexInsertAt(spark, d, h),
+      // 2 edge re-scores × 2 lookup sides + 4 beam-scoring rounds +
+      // 4 census ⋈ exact-sample joins
+      minHintedBhj = 12)
+  }
 }
