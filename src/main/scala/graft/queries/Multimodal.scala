@@ -472,7 +472,7 @@ object Multimodal {
         .withColumn("is_clipped", col("n_clipped") * 100 > col("n_samples") * 5)
         .orderBy("doc_id")
     })
-  ) ++ ImageDedup.queries
+  ) ++ ImageDedup.queries ++ AudioDedup.queries
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -675,5 +675,5 @@ object Multimodal {
         |  round(n_clipped / CAST(n_samples AS DOUBLE), 4) AS clip_ratio,
         |  (n_clipped * 100 > n_samples * 5) AS is_clipped
         |FROM c ORDER BY doc_id""".stripMargin
-  ) ++ ImageDedup.oracles
+  ) ++ ImageDedup.oracles ++ AudioDedup.oracles
 }

@@ -1729,6 +1729,28 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
       s"levels recall ${rec.last} must reach the 2-layer recall ${two.last.getDouble(4)}")
   }
 
+  test("mm_audio_dedup: detected pairs are exactly planted echoes; corrupt plants break their pairs; buckets capped") {
+    val rows = SparkEntry.queries("mm_audio_dedup")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    // deterministic at this sf: 38 of the 48 live planted (src, src+7)
+    // echo pairs clear the n_shared/overlap thresholds (the 10 missed are
+    // nf=8 clips with too few peak pairs), and ZERO false positives
+    assert(rows.length == 38, s"expected the 38 measured pairs, got ${rows.length}")
+    for ((a, b, ns, la, lb, mb, ov) <- rows) {
+      assert(b - a == 7 && a % 10 == 0,
+        s"($a, $b) is not a planted (src, src+7) echo pair")
+      assert(ns >= 3 && ov >= 0.5, s"($a, $b) below the report thresholds")
+      assert(mb <= 16, s"($a, $b) came through an uncapped bucket ($mb)")
+      assert(ns <= math.min(la, lb), s"($a, $b) shares more than it has")
+    }
+    // the corrupt plants (doc_id % 97 == 96: clip 290 = a source, clip
+    // 387 = an echo) decode to nothing, so their partners must be orphans
+    for (orphan <- Seq(297L, 380L))
+      assert(!rows.exists(r => r._1 == orphan || r._2 == orphan),
+        s"clip $orphan's partner is corrupt — it must match nothing")
+  }
+
   test("sim_index_insert: every node keeps k edges; base cohort dominates the rebuild; new cohort within eps") {
     val rows = SparkEntry.queries("sim_index_insert")(spark, d).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
