@@ -1751,6 +1751,24 @@ class FacesInvariantSpec extends AnyFunSuite with SharedSparkSpec {
         s"clip $orphan's partner is corrupt — it must match nothing")
   }
 
+  test("st_index_append: streamed appends ≡ the batch twin; batch routing correct; k edges per newcomer") {
+    val out = graft.queries.Similarity.indexAppendScenario(spark, d)
+    val streamed = spark.read.parquet((0 to 2).map(b => s"$out/b$b"): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val twin = graft.queries.Similarity.appendBatchTwin(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.nonEmpty)
+    assert(streamed.map(t => (t._1, t._2, t._3)).toSet == twin.toSet,
+      "the streamed edge set must equal the single-batch twin's")
+    for ((a, b, _, batch) <- streamed) {
+      assert(a % 2 == 1 && b % 2 == 0,
+        s"edge ($a, $b): newcomers are odd, base links even")
+      assert((a / 2) % 3 == batch, s"edge of $a landed in batch $batch")
+    }
+    assert(streamed.groupBy(_._1).forall(_._2.length == 8),
+      "every newcomer links exactly k=8 edges")
+  }
+
   test("sim_index_insert: every node keeps k edges; base cohort dominates the rebuild; new cohort within eps") {
     val rows = SparkEntry.queries("sim_index_insert")(spark, d).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
