@@ -1658,7 +1658,7 @@ object Similarity {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      e.crossJoin(broadcast(q))
+      e.crossJoin(hintIf(embHintGate(d))(q))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cos_raw", V.cosine(col("v"), col("qv")))
         .withColumn("rank", row_number().over(
@@ -1666,6 +1666,46 @@ object Similarity {
         .filter(col("rank") <= 3)
         .select(col("qid"), col("vec_id").as("neighbor"), col("rank"),
           round(col("cos_raw"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- two-sided INDEX-BLOCKED kNN join (VERDICT r13 stretch) — the
+    // production complement of sim_knn_join: that face broadcasts the
+    // query sample (a one-sided shape that dies when BOTH tables are
+    // large); here each left vector probes the committed IVF layout of
+    // the right side instead. Blocking: Lloyd centroids on the right
+    // half (the sim_ivf_incremental seeds/rounds, replayed by the
+    // oracle), right vectors assigned to their 1 nearest cell (the
+    // persisted index), left vectors probe their nprobe=2 nearest cells,
+    // and candidates come ONLY from the cell equi-join — co-partitioned
+    // on the cell id, NO corpus-sized frame broadcast on either side
+    // (the only broadcast is the k=16 centroid frame, constant-size at
+    // any scale; PlanQualitySpec pins the shape). Per-query candidate
+    // budget = the two probed cells' occupancy, visible in-row
+    // (n_cands); top-3 by raw cosine with the sim_knn_join tie-breaks.
+    "sim_knn_join_idx" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("v"))
+      val right = e.filter(col("vec_id") % 2 === 0)
+      val left = e.filter(col("vec_id") % 2 === 1)
+      val (cents, _) = graft.engine.KMeans.lloyd(right, k = 16, rounds = 2,
+        trackInertia = false)
+      val ra = graft.engine.KMeans.assign(right, cents)
+        .select(col("cluster"), col("vec_id").as("neighbor"), col("v").as("nv"))
+      val lp = left.crossJoin(broadcast(cents))
+        .withColumn("dist2", l2sq(col("v"), col("c")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("seed_id").asc)))
+        .filter(col("rn") <= 2)
+        .select(col("seed_id").as("cluster"), col("vec_id").as("qid"),
+          col("v").as("qv"))
+      lp.join(ra, "cluster")
+        .withColumn("cos_raw", V.cosine(col("nv"), col("qv")))
+        .withColumn("n_cands", count(lit(1)).over(Window.partitionBy("qid")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("neighbor").asc)).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("neighbor"), col("rank"),
+          round(col("cos_raw"), 6).as("cos"), col("n_cands"))
         .orderBy("qid", "rank")
     }),
 
@@ -2952,6 +2992,55 @@ object Similarity {
          |UNION ALL ${censusSel("rebuilt", "reb", "base", 0, "ex")}
          |UNION ALL ${censusSel("rebuilt", "reb", "new", 1, "exn")})
          |ORDER BY variant, cohort""".stripMargin
+    },
+
+    // the blocked-join replay: the 2-round Lloyd chain (the
+    // sim_ivf_incremental mechanics), the right side's cell assignment,
+    // the left side's 2-cell probe, and the per-cell candidate join —
+    // every centroid coordinate, tie-break, and candidate re-derived
+    "sim_knn_join_idx" -> {
+      def rnd(i: Int, prev: String) =
+        s"""a$i AS (SELECT b.vec_id, b.v, c.seed_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(b.v, c.c), p -> (p[1]-p[2])*(p[1]-p[2]))),
+           |      (acc, x) -> acc + x) AS dist2
+           |  FROM b CROSS JOIN $prev c),
+           |best$i AS (SELECT vec_id, v, seed_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist2, seed_id) AS rn FROM a$i) WHERE rn = 1),
+           |cd$i AS (SELECT seed_id, dim, ${S.qmean("v[CAST(dim AS INTEGER)]")} AS cval
+           |  FROM best$i, generate_series(1, 64) t(dim) GROUP BY seed_id, dim),
+           |cents$i AS (SELECT seed_id, list(cval ORDER BY dim) AS c FROM cd$i GROUP BY seed_id)""".stripMargin
+      val d2 = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(list_zip(%s, c.c), p -> (p[1]-p[2])*(p[1]-p[2]))),
+        |      (acc, x) -> acc + x)""".stripMargin
+      s"""$embCte,
+         |b AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+         |cents0 AS (SELECT vec_id AS seed_id, v AS c FROM e
+         |           WHERE vec_id < 16 AND vec_id % 2 = 0),
+         |${rnd(1, "cents0")},
+         |${rnd(2, "cents1")},
+         |raa AS (SELECT b.vec_id, c.seed_id, ${d2.format("b.v")} AS dist2
+         |  FROM b CROSS JOIN cents2 c),
+         |ra AS MATERIALIZED (SELECT seed_id AS cluster, vec_id AS neighbor FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist2, seed_id) AS rn FROM raa) WHERE rn = 1),
+         |la AS (SELECT q.vec_id AS qid, c.seed_id, ${d2.format("q.v")} AS dist2
+         |  FROM e q CROSS JOIN cents2 c WHERE q.vec_id % 2 = 1),
+         |lp AS MATERIALIZED (SELECT seed_id AS cluster, qid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist2, seed_id) AS rn FROM la) WHERE rn <= 2),
+         |cand AS MATERIALIZED (SELECT l.qid, r.neighbor,
+         |    ${S.cosine("x.v", "q.v")} AS cos_raw
+         |  FROM lp l JOIN ra r USING (cluster)
+         |    JOIN e x ON x.vec_id = r.neighbor JOIN e q ON q.vec_id = l.qid)
+         |SELECT qid, neighbor, rank, round(cos_raw, 6) AS cos, n_cands FROM (
+         |  SELECT qid, neighbor, cos_raw,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_raw DESC, neighbor) AS BIGINT) AS rank,
+         |    CAST(count(*) OVER (PARTITION BY qid) AS BIGINT) AS n_cands
+         |  FROM cand)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
     },
 
     // the append replay: the identical insert-search chain, with each

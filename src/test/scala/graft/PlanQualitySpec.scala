@@ -680,6 +680,24 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
       minHintedBhj = 2)
   }
 
+  test("sim_knn_join_idx: cell equi-join co-partitioned; only the constant centroid frame broadcasts") {
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      spark.sharedState.cacheManager.clearCache()
+      val p = graft.SparkEntry.queries("sim_knn_join_idx")(spark, d)
+        .queryExecution.sparkPlan.toString
+      // the k=16 centroid frame stays a broadcast-NLJ (constant-size at
+      // any scale); the subject is the corpus-row frames: neither side
+      // of the cell join may be forced into a broadcast build
+      assert(!p.contains("BroadcastHashJoin"),
+        s"no corpus-proportional frame may broadcast-hash-join:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"the cell join must shuffle on the blocking key:\n$p")
+    } finally spark.conf.set(thresholdKey, saved)
+  }
+
   test("sim_index_insert: edge-rescore/beam/census lookup hints gated; co-partitioned above; gate-independent results") {
     pinGate("sim_index_insert",
       h => graft.queries.Similarity.indexInsertAt(spark, d, h, truncate = false),
