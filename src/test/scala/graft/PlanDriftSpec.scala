@@ -139,7 +139,17 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "sim_hnsw_levels" -> Seq(8, 0, 0, 8, 0, 8, 0, 16),
     "tx_rouge_lcs" -> Seq(0, 0, 0, 0, 0, 1, 1, 0),
     "sketch_kmv_setops" -> Seq(2, 0, 0, 11, 0, 2, 0, 5),
-    "sim_triplet_mining" -> Seq(3, 0, 0, 0, 0, 3, 1, 0))
+    "sim_triplet_mining" -> Seq(3, 0, 0, 0, 0, 3, 1, 0),
+    // r14 additions: the insert face's census assembly over the search/
+    // prune/repair cascade, the append face's layout-read census, the
+    // blocked two-sided join (cell SMJ + constant centroid BNLJs), audio
+    // dedup's banded candidate join, and winnowing's committed
+    // fingerprint-layout read
+    "sim_index_insert" -> Seq(12, 0, 0, 8, 0, 4, 0, 12),
+    "st_index_append" -> Seq(0, 0, 0, 0, 0, 2, 1, 0),
+    "sim_knn_join_idx" -> Seq(0, 1, 0, 2, 0, 5, 1, 0),
+    "mm_audio_dedup" -> Seq(5, 4, 0, 0, 0, 18, 1, 0),
+    "dd_winnowing" -> Seq(3, 1, 0, 0, 0, 7, 1, 0))
 
   test("top-20 bench plans match the committed fingerprint corpus") {
     if (sys.env.get("GRAFT_PLANDRIFT_PRINT").contains("1")) {
