@@ -476,7 +476,24 @@ object PlanDump {
       "one tokenize stages the corpus, each n re-folds the same token-" +
       "hash arrays with its own per-step-mod Horner window; benchmark " +
       "gram sets broadcast into the train scan; counts monotone in n " +
-      "(FacesInvariantSpec).")
+      "(FacesInvariantSpec)."),
+    "sim_index_insert" -> ("ANN index maintenance: base-half committed " +
+      "kNN layout + search-then-link-prune-repair of the arriving half; " +
+      "corpus-row vector lookups gated (embHintGate), repair confined " +
+      "to 2-hop/co-linker pools ≤ batch × k²; the final frame is the " +
+      "4-row census assembly over the checkpointed cascade."),
+    "st_index_append" -> ("Streaming index append read path: the " +
+      "committed per-batch edge shards (written exactly-once by " +
+      "batchId inside foreachBatch) scan + one 3-group census — the " +
+      "search cost lives in the stream, not the reader."),
+    "sim_knn_join_idx" -> ("Two-sided index-blocked kNN join: only the " +
+      "k=16 centroid frame broadcasts (constant at any scale); the " +
+      "cell equi-join is the one shuffle pair — neither corpus " +
+      "broadcasts (PlanQualitySpec pins the shape)."),
+    "mm_audio_dedup" -> ("Constellation audio dedup: decode+energies in " +
+      "one mapPartitions pass, per-clip peak windows, banded candidate " +
+      "equi-join on the (dt, ratio) landmark key with the df-style " +
+      "bucket cap applied BEFORE pair generation — never clip × clip.")
   )
 
   def main(args: Array[String]): Unit = {
