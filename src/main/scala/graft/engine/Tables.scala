@@ -18,6 +18,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** On-disk parquet bytes of table `name` under `sfDir` (single file or
+    * directory of part-files) — the no-Spark-job size probe behind the
+    * scaled-table broadcast-hint gates (the Graph.nodesCountUpperBound /
+    * Similarity.embRowsUpperBound recipe, generalized). 0 for a missing
+    * table, which every gate treats as "small" (hint stands — the
+    * test-data layout always materializes the table it reads). */
+  def bytesOnDisk(sfDir: String, name: String): Long = {
+    val f = new java.io.File(sfDir, s"$name.parquet")
+    if (f.isFile) f.length()
+    else Option(f.listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length()).sum)
+      .getOrElse(0L)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
       // events.ts has shipped as parquet TIMESTAMP(NANOS) in some data drops

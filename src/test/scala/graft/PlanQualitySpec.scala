@@ -680,6 +680,36 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
       minHintedBhj = 2)
   }
 
+  // ---- the RELATIONAL module's scaled-table hints (the ungated-hint
+  // class VERDICT r12/r13 found in graph and ANN, closed proactively):
+  // TPC-H customer/supplier/part grow with sf, so their hints — and
+  // hints on frames derived from them — route through
+  // Relational.scaledHintOn (on-disk-bytes bound). q3 is the pinned
+  // representative; the gate unit test proves the byte-bound flip.
+
+  test("q3_shipping_priority: scaled-customer hint gated; co-partitioned above; gate-independent results") {
+    pinGate("q3_shipping_priority",
+      h => graft.queries.Relational.q3At(spark, d, h),
+      h => graft.queries.Relational.q3At(spark, d, h),
+      // the filtered-customer dim join
+      minHintedBhj = 1)
+  }
+
+  test("scaled-table hint gate flips on on-disk bytes (sparse-file probe)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate").toFile
+    try {
+      val f = new java.io.RandomAccessFile(
+        new java.io.File(dir, "customer.parquet"), "rw")
+      f.setLength(graft.queries.Relational.BcTableByteLimit + 1); f.close()
+      assert(!graft.queries.Relational.scaledHintOn(dir.getPath, "customer"),
+        "a table above the byte bound must not carry a broadcast hint")
+      assert(graft.queries.Relational.scaledHintOn(d, "customer"),
+        "the test-sf customer must stay hinted (the drift fingerprints are below-gate)")
+    } finally {
+      Option(dir.listFiles()).foreach(_.foreach(_.delete())); dir.delete()
+    }
+  }
+
   test("sim_knn_join_idx: cell equi-join co-partitioned; only the constant centroid frame broadcasts") {
     val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
     val saved = spark.conf.get(thresholdKey)
