@@ -66,17 +66,22 @@ object TextOps {
     val staged = evalStaged(s, d) // read twice: gram stream + per-source lengths
     def tagged(c: String, n: Int, enc: Long) =
       transform(col(c), g => struct(lit(n).as("n"), lit(enc).as("e"), g.as("g")))
-    val docSrc = staged.select(col("doc_id"), col("source"))
-    val grams = staged.select(col("doc_id"),
+    // `source` RIDES the gram rows into the clip aggregation instead of
+    // re-joining a (doc_id, source) frame afterwards: that frame is
+    // corpus-row-sized, and its former broadcast hint was the r12/r13
+    // ungated-hint class (an explicit hint overrides AQE's fallback at
+    // 100 TB). doc_id → source is functional, so the wider group key
+    // changes no group — it just makes the join disappear; the shuffle
+    // row grows by one short string.
+    val grams = staged.select(col("doc_id"), col("source"),
       explode(concat(
         tagged("__candh", 1, 1L), tagged("__refh", 1, 1L << 20),
         tagged("__candbg", 2, 1L), tagged("__refbg", 2, 1L << 20))).as("t"))
     val clipped = grams
-      .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+      .groupBy(col("doc_id"), col("source"), col("t.n").as("n"), col("t.g").as("g"))
       .agg(sum(col("t.e")).as("e"))
       .withColumn("cc", expr("e % 1048576"))
       .withColumn("cr", expr("e div 1048576"))
-      .join(broadcast(docSrc), "doc_id")
       .groupBy("source", "n").agg(sum(least(col("cc"), col("cr"))).as("clip"))
     val clipW = clipped.groupBy("source").agg(
       sum(when(col("n") === 1, col("clip")).otherwise(0L)).as("clip1"),
@@ -1728,13 +1733,18 @@ object TextOps {
     // every n-gram LM demo runs, as a relational plan: the argmax-next
     // table (one row per vocabulary token: its most frequent successor,
     // count-desc/token-asc tie-break via the struct-min trick) is built
-    // once and BROADCAST; each of the 8 decode steps is one broadcast
-    // join extending (cur, seq). Greedy decoding's loop degeneracy (the
-    // chain enters a 2-cycle fast) shows up honestly in the output. A
-    // dead-end token (never seen as a bigram head) emits </s> and stays
-    // terminal. Scale shape: the corpus is touched twice (bigram counts,
-    // seed counts); decoding itself is vocab-sized work — 8 joins against
-    // a broadcast table, rows = |seeds|, never corpus-sized.
+    // once and hinted below the docs-bytes gate; each of the 8 decode
+    // steps is one join extending (cur, seq). Greedy decoding's loop
+    // degeneracy (the chain enters a 2-cycle fast) shows up honestly in
+    // the output. A dead-end token (never seen as a bigram head) emits
+    // </s> and stays terminal. Scale shape: the corpus is touched twice
+    // (bigram counts, seed counts); decoding itself is vocab-sized work —
+    // 8 joins of the 5-row chain frame against the successor table,
+    // never corpus-sized. The successor table is VOCAB-sized (token
+    // types grow with the corpus, uncapped here), so its hint routes
+    // through the same on-disk-bytes gate as every data-proportional
+    // hint (the r12/r13 class): above the bound the planner's own choice
+    // stands.
     "tx_lm_generate" -> ((s, d) => {
       val staged = t(s, d, "documents")
         .select(col("doc_id"), T.tokens(col("text")).as("__toks")).cache()
@@ -1747,16 +1757,18 @@ object TextOps {
       val cab = ab.groupBy("a", "b").agg(count(lit(1)).as("cab"))
       // struct-min on (−count, successor) = argmax count, lexicographic
       // tie-break — the emb_kmeans_step argmin pattern
-      val nxt = cab.groupBy("a")
+      val nxt0 = cab.groupBy("a")
         .agg(min(struct((-col("cab")).as("nc"), col("b").as("nb"))).as("m"))
         .select(col("a").as("cur"), col("m.nb").as("nxt"))
+      val nxt = if (Tables.bytesOnDisk(d, "documents") <= (256L << 20))
+        broadcast(nxt0) else nxt0
       val seeds = staged.select(explode(col("__toks")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("tok").asc).limit(5)
         .select(col("tok").as("seed"))
       var g = seeds.select(col("seed"), col("seed").as("cur"), col("seed").as("seq"))
       for (_ <- 1 to 8) {
-        g = g.join(broadcast(nxt), Seq("cur"), "left")
+        g = g.join(nxt, Seq("cur"), "left")
           .select(col("seed"),
             coalesce(col("nxt"), lit("</s>")).as("cur"),
             concat(col("seq"), lit(" "), coalesce(col("nxt"), lit("</s>"))).as("seq"))

@@ -92,8 +92,10 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     // join-free census assemblies (the rank_converged/kcore pattern)
     "graph_random_walks" -> Seq(0, 0, 0, 0, 0, 3, 0, 3),
     "graph_ppr" -> Seq(0, 0, 0, 1, 0, 0, 0, 1),
-    // r12: +1 broadcast — doc→source rejoined after the lean gram agg
-    "tx_bleu_eval" -> Seq(2, 0, 0, 0, 0, 4, 1, 0),
+    // r14: −1 broadcast — source now rides the clip-gram group key, so
+    // the corpus-row (doc_id, source) rejoin (an ungated-hint-class
+    // frame) is gone entirely
+    "tx_bleu_eval" -> Seq(1, 0, 0, 0, 0, 4, 1, 0),
     "tx_wordpiece_encode" -> Seq(2, 0, 0, 0, 0, 10, 0, 0),
     "ts_holt_winters" -> Seq(0, 0, 0, 0, 0, 2, 1, 0),
     "emb_silhouette" -> Seq(0, 0, 0, 1, 0, 2, 1, 0),
