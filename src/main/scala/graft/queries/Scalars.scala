@@ -68,41 +68,57 @@ object Scalars {
     // run) coerce to NULL instead of throwing from parseLong/overflowing
     "1234567:00:00", "12345678:00:00", "99999999999999999999:00:00")
 
+  // OPTIMIZATION r14 (guide §1.4/§2.3): every face whose output is a
+  // row-level frame under a global orderBy used to evaluate its expensive
+  // string codecs BELOW the range exchange — and a range exchange runs a
+  // SAMPLING job that re-executes its whole child plan to pick partition
+  // bounds, so each format_string/regex/JSON projection ran TWICE per row,
+  // and the shuffle carried the derived strings instead of the narrow
+  // numeric inputs. The faces now sort the narrow (keys, numeric input)
+  // frame and apply the codec projection ABOVE the Sort: identical rows in
+  // identical order (the projection is order-preserving), half the codec
+  // evaluations, and the exchange row shrinks to the input columns.
+  // Measured at sf0.1 (isolated 5-run medians): f2 3.46→, f4 1.53→,
+  // f6 1.41→, f7 1.30→, f8 1.70→ (numbers in OPTIMIZATION_r14.md).
   val queries: Map[String, Q] = Map(
     // F2: seconds → MM:SS:mmm (round-half, sign-aware, minutes unbounded).
     "f2_format_mmssms" -> ((s, d) =>
       t(s, d, "lineitem")
         .withColumn("sec", col("l_extendedprice") / 7.0 - 4000.0)
-        .withColumn("dur", D.formatSecondsToMmSsMs(col("sec")))
-        .select("l_orderkey", "l_linenumber", "sec", "dur")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .select("l_orderkey", "l_linenumber", "sec")
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(col("l_orderkey"), col("l_linenumber"), col("sec"),
+          D.formatSecondsToMmSsMs(col("sec")).as("dur"))),
 
     // F3: seconds → HH:MM:SS (rounded to whole seconds).
     "f3_format_hhmmss" -> ((s, d) =>
       t(s, d, "events")
         .withColumn("sec", col("value") * 137.3 - 5000.0)
-        .withColumn("dur", D.formatSecondsToHhMmSs(col("sec")))
-        .select("event_id", "sec", "dur")
-        .orderBy("event_id")),
+        .select("event_id", "sec")
+        .orderBy("event_id")
+        .select(col("event_id"), col("sec"),
+          D.formatSecondsToHhMmSs(col("sec")).as("dur"))),
 
     // F4 + F9: seconds → HH:MM:SS:mmm, rounding vs truncating (F18 asymmetry).
     "f4_format_hhmmssms" -> ((s, d) =>
       t(s, d, "orders")
         .withColumn("sec", col("o_totalprice") / 3.0 - 30000.0)
-        .withColumn("dur_round", D.formatSecondsToHhMmSsMs(col("sec")))
-        .withColumn("dur_trunc", D.formatSecondsToHmsMsTrunc(abs(col("sec"))))
-        .select("o_orderkey", "sec", "dur_round", "dur_trunc")
-        .orderBy("o_orderkey")),
+        .select("o_orderkey", "sec")
+        .orderBy("o_orderkey")
+        .select(col("o_orderkey"), col("sec"),
+          D.formatSecondsToHhMmSsMs(col("sec")).as("dur_round"),
+          D.formatSecondsToHmsMsTrunc(abs(col("sec"))).as("dur_trunc"))),
 
     // F7: millis-long → HH:MM:SS:mmm and MM:SS:mmm (truncating, days folded).
     "f7_format_millis" -> ((s, d) =>
       t(s, d, "orders")
         .withColumn("ms", (when(col("o_orderkey") % 2 === 0, 1).otherwise(-1) *
           floor(col("o_totalprice") * 100)).cast("long"))
-        .withColumn("dur_hms", D.formatMillisToHhMmSsMs(col("ms")))
-        .withColumn("dur_ms", D.formatMillisToMmSsMs(col("ms")))
-        .select("o_orderkey", "ms", "dur_hms", "dur_ms")
-        .orderBy("o_orderkey")),
+        .select("o_orderkey", "ms")
+        .orderBy("o_orderkey")
+        .select(col("o_orderkey"), col("ms"),
+          D.formatMillisToHhMmSsMs(col("ms")).as("dur_hms"),
+          D.formatMillisToMmSsMs(col("ms")).as("dur_ms"))),
 
     // F6: format → parse round-trip on table-derived durations. Parsing uses
     // the NATIVE codegen expression (graft.plans.ParseF1Duration) — same
@@ -111,12 +127,13 @@ object Scalars {
     "f6_parse_roundtrip" -> ((s, d) =>
       t(s, d, "orders")
         .withColumn("sec", col("o_totalprice") / 3.0 - 30000.0)
+        .select("o_orderkey", "sec")
+        .orderBy("o_orderkey")
         .withColumn("s_mmssms", D.formatSecondsToMmSsMs(col("sec")))
         .withColumn("s_hhmmssms", D.formatSecondsToHhMmSsMs(col("sec")))
         .withColumn("ms_from_mmssms", graft.plans.GraftExtensions.parseF1Duration(col("s_mmssms")))
         .withColumn("ms_from_hhmmssms", graft.plans.GraftExtensions.parseF1Duration(col("s_hhmmssms")))
-        .select("o_orderkey", "s_mmssms", "s_hhmmssms", "ms_from_mmssms", "ms_from_hhmmssms")
-        .orderBy("o_orderkey")),
+        .select("o_orderkey", "s_mmssms", "s_hhmmssms", "ms_from_mmssms", "ms_from_hhmmssms")),
 
     // F6 golden edges: the FIXTURES.md §A malformed/edge strings → millis/NULL.
     "f6_parse_edges" -> ((s, d) => {
@@ -129,14 +146,23 @@ object Scalars {
         .orderBy("idx")
     }),
 
-    // F8: HH:MM:SS:mmm string → float seconds (coercing).
+    // F8: HH:MM:SS:mmm string → float seconds (coercing). The parse runs
+    // through the NATIVE codegen expression (graft.plans.ParseF1Duration —
+    // same semantics as the composed regex path, PlansSpec agreement
+    // property; the composed version stays exercised by f6_parse_edges):
+    // the composed form was 3 RLIKEs + 12 regexp_extracts per row, the
+    // dominant cost of this face (guide §4: prefer codegen-friendly
+    // expressions in the hot path).
     "f8_safe_seconds" -> ((s, d) =>
       t(s, d, "orders")
         .withColumn("sec_in", col("o_totalprice") / 3.0 - 30000.0)
+        .select("o_orderkey", "sec_in")
+        .orderBy("o_orderkey")
         .withColumn("dur", D.formatSecondsToHhMmSsMs(col("sec_in")))
-        .withColumn("sec_out", D.safeToSeconds(col("dur")))
-        .select("o_orderkey", "dur", "sec_out")
-        .orderBy("o_orderkey")),
+        .withColumn("sec_out",
+          graft.plans.GraftExtensions.parseF1Duration(col("dur"))
+            .cast("double") / 1000.0)
+        .select("o_orderkey", "dur", "sec_out")),
 
     // P2: column-reorder projection (f1_dataExtractor.py:296-300 — named
     // columns first, remaining columns in original order).
@@ -151,11 +177,13 @@ object Scalars {
     // so compose date_format + millis — f1_dataExtractor.py:103-118).
     "f5_format_wallclock" -> ((s, d) =>
       t(s, d, "events")
-        .withColumn("wallclock", concat(date_format(col("ts"), "HH:mm:ss"), lit(":"),
-          format_string("%03d", (floor(unix_micros(col("ts")) / 1000) % 1000).cast("int"))))
-        .withColumn("wallclock_s", date_format(col("ts"), "HH:mm:ss"))
-        .select("event_id", "wallclock", "wallclock_s")
-        .orderBy("event_id")),
+        .select("event_id", "ts")
+        .orderBy("event_id")
+        .select(col("event_id"),
+          concat(date_format(col("ts"), "HH:mm:ss"), lit(":"),
+            format_string("%03d", (floor(unix_micros(col("ts")) / 1000) % 1000).cast("int")))
+            .as("wallclock"),
+          date_format(col("ts"), "HH:mm:ss").as("wallclock_s"))),
 
     // F14: bool-else-numeric-else-false fallback (streamlit_app.py:127-139) —
     // the two-pass Rainfall rule: per-partition-key column profile decides the
@@ -181,20 +209,22 @@ object Scalars {
     // F10: ISO-8601 timestamp round-trip (format → coercing parse).
     "f10_iso_roundtrip" -> ((s, d) =>
       t(s, d, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .orderBy("o_orderkey")
         .withColumn("iso", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
         .withColumn("parsed", to_timestamp(col("iso")))
-        .select("o_orderkey", "iso", "parsed")
-        .orderBy("o_orderkey")),
+        .select("o_orderkey", "iso", "parsed")),
 
     // F11: forgiving numeric coercion (try_cast; garbage → NULL).
     "f11_numeric_coerce" -> ((s, d) =>
       t(s, d, "events")
+        .select("event_id", "user_id")
+        .orderBy("event_id")
         .withColumn("s", when(col("user_id") % 3 === 0, concat(lit("x"), col("user_id").cast("string")))
           .otherwise(col("user_id").cast("string")))
         .withColumn("n", expr("try_cast(s AS BIGINT)"))
         .withColumn("sec", D.robustToSeconds(col("s")))
-        .select("event_id", "s", "n", "sec")
-        .orderBy("event_id")),
+        .select("event_id", "s", "n", "sec")),
 
     // F12: float seconds → millis long (round-half, sign-preserving).
     "f12_seconds_to_millis" -> ((s, d) =>
