@@ -288,18 +288,28 @@ object ScaleOps {
     // (duplicate line numbers per key), so the struct-max's lexicographic
     // tie-break (seq, then op, then payload) is mirrored verbatim in the
     // oracle's ORDER BY — a real CDC log would make seq unique upstream.
+    // OPTIMIZATION r14 (guide §2.4 — share one exchange between operations
+    // keyed the same way): the aggregate and the output sort both key on
+    // (k1, k2), but groupBy→orderBy planned TWO keyspace-sized exchanges
+    // (hash for the struct-max, then range for the sort — 24.4 MB total at
+    // sf0.1, the catalog's 4th-largest shuffler). Range-partitioning ONCE
+    // up front satisfies the aggregate's ClusteredDistribution (equal keys
+    // land in one range partition), and sortWithinPartitions then yields
+    // the same global (k1, k2) order with ZERO further exchanges — one
+    // keyspace-sized shuffle instead of two, same rows, same order.
     "etl_cdc_compact" -> ((s, d) =>
       t(s, d, "lineitem")
         .select(col("l_orderkey").as("k1"), col("l_partkey").as("k2"),
           col("l_linenumber").cast("bigint").as("seq"),
           when(col("l_quantity") < 2, "D").otherwise("U").as("op"),
           round(col("l_extendedprice"), 4).as("payload"))
+        .repartitionByRange(col("k1"), col("k2"))
         .groupBy("k1", "k2")
         .agg(max(struct(col("seq"), col("op"), col("payload"))).as("m"))
         .filter(col("m.op") =!= "D")
         .select(col("k1"), col("k2"), col("m.seq").as("seq"),
                 col("m.op").as("op"), col("m.payload").as("payload"))
-        .orderBy("k1", "k2")),
+        .sortWithinPartitions("k1", "k2")),
 
     // ---- SCD type-2 build: turn a change log (one row per observed state)
     // into versioned dimension rows with [eff_from, eff_to) validity windows
