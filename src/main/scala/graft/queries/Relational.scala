@@ -94,6 +94,50 @@ object Relational {
       .withColumn("rn", col("lrn") + col("offset"))
   }
 
+  /** PER-GROUP row numbers without a per-group Window — the two-level
+    * scheme generalized to grouped ranks (OPTIMIZATION r14, guide §2.5):
+    * `Window.partitionBy(k)` over a LOW-cardinality key hash-clusters the
+    * whole frame into |k| tasks, the unsplittable-key straggler AQE
+    * cannot fix (skew-join splitting does not apply to windows). Instead:
+    * range-repartition on (group, ord...) — each group spans MANY ordered
+    * partitions — take local row numbers from monotonically_increasing_id,
+    * and reconstruct per-group ranks from a broadcast
+    * (partition × group)-sized census: rows of one group are contiguous
+    * within a partition (the sort leads with the group), so
+    * rank-in-group = lrn − min_lrn(pid, g) + 1 + Σ cnt(pid' < pid, g).
+    * Appends `rn_g` (1-based rank within group under ord) and `n_g`
+    * (group size); every derived value is exact integer arithmetic.
+    * WindowDecompositionSpec pins rn_g/n_g-derived ntile / percent_rank /
+    * cume_dist / nth_value equal to the built-in Window versions. */
+  private def withGroupRowNumbers(df: DataFrame, group: Column,
+                                  ord: Column*): DataFrame = {
+    val keys = group +: ord
+    val local = df
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .withColumn("__lrn", col("__mid") - shiftleft(col("__pid"), 33) + 1)
+      .withColumn("__g", group)
+    val cnts = local.groupBy(col("__pid"), col("__g"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__lrn")).as("__minl"))
+    // ONE broadcast census frame carrying both the per-(pid, g) prefix
+    // offset and the group total: prefix-sum and group-sum both derive
+    // from the tiny cnts table driver-side of the join, so `local` is
+    // touched exactly once after the range exchange.
+    val census = cnts
+      .join(cnts.select(col("__pid").as("__qpid"), col("__g").as("__qg"),
+          col("__cnt").as("__qcnt")),
+        col("__qg") === col("__g"), "left")
+      .groupBy(col("__pid"), col("__g"), col("__minl"))
+      .agg(coalesce(sum(when(col("__qpid") < col("__pid"), col("__qcnt"))), lit(0L)).as("__goff"),
+           sum(col("__qcnt")).as("n_g"))
+    local
+      .join(broadcast(census), Seq("__pid", "__g"))
+      .withColumn("rn_g", col("__lrn") - col("__minl") + 1 + col("__goff"))
+      .drop("__mid", "__pid", "__g", "__lrn", "__minl", "__goff")
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- flagship: TPC-H-Q1-shaped scan→filter→agg→sort (SURVEY §7.3).
     // One shuffle (partial→final hash agg); filter + 7-column projection reach
@@ -1487,13 +1531,42 @@ object Relational {
     }),
 
     // ---- W7: ntile + nth_value over an explicit full frame.
+    // OPTIMIZATION r14 (guide §2.5): `Window.partitionBy(o_orderstatus)`
+    // clusters the whole table into 3 tasks — the unsplittable-key
+    // straggler. Both functions are pure rank arithmetic, so they now
+    // derive from the two-level per-group ranks (withGroupRowNumbers):
+    // ntile(4) is the SQL-standard bucket formula over (rn_g, n_g) in
+    // exact integer ops (first n%4 buckets one row larger), and
+    // nth_value(key, 2) is the rank-2 row per group, a |groups|-sized
+    // broadcast join. WindowDecompositionSpec pins both equal to the
+    // built-ins; no operator in the plan holds a whole group.
     "w7_ntile_nth" -> ((s, d) => {
-      val order = Window.partitionBy("o_orderstatus")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      t(s, d, "orders")
-        .withColumn("quartile", ntile(4).over(order).cast("bigint"))
-        .withColumn("second_best", nth_value(col("o_orderkey"), 2).over(full))
+      val r = withGroupRowNumbers(
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey").asc)
+      // nth_value(o_orderkey, 2) = the rank-2 row per group under
+      // (price desc, key asc) — derived by two tiny ordered-struct-max
+      // aggregates over the scan (partial-agg friendly, |groups|-sized
+      // shuffle) instead of rank-filtering `r`, which would execute the
+      // whole two-level pipeline a second time. max(struct(price, -key))
+      // IS the (price desc, key asc) argmax; the second pass excludes it.
+      val byOrd = struct(col("o_totalprice"), (-col("o_orderkey")).as("nk"))
+      val o2 = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val best = o2.groupBy(col("o_orderstatus").as("__bs")).agg(max(byOrd).as("__b1"))
+      val second = o2.join(broadcast(best), col("o_orderstatus") === col("__bs"))
+        .filter(byOrd < col("__b1"))
+        .groupBy(col("o_orderstatus").as("__ss"))
+        .agg((-max(byOrd).getField("nk")).as("second_best"))
+      // ntile(4): q = n_g div 4, rem = n_g mod 4; ranks ≤ (q+1)·rem fall in
+      // the padded buckets. Long `div`/`%` only — exact at any scale.
+      r.withColumn("__q", expr("n_g div 4"))
+        .withColumn("__rem", col("n_g") % 4)
+        .withColumn("quartile",
+          when(col("rn_g") <= (col("__q") + 1) * col("__rem"),
+            expr("(rn_g - 1) div (__q + 1)") + 1)
+            .otherwise(col("__rem") + expr("(rn_g - 1 - (__q + 1) * __rem) div __q") + 1)
+          .cast("bigint"))
+        .join(broadcast(second), col("o_orderstatus") === col("__ss"), "left")
         .select("o_orderkey", "o_orderstatus", "quartile", "second_best")
         .orderBy("o_orderkey")
     }),
@@ -1504,15 +1577,20 @@ object Relational {
     // unique, so both ratios are exact integer-over-integer divisions —
     // identical doubles in any engine; round(4) is belt-and-braces. Same
     // single-shuffle window shape as w4/w7.
-    "w8_percent_rank" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderstatus")
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      t(s, d, "orders")
+    // OPTIMIZATION r14 (guide §2.5): same unsplittable-key straggler as w7
+    // — the CDF pair is pure rank arithmetic over a UNIQUE total order
+    // (the orderkey tie-break), so percent_rank = (rn_g−1)/(n_g−1) and
+    // cume_dist = rn_g/n_g are single exact-integer divides off the
+    // two-level per-group ranks; no 3-task window anywhere in the plan.
+    "w8_percent_rank" -> ((s, d) =>
+      withGroupRowNumbers(
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        col("o_orderstatus"), col("o_totalprice").asc, col("o_orderkey").asc)
         .select(col("o_orderkey"), col("o_orderstatus"),
-          round(percent_rank().over(w), 4).as("pr"),
-          round(cume_dist().over(w), 4).as("cd"))
-        .orderBy("o_orderkey")
-    }),
+          round(when(col("n_g") === 1, lit(0.0))
+            .otherwise((col("rn_g") - 1).cast("double") / (col("n_g") - 1).cast("double")), 4).as("pr"),
+          round(col("rn_g").cast("double") / col("n_g").cast("double"), 4).as("cd"))
+        .orderBy("o_orderkey")),
 
     // ---- O1/O2 sorts + O4 top-k. Top-k compiles to TakeOrderedAndProject:
     // per-partition heap + driver merge — no global sort at scale.
