@@ -94,49 +94,11 @@ object Relational {
       .withColumn("rn", col("lrn") + col("offset"))
   }
 
-  /** PER-GROUP row numbers without a per-group Window — the two-level
-    * scheme generalized to grouped ranks (OPTIMIZATION r14, guide §2.5):
-    * `Window.partitionBy(k)` over a LOW-cardinality key hash-clusters the
-    * whole frame into |k| tasks, the unsplittable-key straggler AQE
-    * cannot fix (skew-join splitting does not apply to windows). Instead:
-    * range-repartition on (group, ord...) — each group spans MANY ordered
-    * partitions — take local row numbers from monotonically_increasing_id,
-    * and reconstruct per-group ranks from a broadcast
-    * (partition × group)-sized census: rows of one group are contiguous
-    * within a partition (the sort leads with the group), so
-    * rank-in-group = lrn − min_lrn(pid, g) + 1 + Σ cnt(pid' < pid, g).
-    * Appends `rn_g` (1-based rank within group under ord) and `n_g`
-    * (group size); every derived value is exact integer arithmetic.
-    * WindowDecompositionSpec pins rn_g/n_g-derived ntile / percent_rank /
-    * cume_dist / nth_value equal to the built-in Window versions. */
+  /** Per-group ranks / running sums without low-cardinality Windows live
+    * in [[TwoLevel]] (shared with Temporal's sweep-line face). */
   private def withGroupRowNumbers(df: DataFrame, group: Column,
-                                  ord: Column*): DataFrame = {
-    val keys = group +: ord
-    val local = df
-      .repartitionByRange(keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__pid", shiftright(col("__mid"), 33))
-      .withColumn("__lrn", col("__mid") - shiftleft(col("__pid"), 33) + 1)
-      .withColumn("__g", group)
-    val cnts = local.groupBy(col("__pid"), col("__g"))
-      .agg(count(lit(1)).as("__cnt"), min(col("__lrn")).as("__minl"))
-    // ONE broadcast census frame carrying both the per-(pid, g) prefix
-    // offset and the group total: prefix-sum and group-sum both derive
-    // from the tiny cnts table driver-side of the join, so `local` is
-    // touched exactly once after the range exchange.
-    val census = cnts
-      .join(cnts.select(col("__pid").as("__qpid"), col("__g").as("__qg"),
-          col("__cnt").as("__qcnt")),
-        col("__qg") === col("__g"), "left")
-      .groupBy(col("__pid"), col("__g"), col("__minl"))
-      .agg(coalesce(sum(when(col("__qpid") < col("__pid"), col("__qcnt"))), lit(0L)).as("__goff"),
-           sum(col("__qcnt")).as("n_g"))
-    local
-      .join(broadcast(census), Seq("__pid", "__g"))
-      .withColumn("rn_g", col("__lrn") - col("__minl") + 1 + col("__goff"))
-      .drop("__mid", "__pid", "__g", "__lrn", "__minl", "__goff")
-  }
+                                  ord: Column*): DataFrame =
+    TwoLevel.groupRowNumbers(df, group, ord: _*)
 
   val queries: Map[String, Q] = Map(
     // ---- flagship: TPC-H-Q1-shaped scan→filter→agg→sort (SURVEY §7.3).
@@ -707,15 +669,24 @@ object Relational {
     // per-(type,user) row_number and running-sums the flags — two window
     // passes whose partition keys both contain event_type, so AQE plans one
     // exchange layout; no distinct state ever exceeds a long per row.
+    // OPTIMIZATION r14 (guide §2.5): the first-seen window keys on
+    // (event_type, user_id) — high-cardinality, splittable, kept — but
+    // the running sum keyed on event_type alone (~5 values) was the
+    // unsplittable-key straggler. The prefix sum is associative, so it
+    // now runs through TwoLevel.groupRunningSum: range layout on
+    // (type, ts, event_id), (physical partition × type)-grained local
+    // running sums, broadcast per-(partition, type) carry offsets —
+    // exact integer sums, identical per-row values (the (ts, event_id)
+    // tie-break is a total order).
     "w9_running_distinct" -> ((s, d) => {
       val firstSeen = Window.partitionBy("event_type", "user_id")
         .orderBy(col("ts").asc, col("event_id").asc)
-      val running = Window.partitionBy("event_type")
-        .orderBy(col("ts").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "events")
+      val flagged = t(s, d, "events")
         .withColumn("is_first", (row_number().over(firstSeen) === 1).cast("long"))
-        .withColumn("distinct_users_so_far", sum("is_first").over(running))
+        .select("event_type", "event_id", "ts", "is_first")
+      TwoLevel.groupRunningSum(flagged, col("event_type"), col("is_first"),
+          col("ts").asc, col("event_id").asc)
+        .withColumnRenamed("run_g", "distinct_users_so_far")
         .select("event_type", "event_id", "ts", "distinct_users_so_far")
         .orderBy("event_type", "event_id")
     }),
@@ -730,18 +701,52 @@ object Relational {
     // output is rank arithmetic or key lookup, engine-identical; cume_dist
     // is an exact small-integer ratio. One shuffle on the partition key;
     // top-5 per priority bounds the output.
+    // OPTIMIZATION r14 (guide §2.5 + §2.3): the o_orderpriority window was
+    // the same unsplittable-key straggler as w7/w8 (5 keys = 5 tasks hold
+    // the whole table) — but unlike w7/w8 this face only OUTPUTS the
+    // top-5 rows per group, so it decomposes with NO full-table exchange
+    // at all (aggregate-before-shuffle applied to ranks): sort each SCAN
+    // partition locally by (group, order), decode local per-(partition,
+    // group) positions from monotonically_increasing_id, and keep only
+    // per-partition group top-5 rows plus each partition's per-group LAST
+    // row — a candidate frame bounded by 6 × partitions × groups that
+    // provably contains the global top-5 and the global last row of every
+    // group. Global ranks, the rank-1/3 keys, and the last-row key are
+    // then windows over that bounded frame; n_g (for cume_dist) rides the
+    // same broadcast census. WindowDecompositionSpec pins all five
+    // columns equal to the built-in window functions at two sfs.
     "w10_dist_frames" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderpriority")
+      val local = t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .sortWithinPartitions(col("o_orderpriority"),
+          col("o_totalprice").desc, col("o_orderkey").asc)
+        .withColumn("__mid", monotonically_increasing_id())
+        .withColumn("__pid", shiftright(col("__mid"), 33))
+        .withColumn("__lrn", col("__mid") - shiftleft(col("__pid"), 33) + 1)
+      val census = local.groupBy(col("__pid"), col("o_orderpriority").as("__g"))
+        .agg(count(lit(1)).as("__cnt"), min("__lrn").as("__minl"), max("__lrn").as("__maxl"))
+      val ns = census.groupBy(col("__g").as("__ng")).agg(sum("__cnt").as("n_g"))
+      val cands = local
+        .join(broadcast(census),
+          local("__pid") === census("__pid") && col("o_orderpriority") === col("__g"))
+        .filter(local("__lrn") - col("__minl") < 5 || local("__lrn") === col("__maxl"))
+        .select(local("o_orderkey"), local("o_orderpriority"), local("o_totalprice"))
+      val wOrd = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val growing = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "orders")
-        .withColumn("rn", row_number().over(w).cast("bigint"))
-        .withColumn("cum_frac", round(cume_dist().over(w), 6))
-        .withColumn("third_key", nth_value(col("o_orderkey"), 3).over(growing))
-        .withColumn("top_key", first(col("o_orderkey")).over(whole))
-        .withColumn("bottom_key", last(col("o_orderkey")).over(whole))
+      val wAll = Window.partitionBy("o_orderpriority")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // (-price, key) sorts ascending in window order: max = the last row.
+      val byOrd = struct((-col("o_totalprice")).as("np"), col("o_orderkey").as("k"))
+      cands
+        .withColumn("rn", row_number().over(wOrd).cast("bigint"))
+        .withColumn("bottom_key", max(byOrd).over(wAll).getField("k"))
+        .withColumn("top_key", max(when(col("rn") === 1, col("o_orderkey"))).over(wAll))
+        .withColumn("third_key", max(when(col("rn") === 3, col("o_orderkey"))).over(wAll))
         .filter(col("rn") <= 5)
+        .join(broadcast(ns), col("o_orderpriority") === col("__ng"))
+        .withColumn("cum_frac",
+          round(col("rn").cast("double") / col("n_g").cast("double"), 6))
+        .withColumn("third_key", when(col("rn") >= 3, col("third_key")))
         .select("o_orderpriority", "rn", "o_orderkey", "cum_frac",
           "third_key", "top_key", "bottom_key")
         .orderBy("o_orderpriority", "rn")

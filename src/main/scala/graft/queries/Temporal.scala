@@ -1309,16 +1309,24 @@ object Temporal {
     // cumulative sum partitions by event_type — the catalog face of the
     // interval-overlap counting that a global single-partition window
     // could NOT do at scale.
+    // OPTIMIZATION r14 (guide §2.5): the per-type cumulative sum keyed on
+    // event_type (~5 values) was an unsplittable-key straggler — the
+    // whole ±1 endpoint stream funneled through 5 tasks. The sweep-line
+    // prefix sum is associative, so it now runs through
+    // TwoLevel.groupRunningSum (range layout on (type, t, delta) +
+    // broadcast per-(partition, type) carry offsets). Endpoint ties
+    // (equal (t, delta)) permute only runs of EQUAL deltas, whose prefix
+    // multiset is order-invariant — so max(running) is exact and
+    // unchanged (the helper's documented tie contract).
     "ts_max_concurrency" -> ((s, d) => {
       val ev = t(s, d, "events")
       val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"))
         .unionByName(ev.select(col("event_type"),
           (col("ts") + expr("interval 5 minutes")).as("t"), lit(-1L).as("delta")))
-      val w = Window.partitionBy("event_type").orderBy(col("t").asc, col("delta").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      pts.withColumn("running", sum("delta").over(w))
+      TwoLevel.groupRunningSum(pts, col("event_type"), col("delta"),
+          col("t").asc, col("delta").asc)
         .groupBy("event_type")
-        .agg(max("running").as("max_concurrent"))
+        .agg(max(col("run_g")).as("max_concurrent"))
         .orderBy("event_type")
     }),
 
