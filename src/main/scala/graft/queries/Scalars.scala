@@ -268,12 +268,23 @@ object Scalars {
         .orderBy("event_id")),
 
     // JSON → MapType → explode (map_keys/map_values surface).
+    // OPTIMIZATION r14 (guide §3.3/§2.3 — explode multiplies the shuffle;
+    // the sort key `key` derives from the parse, so the codec cannot move
+    // wholly above a global orderBy like the f-faces): range-partition
+    // the RAW (event_id, props) rows first — the exchange carries one row
+    // per event instead of one per map entry, and the range sampler scans
+    // only the raw projection — then parse + explode ONCE per row after
+    // the exchange and sort within partitions ((event_id, key) order =
+    // range on event_id + in-partition sort, since an event's entries
+    // never straddle a range boundary).
     "json_map_explode" -> ((s, d) =>
       t(s, d, "events")
+        .select("event_id", "props")
+        .repartitionByRange(col("event_id"))
         .withColumn("m", from_json(col("props"), lit("map<string,bigint>")))
         .select(col("event_id"), explode(col("m")))
         .select(col("event_id"), col("key"), col("value"))
-        .orderBy("event_id", "key")),
+        .sortWithinPartitions("event_id", "key")),
 
     // JSON scalar path 2: from_json into a typed struct, then aggregate.
     "json_struct_agg" -> ((s, d) =>
