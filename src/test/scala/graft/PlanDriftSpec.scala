@@ -151,7 +151,22 @@ class PlanDriftSpec extends AnyFunSuite with SharedSparkSpec {
     "st_index_append" -> Seq(0, 0, 0, 0, 0, 2, 1, 0),
     "sim_knn_join_idx" -> Seq(0, 1, 0, 2, 0, 5, 1, 0),
     "mm_audio_dedup" -> Seq(5, 4, 0, 0, 0, 18, 1, 0),
-    "dd_winnowing" -> Seq(3, 1, 0, 0, 0, 7, 1, 0))
+    "dd_winnowing" -> Seq(3, 1, 0, 0, 0, 7, 1, 0),
+    // r14 optimization round: the restructured faces' accepted shapes —
+    // cdc_compact's single shared range exchange; the decomposed
+    // low-cardinality windows (w7/w8: range layout + census broadcasts,
+    // no Window operator; w9/ts_max_concurrency: splittable
+    // (partition × group) windows + carry broadcasts; w10: candidate
+    // pre-selection, zero full-table exchanges). json_map_explode keeps
+    // its existing row — explode-above-exchange left its counts alone.
+    // (counts read off the INITIAL adaptive plan, where a reused range
+    // layout prints once per consumer — runtime dedups via ReusedExchange)
+    "etl_cdc_compact" -> Seq(0, 0, 0, 0, 0, 0, 1, 0),
+    "w7_ntile_nth" -> Seq(4, 0, 0, 0, 0, 4, 4, 0),
+    "w8_percent_rank" -> Seq(2, 0, 0, 0, 0, 2, 4, 0),
+    "w9_running_distinct" -> Seq(2, 0, 0, 0, 0, 5, 4, 0),
+    "w10_dist_frames" -> Seq(2, 0, 0, 0, 0, 4, 1, 0),
+    "ts_max_concurrency" -> Seq(2, 0, 0, 0, 0, 4, 4, 0))
 
   test("top-20 bench plans match the committed fingerprint corpus") {
     if (sys.env.get("GRAFT_PLANDRIFT_PRINT").contains("1")) {
