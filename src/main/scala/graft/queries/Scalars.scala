@@ -78,8 +78,9 @@ object Scalars {
   // frame and apply the codec projection ABOVE the Sort: identical rows in
   // identical order (the projection is order-preserving), half the codec
   // evaluations, and the exchange row shrinks to the input columns.
-  // Measured at sf0.1 (isolated 5-run medians): f2 3.46→, f4 1.53→,
-  // f6 1.41→, f7 1.30→, f8 1.70→ (numbers in OPTIMIZATION_r14.md).
+  // Measured at sf0.1 (isolated 5-run medians): f2 3.46→1.10,
+  // f4 1.53→1.07, f6 1.41→1.16, f7 1.30→0.84, f8 1.70→0.64 — full
+  // table and plan diffs in OPTIMIZATION_r14.md / plans/r14/.
   val queries: Map[String, Q] = Map(
     // F2: seconds → MM:SS:mmm (round-half, sign-aware, minutes unbounded).
     "f2_format_mmssms" -> ((s, d) =>
