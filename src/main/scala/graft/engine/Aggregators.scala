@@ -74,13 +74,25 @@ object Aggregators {
   }
 
   /** Bounded top-k by value without a sort — per-partition heap, mergeable.
-    * The typed analogue of TakeOrderedAndProject for use inside groupBy. */
+    * The typed analogue of TakeOrderedAndProject for use inside groupBy.
+    * The buffer invariant — sorted by (value desc, id asc), length ≤ k —
+    * lets reduce() reject a non-improving row with ONE comparison against
+    * the current cutoff (OPTIMIZATION r15: the aggregate sees every scored
+    * row, so the per-row path must be O(1) in the common case; results are
+    * identical to the always-sort form, AggregatorsSpec pins it). */
   final class TopK(k: Int) extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[Long]] {
-    override def zero: Seq[(Double, Long)] = Vector.empty
+    private val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
     private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
       s.sortBy { case (v, id) => (-v, id) }.take(k)
-    override def reduce(b: Seq[(Double, Long)], x: (Long, Double)): Seq[(Double, Long)] =
-      trim(b :+ ((x._2, x._1)))
+    override def zero: Seq[(Double, Long)] = Vector.empty
+    override def reduce(b: Seq[(Double, Long)], x: (Long, Double)): Seq[(Double, Long)] = {
+      val e = (x._2, x._1)
+      // cutoff better-or-equal than the candidate under (value desc,
+      // id asc) ⇒ the candidate cannot enter a full buffer (a key-equal
+      // tie also keeps the buffer: stable sort retains the incumbent)
+      if (b.length == k && ord.lteq(b.last, e)) b
+      else trim(b :+ e)
+    }
     override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
       trim(a ++ b)
     override def finish(b: Seq[(Double, Long)]): Seq[Long] = b.map(_._2)

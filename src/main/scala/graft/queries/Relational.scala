@@ -1292,29 +1292,79 @@ object Relational {
     // ---- exact WEIGHTED median (quantity-weighted price per return
     // flag): the robust center that treats a 50-unit line as 50 votes —
     // what "median price" actually means for inventory/revenue questions,
-    // and percentile()/approx sketches can't express it. Shape: weights
-    // pre-aggregate per DISTINCT price (hash-agg — the per-value rollup
-    // makes the tie semantics exact: equal prices pool their weight, so
-    // no row-level tie-break is ever needed), one cumulative window per
-    // group over ~|distinct prices| rows, the 3-row totals broadcast
-    // back, and the answer is min(price) where 2·cumw ≥ totw — the lower
-    // weighted median, deterministic by construction. Weights are
-    // integral quantities carried as exact BIGINTs; the median itself is
-    // a raw data value (no arithmetic), so both engines emit identical
-    // bits with zero rounding discipline required.
+    // and percentile()/approx sketches can't express it. The answer is
+    // min(price) where 2·cumw ≥ totw — the lower weighted median,
+    // deterministic by construction; equal prices pool their weight so no
+    // row-level tie-break is ever needed. Weights are integral quantities
+    // carried as exact BIGINTs; the median itself is a raw data value (no
+    // arithmetic), so both engines emit identical bits with zero rounding
+    // discipline required.
+    //
+    // Shape (OPTIMIZATION r15, guide §2.5): the original per-flag
+    // cumulative window ran over the per-DISTINCT-price rollup — with
+    // near-continuous prices that is a row-count-sized frame hash-
+    // clustered into |flags| = 3 window tasks (the unsplittable-key
+    // straggler class r14 removed from w7/w8/w9/w10), and the rollup's
+    // near-unique (flag, price) keys meant partial aggregation collapsed
+    // nothing: 2 × 12.7 MB keyspace exchanges at sf0.1 for a 3-row answer.
+    // Now the crossing price comes from the Quantiles-engine two-phase
+    // WEIGHTED selection: ONE codegen hash-agg builds a per-flag
+    // weight-histogram over price buckets (shuffle bounded by the value
+    // domain / width, never by row count), a cumulative window over that
+    // metadata-sized histogram locates each flag's crossing bucket, and a
+    // second scan gathers ONLY that bucket's rows (runtime-guarded
+    // bucket-bounded, the ADVICE-r12 assert_true discipline) to pool and
+    // walk the exact crossing. The one remaining row-scale exchange is
+    // countDistinct(price)'s pair dedup — the floor any exact distinct
+    // count pays (Spark fuses it with sum(w) into one two-level agg).
+    // WindowDecompositionSpec pins the decomposition value-equal to the
+    // original cumulative-window formulation at two sfs.
     "agg_weighted_median" -> ((s, d) => {
-      val pw = t(s, d, "lineitem")
-        .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
-        .agg(sum(col("l_quantity").cast("long")).as("w"))
-      val tots = pw.groupBy("flag")
-        .agg(sum("w").as("totw"), count(lit(1)).as("n_prices"))
-      val win = Window.partitionBy("flag").orderBy("price")
-      pw.withColumn("cumw", sum("w").over(win))
-        .join(broadcast(tots), "flag")
-        .filter(col("cumw") * 2 >= col("totw"))
-        .groupBy("flag")
-        .agg(min("price").as("wmed_price"),
-             max("totw").as("totw"), max("n_prices").as("n_prices"))
+      val base = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("price"),
+          col("l_quantity").cast("long").as("w")).cache()
+      // totals + distinct-price census in one pass (two-level agg: partial
+      // dedup on (flag, price) map-side, ONE pair-keyed exchange)
+      val tots = base.groupBy("flag")
+        .agg(sum("w").as("totw"), countDistinct(col("price")).as("n_prices"))
+        .localCheckpoint(false)
+      val bkt = floor(col("price") / lit(64.0)).cast("long")
+      // phase 1: weighted bucket histogram (codegen hash-agg, partial-agg
+      // friendly; ~1.6k buckets/flag at the integer-dollar domain)
+      val hist = base.groupBy(col("flag"), bkt.as("__b"))
+        .agg(sum("w").as("__bw"), count(lit(1)).as("__bc"))
+        .localCheckpoint(false)
+      val hwin = Window.partitionBy("flag").orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // the flag's crossing bucket: first whose INCLUSIVE cum reaches
+      // totw/2 — exactly one row per flag. The gather budget guard rides
+      // the consumed __b column (Quantiles.exact's runtime skew guard).
+      val target = hist
+        .withColumn("__before", coalesce(sum("__bw").over(hwin), lit(0L)))
+        .join(broadcast(tots.select(col("flag"), col("totw"))), "flag")
+        .filter(col("__before") * 2 < col("totw") &&
+          (col("__before") + col("__bw")) * 2 >= col("totw"))
+        .select(col("flag"), col("__before"),
+          when(assert_true(col("__bc") <= lit(graft.engine.Quantiles.GatherRowLimit),
+            concat(lit("agg_weighted_median: crossing bucket exceeds the gather budget"),
+              lit(" (count="), col("__bc").cast("string"), lit(")"))).isNull,
+            col("__b")).as("__b"))
+      // phase 2: gather ONLY the crossing bucket, pool weights per price,
+      // walk the in-bucket cumulative (bucket-bounded frame — the window
+      // is metadata-sized, same argument as the histogram cum above)
+      val gathered = base.select(col("flag"), col("price"), col("w"), bkt.as("__b"))
+        .join(broadcast(target), Seq("flag", "__b"))
+        .groupBy(col("flag"), col("__before"), col("price"))
+        .agg(sum("w").as("__pw"))
+      val iwin = Window.partitionBy("flag").orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = gathered
+        .withColumn("__cum", col("__before") + sum("__pw").over(iwin))
+        .join(broadcast(tots.select(col("flag"), col("totw"))), "flag")
+        .filter(col("__cum") * 2 >= col("totw"))
+        .groupBy("flag").agg(min("price").as("wmed_price"))
+      med.join(tots, "flag")
         .select("flag", "n_prices", "totw", "wmed_price")
         .orderBy("flag")
     }),

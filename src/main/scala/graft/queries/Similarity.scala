@@ -521,17 +521,48 @@ object Similarity {
                              truncate: Boolean = true): DataFrame = {
     val k = 8
     def ckpt(df: DataFrame): DataFrame = if (truncate) df.localCheckpoint(false) else df
+    val hint = hintIf(hinted) _
     val cntB = e.filter(col("vec_id") % 2 === 0).agg(count(lit(1)).as("n"))
-    val entries = q.crossJoin(broadcast(cntB))
-      .select(col("qid"), col("qv"),
+    // NARROW FRONTIER (OPTIMIZATION r15, guide §8): unlike the flat census
+    // faces' ≤720-row pools — where the ride-the-frontier shape measured
+    // faster because per-round broadcast builds dominate — the insert
+    // batch here is corpus/2-sized, so pool rows are ~72 × |batch| per
+    // round and every one used to carry the 512-B qv array through BOTH
+    // per-round exchanges (the expand distinct even hashed the array as a
+    // grouping key: 448/448 qid-exchanges in the r15 before-plan carried
+    // qv). The hnswStagedCensus discipline instead: the beam state is
+    // (qid, cand, cos) — 24 B/row — and scoring re-attaches qv from the
+    // batch-sized `q` lookup per round (hinted only below embHintGate,
+    // co-partitioned on qid above it). Same pools, same cosines, same
+    // windows — the oracle pins the edges bit-identical; only the bytes
+    // crossing the exchanges changed (~20× less).
+    val entries = q.select(col("qid")).crossJoin(broadcast(cntB))
+      .select(col("qid"),
         explode(sequence(lit(0L), lit(3L))).as("r"), col("n"))
-      .select(col("qid"), col("qv"),
+      .select(col("qid"),
         (((col("qid") + ((col("qid") * lit(2654435761L)) % lit(1000000007L)
           + col("r") * lit(40503L)) % (col("n") - 1) + 1) % col("n")) * 2).as("cand"))
       .distinct()
-    val score = beamScore(e.select(col("vec_id").as("cand"), col("v").as("cv")), hinted) _
-    var b = ckpt(beamTop(score(entries), k))
-    for (_ <- 1 to 3) b = ckpt(beamTop(score(beamExpand(b, gbEdges)), k))
+    val cv = e.select(col("vec_id").as("cand"), col("v").as("cv"))
+    def score(pool: DataFrame): DataFrame =
+      pool.join(hint(cv), "cand").join(hint(q), "qid")
+        .select(col("qid"), col("cand"), V.cosine(col("cv"), col("qv")).as("cos"))
+    def top(scored: DataFrame): DataFrame =
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("cand").asc)))
+        .filter(col("rn") <= k).select("qid", "cand", "cos")
+    def expand(b0: DataFrame): DataFrame = {
+      // the frontier is (qid, cand) only, so `col("b")` below resolves
+      // uniquely to the adjacency's endpoint by NAME — a dataset-
+      // qualified gbEdges("b") trips DetectAmbiguousSelfJoin on the
+      // untruncated lineage (gbEdges appears in every prior round)
+      val b = b0.select("qid", "cand")
+      b.union(b.join(gbEdges, b("cand") === gbEdges("a"))
+          .select(col("qid"), col("b").as("cand")))
+        .filter(col("cand") =!= col("qid")).distinct()
+    }
+    var b = ckpt(top(score(entries)))
+    for (_ <- 1 to 3) b = ckpt(top(score(expand(b))))
     b.select(col("qid").as("a"), col("cand").as("b"), col("cos"))
   }
 

@@ -32,4 +32,17 @@ class AggregatorsSpec extends AnyFunSuite with SharedSparkSpec {
       .limit(5).select("o_orderkey").collect().map(_.getLong(0)).toSeq
     assert(typedTop == expected)
   }
+
+  test("TopK early-reject (r15) keeps tie semantics at the cutoff: (value desc, id asc)") {
+    import spark.implicits._
+    // engineered so a full buffer sees cutoff-EQUAL values arriving with
+    // ids on both sides of the incumbent's — the exact branch the O(1)
+    // reject takes; any asymmetry vs the always-sort form shows here
+    val rows = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0), (5L, 5.0),
+      (6L, 5.0), (0L, 5.0), (7L, 4.0), (8L, 6.0), (9L, 5.0))
+    val got = rows.toDS().repartition(3)
+      .groupByKey(_ => 0).agg(new Aggregators.TopK(5).toColumn).head()._2
+    val want = rows.sortBy { case (id, v) => (-v, id) }.take(5).map(_._1)
+    assert(got == want && want == Seq(8L, 0L, 1L, 2L, 3L))
+  }
 }

@@ -732,8 +732,27 @@ class PlanQualitySpec extends AnyFunSuite with SharedSparkSpec {
     pinGate("sim_index_insert",
       h => graft.queries.Similarity.indexInsertAt(spark, d, h, truncate = false),
       h => graft.queries.Similarity.indexInsertAt(spark, d, h),
-      // 2 edge re-scores × 2 lookup sides + 4 beam-scoring rounds +
-      // 4 census ⋈ exact-sample joins
+      // 2 edge re-scores × 2 lookup sides + 4 beam-scoring rounds ×
+      // 2 lookup sides (cand vector + query vector — the r15 narrow
+      // frontier re-attaches qv at scoring time) + 4 census ⋈ exact joins
       minHintedBhj = 12)
+  }
+
+  test("sim_index_insert: narrow frontier — no exchange carries the query-vector array (OPTIMIZATION r15)") {
+    // The search-then-link beam state is (qid, cand, cos); qv is attached
+    // only inside scoring joins, below any exchange. If qv reappears in an
+    // Exchange input list the 512-B array is riding the frontier again —
+    // at a corpus/2-sized insert batch that was 72 MB of the catalog's
+    // largest shuffle (448/448 qid-exchanges carried qv in the r15
+    // before-plan, committed under plans/r15/).
+    val p = graft.queries.Similarity.indexInsertAt(spark, d,
+        graft.queries.Similarity.embHintGate(d), truncate = false)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val exchangeInputs = """\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, "expected Exchange nodes in the untruncated plan")
+    val offenders = exchangeInputs.filter(in => in.contains("qv#") || in.contains("va#") || in.contains("vb#"))
+    assert(offenders.isEmpty,
+      s"vector arrays must not cross an exchange; offending Exchange inputs:\n${offenders.mkString("\n")}")
   }
 }

@@ -77,12 +77,33 @@ class WindowDecompositionSpec extends AnyFunSuite with SharedSparkSpec {
       .orderBy("event_type")
   }
 
+  /** The ORIGINAL agg_weighted_median formulation (pre-r15): per-distinct-
+    * price rollup + one cumulative window per flag over the whole rollup —
+    * the reference the two-phase weighted selection must match bit-for-bit. */
+  private def builtinWeightedMedian(d: String) = {
+    val pw = graft.engine.Tables.load(spark, d, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val tots = pw.groupBy("flag")
+      .agg(sum("w").as("totw"), count(lit(1)).as("n_prices"))
+    val win = Window.partitionBy("flag").orderBy("price")
+    pw.withColumn("cumw", sum("w").over(win))
+      .join(broadcast(tots), "flag")
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy("flag")
+      .agg(min("price").as("wmed_price"),
+           max("totw").as("totw"), max("n_prices").as("n_prices"))
+      .select("flag", "n_prices", "totw", "wmed_price")
+      .orderBy("flag")
+  }
+
   private val builtins: Map[String, String => org.apache.spark.sql.DataFrame] = Map(
     "w7_ntile_nth" -> builtinW7 _,
     "w8_percent_rank" -> builtinW8 _,
     "w9_running_distinct" -> builtinW9 _,
     "w10_dist_frames" -> builtinW10 _,
-    "ts_max_concurrency" -> builtinTsMaxConcurrency _)
+    "ts_max_concurrency" -> builtinTsMaxConcurrency _,
+    "agg_weighted_median" -> builtinWeightedMedian _)
 
   for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
        (name, ref) <- builtins.toSeq.sortBy(_._1)) {
@@ -133,5 +154,13 @@ class WindowDecompositionSpec extends AnyFunSuite with SharedSparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p8.contains("hashpartitioning(o_orderstatus"),
       s"w8 still hash-clusters on the 3-value status key:\n$p8")
+    // agg_weighted_median (r15): its two flag-keyed windows may consume
+    // only the metadata-sized decomposition frames — the bucket histogram
+    // (__bw) and the crossing-bucket gather (__pw). If either marker
+    // vanishes, the face has reverted to the full-rollup window.
+    val pwm = SparkEntry.queries("agg_weighted_median")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(pwm.contains("__bw") && pwm.contains("__pw") && !pwm.contains("cumw"),
+      s"agg_weighted_median lost its two-phase selection markers:\n$pwm")
   }
 }
