@@ -326,11 +326,15 @@ object PlanDump {
       "resolution is one window per (cell, key) with the standard " +
       "(valid_from, tx_from) pick order — a deployment pins one pair " +
       "and pays a single windowed pass."),
-    "agg_weighted_median" -> ("Exact weighted median: weights pool per " +
-      "DISTINCT value first (hash-agg, exact tie semantics), one " +
-      "cumulative window over ~|distinct values| rows per group, 3-row " +
-      "totals broadcast back; the answer is a raw data value — zero " +
-      "arithmetic on it, zero rounding discipline needed."),
+    "agg_weighted_median" -> ("Exact weighted median via two-phase " +
+      "weighted bucket selection (OPTIMIZATION r15): one codegen " +
+      "weight-histogram hash-agg (domain-bounded), a cumulative window " +
+      "over the metadata-sized histogram locates each flag's crossing " +
+      "bucket, a guarded second scan gathers only that bucket and walks " +
+      "the pooled in-bucket cumulative. The one row-scale exchange left " +
+      "is countDistinct(price)'s pair dedup — the exact-distinct floor; " +
+      "the old full-rollup 3-task window straggler is gone. The answer " +
+      "is a raw data value — zero arithmetic, zero rounding needed."),
     "graph_hits" -> ("HITS hubs/authorities: two unnormalized mutual-" +
       "reinforcement iterations on the materialized edge frame — each " +
       "half-step is one co-partitioned edge⋈score join + one hash-agg, " +
@@ -481,7 +485,12 @@ object PlanDump {
       "kNN layout + search-then-link-prune-repair of the arriving half; " +
       "corpus-row vector lookups gated (embHintGate), repair confined " +
       "to 2-hop/co-linker pools ≤ batch × k²; the final frame is the " +
-      "4-row census assembly over the checkpointed cascade."),
+      "4-row census assembly over the checkpointed cascade. r15: the " +
+      "beam state is the NARROW (qid, cand, cos) frontier — no exchange " +
+      "carries a vector array (PlanQualitySpec pins it; 72.6 → 4.0 MB " +
+      "shuffle at sf0.1) — and the exact-kNN recall denominators " +
+      "aggregate map-side via the mergeable TopK instead of ranking " +
+      "all scored pairs through a window exchange."),
     "st_index_append" -> ("Streaming index append read path: the " +
       "committed per-batch edge shards (written exactly-once by " +
       "batchId inside foreachBatch) scan + one 3-group census — the " +

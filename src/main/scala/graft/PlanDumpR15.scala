@@ -31,6 +31,9 @@ object PlanDumpR15 {
         case "sim_index_insert_full" =>
           graft.queries.Similarity.indexInsertAt(spark, sfDir,
             graft.queries.Similarity.embHintGate(sfDir), truncate = false)
+        case "sim_nndescent_full" =>
+          graft.queries.Similarity.nndescentAt(spark, sfDir,
+            graft.queries.Similarity.embHintGate(sfDir), truncate = false)
         case n => SparkEntry.queries(n)(spark, sfDir)
       }
       val txt = df.queryExecution.explainString(

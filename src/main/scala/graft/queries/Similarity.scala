@@ -173,15 +173,26 @@ object Similarity {
   private def exactKnnSample(e: DataFrame, k: Int, bcVec: Boolean,
                              truncate: Boolean = true,
                              residue: Int = 0): DataFrame = {
+    // bounded top-k aggregate instead of the all-pairs rank window
+    // (OPTIMIZATION r15, guide §2.3 aggregate-before-shuffle): the window
+    // exchanged every scored (a, b, cos) pair of the corpus × sample
+    // crossJoin to rank them; the mergeable TopK buffer collapses each
+    // map partition to ≤ k rows per query BEFORE the exchange, so the
+    // shuffle carries |sample| × partitions × k rows instead of
+    // |corpus| × |sample|. Tie semantics identical to the window's
+    // (cos desc, b asc) — AggregatorsSpec pins the cutoff ties — and
+    // every consumer treats this frame as an unordered (a, b) relation.
+    val topk = udaf(new graft.engine.Aggregators.TopK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
     val gt = e.select(col("vec_id").as("b"), col("v").as("vb"))
       .crossJoin(hintIf(bcVec)(e.filter(col("vec_id") % 50 === residue)
         .select(col("vec_id").as("a"), col("v").as("va"))))
       .filter(col("a") =!= col("b"))
       .withColumn("cos_raw", V.cosine(col("va"), col("vb")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("a").orderBy(col("cos_raw").desc, col("b").asc)))
-      .filter(col("rn") <= k)
-      .select("a", "b")
+      .groupBy("a").agg(topk(col("b"), col("cos_raw")).as("__nn"))
+      .select(col("a"), explode(col("__nn")).as("b"))
     if (truncate) gt.localCheckpoint(false) else gt
   }
 
@@ -758,9 +769,13 @@ object Similarity {
         max(when(col("rn") === 1 && !col("is_pos"), col("cand"))).as("neg_id"),
         max(when(col("rn") === 1 && !col("is_pos"), col("cos"))).as("__nc"))
       .select(col("qid"), col("q_label"), col("n_cands"), col("n_pos_cands"),
-        col("pos_id"), round(col("__pc"), 4).as("pos_cos"),
-        col("neg_id"), round(col("__nc"), 4).as("neg_cos"),
-        round(col("__pc") - col("__nc"), 4).as("margin"))
+        // cosines and the margin can be negative: qround canonicalizes a
+        // rounded -0.0 to +0.0 on both engines (MarginAudit NEGZ, r15 —
+        // no live -0 cell at any test sf, so values are unchanged; this
+        // closes the flake the guard predicts at another sf)
+        col("pos_id"), FP.qround(col("__pc"), 4).as("pos_cos"),
+        col("neg_id"), FP.qround(col("__nc"), 4).as("neg_cos"),
+        FP.qround(col("__pc") - col("__nc"), 4).as("margin"))
       .orderBy("qid")
   }
 
@@ -2966,11 +2981,11 @@ object Similarity {
          |SELECT qid, q_label, count(*) AS n_cands,
          |  CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_cands,
          |  max(CASE WHEN rn = 1 AND c_label = q_label THEN cand END) AS pos_id,
-         |  round(max(CASE WHEN rn = 1 AND c_label = q_label THEN cos END), 4) AS pos_cos,
+         |  (round(max(CASE WHEN rn = 1 AND c_label = q_label THEN cos END), 4) + 0.0) AS pos_cos,
          |  max(CASE WHEN rn = 1 AND c_label <> q_label THEN cand END) AS neg_id,
-         |  round(max(CASE WHEN rn = 1 AND c_label <> q_label THEN cos END), 4) AS neg_cos,
-         |  round(max(CASE WHEN rn = 1 AND c_label = q_label THEN cos END)
-         |      - max(CASE WHEN rn = 1 AND c_label <> q_label THEN cos END), 4) AS margin
+         |  (round(max(CASE WHEN rn = 1 AND c_label <> q_label THEN cos END), 4) + 0.0) AS neg_cos,
+         |  (round(max(CASE WHEN rn = 1 AND c_label = q_label THEN cos END)
+         |      - max(CASE WHEN rn = 1 AND c_label <> q_label THEN cos END), 4) + 0.0) AS margin
          |FROM rk GROUP BY 1, 2 ORDER BY qid""".stripMargin,
 
     // the full insert replay: the base-half NN-descent chain (dense ids
