@@ -34,6 +34,9 @@ object PlanDumpR15 {
         case "sim_nndescent_full" =>
           graft.queries.Similarity.nndescentAt(spark, sfDir,
             graft.queries.Similarity.embHintGate(sfDir), truncate = false)
+        case "graph_lpa_full" =>
+          graft.queries.Graph.lpaAt(spark, sfDir,
+            broadcastState = true, truncate = false)
         case n => SparkEntry.queries(n)(spark, sfDir)
       }
       val txt = df.queryExecution.explainString(

@@ -414,7 +414,16 @@ object Graph {
                            truncate: Boolean = true): DataFrame = {
     def hint(df: DataFrame): DataFrame = if (broadcastState) broadcast(df) else df
     def ckpt(df: DataFrame): DataFrame = if (truncate) df.localCheckpoint(false) else df
-    val e = symEdges(s, d)
+    // ONE src-keyed exchange up front, checkpointed (OPTIMIZATION r15,
+    // guide §2.4 "share one exchange"): hash(src) is preserved through
+    // the checkpoint (LogicalRDD keeps outputPartitioning) and SATISFIES
+    // every per-round clustering below the gate — the label-count
+    // groupBy(src, lbl) (src ⊆ keys), the max groupBy(src), the cnt⋈mx
+    // join, and the init distinct — so the 4-round loop plans ZERO
+    // per-round keyspace exchanges while labels broadcast. Above the
+    // gate the dst-keyed label join re-clusters anyway (the co-partitioned
+    // 100 TB shape, unchanged).
+    val e = ckpt(symEdges(s, d).repartition(col("src")))
     var labels = ckpt(e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")))
     val rows = (1 to 4).map { round =>
